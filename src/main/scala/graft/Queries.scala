@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Extents, Shape}
+
+/** Named query catalog: each entry is an operator exercise from SURVEY.md §2
+  * over the driver's parquet tables, with a DuckDB oracle twin in
+  * [[Queries.oracle]]. Column names/aliases MUST match the oracle exactly
+  * (driver sorts columns by name before hashing). Every query orders by a
+  * deterministic key and avoids order-dependent aggregates.
+  */
+object Queries {
+  import Tables._
+
+  /** Days of January present in the events table (TESTDATA ts spans
+    * 2024-01-01..2024-01-30); plays the role of the reference's year list.
+    */
+  private val eventDays: Seq[String] = (1 to 30).map(d => f"$d%02d")
+
+  // ---------------------------------------------------------------------
+  // G5 hash aggregation (TPC-H Q1 shape) — partial+final agg, one shuffle.
+  def q01PricingSummary(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | round(sum(l_quantity), 2) AS sum_qty,
+      | round(sum(l_extendedprice), 2) AS sum_base_price,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      | round(avg(l_quantity), 6) AS avg_qty,
+      | round(avg(l_discount), 6) AS avg_disc,
+      | count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A1 long→wide pivot (the reference's shape-data.js), deterministic
+  // last-wins cells: one row per user, one `value-DD` column per day.
+  def q02ShapePivot(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).withColumn("dd", date_format(col("ts"), "dd"))
+    Shape.pivotWide(ev, idCol = "user_id", carry = Nil, yearCol = "dd",
+      metrics = Seq("value"), years = eventDays, ordCol = "event_id")
+  }
+
+  val q02Sql: String = {
+    val cells = eventDays.map { dd =>
+      s""" max_by(value, event_id) FILTER (WHERE strftime(ts, '%d') = '$dd') AS "value-$dd""""
+    }.mkString(",\n")
+    s"SELECT user_id,\n$cells\nFROM events GROUP BY user_id ORDER BY user_id"
+  }
+
+  // ---------------------------------------------------------------------
+  // A2+G1-G4 extents (the reference's extract-extents.js): unpivot + per-
+  // metric min/max/q1/q99 in one shuffle.
+  private val extentCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  def q03Extents(s: SparkSession, d: String): DataFrame =
+    Extents.extents(lineitem(s, d), extentCols)
+      .select(col("id"),
+        round(col("vmin"), 6).as("vmin"), round(col("vmax"), 6).as("vmax"),
+        round(col("q1"), 6).as("q1"), round(col("q99"), 6).as("q99"))
+      .orderBy("id")
+
+  val q03Sql: String = {
+    val branches = extentCols
+      .map(c => s"SELECT '$c' AS id, CAST($c AS DOUBLE) AS value FROM lineitem")
+      .mkString(" UNION ALL ")
+    s"""WITH long AS ($branches)
+       |SELECT id, round(min(value), 6) AS vmin, round(max(value), 6) AS vmax,
+       |  round(quantile_cont(value, 0.01), 6) AS q1,
+       |  round(quantile_cont(value, 0.99), 6) AS q99
+       |FROM long WHERE value IS NOT NULL AND NOT isnan(value)
+       |GROUP BY id ORDER BY id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // P1/P3/P9 dictionary rename + projection + year-suffix slice.
+  def q04RenameProject(s: SparkSession, d: String): DataFrame = {
+    val mapping = Seq("event_id" -> "eid", "user_id" -> "uid",
+      "event_type" -> "et", "value" -> "v") // `props`/`ts` unmapped → dropped
+    Shape.renameColumns(events(s, d).withColumn("yy", date_format(col("ts"), "yy")),
+        mapping, keep = Seq("yy"))
+      .orderBy("eid")
+  }
+
+  val q04Sql: String =
+    """SELECT strftime(ts, '%y') AS yy, event_id AS eid, user_id AS uid,
+      | event_type AS et, value AS v
+      |FROM events ORDER BY eid""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // P6 null-default + P7 numeric-or-null coercion.
+  def q05CleanNulls(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val kStr = expr("nullif(regexp_extract(props, '\"k\": (\\\\d+)', 1), '')")
+    ev.select(
+      col("event_id").as("eid"),
+      Extents.numericOrNull(kStr).as("k_num"),
+      Shape.defaultParentLocation(
+        when(col("value") > 100, col("event_type")), "United States").as("et_filled"))
+      .orderBy("eid")
+  }
+
+  val q05Sql: String =
+    """SELECT event_id AS eid,
+      | TRY_CAST(nullif(regexp_extract(props, '"k": (\d+)', 1), '') AS DOUBLE) AS k_num,
+      | coalesce(CASE WHEN value > 100 THEN event_type END, 'United States') AS et_filled
+      |FROM events ORDER BY eid""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Event-time tumbling window aggregation (batch twin of the Structured
+  // Streaming path; SURVEY.md §2.9).
+  def q06HourlyRollup(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy("hour", "event_type")
+
+  val q06Sql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      | event_type, count(*) AS n, round(sum(value), 2) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // O1/O3 GEOID-style zero-padded string key, binary-order sort + limit.
+  def q07SortLimit(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .select(lpad(col("c_custkey").cast("string"), 8, "0").as("geoid"),
+        col("c_name").as("n"), col("c_acctbal").as("bal"))
+      .orderBy("geoid")
+      .limit(100)
+
+  val q07Sql: String =
+    """SELECT lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS geoid,
+      | c_name AS n, c_acctbal AS bal
+      |FROM customer ORDER BY geoid LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------------
+  /** Registry: name -> query. */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_shape_pivot" -> (q02ShapePivot _),
+    "q03_extents" -> (q03Extents _),
+    "q04_rename_project" -> (q04RenameProject _),
+    "q05_clean_nulls" -> (q05CleanNulls _),
+    "q06_hourly_rollup" -> (q06HourlyRollup _),
+    "q07_sort_limit" -> (q07SortLimit _),
+  )
+
+  /** Registry: name -> DuckDB oracle SQL. */
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_shape_pivot" -> q02Sql,
+    "q03_extents" -> q03Sql,
+    "q04_rename_project" -> q04Sql,
+    "q05_clean_nulls" -> q05Sql,
+    "q06_hourly_rollup" -> q06Sql,
+    "q07_sort_limit" -> q07Sql,
+  )
+}
