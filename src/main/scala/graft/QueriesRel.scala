@@ -1,0 +1,255 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Joins, Shape, Windows}
+
+/** Relational operator batch: joins (J1-J3 + semi/anti/as-of), set ops,
+  * rollup, window functions, per-group top-k (SURVEY.md §2.5-2.8).
+  */
+object QueriesRel {
+  import Tables._
+
+  // J1: multi-way equi join, dims broadcast (TPC-H Q5 shape). The two big
+  // tables shuffle on the join key once; nation/region stay broadcast.
+  def q08RegionalRevenue(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+
+  val q08Sql: String =
+    """SELECT r_name, n_name,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      | count(*) AS n_items
+      |FROM lineitem
+      | JOIN orders ON l_orderkey = o_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      | JOIN nation ON c_nationkey = n_nationkey
+      | JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  // J2 (--if-matched as a filter): left-semi = EXISTS.
+  def q09SemiJoin(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d).filter(col("o_totalprice") > 400000)
+          .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  val q09Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
+  // Anti join = NOT EXISTS: candidate ids with no events.
+  def q10AntiJoin(s: SparkSession, d: String): DataFrame =
+    s.range(0, 200).select(col("id").as("user_id"))
+      .join(events(s, d).select("user_id"), Seq("user_id"), "left_anti")
+      .orderBy("user_id")
+
+  val q10Sql: String =
+    """SELECT range AS user_id FROM range(0, 200)
+      |WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = range)
+      |ORDER BY user_id""".stripMargin
+
+  // J3 layer union-merge: two per-key layer tables full-outer aligned.
+  def q11LayerMerge(s: SparkSession, d: String): DataFrame = {
+    val orderLayer = orders(s, d)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+    val balLayer = customer(s, d)
+      .select(col("c_custkey").as("custkey"), col("c_acctbal").as("bal"))
+    Joins.layerMerge(orderLayer, balLayer, Seq("custkey"))
+      .orderBy("custkey")
+  }
+
+  val q11Sql: String =
+    """SELECT coalesce(a.custkey, b.custkey) AS custkey, a.n_orders, a.total, b.bal
+      |FROM (SELECT o_custkey AS custkey, count(*) AS n_orders,
+      |             round(sum(o_totalprice), 2) AS total
+      |      FROM orders GROUP BY o_custkey) a
+      |FULL OUTER JOIN (SELECT c_custkey AS custkey, c_acctbal AS bal
+      |                 FROM customer) b
+      |  ON a.custkey = b.custkey
+      |ORDER BY custkey""".stripMargin
+
+  // §2.7 set operations: union / intersect / except over key sets.
+  def q12SetOps(s: SparkSession, d: String): DataFrame = {
+    val building = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+    val bigSpenders = orders(s, d).filter(col("o_totalprice") > 350000)
+      .select(col("o_custkey").as("k")).distinct()
+    val tagged =
+      building.union(bigSpenders).distinct().withColumn("op", lit("union"))
+        .unionByName(building.intersect(bigSpenders).withColumn("op", lit("intersect")))
+        .unionByName(building.except(bigSpenders).withColumn("op", lit("except")))
+    tagged.orderBy("op", "k")
+  }
+
+  val q12Sql: String =
+    """WITH building AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+      | big AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 350000)
+      |SELECT k, 'union' AS op FROM (SELECT k FROM building UNION SELECT k FROM big)
+      |UNION ALL
+      |SELECT k, 'intersect' AS op FROM (SELECT k FROM building INTERSECT SELECT k FROM big)
+      |UNION ALL
+      |SELECT k, 'except' AS op FROM (SELECT k FROM building EXCEPT SELECT k FROM big)
+      |ORDER BY op, k""".stripMargin
+
+  // G6 rollup: region ⊃ nation revenue subtotals + grand total. The
+  // rollup stage goes through spark.sql over a temp view: Spark 4.1's
+  // DetectAmbiguousSelfJoin false-positives on DataFrame-API rollup over
+  // a multi-join child (dataset-id metadata), while the SQL path plans
+  // the identical Expand+Aggregate.
+  def q13Rollup(s: SparkSession, d: String): DataFrame = {
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name", "o_totalprice")
+      .createOrReplaceTempView("q13_base")
+    s.sql(
+      """SELECT coalesce(r_name, '(all)') AS region,
+        |       coalesce(n_name, '(all)') AS nation,
+        |       round(sum(o_totalprice), 2) AS total, count(*) AS n_orders
+        |FROM q13_base
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region, nation""".stripMargin)
+  }
+
+  val q13Sql: String =
+    """SELECT coalesce(r_name, '(all)') AS region, coalesce(n_name, '(all)') AS nation,
+      | round(sum(o_totalprice), 2) AS total, count(*) AS n_orders
+      |FROM orders
+      | JOIN customer ON o_custkey = c_custkey
+      | JOIN nation ON c_nationkey = n_nationkey
+      | JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY region, nation""".stripMargin
+
+  // §2.8 window analytics: ranking, lag, running sum per user timeline.
+  def q14WindowAnalytics(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev_v", lag("value", 1).over(w))
+      .withColumn("run_total", round(sum("value").over(cum), 2))
+      .select(col("event_id").as("eid"), col("user_id"),
+        col("rn"), col("prev_v"), col("run_total"))
+      .orderBy("eid")
+  }
+
+  val q14Sql: String =
+    """SELECT event_id AS eid, user_id,
+      | row_number() OVER w AS rn,
+      | lag(value, 1) OVER w AS prev_v,
+      | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY eid""".stripMargin
+
+  // O4 density-ranked drop: top-k per group (tippecanoe
+  // --drop-densest-as-needed analogue).
+  def q15TopkPerGroup(s: SparkSession, d: String): DataFrame =
+    Windows.topKPerGroup(orders(s, d), Seq("o_custkey"),
+        col("o_totalprice").desc, col("o_orderkey"), 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rank"))
+      .orderBy("o_custkey", "rank")
+
+  val q15Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+      | SELECT o_custkey, o_orderkey, o_totalprice,
+      |  row_number() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      | FROM orders) t
+      |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin
+
+  // Extension: backward as-of join (latest prior click for each purchase)
+  // — one shuffle + window, no range-join explosion.
+  def q16AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("eid"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_eid"), col("value").as("click_value"))
+    AsOfJoin.asofBackward(purchases, clicks, "user_id", "ts",
+        Seq("click_eid", "click_value"))
+      .select(col("eid"), col("user_id"), col("click_eid"), col("click_value"))
+      .orderBy("eid")
+  }
+
+  val q16Sql: String =
+    """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |                  event_type, value FROM events),
+      | p AS (SELECT event_id AS eid, user_id, ts FROM e WHERE event_type = 'purchase'),
+      | c AS (SELECT user_id, ts, event_id AS click_eid, value AS click_value
+      |       FROM e WHERE event_type = 'click')
+      |SELECT p.eid, p.user_id, c.click_eid, c.click_value
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY eid""".stripMargin
+
+  // The reference's tile attribute flow end-to-end: pivot wide → decade
+  // column slice → if-matched (inner) broadcast attribute join onto the
+  // feature side (synthetic per-user points; T6+P3+J1+J2).
+  def q17TileAttrJoin(s: SparkSession, d: String): DataFrame = {
+    val wide = Queries.q02ShapePivot(s, d)
+    val firstDecade = Seq("user_id") ++ (1 to 10).map(dd => f"value-$dd%02d")
+    val slice = Shape.decadeSlice(wide, firstDecade)
+    val features = s.range(0, 200).select(col("id").as("user_id"),
+      (col("id") % 360 - 180 + 0.5).as("lon"),
+      (col("id") % 170 - 85 + 0.5).as("lat"))
+    Joins.attributeJoin(features, slice, "user_id", ifMatched = true)
+      .orderBy("user_id")
+  }
+
+  val q17Sql: String = {
+    val cells = (1 to 10).map { dd =>
+      f""" max_by(value, event_id) FILTER (WHERE strftime(ts, '%%d') = '$dd%02d') AS "value-$dd%02d""""
+    }.mkString(",\n")
+    s"""WITH wide AS (SELECT user_id,\n$cells\nFROM events GROUP BY user_id),
+       | features AS (SELECT range AS user_id, range % 360 - 180 + 0.5 AS lon,
+       |              range % 170 - 85 + 0.5 AS lat FROM range(0, 200))
+       |SELECT features.user_id, lon, lat, wide.* EXCLUDE (user_id)
+       |FROM features JOIN wide ON features.user_id = wide.user_id
+       |ORDER BY features.user_id""".stripMargin
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q08_regional_revenue" -> (q08RegionalRevenue _),
+    "q09_semi_join" -> (q09SemiJoin _),
+    "q10_anti_join" -> (q10AntiJoin _),
+    "q11_layer_merge" -> (q11LayerMerge _),
+    "q12_set_ops" -> (q12SetOps _),
+    "q13_rollup" -> (q13Rollup _),
+    "q14_window_analytics" -> (q14WindowAnalytics _),
+    "q15_topk_per_group" -> (q15TopkPerGroup _),
+    "q16_asof_join" -> (q16AsofJoin _),
+    "q17_tile_attr_join" -> (q17TileAttrJoin _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q08_regional_revenue" -> q08Sql,
+    "q09_semi_join" -> q09Sql,
+    "q10_anti_join" -> q10Sql,
+    "q11_layer_merge" -> q11Sql,
+    "q12_set_ops" -> q12Sql,
+    "q13_rollup" -> q13Sql,
+    "q14_window_analytics" -> q14Sql,
+    "q15_topk_per_group" -> q15Sql,
+    "q16_asof_join" -> q16Sql,
+    "q17_tile_attr_join" -> q17Sql,
+  )
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for each left row, the single latest right row
+  * with `right.ts <= left.ts` within the same key group.
+  *
+  * The reference has no as-of join (SURVEY.md §2.5 J5 — absent); this is
+  * part of the extension tier for event/time-series processing.
+  *
+  * Spark-first design: instead of a range join (which Catalyst would plan
+  * as a broadcast-nested-loop or an exploding theta join), the two sides
+  * are UNIONED and resolved with one window pass:
+  *
+  *   union → shuffle by key → sort by (ts, side) → running
+  *   `last(payload, ignoreNulls)` fills each left row with the most
+  *   recent right payload.
+  *
+  * Cost: ONE shuffle + sort of |L|+|R| rows — the same plan shape as a
+  * sort-merge join, with no pair-explosion, so it scales linearly at
+  * 100 TB. Right rows sort before left rows on ts ties (side 0 < 1),
+  * giving inclusive `<=` semantics.
+  */
+object AsOfJoin {
+
+  /** @param payload right-side columns carried onto matching left rows
+    *                (emitted under the same names; they must not clash
+    *                with left column names).
+    */
+  def asofBackward(left: DataFrame, right: DataFrame, key: String,
+                   ts: String, payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val lTagged = left.select(
+      (leftCols.map(col) :+ lit(1).as("__side")) ++
+        payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val rTagged = right.select(
+      (Seq(col(key), col(ts), lit(0).as("__side")) ++
+        leftCols.filterNot(c => c == key || c == ts)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.map(col)): _*)
+    val unioned = lTagged.unionByName(rTagged)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__side")
+  }
+}

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Join operators mirroring the reference's tile-join semantics.
+  *
+  * Reference (`/root/reference/build.sh`):
+  *  - J1 attribute join: `tile-join -c <decade>.csv <tiles>.mbtiles`
+  *    attaches CSV columns to tile features by GEOID
+  *    (`build.sh:189,210`);
+  *  - J2 `--if-matched`: only features that matched a CSV row keep data →
+  *    inner-join semantics (`build.sh:189,210`);
+  *  - J3 tileset union-merge: `tile-join a.mbtiles b.mbtiles` merges the
+  *    choropleth and bubble layers keyed `(z,x,y)` (`build.sh:214`).
+  *
+  * Scale notes: the attribute side is a per-geoid wide table (≤ millions
+  * of rows, few hundred MB) while the geometry/tile side fans out per
+  * zoom level — so the attribute side is the BROADCAST side and the join
+  * never shuffles the big side. The layer merge is a full-outer
+  * key-aligned join; at 100 TB both sides arrive hash-partitioned by the
+  * same key from their upstream groupBys, so AQE plans a zero-exchange
+  * sort-merge.
+  */
+object Joins {
+
+  /** J1+J2: attach attribute columns to the feature side by key.
+    * `ifMatched = true` reproduces `--if-matched` (inner); false keeps
+    * unmatched features with null attributes (left outer).
+    */
+  def attributeJoin(features: DataFrame, attrs: DataFrame, key: String,
+                    ifMatched: Boolean = true): DataFrame =
+    features.join(broadcast(attrs), Seq(key),
+      if (ifMatched) "inner" else "left_outer")
+
+  /** J3: merge two layer tables on a shared key, keeping rows present in
+    * either layer (full outer), with the key coalesced.
+    */
+  def layerMerge(a: DataFrame, b: DataFrame, key: Seq[String]): DataFrame =
+    a.join(b, key, "full_outer")
+}
