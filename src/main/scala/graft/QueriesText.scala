@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextStats
+
+/** Text-analysis query batch (SURVEY.md §7.2 M8 extension tier) over the
+  * `documents` table: token counting, quality scoring, language-ID,
+  * fingerprinting. Every query is a narrow codegen'd projection — the
+  * parquet scan prunes to (doc_id, text[, lang]) and there is no shuffle
+  * except the final presentation sort.
+  */
+object QueriesText {
+  import Tables._
+
+  /** DuckDB expression for the normalized text — must mirror
+    * [[TextStats.normalize]] exactly.
+    */
+  private val normSql = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+  // ---------------------------------------------------------------------
+  // Token counting: whitespace tokens + BPE-ish sub-tokens.
+  def q18TokenStats(s: SparkSession, d: String): DataFrame = {
+    val toks = TextStats.tokens(col("text"))
+    documents(s, d).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_ws_tokens"),
+      TextStats.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
+      length(TextStats.normalize(col("text"))).cast("long").as("n_chars_norm"))
+      .orderBy("doc_id")
+  }
+
+  val q18Sql: String =
+    s"""WITH t AS (SELECT doc_id, $normSql AS norm FROM documents)
+       |SELECT doc_id,
+       | len(string_split(norm, ' ')) AS n_ws_tokens,
+       | len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+       | length(norm) AS n_chars_norm
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Quality scoring: length / punctuation / stopword components and a
+  // [0,1] composite, all plain arithmetic.
+  def q19QualityScore(s: SparkSession, d: String): DataFrame = {
+    val cols = TextStats.qualityColumns("text").map { case (n, c) => c.as(n) }
+    documents(s, d).select(col("doc_id") +: cols: _*).orderBy("doc_id")
+  }
+
+  val q19Sql: String = {
+    val stop = TextStats.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       | SELECT doc_id, $normSql AS norm, string_split($normSql, ' ') AS toks
+       | FROM documents),
+       |c AS (
+       | SELECT doc_id,
+       |  CAST(length(norm) AS DOUBLE) AS n_chars,
+       |  CAST(len(toks) AS DOUBLE) AS n_toks,
+       |  CAST(len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS DOUBLE) AS punct,
+       |  CAST(len(list_filter(toks, t -> list_contains($stop, t))) AS DOUBLE) AS stops
+       | FROM t),
+       |r AS (
+       | SELECT doc_id, n_chars, n_toks,
+       |  round((n_chars - (n_toks - 1)) / n_toks, 6) AS mean_token_len,
+       |  round(punct / n_chars, 6) AS punct_ratio,
+       |  round(stops / n_toks, 6) AS stopword_ratio
+       | FROM c)
+       |SELECT doc_id,
+       | CAST(n_chars AS BIGINT) AS n_chars_norm,
+       | CAST(n_toks AS BIGINT) AS n_tokens,
+       | mean_token_len, punct_ratio, stopword_ratio,
+       | round(least(1.0, greatest(0.0,
+       |   0.5 * least(stopword_ratio * 4.0, 1.0)
+       |   + 0.5 * least(n_toks / 50.0, 1.0)
+       |   - punct_ratio)), 6) AS quality
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Language-ID: marker-lexicon hit scores per language, argmax with a
+  // fixed tie-break order; per-(true,predicted) confusion rollup.
+  def q20LangId(s: SparkSession, d: String): DataFrame = {
+    val scores = TextStats.langScores("text").map { case (n, c) => c.as(n) }
+    documents(s, d)
+      .select(col("doc_id") +: col("lang") +:
+        TextStats.langPredict("text").as("predicted") +: scores: _*)
+      .orderBy("doc_id")
+  }
+
+  val q20Sql: String = {
+    val lex = TextStats.langMarkers.map { case (lang, ms) =>
+      val arr = ms.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(toks, t -> list_contains($arr, t))) AS score_$lang"
+    }.mkString(",\n  ")
+    val tieBreak = TextStats.langMarkers.map { case (lang, _) =>
+      s"WHEN score_$lang = g THEN '$lang'"
+    }.mkString(" ")
+    val gExpr = TextStats.langMarkers.map(m => s"score_${m._1}").mkString(", ")
+    s"""WITH t AS (
+       | SELECT doc_id, lang, string_split($normSql, ' ') AS toks FROM documents),
+       |sc AS (
+       | SELECT doc_id, lang,
+       |  $lex
+       | FROM t),
+       |g AS (SELECT *, greatest($gExpr) AS g FROM sc)
+       |SELECT doc_id, lang,
+       | CASE WHEN g = 0 THEN 'und' $tieBreak END AS predicted,
+       | ${TextStats.langMarkers.map(m => s"score_${m._1}").mkString(", ")}
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Document fingerprinting: normalized-text md5 + min/max 8-gram shingle
+  // hash (winnowing-style sketch; oracle-reproducible 60-bit hashes).
+  def q21Fingerprint(s: SparkSession, d: String): DataFrame = {
+    val fps = TextStats.fingerprint("text", k = 8).map { case (n, c) => c.as(n) }
+    documents(s, d).select(col("doc_id") +: fps: _*).orderBy("doc_id")
+  }
+
+  val q21Sql: String =
+    s"""WITH t AS (SELECT doc_id, $normSql AS norm FROM documents),
+       |h AS (
+       | SELECT doc_id, norm,
+       |  list_transform(range(1, greatest(length(norm) - 7, 1) + 1),
+       |    i -> CAST(('0x' || substr(md5(substr(norm, i, 8)), 1, 15)) AS BIGINT)) AS hashes
+       | FROM t)
+       |SELECT doc_id, md5(norm) AS fp_md5,
+       | list_min(hashes) AS fp_min, list_max(hashes) AS fp_max
+       |FROM h ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_token_stats" -> (q18TokenStats _),
+    "q19_quality_score" -> (q19QualityScore _),
+    "q20_lang_id" -> (q20LangId _),
+    "q21_fingerprint" -> (q21Fingerprint _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q18_token_stats" -> q18Sql,
+    "q19_quality_score" -> q19Sql,
+    "q20_lang_id" -> q20Sql,
+    "q21_fingerprint" -> q21Sql,
+  )
+}

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the large-scale training-data pipeline tier
+  * (extension surface beyond the reference, SURVEY.md §7.2 M8): token
+  * counting, quality scoring, language identification, and document
+  * fingerprinting over the `documents` table.
+  *
+  * Spark-first design notes (100 TB scale):
+  *  - every operator here is a narrow per-row projection built from
+  *    codegen'd built-ins (`split`, `regexp_count`, `transform`,
+  *    `aggregate`) — NO Scala UDFs, so the whole stage stays inside
+  *    WholeStageCodegen and columnar parquet scans prune to the single
+  *    `text` column.
+  *  - downstream rollups (`groupBy(lang)` etc.) are standard partial+final
+  *    hash aggregations; nothing here forces a shuffle by itself.
+  *  - hash parity: hashes are derived from `md5` hex (first 15 nibbles →
+  *    60-bit non-negative long) so an external engine (the DuckDB oracle)
+  *    can reproduce them bit-for-bit; `xxhash64`/`hash` would be faster
+  *    but engine-private. At true 100 TB scale swap `fingerprintHash` for
+  *    `xxhash64` (documented deviation, no oracle).
+  */
+object TextStats {
+
+  /** Whitespace-normalized lowercase form: the canonical text every other
+    * operator keys on. trim + lower + collapse runs of whitespace.
+    */
+  def normalize(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Whitespace tokens of the normalized form. */
+  def tokens(text: Column): Column = split(normalize(text), " ")
+
+  /** BPE-ish sub-token count: letter runs, digit runs, and single
+    * non-alphanumeric marks each count as one token (the common
+    * pre-tokenizer split used before byte-pair merging).
+    */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(normalize(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+
+  /** 60-bit non-negative hash of a string, reproducible in any engine
+    * with md5: first 15 hex nibbles as a base-16 integer.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Document fingerprint columns: full-text md5 plus min/max shingle
+    * hash (a winnowing-style 2-value sketch). SQL-expression based so it
+    * stays codegen'd; k is the shingle width in characters.
+    */
+  def fingerprint(textCol: String, k: Int = 8): Seq[(String, Column)] = {
+    val hashes = shingleHashExpr(textCol, k)
+    Seq(
+      "fp_md5" -> md5(normalize(col(textCol)).cast("binary")),
+      "fp_min" -> array_min(hashes),
+      "fp_max" -> array_max(hashes))
+  }
+
+  /** Array of 60-bit k-gram shingle hashes as a single expression. */
+  def shingleHashExpr(textCol: String, k: Int): Column = {
+    val norm = s"regexp_replace(trim(lower($textCol)), '\\\\s+', ' ')"
+    expr(
+      s"""transform(sequence(1, greatest(length($norm) - ${k - 1}, 1)),
+         |  i -> cast(conv(substring(md5(cast(substring($norm, i, $k) as binary)), 1, 15), 16, 10) as long))
+         |""".stripMargin)
+  }
+
+  /** English-ish stopword list used by quality scoring. */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "of", "to", "in", "is", "it", "for",
+    "on", "with", "as", "at", "by", "or", "be", "this", "that", "are")
+
+  /** Count of tokens that appear in `lexicon`. */
+  def lexiconHits(toks: Column, lexicon: Seq[String]): Column = {
+    val lexArr = array(lexicon.map(lit): _*)
+    size(filter(toks, t => array_contains(lexArr, t)))
+  }
+
+  /** Quality-score component columns over the raw text:
+    * length, token count, mean token length, punctuation ratio, stopword
+    * ratio, and a [0,1] composite. All plain arithmetic — reproducible
+    * in the oracle.
+    */
+  def qualityColumns(textCol: String): Seq[(String, Column)] = {
+    val norm = normalize(col(textCol))
+    val toks = tokens(col(textCol))
+    val nChars = length(norm).cast("double")
+    val nToks = size(toks).cast("double")
+    val punct = regexp_count(norm, lit("[^a-z0-9 ]")).cast("double")
+    val stops = lexiconHits(toks, stopwords).cast("double")
+    val meanTokLen = round((nChars - (nToks - 1)) / nToks, 6)
+    val punctRatio = round(punct / nChars, 6)
+    val stopRatio = round(stops / nToks, 6)
+    // Composite: reward stopword presence + moderate token length,
+    // penalize punctuation soup; clamp to [0,1].
+    val score = round(
+      least(lit(1.0), greatest(lit(0.0),
+        lit(0.5) * least(stopRatio * lit(4.0), lit(1.0))
+          + lit(0.5) * least(nToks / lit(50.0), lit(1.0))
+          - punctRatio)), 6)
+    Seq(
+      "n_chars_norm" -> nChars.cast("long"),
+      "n_tokens" -> nToks.cast("long"),
+      "mean_token_len" -> meanTokLen,
+      "punct_ratio" -> punctRatio,
+      "stopword_ratio" -> stopRatio,
+      "quality" -> score)
+  }
+
+  /** Marker lexicons for the rule-based language-ID heuristic. Scores are
+    * marker-token hits per language; prediction is the argmax with a
+    * fixed tie-break order (en, de, es, fr, zh). CJK detection would add
+    * a codepoint-class test; the driver corpus is ASCII so the marker
+    * path decides.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"),
+    "es" -> Seq("el", "los", "las", "es", "y", "que", "de", "un", "una", "por"),
+    "fr" -> Seq("le", "les", "est", "et", "que", "de", "un", "une", "pour", "dans"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1", "zhe4", "bu4"))
+
+  /** Per-language marker-hit score columns (`score_<lang>`). */
+  def langScores(textCol: String): Seq[(String, Column)] = {
+    val toks = tokens(col(textCol))
+    langMarkers.map { case (lang, markers) =>
+      s"score_$lang" -> lexiconHits(toks, markers).cast("long")
+    }
+  }
+
+  /** Predicted language: argmax of marker scores, ties broken by the
+    * declared order of [[langMarkers]]; all-zero scores → "und".
+    */
+  def langPredict(textCol: String): Column = {
+    val toks = tokens(col(textCol))
+    val scored = langMarkers.map { case (lang, markers) =>
+      lang -> lexiconHits(toks, markers)
+    }
+    val best = greatest(scored.map(_._2): _*)
+    val firstMax = scored.foldLeft(lit(null).cast("string")) {
+      case (acc, (lang, score)) =>
+        when(acc.isNotNull, acc).otherwise(when(score === best, lit(lang)))
+    }
+    when(best === 0, lit("und")).otherwise(firstMax)
+  }
+}
