@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Deduplication query batch (SURVEY.md §7.2 M8): exact dedup, the full
+  * MinHash→LSH→verify near-dup pipeline, SimHash signatures, and blocked
+  * n-gram Jaccard. Duplicates are injected deterministically (the driver
+  * corpus is 100% distinct) so every query has known positives.
+  */
+object QueriesDedup {
+  import Tables._
+
+  /** Corpus with injected EXACT duplicates: every doc_id % 5 == 0 doc is
+    * re-inserted (id + 100000) upper-cased with trailing whitespace —
+    * identical after normalization.
+    */
+  private def exactCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select("doc_id", "text")
+    docs.unionByName(
+      docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(upper(col("text")), lit("  ")).as("text")))
+  }
+
+  private val exactCorpusSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 100000 AS doc_id, upper(text) || '  ' AS text
+      |FROM documents WHERE doc_id % 5 = 0""".stripMargin
+
+  /** Corpus with injected NEAR duplicates: every doc_id % 7 == 0 doc is
+    * re-inserted (id + 200000) with a 5-word tail appended — high but
+    * sub-1.0 shingle Jaccard.
+    */
+  private def nearCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select("doc_id", "text", "source")
+    docs.unionByName(
+      docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" extra tail noise appended here")).as("text"),
+          col("source")))
+  }
+
+  private val nearCorpusSql =
+    """SELECT doc_id, text, source FROM documents
+      |UNION ALL
+      |SELECT doc_id + 200000 AS doc_id,
+      |       text || ' extra tail noise appended here' AS text, source
+      |FROM documents WHERE doc_id % 7 = 0""".stripMargin
+
+  private val normSql = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+  /** DuckDB twin of [[Dedup.wordShingles]] (k=3). */
+  private val shinglesSql =
+    s"""list_distinct(list_transform(
+       |  range(1, greatest(len(string_split($normSql, ' ')) - 2, 1) + 1),
+       |  i -> array_to_string((string_split($normSql, ' '))[i:i+2], ' ')))""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Exact dedup: one hash aggregation on the normalized-text digest.
+  def q22ExactDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.exactDedup(exactCorpus(s, d), "text", "doc_id")
+      .orderBy("keep_id")
+
+  val q22Sql: String =
+    s"""WITH corpus AS ($exactCorpusSql)
+       |SELECT md5($normSql) AS text_md5, min(doc_id) AS keep_id,
+       |       count(*) AS n_copies
+       |FROM corpus GROUP BY 1 ORDER BY keep_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // MinHash + LSH near-dup: 12 hash functions, 4 bands x 3 rows,
+  // bucket-join candidates, Jaccard-verified at >= 0.5.
+  private val NumHashes = 12
+  private val Bands = 4
+  private val RowsPerBand = 3
+
+  def q23MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val base = nearCorpus(s, d)
+      .withColumn("sh", Dedup.wordShingles("text", 3))
+    val withSig = Dedup.minhashSignature(col("sh"), NumHashes)
+      .foldLeft(base) { case (df, (n, c)) => df.withColumn(n, c) }
+    val withBuckets = withSig
+      .withColumn("buckets", Dedup.lshBuckets(Bands, RowsPerBand))
+    val pairs = Dedup.lshCandidatePairs(withBuckets, "doc_id")
+    val sh = base.select(col("doc_id"), col("sh"))
+    pairs
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sa")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("sb")), "b")
+      .select(col("a"), col("b"),
+        round(Dedup.jaccard(col("sa"), col("sb")), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("a", "b")
+  }
+
+  val q23Sql: String = {
+    val sigExprs = (0 until NumHashes).map { i =>
+      s"""list_min(list_transform(sh,
+         |  x -> CAST(('0x' || substr(md5('$i:' || x), 1, 15)) AS BIGINT))) AS sig$i"""
+        .stripMargin
+    }.mkString(",\n ")
+    val bandSelects = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand)
+        .map(r => s"CAST(sig${b * RowsPerBand + r} AS VARCHAR)").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws(',', $cols)) AS bucket FROM sig"
+    }.mkString("\n UNION ALL ")
+    s"""WITH corpus AS ($nearCorpusSql),
+       |sh AS (SELECT doc_id, $shinglesSql AS sh FROM corpus),
+       |sig AS (SELECT doc_id, sh,
+       | $sigExprs
+       | FROM sh),
+       |buckets AS ($bandSelects),
+       |pairs AS (
+       | SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       | FROM buckets x JOIN buckets y
+       |   ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |verified AS (
+       | SELECT p.a, p.b,
+       |  round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+       | FROM pairs p
+       |  JOIN sh sa ON sa.doc_id = p.a
+       |  JOIN sh sb ON sb.doc_id = p.b)
+       |SELECT a, b, jaccard FROM verified WHERE jaccard >= 0.5
+       |ORDER BY a, b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // SimHash: 32-bit majority-vote signature over token hashes.
+  private val SimhashBits = 32
+
+  def q24Simhash(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), Dedup.simhash("text", SimhashBits).as("simhash"))
+      .orderBy("doc_id")
+
+  val q24Sql: String = {
+    val bitTerms = (0 until SimhashBits).map { j =>
+      s"""(CASE WHEN 2 * len(list_filter(hs, x -> ((x >> $j) & 1) = 1)) >= len(hs)
+         | THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)""".stripMargin
+    }.mkString("\n + ")
+    s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+       |h AS (SELECT doc_id,
+       |  list_transform(toks, x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS hs
+       | FROM t)
+       |SELECT doc_id, $bitTerms AS simhash
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Blocked n-gram Jaccard: all pairs within a `source` block (natural
+  // blocking key), word-3-gram Jaccard >= 0.2. The block join is an
+  // equi-join on source — never an unblocked cross join.
+  def q25NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = nearCorpus(s, d)
+      .select(col("doc_id"), col("source"), Dedup.wordShingles("text", 3).as("sh"))
+    sh.as("x").join(sh.as("y"),
+        col("x.source") === col("y.source") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        round(Dedup.jaccard(col("x.sh"), col("y.sh")), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+      .orderBy("a", "b")
+  }
+
+  val q25Sql: String =
+    s"""WITH corpus AS ($nearCorpusSql),
+       |sh AS (SELECT doc_id, source, $shinglesSql AS sh FROM corpus),
+       |pairs AS (
+       | SELECT x.doc_id AS a, y.doc_id AS b,
+       |  round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+       | FROM sh x JOIN sh y ON x.source = y.source AND x.doc_id < y.doc_id)
+       |SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.2
+       |ORDER BY a, b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_exact_dedup" -> (q22ExactDedup _),
+    "q23_minhash_lsh" -> (q23MinhashLsh _),
+    "q24_simhash" -> (q24Simhash _),
+    "q25_ngram_jaccard" -> (q25NgramJaccard _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q22_exact_dedup" -> q22Sql,
+    "q23_minhash_lsh" -> q23Sql,
+    "q24_simhash" -> q24Sql,
+    "q25_ngram_jaccard" -> q25Sql,
+  )
+}

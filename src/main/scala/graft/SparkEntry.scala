@@ -11,11 +11,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all ++ QueriesRel.all ++ QueriesText.all
+    Queries.all ++ QueriesRel.all ++ QueriesText.all ++ QueriesDedup.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Queries.oracle ++ QueriesRel.oracle ++ QueriesText.oracle
+    Queries.oracle ++ QueriesRel.oracle ++ QueriesText.oracle ++
+      QueriesDedup.oracle
 }

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline tier: exact
+  * (hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket-join),
+  * SimHash, and n-gram Jaccard verification.
+  *
+  * Spark-first design notes (100 TB scale):
+  *  - exact dedup is ONE hash aggregation keyed by the normalized-text
+  *    digest — the canonical "group by hash, keep min id" shuffle; the
+  *    digest (16 bytes) is what shuffles, never the document body.
+  *  - MinHash signatures are a narrow per-row projection (array lambdas,
+  *    codegen'd, no UDFs); LSH banding turns the quadratic all-pairs
+  *    problem into an equi-join on (band, bucket) — the ONLY join is on
+  *    bucket keys, so candidate generation is a standard shuffle join
+  *    whose cost scales with collisions, not with |docs|².
+  *  - Jaccard verification joins the (small) candidate-pair set back to
+  *    per-doc shingle arrays; at scale the pair set is ≪ corpus so the
+  *    shingle side can be semi-join-pruned first.
+  *  - hashes are md5-derived 60-bit longs ([[TextStats.hash60]]) for
+  *    bit-for-bit oracle parity; swap `xxhash64` at true scale (same
+  *    structure, engine-private hash — documented deviation).
+  */
+object Dedup {
+  import TextStats.{hash60, normalize, tokens}
+
+  /** Exact dedup: group by md5 of the normalized text; per group emit the
+    * surviving (minimum) id and the duplicate count. One shuffle on the
+    * 16-byte digest.
+    */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(md5(normalize(col(textCol)).cast("binary")).as("text_md5"),
+        col(idCol))
+      .groupBy("text_md5")
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word k-gram shingles of the normalized text. */
+  def wordShingles(textCol: String, k: Int): Column = {
+    val toks = tokens(col(textCol))
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(k)))))
+  }
+
+  /** MinHash signature: for hash function i, the minimum of
+    * `hash60(i || ':' || shingle)` over the shingle set. Returns one
+    * column per hash function, named `sig0..sig{n-1}`.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Seq[(String, Column)] =
+    (0 until numHashes).map { i =>
+      s"sig$i" -> array_min(transform(shingles,
+        s => hash60(concat(lit(s"$i:"), s))))
+    }
+
+  /** LSH band buckets: signature rows are cut into `bands` bands of
+    * `rowsPerBand` values; each band hashes to a bucket id. Returns an
+    * array<struct<band:int,bucket:string>> for exploding.
+    */
+  def lshBuckets(bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      val sigCols = (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", sigCols: _*).cast("binary")).as("bucket"))
+    }: _*)
+
+  /** Candidate pairs from LSH: ids sharing any (band, bucket). The join
+    * is an equi-join on the bucket key — the LSH scale path.
+    */
+  def lshCandidatePairs(withBuckets: DataFrame, idCol: String): DataFrame = {
+    val exploded = withBuckets
+      .select(col(idCol), explode(col("buckets")).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+    exploded.as("x")
+      .join(exploded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+          && col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      .distinct()
+  }
+
+  /** Jaccard similarity of two shingle-set columns. */
+  def jaccard(sa: Column, sb: Column): Column =
+    size(array_intersect(sa, sb)).cast("double") /
+      size(array_union(sa, sb)).cast("double")
+
+  /** SimHash over token hashes: bit j of the result is 1 iff at least
+    * half the (distinct-occurrence) tokens have bit j set in their
+    * 60-bit hash. `bits` ≤ 32 keeps the result in int range for easy
+    * cross-engine compare.
+    */
+  def simhash(textCol: String, bits: Int): Column = {
+    val hashes = transform(tokens(col(textCol)), t => hash60(t))
+    val n = size(hashes)
+    (0 until bits).map { j =>
+      val setCount = size(filter(hashes,
+        h => shiftright(h, j).bitwiseAND(lit(1L)) === 1L))
+      // votes = setCount - (n - setCount) >= 0  <=>  2*setCount >= n
+      when(setCount * 2 >= n, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+}
