@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Similarity-search query batch (SURVEY.md §7.2 M8) over `embeddings`:
+  * brute-force cosine top-k (baseline), sign-bit LSH ANN (scale path),
+  * and LSH-prefiltered embedding near-dup detection.
+  */
+object QueriesSim {
+  import Tables._
+
+  /** DuckDB double-precision in-order dot product of two FLOAT[64]s. */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  // ---------------------------------------------------------------------
+  // Brute-force cosine top-k: 10 query vectors against the full table,
+  // query side broadcast, per-query top-5.
+  def q26CosineTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 10), emb,
+        qId = "vec_id", cId = "vec_id", vecCol = "embedding", k = 5)
+      .select("qid", "rank", "nid", "cos")
+      .orderBy("qid", "rank")
+  }
+
+  val q26Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+       |sims AS (
+       | SELECT q.qid, e.vec_id AS nid,
+       |  round(${cosSql("q.qvec", "e.embedding")}, 6) AS cos
+       | FROM q JOIN embeddings e ON e.vec_id != q.qid),
+       |ranked AS (
+       | SELECT qid, nid, cos,
+       |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       | FROM sims)
+       |SELECT qid, rank, nid, cos FROM ranked WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Sign-bit LSH ANN: bucket on the sign pattern of dims 0..7, candidates
+  // are bucket-mates only (equi-join on bucket id), top-3 per query.
+  // Recall < 1 by design — the oracle runs the same algorithm.
+  private val LshDims = 0 until 8
+
+  def q27LshAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.signBucket(col("embedding"), LshDims).as("bucket"))
+    val pairs = emb.as("q").join(emb.as("c"),
+        col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("nid"),
+        round(Similarity.cosine(col("q.embedding"), col("c.embedding")), 6).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select("qid", "rank", "nid", "cos")
+      .orderBy("qid", "rank")
+  }
+
+  private val bucketSql: String =
+    LshDims.zipWithIndex.map { case (dim, j) =>
+      s"(CASE WHEN embedding[${dim + 1}] >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  val q27Sql: String =
+    s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+       |sims AS (
+       | SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |  round(${cosSql("q.embedding", "c.embedding")}, 6) AS cos
+       | FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id),
+       |ranked AS (
+       | SELECT qid, nid, cos,
+       |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       | FROM sims)
+       |SELECT qid, rank, nid, cos FROM ranked WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Embedding near-dup: inject perturbed copies (id+10000, ±0.01
+  // alternating per component), LSH-bucket prefilter, verify cos >= 0.99.
+  // Bucket recall < 1 (perturbation can flip a sign bit) — realistic ANN
+  // behavior, identically reproduced by the oracle.
+  def q28EmbedNeardup(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val perturbed = emb.filter(col("vec_id") % 3 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => (x.cast("double")
+            + when(i % 2 === 0, 0.01).otherwise(-0.01)).cast("float"))
+          .as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(perturbed)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.signBucket(col("embedding"), LshDims).as("bucket"))
+    corpus.as("x").join(corpus.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        round(Similarity.cosine(col("x.embedding"), col("y.embedding")), 6).as("cos"))
+      .filter(col("cos") >= 0.99)
+      .orderBy("a", "b")
+  }
+
+  val q28Sql: String =
+    s"""WITH corpus AS (
+       | SELECT vec_id, embedding FROM embeddings
+       | UNION ALL
+       | SELECT vec_id + 10000 AS vec_id,
+       |  list_transform(range(0, 64),
+       |    i -> CAST(CAST(embedding[i + 1] AS DOUBLE)
+       |         + (CASE WHEN i % 2 = 0 THEN 0.01 ELSE -0.01 END) AS FLOAT)) AS embedding
+       | FROM embeddings WHERE vec_id % 3 = 0),
+       |b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM corpus),
+       |pairs AS (
+       | SELECT x.vec_id AS a, y.vec_id AS b,
+       |  round(${cosSql("x.embedding", "y.embedding")}, 6) AS cos
+       | FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+       |SELECT a, b, cos FROM pairs WHERE cos >= 0.99
+       |ORDER BY a, b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_cosine_topk" -> (q26CosineTopk _),
+    "q27_lsh_ann" -> (q27LshAnn _),
+    "q28_embed_neardup" -> (q28EmbedNeardup _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q26_cosine_topk" -> q26Sql,
+    "q27_lsh_ann" -> q27Sql,
+    "q28_embed_neardup" -> q28Sql,
+  )
+}

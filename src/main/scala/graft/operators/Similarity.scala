@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity-search operators over an `Array[Float]` embedding column:
+  * brute-force cosine top-k (the correctness baseline) and a sign-bit
+  * LSH-bucketed variant (the scale path).
+  *
+  * Spark-first design notes (100 TB scale):
+  *  - the dot product is a higher-order-function fold (`zip_with` +
+  *    `aggregate`) over the vector — pure Tungsten expressions, no UDF,
+  *    no Python boundary. (HOFs sit one rung below whole-stage codegen;
+  *    if BENCH flags this hot, the upgrade path is a native Catalyst
+  *    `Expression` with `doGenCode` over two float arrays.)
+  *  - brute-force top-k BROADCASTS the query side: candidates stream
+  *    through map-side cosine + per-query top-k; only (query × k) rows
+  *    survive to the final shuffle. Never cross-join two large sides.
+  *  - the LSH variant buckets on the sign pattern of a fixed dim subset
+  *    (axis-aligned random-hyperplane LSH). Bucketing is a narrow
+  *    projection; the candidate join is an equi-join on the bucket id, so
+  *    work scales with bucket collision counts, not |vectors|².
+  *    Recall < 1 by design — the standard ANN trade.
+  *  - every float is cast to double BEFORE multiply and the fold runs
+  *    left-to-right, making the sum bit-reproducible in any engine with
+  *    ordered fold semantics (the DuckDB oracle matches cell-exact).
+  */
+object Similarity {
+
+  /** Left-to-right double-precision dot product of two float vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Euclidean norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in double precision. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign-bit LSH bucket: bit j of the bucket id is the sign of
+    * component `dims(j)` (axis-aligned hyperplane family).
+    */
+  def signBucket(vec: Column, dims: Seq[Int]): Column =
+    dims.zipWithIndex.map { case (d, j) =>
+      when(element_at(vec, d + 1) >= 0f, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Brute-force cosine top-k: for each row of `queries` (small side,
+    * broadcast), the `k` nearest `candidates` by cosine. Similarities are
+    * rounded to `roundTo` decimals BEFORE ranking so rank order is
+    * reproducible across engines; ties break on candidate id.
+    */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
+                     qId: String, cId: String, vecCol: String,
+                     k: Int, roundTo: Int = 6): DataFrame = {
+    val joined = candidates
+      .join(broadcast(queries.select(col(qId).as("qid"),
+        col(vecCol).as("qvec"))), col("qid") =!= col(cId))
+      .select(col("qid"), col(cId).as("nid"),
+        round(cosine(col("qvec"), col(vecCol)), roundTo).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}
