@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for the training-data pipeline tier: treat
+  * image/audio/video as opaque `binary` columns with typed metadata, and
+  * run decode / feature-extract / resize / frame-sample as partition-wise
+  * batch functions.
+  *
+  * The DECODE STEP IS A STUB — real image/audio codecs are not available
+  * in this environment, so `decodeStub` derives deterministic fake
+  * features from the payload bytes. Everything around it (schema, typed
+  * row classes, `mapPartitions` batching, partition sizing) is the real
+  * production plumbing and is exercised by tests.
+  *
+  * Spark-first design notes (100 TB scale):
+  *  - media payloads stay in ONE binary column; all shuffles operate on
+  *    (id, meta, features) projections — never shuffle the bytes unless
+  *    the operator consumes them (decode runs map-side, pre-shuffle).
+  *  - `mapPartitions` processes rows in micro-batches (`batchSize`) the
+  *    way an Arrow/pandas UDF would, amortizing per-batch codec setup;
+  *    in PySpark the same surface is `mapInPandas` with an identical
+  *    schema contract.
+  *  - partitions should be sized by BYTES not rows for media tables —
+  *    `repartitionByPayload` targets a per-partition payload budget.
+  */
+object Multimodal {
+
+  /** Typed media row: the canonical multimodal schema. */
+  case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte],
+                      width: Int, height: Int, duration_ms: Int)
+
+  /** Extracted features per media item (decode output contract). */
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+                           mean_byte: Double, frames_sampled: Int,
+                           feature: Array[Float])
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("bytes", BinaryType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("duration_ms", IntegerType, nullable = false)))
+
+  /** Deterministic synthetic media table derived from `documents`: the
+    * payload is the repeated md5 of the text (fake pixels), metadata from
+    * doc stats. Kind cycles image/audio/video.
+    */
+  def syntheticMedia(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      unhex(repeat(md5(col("text").cast("binary")), 8)).as("bytes"),
+      (col("n_chars") % 640 + 32).cast("int").as("width"),
+      (col("n_chars") % 480 + 32).cast("int").as("height"),
+      (col("n_chars") * 10).cast("int").as("duration_ms"))
+
+  /** STUB decode: deterministic fake feature extraction from payload
+    * bytes (mean byte value + an 8-dim "embedding" from byte strides).
+    * A real deployment replaces ONLY this function body with a codec
+    * call; the batching contract is unchanged.
+    */
+  def decodeStub(m: MediaRow, targetFrames: Int): MediaFeatures = {
+    val bs = m.bytes
+    val mean = if (bs.isEmpty) 0.0
+      else bs.map(b => (b & 0xff).toDouble).sum / bs.length
+    val frames = m.kind match {
+      case "video" => math.min(targetFrames, math.max(1, m.duration_ms / 1000))
+      case _ => 1
+    }
+    val feat = (0 until 8).map { i =>
+      if (bs.isEmpty) 0f
+      else (bs((i * 37) % bs.length) & 0xff).toFloat / 255f
+    }.toArray
+    MediaFeatures(m.media_id, m.kind, bs.length, mean, frames, feat)
+  }
+
+  /** Partition-wise decode with micro-batching: the production
+    * `mapPartitions` shape (grouped iterator = one codec setup per
+    * batch, like an Arrow batch in `mapInPandas`).
+    */
+  def decodeFeatures(media: Dataset[MediaRow], targetFrames: Int = 4,
+                     batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch codec init would happen here
+        batch.iterator.map(decodeStub(_, targetFrames))
+      }
+    }
+  }
+
+  /** Repartition a media table so each partition carries roughly
+    * `targetBytes` of payload (bytes-aware sizing; row-count sizing is
+    * wrong for media).
+    */
+  def repartitionByPayload(media: DataFrame, byteCol: String,
+                           targetBytes: Long): DataFrame = {
+    val total = media.select(sum(length(col(byteCol)))).head.getLong(0)
+    val parts = math.max(1, (total / targetBytes).toInt)
+    media.repartition(parts, col("media_id"))
+  }
+
+  /** Frame-sample fan-out for video rows: one output row per sampled
+    * frame index (deterministic stride), non-video rows pass with frame
+    * 0. The real pipeline decodes the frame bytes here.
+    */
+  def sampleFrames(media: DataFrame, everyMs: Int): DataFrame =
+    media.withColumn("frame_idx",
+        explode(when(col("kind") === "video",
+            sequence(lit(0),
+              greatest(floor(col("duration_ms") / everyMs).cast("int") - 1, lit(0))))
+          .otherwise(array(lit(0)))))
+      .select(col("media_id"), col("kind"), col("frame_idx"),
+        (col("frame_idx") * everyMs).cast("int").as("frame_ms"))
+}

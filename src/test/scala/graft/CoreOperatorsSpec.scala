@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AsOfJoin, Extents, Shape, Windows}
+
+/** Unit tests for the reference-parity core: pivot last-wins, defaults,
+  * rename-drop, extents NaN handling, as-of join, per-group top-k
+  * (SURVEY.md §5 test strategy items 2-3).
+  */
+class CoreOperatorsSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  test("pivotWide: duplicate (id, year) rows resolve last-wins by ord") {
+    val long = Seq(
+      ("g1", "00", 1.0, 1L), // overwritten by ord=3
+      ("g1", "00", 9.0, 3L),
+      ("g1", "01", 2.0, 2L),
+      ("g2", "00", 5.0, 4L)
+    ).toDF("id", "yy", "v", "ord")
+    val wide = Shape.pivotWide(long, "id", Nil, "yy",
+      Seq("v"), Seq("00", "01"), "ord")
+    val rows = wide.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("g1", "g2")) // sorted
+    assert(rows(0).getDouble(1) == 9.0) // last-wins, not 1.0
+    assert(rows(0).getDouble(2) == 2.0)
+    assert(rows(1).getDouble(1) == 5.0)
+    assert(rows(1).isNullAt(2)) // missing (g2, 01) cell is null
+  }
+
+  test("pivotWide: column set is declared metrics x years, not data-derived") {
+    val long = Seq(("g1", "00", 1.0, 1L)).toDF("id", "yy", "v", "ord")
+    val wide = Shape.pivotWide(long, "id", Nil, "yy",
+      Seq("v"), Seq("00", "01", "02"), "ord")
+    assert(wide.columns.toSeq == Seq("id", "v-00", "v-01", "v-02"))
+  }
+
+  test("renameColumns drops unmapped columns (shape-data.js:33)") {
+    val df = Seq((1, "x", 9.9)).toDF("a", "b", "junk")
+    val out = Shape.renameColumns(df, Seq("a" -> "aa", "b" -> "bb"))
+    assert(out.columns.toSeq == Seq("aa", "bb"))
+  }
+
+  test("defaultParentLocation fills null with United States") {
+    val df = Seq(Some("Texas"), None).toDF("pl")
+    val out = df.select(Shape.defaultParentLocation($"pl", "United States"))
+      .as[String].collect()
+    assert(out.toSeq == Seq("Texas", "United States"))
+  }
+
+  test("extents: empty/NaN cells are ignored; min<=q1<=q99<=max") {
+    val df = Seq(
+      (1.0, Double.NaN), (2.0, 1.0), (3.0, 2.0), (100.0, Double.NaN)
+    ).toDF("a", "b")
+    val ext = Extents.extents(df, Seq("a", "b")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(ext("b").getDouble(1) == 1.0) // NaN ignored in min
+    assert(ext("b").getDouble(2) == 2.0)
+    for (r <- ext.values) {
+      assert(r.getDouble(1) <= r.getDouble(3)) // min <= q1
+      assert(r.getDouble(3) <= r.getDouble(4)) // q1 <= q99
+      assert(r.getDouble(4) <= r.getDouble(2)) // q99 <= max
+    }
+  }
+
+  test("extents quantile is R-7 (d3.quantile parity)") {
+    // d3.quantile([1,2,3,4], 0.01) = 1 + 0.03*(2-1) = 1.03
+    val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("a")
+    val ext = Extents.extents(df, Seq("a")).collect()(0)
+    assert(math.abs(ext.getDouble(3) - 1.03) < 1e-9)
+    assert(math.abs(ext.getDouble(4) - 3.97) < 1e-9)
+  }
+
+  test("asofBackward: latest right row at or before each left ts") {
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 10L, "r@10"), (1L, 15L, "r@15"), (2L, 6L, "r@6"))
+      .toDF("k", "ts", "payload")
+    val out = AsOfJoin.asofBackward(left, right, "k", "ts", Seq("payload"))
+      .orderBy("tag").collect()
+    assert(out(0).getAs[String]("payload") == "r@10") // inclusive <=
+    assert(out(1).getAs[String]("payload") == "r@15") // latest prior
+    assert(out(2).isNullAt(out(2).fieldIndex("payload"))) // none at ts<=5
+  }
+
+  test("topKPerGroup keeps k rows per group in priority order") {
+    val df = Seq(("g", 1), ("g", 3), ("g", 2), ("h", 9)).toDF("grp", "v")
+    val out = Windows.topKPerGroup(df, Seq("grp"), $"v".desc, $"v", 2)
+      .orderBy("grp", "rank").collect()
+    assert(out.map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("g", 3), ("g", 2), ("h", 9)))
+  }
+
+  test("GEOID stays string: leading zeros survive the pivot round-trip") {
+    val long = Seq(("01234", "00", 1.0, 1L)).toDF("id", "yy", "v", "ord")
+    val wide = Shape.pivotWide(long, "id", Nil, "yy", Seq("v"), Seq("00"), "ord")
+    assert(wide.collect()(0).getString(0) == "01234")
+  }
+}

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextStats}
+
+/** Unit tests for the extension tier: text stats, dedup sketches,
+  * similarity search, multimodal plumbing.
+  */
+class ExtensionOperatorsSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  // ---------------------------------------------------------- text stats
+  test("normalize collapses whitespace and lowercases") {
+    val out = Seq("  Hello   WORLD\tfoo ").toDF("t")
+      .select(TextStats.normalize($"t")).as[String].collect()
+    assert(out(0) == "hello world foo")
+  }
+
+  test("hash60 is non-negative and deterministic") {
+    val out = Seq("a", "a", "b").toDF("t")
+      .select(TextStats.hash60($"t")).as[Long].collect()
+    assert(out(0) == out(1) && out(0) != out(2) && out.forall(_ >= 0))
+  }
+
+  test("langPredict picks marker-majority language, 'und' when none") {
+    val out = Seq(
+      "the cat and the dog of the house",
+      "der hund und die katze ist nicht da",
+      "xyzzy qwerty").toDF("text")
+      .select(TextStats.langPredict("text")).as[String].collect()
+    assert(out.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("quality composite stays in [0,1]") {
+    val docs = Seq("the of and a to in is it", "!!!???;;;:::", "word " * 100)
+      .toDF("text")
+    val q = docs.select(TextStats.qualityColumns("text").last._2)
+      .as[Double].collect()
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  // --------------------------------------------------------------- dedup
+  test("exactDedup groups normalization-equal texts, keeps min id") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDedup(df, "text", "doc_id")
+      .orderBy("keep_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("keep_id") == 1L)
+    assert(out(0).getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhash signatures: identical shingle sets give identical sigs") {
+    val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v"))
+      .toDF("id", "text").withColumn("sh", Dedup.wordShingles("text", 3))
+    val sigs = Dedup.minhashSignature($"sh", 8)
+      .foldLeft(df) { case (acc, (n, c)) => acc.withColumn(n, c) }
+      .orderBy("id").drop("text", "sh").collect()
+    assert(sigs(0).toSeq.tail == sigs(1).toSeq.tail)
+    assert(sigs(0).toSeq.tail != sigs(2).toSeq.tail)
+  }
+
+  test("jaccard of disjoint sets is 0, identical sets is 1") {
+    val df = Seq((Seq("a", "b"), Seq("a", "b"), Seq("x", "y")))
+      .toDF("s1", "s2", "s3")
+    val r = df.select(Dedup.jaccard($"s1", $"s2"), Dedup.jaccard($"s1", $"s3"))
+      .collect()(0)
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("simhash: near-identical texts are hamming-close, random ones far") {
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and today"),
+      (3L, "completely unrelated words paper stone scissors lizard spock"))
+      .toDF("id", "text")
+    val hs = texts.select($"id", Dedup.simhash("text", 32).as("h"))
+      .orderBy("id").as[(Long, Long)].collect().map(_._2)
+    assert(hamming(hs(0), hs(1)) < hamming(hs(0), hs(2)))
+  }
+
+  // ---------------------------------------------------------- similarity
+  test("cosine: self-similarity 1, orthogonal 0") {
+    val df = Seq((Seq(1f, 0f), Seq(0f, 2f))).toDF("a", "b")
+    val r = df.select(
+      Similarity.cosine($"a", $"a"), Similarity.cosine($"a", $"b")).collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12 && r.getDouble(1) == 0.0)
+  }
+
+  test("bruteForceTopK ranks by cosine desc and excludes self") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(
+        vecs.filter($"vec_id" === 0), vecs, "vec_id", "vec_id", "embedding", 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("nid")).toSeq == Seq(1L, 2L))
+  }
+
+  test("signBucket maps sign patterns to distinct buckets") {
+    val df = Seq(Seq(1f, 1f), Seq(-1f, 1f), Seq(1f, -1f)).toDF("v")
+    val b = df.select(Similarity.signBucket($"v", Seq(0, 1))).as[Long].collect()
+    assert(b.toSet.size == 3 && b(0) == 3L)
+  }
+
+  // ---------------------------------------------------------- multimodal
+  test("multimodal decode: batching preserves all rows and determinism") {
+    val media = spark.range(0, 100).select(
+        $"id".as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          ($"id" % 3 + 1).cast("int")).as("kind"),
+        $"id".cast("string").cast("binary").as("bytes"),
+        lit(64).as("width"), lit(64).as("height"),
+        (lit(3000) + $"id".cast("int")).as("duration_ms"))
+      .as[Multimodal.MediaRow]
+    val out1 = Multimodal.decodeFeatures(media, targetFrames = 4, batchSize = 7)
+    val out2 = Multimodal.decodeFeatures(media, targetFrames = 4, batchSize = 64)
+    assert(out1.count() == 100)
+    // batch size must not affect results
+    assert(out1.orderBy("media_id").collect().map(_.mean_byte).toSeq ==
+      out2.orderBy("media_id").collect().map(_.mean_byte).toSeq)
+    // video rows sample multiple frames, images one
+    val byKind = out1.groupBy("kind").agg(max("frames_sampled")).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(byKind("video") > 1 && byKind("image") == 1)
+  }
+
+  test("sampleFrames fans out video by stride, passes others through") {
+    val media = Seq(
+      (1L, "video", Array[Byte](1), 0, 0, 2000),
+      (2L, "image", Array[Byte](1), 0, 0, 0))
+      .toDF("media_id", "kind", "bytes", "width", "height", "duration_ms")
+    val out = Multimodal.sampleFrames(media, everyMs = 500)
+      .groupBy("media_id").count().orderBy("media_id").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 4L), (2L, 1L)))
+  }
+}
