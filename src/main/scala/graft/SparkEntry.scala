@@ -12,12 +12,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.all ++ QueriesRel.all ++ QueriesText.all ++ QueriesDedup.all ++
-      QueriesSim.all ++ QueriesMm.all
+      QueriesSim.all ++ QueriesMm.all ++ QueriesTile.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     Queries.oracle ++ QueriesRel.oracle ++ QueriesText.oracle ++
-      QueriesDedup.oracle ++ QueriesSim.oracle ++ QueriesMm.oracle
+      QueriesDedup.oracle ++ QueriesSim.oracle ++ QueriesMm.oracle ++
+      QueriesTile.oracle
 }

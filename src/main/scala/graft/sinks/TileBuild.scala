@@ -1,0 +1,102 @@
+package graft.sinks
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Tiling
+
+/** Tile-pyramid build + sink: the Spark re-expression of the reference's
+  * tippecanoe → tile-join → `--output-to-directory` chain
+  * (`/root/reference/build.sh:129-134,155-160,219-228`).
+  *
+  * Spark-first design notes (100 TB scale):
+  *  - features fan out to tile keys ([[Tiling.assignTiles]]), then ONE
+  *    `groupBy(z,x,y)` shuffle brings each tile's features together and
+  *    a per-group fold encodes the MVT bytes — `mapGroups` over the
+  *    KeyValueGroupedDataset, the typed-Aggregator shape from
+  *    SURVEY.md §2.11.
+  *  - per-tile feature order is pinned (importance desc, id) so tile
+  *    bytes are deterministic; the density budget (O4) is applied
+  *    BEFORE the shuffle would explode — the window prunes map-side via
+  *    WindowGroupLimit.
+  *  - the directory sink writes `z/x/y.pbf` straight from executors
+  *    (`foreachPartition`), exactly the reference's exploded tile tree
+  *    (`build.sh:220`); on a cluster the same code targets a shared
+  *    filesystem / object store.
+  */
+object TileBuild {
+
+  /** Encode point features into per-tile MVT byte blobs.
+    *
+    * @param points   DataFrame with id, lon, lat and `attrCols`
+    * @param attrCols attribute columns carried into tiles (null cells
+    *                 dropped per-feature — `--empty-csv-columns-are-null`)
+    * @return DataFrame (z, x, y, n_features, tile_bytes)
+    */
+  def buildPointTiles(points: DataFrame, idCol: String, lonCol: String,
+                      latCol: String, attrCols: Seq[String], layerName: String,
+                      minZoom: Int, maxZoom: Int,
+                      importanceCol: Option[String] = None,
+                      budget: Int = 10000): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+
+    val assigned = Tiling.assignTiles(points, lonCol, latCol, minZoom, maxZoom)
+    // pixel coords per zoom: computed per-row from the already-assigned z
+    val withPx = assigned.withColumn("fx",
+        round((col(lonCol) + 180.0) / 360.0 * pow(lit(2.0), col("z")), 6))
+      .withColumn("latc",
+        least(lit(Tiling.MaxLat), greatest(lit(-Tiling.MaxLat), col(latCol))))
+      .withColumn("fy",
+        round((lit(1.0) - log(tan(radians(col("latc"))) + lit(1.0) / cos(radians(col("latc"))))
+          / lit(math.Pi)) / 2.0 * pow(lit(2.0), col("z")), 6))
+      .withColumn("px", floor((col("fx") - col("x")) * 4096).cast("int"))
+      .withColumn("py", floor((col("fy") - col("y")) * 4096).cast("int"))
+    val budgeted = Tiling.dropDensest(withPx,
+      col(importanceCol.getOrElse(idCol)), col(idCol), budget)
+
+    val attrPairs = attrCols.flatMap(c => Seq(lit(c), col(c).cast("string")))
+    val rows = budgeted.select(col("z"), col("x"), col("y"),
+      col(idCol).cast("long").as("fid"), col("px"), col("py"),
+      map(attrPairs: _*).as("attrs"))
+
+    rows.as[(Int, Long, Long, Long, Int, Int, Map[String, String])]
+      .groupByKey { case (z, x, y, _, _, _, _) => (z, x, y) }
+      .mapGroups { (key: (Int, Long, Long),
+                    it: Iterator[(Int, Long, Long, Long, Int, Int, Map[String, String])]) =>
+        val (z, x, y) = key
+        val feats = it.toSeq.sortBy(t => t._4).map {
+          case (_, _, _, fid, px, py, attrs) =>
+            Mvt.Feature(fid, Mvt.PointGeom, Seq(Seq((px, py))),
+              attrs.toSeq.filter(_._2 != null).sortBy(_._1))
+        }
+        (z, x, y, feats.length, Mvt.encodeLayer(layerName, feats))
+      }
+      .toDF("z", "x", "y", "n_features", "tile_bytes")
+  }
+
+  /** S7: explode tiles to a `z/x/y.pbf` directory tree + metadata.json
+    * (`build.sh:219-228`). Executor-side writes; `outDir` must be a
+    * shared filesystem on a real cluster.
+    */
+  def writePbfDirectory(tiles: DataFrame, outDir: String,
+                        metadata: Map[String, String] = Map.empty): Unit = {
+    tiles.select("z", "x", "y", "tile_bytes").foreachPartition {
+      (it: Iterator[Row]) =>
+        it.foreach { r =>
+          val dir = Paths.get(outDir, r.getAs[Any]("z").toString,
+            r.getAs[Any]("x").toString)
+          Files.createDirectories(dir)
+          Files.write(dir.resolve(s"${r.getAs[Any]("y")}.pbf"),
+            r.getAs[Array[Byte]]("tile_bytes"),
+            StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+        }
+    }
+    val meta = (metadata + ("format" -> "pbf"))
+      .map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
+    Files.createDirectories(Paths.get(outDir))
+    Files.write(Paths.get(outDir, "metadata.json"), meta.getBytes("UTF-8"))
+  }
+}

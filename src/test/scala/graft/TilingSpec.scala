@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Tiling
+import graft.sinks.{Mvt, TileBuild}
+
+/** Tiling tier tests: slippy tile math, polylabel, MVT wire format,
+  * tile build + directory sink.
+  */
+class TilingSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  test("tile math: known anchors (0,0)->center tile, clamps at poles") {
+    val df = Seq((0.0, 0.0), (-180.0, 85.06), (179.9, -85.06))
+      .toDF("lon", "lat")
+    val out = df.select(
+      Tiling.tileX($"lon", 2).as("x"), Tiling.tileY($"lat", 2).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out(0) == (2L, 2L)) // greenwich/equator at z2 = tile (2,2)
+    assert(out(1) == (0L, 0L)) // NW corner clamped
+    assert(out(2) == (3L, 3L)) // SE corner clamped
+  }
+
+  test("assignTiles fans out one row per zoom") {
+    val df = Seq((1L, 10.0, 20.0)).toDF("id", "lon", "lat")
+    val out = Tiling.assignTiles(df, "lon", "lat", 3, 6)
+    assert(out.count() == 4)
+    assert(out.select("z").as[Int].collect().sorted.toSeq == Seq(3, 4, 5, 6))
+  }
+
+  test("tile x/y doubles when zoom increments") {
+    val df = Seq((100.3, 45.7)).toDF("lon", "lat")
+    val r = df.select(
+      Tiling.tileX($"lon", 5).as("x5"), Tiling.tileX($"lon", 6).as("x6"),
+      Tiling.tileY($"lat", 5).as("y5"), Tiling.tileY($"lat", 6).as("y6"))
+      .collect()(0)
+    assert(r.getLong(1) / 2 == r.getLong(0))
+    assert(r.getLong(3) / 2 == r.getLong(2))
+  }
+
+  test("centroid of a square is its center; polylabel agrees for convex") {
+    val square = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0))
+    val c = Tiling.centroid(square)
+    assert(math.abs(c._1 - 2.0) < 1e-9 && math.abs(c._2 - 2.0) < 1e-9)
+    val p = Tiling.polylabel(square, 1e-3)
+    assert(math.abs(p._1 - 2.0) < 0.01 && math.abs(p._2 - 2.0) < 0.01)
+  }
+
+  test("polylabel lands INSIDE a concave (U-shaped) polygon, centroid may not") {
+    // U shape: two towers joined at the bottom
+    val u = Seq((0.0, 0.0), (5.0, 0.0), (5.0, 5.0), (4.0, 5.0), (4.0, 1.0),
+      (1.0, 1.0), (1.0, 5.0), (0.0, 5.0), (0.0, 0.0))
+    val p = Tiling.polylabel(u, 1e-3)
+    assert(Tiling.signedDist(p._1, p._2, u) > 0) // strictly inside
+    // the pole of inaccessibility of the U is in the bottom bar
+    assert(p._2 < 1.0)
+  }
+
+  test("MVT varint geometry: point encodes MoveTo + zigzag coords") {
+    val cmds = Mvt.encodeGeometry(Mvt.PointGeom, Seq(Seq((10, 7))))
+    assert(cmds == Seq((1L | (1L << 3)), 20L, 14L)) // MoveTo(1), zz(10), zz(7)
+  }
+
+  test("MVT polygon geometry closes ring without duplicate vertex") {
+    val ring = Seq((0, 0), (10, 0), (10, 10), (0, 0)) // closed input
+    val cmds = Mvt.encodeGeometry(Mvt.PolygonGeom, Seq(ring))
+    // MoveTo 1, 2 params, LineTo 2, 4 params, ClosePath
+    assert(cmds == Seq(9L, 0L, 0L, (2L | (2L << 3)), 20L, 0L, 0L, 20L, 7L))
+  }
+
+  test("encodeLayer produces parseable deterministic bytes with interned keys") {
+    val feats = Seq(
+      Mvt.Feature(1L, Mvt.PointGeom, Seq(Seq((100, 200))),
+        Seq("name" -> "a", "v" -> 1.5)),
+      Mvt.Feature(2L, Mvt.PointGeom, Seq(Seq((300, 400))),
+        Seq("name" -> "b", "v" -> 1.5)))
+    val b1 = Mvt.encodeLayer("test", feats)
+    val b2 = Mvt.encodeLayer("test", feats)
+    assert(b1.sameElements(b2))
+    assert(b1.length > 20)
+    assert((b1(0) & 0xff) == ((3 << 3) | 2)) // Tile.layers field tag
+    // layer name appears once; value 1.5 interned once (little-endian double)
+    val s = new String(b1.map(b => (b & 0xff).toChar))
+    assert(s.contains("test") && s.contains("name"))
+  }
+
+  test("buildPointTiles + writePbfDirectory emits z/x/y.pbf tree") {
+    val pts = Seq(
+      (1L, 10.5, 20.5, "a"), (2L, 10.6, 20.6, "b"), (3L, -100.0, -40.0, "c"))
+      .toDF("id", "lon", "lat", "tag")
+    val tiles = TileBuild.buildPointTiles(pts, "id", "lon", "lat",
+      Seq("tag"), "layer0", minZoom = 2, maxZoom = 3)
+    val n = tiles.count()
+    assert(n >= 3 && n <= 4) // pts 1,2 share tiles; pt 3 separate
+    val out = java.nio.file.Files.createTempDirectory("tiles").toString
+    TileBuild.writePbfDirectory(tiles, out, Map("name" -> "t"))
+    val z2 = new java.io.File(s"$out/2")
+    assert(z2.exists && z2.isDirectory)
+    assert(new java.io.File(s"$out/metadata.json").exists)
+    val pbfs = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+      .filter(_.toString.endsWith(".pbf")).count()
+    assert(pbfs == n)
+  }
+}
