@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.EtlConfig
+import graft.operators.{Extents, Joins, Shape}
+import graft.sinks.TileBuild
+import graft.sources.Sources
+
+/** The reference pipeline end-to-end (`/root/reference/build.sh`), as one
+  * lazy Spark plan per region: fetch → shape (pivot) → extents → decade
+  * slice → attribute join → tiles → pbf directory.
+  *
+  * Stage boundaries in the reference are OS processes exchanging CSV
+  * files (SURVEY.md §3.1 — "the IR is a CSV file"); here every stage is
+  * a `DataFrame => DataFrame` and the only materialization barriers are
+  * the pivot shuffle and the per-tile groupBy shuffle. Regions and
+  * decades are embarrassingly parallel (`build.sh:69,163`) — on a
+  * cluster, submit them as parallel jobs over one shared SparkSession.
+  */
+object Pipeline {
+
+  /** Stage b — shape (`scripts/shape-data.js` / `build.sh:80`): rename
+    * via the input-type column map (unmapped dropped), default
+    * parent_location, pivot long→wide with deterministic last-wins,
+    * ordered by GEOID.
+    */
+  def shape(long: DataFrame, inputType: String,
+            years: Seq[String] = EtlConfig.allYears): DataFrame = {
+    val mapping = EtlConfig.columnMap(inputType)
+      .filter { case (from, _) => long.columns.contains(from) }
+    val metrics = mapping.map(_._2).filterNot(EtlConfig.idColumns.contains)
+    val renamed = Shape.renameColumns(long, mapping, keep = Seq("year"))
+      .withColumn("pl",
+        Shape.defaultParentLocation(col("pl"), EtlConfig.parentLocationDefault))
+      .withColumn("yy", Shape.yearSuffix(col("year")))
+      .withColumn("ord", monotonically_increasing_id())
+    Shape.pivotWide(renamed, idCol = "GEOID",
+      carry = EtlConfig.idColumns.filterNot(_ == "GEOID"),
+      yearCol = "yy", metrics = metrics, years = years, ordCol = "ord")
+  }
+
+  /** Stage c — extents (`scripts/extract-extents.js` / `build.sh:84-88`):
+    * per metric-year column min/max/q1/q99 over numeric cells; skips the
+    * id columns (`extract-extents.js:12`).
+    */
+  def extents(wide: DataFrame): DataFrame = {
+    val metricCols = wide.columns.filterNot(EtlConfig.idColumns.contains).toSeq
+    Extents.extents(wide, metricCols).orderBy("id")
+  }
+
+  /** Stage e — one (layer, decade) tile build (`build.sh:163-231`):
+    * csvcut column slice → `--if-matched` attribute join onto features →
+    * tile assignment + density budget + MVT encode.
+    *
+    * @param features points with GEOID, lon, lat (bubble centers from
+    *                 the geometry pipeline, `build.sh:111-118`)
+    */
+  def decadeTiles(wide: DataFrame, features: DataFrame, inputType: String,
+                  decade: String, layer: String, region: String): DataFrame = {
+    val vars = layer match {
+      case "bubble" => EtlConfig.bubbleVars(inputType)
+      case _ => EtlConfig.choroplethVars(inputType)
+    }
+    val zoom = layer match {
+      case "bubble" => EtlConfig.bubbleZoom(region)
+      case _ => EtlConfig.choroplethZoom(region)
+    }
+    val fields = EtlConfig.decadeFields(vars, decade)
+      .filter(f => wide.columns.contains(f))
+    val slice = Shape.decadeSlice(wide, fields)
+    val joined = Joins.attributeJoin(features, slice, "GEOID", ifMatched = true)
+      .withColumn("fid", col("GEOID").cast("long")) // P5/T5 numeric feature id
+    TileBuild.buildPointTiles(joined, "fid", "lon", "lat",
+      fields.filterNot(_ == "GEOID"), s"$region-$decade-$layer",
+      zoom.minZoom, zoom.maxZoom)
+  }
+
+  /** Full region run (`build.sh:69-233`): returns (wide, extents) and
+    * writes tiles per decade under `outDir` when features are given.
+    */
+  def runRegion(spark: SparkSession, longCsvPath: String, inputType: String,
+                metricLongNames: Seq[String], region: String,
+                features: Option[DataFrame] = None,
+                outDir: Option[String] = None): (DataFrame, DataFrame) = {
+    val long = Sources.readCsv(spark, longCsvPath,
+      Sources.longSchema(metricLongNames))
+    val wide = shape(long, inputType)
+    val ext = extents(wide)
+    for (f <- features; out <- outDir; decade <- EtlConfig.decades.keys.toSeq.sorted) {
+      val bubble = decadeTiles(wide, f, inputType, decade, "bubble", region)
+      val choro = decadeTiles(wide, f, inputType, decade, "choropleth", region)
+      // J3 layer union-merge (`tile-join` `build.sh:214`): align on
+      // (z,x,y), concatenate layer bytes at the protobuf level.
+      val merged = bubble.select(col("z"), col("x"), col("y"),
+          col("tile_bytes").as("bubble_bytes"))
+        .join(choro.select(col("z"), col("x"), col("y"),
+          col("tile_bytes").as("choro_bytes")), Seq("z", "x", "y"), "full_outer")
+        .select(col("z"), col("x"), col("y"),
+          concat(coalesce(col("bubble_bytes"), lit(Array.empty[Byte])),
+            coalesce(col("choro_bytes"), lit(Array.empty[Byte]))).as("tile_bytes"))
+      TileBuild.writePbfDirectory(merged, s"$out/$region/$decade",
+        Map("name" -> s"$region-$decade"))
+    }
+    (wide, ext)
+  }
+}

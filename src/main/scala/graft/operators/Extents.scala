@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** Per-column extents (min / max / 1st / 99th percentile), used by the
   * reference front end to build choropleth scales.
@@ -26,9 +27,12 @@ import org.apache.spark.sql.functions._
   */
 object Extents {
 
-  /** P7: numeric-or-null cell filter (`extract-extents.js:23-29`). */
+  /** P7: numeric-or-null cell filter (`extract-extents.js:23-29`).
+    * `try_cast` (not `cast`) so non-numeric junk becomes null instead of
+    * an ANSI cast error — the reference drops such cells silently.
+    */
   def numericOrNull(c: Column): Column = {
-    val d = c.cast("double")
+    val d = c.try_cast(DoubleType)
     when(d.isNotNull && !isnan(d), d)
   }
 
@@ -57,7 +61,7 @@ object Extents {
   /** A2: wide→long unpivot via `stack` (one pass, no per-column scans). */
   private def explodeToLong(metricCols: Seq[String]): Seq[Column] = {
     val pairs = metricCols
-      .map(c => s"'$c', cast(`$c` as double)")
+      .map(c => s"'$c', try_cast(`$c` as double)")
       .mkString(", ")
     Seq(expr(s"stack(${metricCols.size}, $pairs) as (id, value)"))
   }

@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sources and sinks mirroring the reference's IO surface
+  * (SURVEY.md §2.1 S1-S5, S8-S9).
+  *
+  * Reference semantics:
+  *  - S1 CSV scan with header, all-string cells, empty ⇒ null
+  *    (`shape-data.js:76`; `--empty-csv-columns-are-null`,
+  *    `build.sh:117,134`);
+  *  - S2 gzip'd fetch (`build.sh:75-76`) — Spark's codec auto-detection
+  *    covers `.csv.gz` transparently;
+  *  - S3 CSV sink, RFC-4180 quoting, header first (`shape-data.js:109,124`),
+  *    single file (the reference writes one file per region);
+  *  - S4 GeoJSON FeatureCollection scan (`build.sh:111,139`);
+  *  - S8/S9 gzip'd CSV publish (`deploy-source.sh:38-45`).
+  *
+  * Scale notes: GEOID must NEVER be schema-inferred (leading zeros,
+  * `build.sh:133`) — every reader here takes an explicit schema. The
+  * single-file sink (`coalesce(1)`) exists for reference parity only;
+  * the partitioned variant is the 100 TB path.
+  */
+object Sources {
+
+  /** Long-table schema builder: id/year/name/parent_location strings +
+    * all-string metric cells (typing happens at the extents edge, P7 —
+    * the reference is stringly typed end-to-end, SURVEY.md §1.3).
+    */
+  def longSchema(metricCols: Seq[String]): StructType =
+    StructType(
+      Seq(StructField("id", StringType), StructField("year", StringType),
+        StructField("name", StringType),
+        StructField("parent_location", StringType)) ++
+        metricCols.map(StructField(_, StringType)))
+
+  /** S1/S2: header CSV scan with explicit schema; gzip auto-detected
+    * from the extension; empty cells become null (Spark default
+    * `nullValue=""` — the reference's `--empty-csv-columns-are-null`).
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", true)
+      .option("nullValue", "")
+      .csv(path)
+
+  /** S3/S9: CSV sink with header; `singleFile` reproduces the
+    * reference's one-file-per-region output, `gzip` the publish step
+    * (`deploy-source.sh:41`).
+    */
+  def writeCsv(df: DataFrame, path: String, singleFile: Boolean = false,
+               gzip: Boolean = false): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    val w = out.write.mode("overwrite").option("header", true)
+    (if (gzip) w.option("compression", "gzip") else w).csv(path)
+  }
+
+  /** S4: GeoJSON FeatureCollection scan → one row per feature with
+    * `GEOID`, properties map, and raw geometry JSON string (geometry
+    * stays opaque until the tiling stage, like the reference's
+    * mapshaper pass-through).
+    */
+  def readGeoJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", true).json(path)
+      .select(explode(col("features")).as("f"))
+      .select(
+        col("f.properties.GEOID").as("GEOID"),
+        col("f.geometry.type").as("geom_type"),
+        to_json(col("f.geometry")).as("geometry_json"))
+
+  /** S5: line-delimited feature stream (tippecanoe-json-tool emits one
+    * sorted feature per line, `build.sh:115-118`) — as a DataFrame this
+    * is just the GeoJSON features ordered by key; no materialization
+    * boundary needed in Spark.
+    */
+  def featureLines(geo: DataFrame): DataFrame = geo.orderBy("GEOID")
+}
