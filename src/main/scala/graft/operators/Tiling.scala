@@ -151,6 +151,36 @@ object Tiling {
     if (pointInRing(px, py, ring)) d else -d
   }
 
+  /** T2: Douglas-Peucker polyline/ring simplification — the rebuild's
+    * analogue of tippecanoe `--simplification` (`build.sh:148-152`),
+    * applied pre-tiling with a per-zoom tolerance. Endpoints are always
+    * kept; for closed rings the closing vertex is preserved.
+    * (T3 `--detect-shared-borders` — topology-aware simplify — is a
+    * documented deviation, SURVEY.md §2.10.)
+    */
+  def simplify(line: Seq[(Double, Double)], tolerance: Double): Seq[(Double, Double)] = {
+    if (line.length < 3) return line
+    val keep = Array.fill(line.length)(false)
+    keep(0) = true; keep(line.length - 1) = true
+    def perpDist(p: (Double, Double), a: (Double, Double), b: (Double, Double)): Double = {
+      val dx = b._1 - a._1; val dy = b._2 - a._2
+      val len = math.hypot(dx, dy)
+      if (len == 0) math.hypot(p._1 - a._1, p._2 - a._2)
+      else math.abs(dy * p._1 - dx * p._2 + b._1 * a._2 - b._2 * a._1) / len
+    }
+    def rec(lo: Int, hi: Int): Unit = {
+      if (hi - lo < 2) return
+      var worst = -1.0; var idx = -1
+      for (i <- lo + 1 until hi) {
+        val d = perpDist(line(i), line(lo), line(hi))
+        if (d > worst) { worst = d; idx = i }
+      }
+      if (worst > tolerance) { keep(idx) = true; rec(lo, idx); rec(idx, hi) }
+    }
+    rec(0, line.length - 1)
+    line.indices.collect { case i if keep(i) => line(i) }
+  }
+
   /** Polylabel (Mapbox pole-of-inaccessibility, grid-refinement variant):
     * the point inside the polygon farthest from any edge — what
     * `mapshaper -points inner` approximates. Deterministic given

@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streaming
+import graft.streaming.Streaming.Event
+
+/** Streaming tier tests: the windowed rollup and sessionization run for
+  * real under `readStream` via MemoryStream, and the streaming
+  * sessionizer agrees with its batch twin.
+  */
+class StreamingSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  private val evts = Seq(
+    Event(1L, ts(0), "click", 1.0),
+    Event(1L, ts(10), "click", 2.0),   // same session (gap 30m)
+    Event(1L, ts(60), "view", 4.0),    // new session
+    Event(2L, ts(5), "click", 8.0))
+
+  test("hourlyRollup runs incrementally under readStream with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(evts: _*)
+    val q = Streaming.hourlyRollup(stream.toDF(), watermark = Some("2 hours"))
+      .writeStream.format("memory").queryName("rollup_out")
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("rollup_out").collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == 4)
+    // batch twin produces the same aggregate
+    val batch = Streaming.hourlyRollup(evts.toDF(), watermark = None).collect()
+    assert(batch.map(_.getAs[Long]("n")).sum == 4)
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet ==
+      batch.map(r => (r.getString(0), r.getString(1))).toSet)
+  }
+
+  test("sessionize (flatMapGroupsWithState) matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(evts: _*)
+    val q = Streaming.sessionize(stream.toDS(), gapMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    // only CLOSED sessions emit: user 1's first session closed by the 60m event
+    val emitted = spark.table("sessions_out").collect()
+    assert(emitted.length == 1)
+    val s = emitted(0)
+    assert(s.getAs[Long]("user_id") == 1L)
+    assert(s.getAs[Long]("n_events") == 2L)
+    assert(s.getAs[Double]("total") == 3.0)
+    // batch twin sees all three sessions (it has no notion of "open")
+    val batch = Streaming.sessionizeBatch(evts.toDF(), 30 * 60 * 1000L)
+      .orderBy("user_id", "session_start").collect()
+    assert(batch.length == 3)
+    assert(batch.map(_.getAs[Long]("n_events")).toSeq == Seq(2L, 1L, 1L))
+  }
+}

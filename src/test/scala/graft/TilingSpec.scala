@@ -58,6 +58,16 @@ class TilingSpec extends AnyFunSuite with SharedSpark {
     assert(p._2 < 1.0)
   }
 
+  test("simplify: Douglas-Peucker drops collinear points, keeps spikes") {
+    val line = Seq((0.0, 0.0), (1.0, 0.001), (2.0, 0.0), (3.0, 5.0), (4.0, 0.0))
+    val out = Tiling.simplify(line, tolerance = 0.1)
+    assert(out.head == line.head && out.last == line.last)
+    assert(out.contains((3.0, 5.0))) // the spike survives
+    assert(!out.contains((1.0, 0.001))) // near-collinear point dropped
+    // tolerance 0 keeps everything
+    assert(Tiling.simplify(line, 0.0) == line)
+  }
+
   test("MVT varint geometry: point encodes MoveTo + zigzag coords") {
     val cmds = Mvt.encodeGeometry(Mvt.PointGeom, Seq(Seq((10, 7))))
     assert(cmds == Seq((1L | (1L << 3)), 20L, 14L)) // MoveTo(1), zz(10), zz(7)
