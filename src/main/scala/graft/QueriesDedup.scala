@@ -79,14 +79,24 @@ object QueriesDedup {
   private val RowsPerBand = 3
 
   def q23MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    // cache() the shingle arrays: the LSH self-join and the Jaccard
+    // verify both reuse them, and without a materialization barrier
+    // Catalyst's CollapseProject would inline the whole
+    // normalize→tokenize→shingle→md5 pipeline into EVERY downstream
+    // expression (observed 10x slowdown at sf0.1). At cluster scale the
+    // same barrier is a checkpoint/persisted table.
     val base = nearCorpus(s, d)
       .withColumn("sh", Dedup.wordShingles("text", 3))
+      .select(col("doc_id"), col("sh"))
+      .cache()
     val withSig = Dedup.minhashSignature(col("sh"), NumHashes)
       .foldLeft(base) { case (df, (n, c)) => df.withColumn(n, c) }
     val withBuckets = withSig
       .withColumn("buckets", Dedup.lshBuckets(Bands, RowsPerBand))
+      .drop((0 until NumHashes).map(i => s"sig$i"): _*)
+      .cache()
     val pairs = Dedup.lshCandidatePairs(withBuckets, "doc_id")
-    val sh = base.select(col("doc_id"), col("sh"))
+    val sh = base
     pairs
       .join(sh.select(col("doc_id").as("a"), col("sh").as("sa")), "a")
       .join(sh.select(col("doc_id").as("b"), col("sh").as("sb")), "b")
@@ -155,19 +165,46 @@ object QueriesDedup {
   // blocking key), word-3-gram Jaccard >= 0.2. The block join is an
   // equi-join on source — never an unblocked cross join.
   def q25NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    // cache(): same CollapseProject trap as q23 — without the barrier
+    // the shingle pipeline is re-evaluated per PAIR on both join sides.
+    // Shingles are 60-bit hashes, not strings: the pairwise
+    // intersect/union then compares longs (~4x faster at sf0.1; Jaccard
+    // over a collision-free hash set is identical, and the oracle hashes
+    // identically).
     val sh = nearCorpus(s, d)
-      .select(col("doc_id"), col("source"), Dedup.wordShingles("text", 3).as("sh"))
-    sh.as("x").join(sh.as("y"),
-        col("x.source") === col("y.source") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        round(Dedup.jaccard(col("x.sh"), col("y.sh")), 6).as("jaccard"))
+      .select(col("doc_id"), col("source"),
+        transform(Dedup.wordShingles("text", 3),
+          x => graft.operators.TextStats.hash60(x)).as("sh"))
+      .cache()
+    // Scalable all-pairs Jaccard: explode shingles, equi-join on
+    // (source, shingle) so only pairs sharing >= 1 shingle ever
+    // materialize, count the matches (= |A∩B|, arrays are distinct),
+    // and recover |A∪B| = |A|+|B|-|A∩B| from per-doc sizes. The naive
+    // pairwise array_intersect over every blocked pair is 5x slower at
+    // sf0.1 and quadratic-in-block at scale.
+    val ex = sh.select(col("doc_id"), col("source"), explode(col("sh")).as("h"))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    val inter = ex.as("x").join(ex.as("y"),
+        col("x.source") === col("y.source") && col("x.h") === col("y.h")
+          && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(broadcast(sizes.select(col("doc_id").as("a"), col("n").as("na"))), "a")
+      .join(broadcast(sizes.select(col("doc_id").as("b"), col("n").as("nb"))), "b")
+      .select(col("a"), col("b"),
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6)
+          .as("jaccard"))
       .filter(col("jaccard") >= 0.2)
       .orderBy("a", "b")
   }
 
   val q25Sql: String =
     s"""WITH corpus AS ($nearCorpusSql),
-       |sh AS (SELECT doc_id, source, $shinglesSql AS sh FROM corpus),
+       |sh AS (SELECT doc_id, source,
+       |  list_transform($shinglesSql,
+       |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS sh
+       | FROM corpus),
        |pairs AS (
        | SELECT x.doc_id AS a, y.doc_id AS b,
        |  round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
