@@ -85,8 +85,12 @@ object QueriesDedup {
     // normalize→tokenize→shingle→md5 pipeline into EVERY downstream
     // expression (observed 10x slowdown at sf0.1). At cluster scale the
     // same barrier is a checkpoint/persisted table.
+    // Shingles are pre-hashed to 60-bit longs (ONE md5 per shingle);
+    // signatures use the affine family over the base hash and the
+    // Jaccard verify compares the same hashed sets.
     val base = nearCorpus(s, d)
-      .withColumn("sh", Dedup.wordShingles("text", 3))
+      .withColumn("sh", transform(Dedup.wordShingles("text", 3),
+        x => graft.operators.TextStats.hash60(x)))
       .select(col("doc_id"), col("sh"))
       .cache()
     val withSig = Dedup.minhashSignature(col("sh"), NumHashes)
@@ -107,10 +111,10 @@ object QueriesDedup {
   }
 
   val q23Sql: String = {
+    val p = Dedup.MinhashP
     val sigExprs = (0 until NumHashes).map { i =>
-      s"""list_min(list_transform(sh,
-         |  x -> CAST(('0x' || substr(md5('$i:' || x), 1, 15)) AS BIGINT))) AS sig$i"""
-        .stripMargin
+      val (a, b) = Dedup.minhashCoeffs(i)
+      s"list_min(list_transform(sh, h -> ((h % $p) * $a + $b) % $p)) AS sig$i"
     }.mkString(",\n ")
     val bandSelects = (0 until Bands).map { b =>
       val cols = (0 until RowsPerBand)
@@ -118,7 +122,10 @@ object QueriesDedup {
       s"SELECT doc_id, $b AS band, md5(concat_ws(',', $cols)) AS bucket FROM sig"
     }.mkString("\n UNION ALL ")
     s"""WITH corpus AS ($nearCorpusSql),
-       |sh AS (SELECT doc_id, $shinglesSql AS sh FROM corpus),
+       |sh AS (SELECT doc_id,
+       |  list_transform($shinglesSql,
+       |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS sh
+       | FROM corpus),
        |sig AS (SELECT doc_id, sh,
        | $sigExprs
        | FROM sh),

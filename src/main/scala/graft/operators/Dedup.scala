@@ -44,14 +44,30 @@ object Dedup {
       i => concat_ws(" ", slice(toks, i, lit(k)))))
   }
 
-  /** MinHash signature: for hash function i, the minimum of
-    * `hash60(i || ':' || shingle)` over the shingle set. Returns one
-    * column per hash function, named `sig0..sig{n-1}`.
+  /** Mersenne prime 2^31-1: modulus of the affine MinHash family. Keeps
+    * every intermediate product under 2^61 (no 64-bit overflow in any
+    * engine).
     */
-  def minhashSignature(shingles: Column, numHashes: Int): Seq[(String, Column)] =
+  val MinhashP: Long = (1L << 31) - 1
+
+  /** Affine-family coefficients for hash function i: multiplier in
+    * [1, p-2] (never 0 mod p), offset in [0, p-1], from fixed mixing
+    * constants.
+    */
+  def minhashCoeffs(i: Int): (Long, Long) =
+    ((2654435761L * (i + 1)) % (MinhashP - 2) + 1, (40503L * (i + 7)) % MinhashP)
+
+  /** MinHash signatures over a pre-hashed shingle array: base hash =
+    * md5-derived 60-bit long per shingle (ONE md5 per shingle), then
+    * hash function i is the affine mix `(a_i * (h % p) + b_i) % p` —
+    * the standard universal family, reproducible in any engine with
+    * 64-bit integer arithmetic. Returns columns `sig0..sig{n-1}`.
+    */
+  def minhashSignature(hashedShingles: Column, numHashes: Int): Seq[(String, Column)] =
     (0 until numHashes).map { i =>
-      s"sig$i" -> array_min(transform(shingles,
-        s => hash60(concat(lit(s"$i:"), s))))
+      val (a, b) = minhashCoeffs(i)
+      s"sig$i" -> array_min(transform(hashedShingles,
+        h => (h % MinhashP * a + b) % MinhashP))
     }
 
   /** LSH band buckets: signature rows are cut into `bands` bands of

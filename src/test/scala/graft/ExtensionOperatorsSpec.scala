@@ -54,7 +54,9 @@ class ExtensionOperatorsSpec extends AnyFunSuite with SharedSpark {
 
   test("minhash signatures: identical shingle sets give identical sigs") {
     val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v"))
-      .toDF("id", "text").withColumn("sh", Dedup.wordShingles("text", 3))
+      .toDF("id", "text")
+      .withColumn("sh", transform(Dedup.wordShingles("text", 3),
+        x => TextStats.hash60(x)))
     val sigs = Dedup.minhashSignature($"sh", 8)
       .foldLeft(df) { case (acc, (n, c)) => acc.withColumn(n, c) }
       .orderBy("id").drop("text", "sh").collect()
