@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: every key query must keep the plan shape it was
+  * designed for (SURVEY.md §4 — pushdown, pruning, broadcast, partial
+  * aggregation, window group limits). These are scale guarantees: a
+  * regression here is invisible at sf0.01 and fatal at 100 TB.
+  */
+class PlanAuditSpec extends AnyFunSuite with SharedSpark {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+
+  test("q01: filter + column pruning reach the parquet scan; partial agg") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      "shipdate predicate must push into the parquet scan")
+    assert(p.contains("partial_sum"), "map-side partial aggregation required")
+    // scan reads only the 6 needed columns of lineitem's 16
+    val scanLine = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(!scanLine.contains("l_comment") && !scanLine.contains("l_partkey"),
+      "column pruning must drop unused lineitem columns")
+  }
+
+  test("q02 pivot: exactly one aggregation pass (hash + presentation sort)") {
+    val p = plan("q02_shape_pivot")
+    assert(p.contains("partial_max_by"), "pivot must partial-aggregate map-side")
+    assert("Exchange".r.findAllIn(p).size <= 3,
+      s"pivot needs one hash shuffle + one range sort, got:\n$p")
+  }
+
+  test("q07: global sort+limit plans as TakeOrderedAndProject") {
+    assert(plan("q07_sort_limit").contains("TakeOrderedAndProject"),
+      "orderBy.limit must not global-sort")
+  }
+
+  test("q08: star join is all broadcast, fact table never shuffles") {
+    val p = plan("q08_regional_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4)
+    assert(!p.contains("SortMergeJoin"),
+      "dims must broadcast — SMJ here would shuffle the fact table")
+  }
+
+  test("q09: semi-join pushes the totalprice filter to the orders scan") {
+    val p = plan("q09_semi_join")
+    assert(p.contains("GreaterThan(o_totalprice,400000"),
+      "predicate must reach the orders parquet scan")
+  }
+
+  test("top-k windows use WindowGroupLimit (no full per-group sort)") {
+    for (q <- Seq("q15_topk_per_group", "q26_cosine_topk", "q32_tile_density_drop"))
+      assert(plan(q).contains("WindowGroupLimit"), s"$q must rank-limit")
+  }
+
+  test("q17: attribute join onto features is a broadcast join") {
+    assert(plan("q17_tile_attr_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q26: query side broadcasts; candidates stream map-side") {
+    val p = plan("q26_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight") ||
+      p.contains("BroadcastExchange"))
+  }
+
+  test("q31: tile fan-out is pure projection + explode (no join, no extra shuffle)") {
+    val p = plan("q31_tile_assign")
+    assert(p.contains("Generate explode"))
+    assert(!p.contains("Join"))
+    assert(p.contains("partial_count"), "tile counts must partial-aggregate")
+  }
+}
