@@ -42,11 +42,28 @@ object QueriesStream {
       |FROM s GROUP BY user_id, session_id
       |ORDER BY user_id, s_start""".stripMargin
 
+  // G7 distinct / count-distinct: exact per-group distinct counts
+  // (oracle-checked); the HLL approx_count_distinct scale path is
+  // asserted within 5% of exact in ExtensionOperatorsSpec.
+  def q35CountDistinct(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  val q35Sql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users,
+      | count(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_sessionize" -> (q34Sessionize _),
+    "q35_count_distinct" -> (q35CountDistinct _),
   )
 
   val oracle: Map[String, String] = Map(
     "q34_sessionize" -> q34Sql,
+    "q35_count_distinct" -> q35Sql,
   )
 }

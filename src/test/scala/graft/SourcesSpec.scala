@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Sources
+
+/** Source/sink tests (SURVEY.md §2.1): CSV schema discipline, gzip
+  * roundtrip, GeoJSON FeatureCollection scan, HLL sketch accuracy.
+  */
+class SourcesSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  test("CSV: explicit schema keeps GEOID strings, empty cells null (S1/P8/P10)") {
+    val dir = Files.createTempDirectory("csv").toString
+    Files.write(java.nio.file.Paths.get(dir, "d.csv"),
+      "id,year,name,parent_location,population\n01001,2000,A,,\n".getBytes)
+    val df = Sources.readCsv(spark, s"$dir/d.csv",
+      Sources.longSchema(Seq("population")))
+    val r = df.collect()(0)
+    assert(r.getAs[String]("id") == "01001") // leading zero survives
+    assert(r.isNullAt(r.fieldIndex("parent_location"))) // empty => null
+    assert(r.isNullAt(r.fieldIndex("population")))
+  }
+
+  test("CSV sink: gzip'd single-file write reads back identically (S2/S3/S8)") {
+    val df = Seq(("01001", "a"), ("02013", "b")).toDF("GEOID", "n")
+    val out = Files.createTempDirectory("gz").toString + "/out"
+    Sources.writeCsv(df, out, singleFile = true, gzip = true)
+    val files = new java.io.File(out).listFiles.filter(_.getName.endsWith(".csv.gz"))
+    assert(files.length == 1) // single gzip'd part
+    val back = spark.read.option("header", true).csv(out)
+    assert(back.orderBy("GEOID").collect().map(_.getString(0)).toSeq ==
+      Seq("01001", "02013"))
+  }
+
+  test("GeoJSON scan explodes FeatureCollection into keyed rows (S4/S5)") {
+    val gj =
+      """{"type": "FeatureCollection", "features": [
+        |{"type": "Feature", "properties": {"GEOID": "02"},
+        | "geometry": {"type": "Point", "coordinates": [1.5, 2.5]}},
+        |{"type": "Feature", "properties": {"GEOID": "01"},
+        | "geometry": {"type": "Polygon", "coordinates": [[[0,0],[1,0],[1,1],[0,0]]]}}
+        |]}""".stripMargin
+    val dir = Files.createTempDirectory("gj").toString
+    Files.write(java.nio.file.Paths.get(dir, "f.geojson"), gj.getBytes)
+    val rows = Sources.featureLines(Sources.readGeoJson(spark, s"$dir/f.geojson"))
+      .collect()
+    assert(rows.map(_.getAs[String]("GEOID")).toSeq == Seq("01", "02")) // sorted
+    assert(rows(0).getAs[String]("geom_type") == "Polygon")
+    assert(rows(1).getAs[String]("geometry_json").contains("1.5"))
+  }
+
+  test("HLL approx_count_distinct is within 5% of exact (G7 scale path)") {
+    val df = spark.range(0, 20000).select(($"id" % 5000).as("k"))
+    val r = df.agg(
+      countDistinct($"k").as("exact"),
+      approx_count_distinct($"k", rsd = 0.02).as("approx")).collect()(0)
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05)
+  }
+}
