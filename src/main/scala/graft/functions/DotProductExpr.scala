@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression: double-precision dot product of two
+  * `array<float>` columns, with full whole-stage codegen (`doGenCode`
+  * emits a tight primitive loop — no per-element lambda dispatch, no
+  * boxing).
+  *
+  * This is the (b) tier of the custom-operator preference order
+  * (SURVEY.md §2.11): the higher-order-function formulation
+  * ([[graft.operators.Similarity.dot]] — `aggregate(zip_with(...))`)
+  * is kept as the portable baseline; this expression is the hot-path
+  * variant for 100 TB similarity scans. Summation order is the same
+  * left-to-right fold, so results are bit-identical to the HOF version
+  * and to the DuckDB oracle.
+  */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isFloatArray(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dotp expects two array<float> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProductExpr {
+  /** Column-API entry: `dotp(a, b)`. */
+  def dotp(a: Column, b: Column): Column =
+    GraftBridge.column(
+      DotProductExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Codegen'd cosine built on the native dot product. */
+  def cosineFast(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    dotp(a, b) / (sqrt(dotp(a, a)) * sqrt(dotp(b, b)))
+  }
+}

@@ -28,7 +28,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-to-right double-precision dot product of two float vectors. */
+  /** Left-to-right double-precision dot product of two float vectors —
+    * the portable higher-order-function formulation (kept as the
+    * reference baseline; DotProductExprSpec proves the native expression
+    * below is bit-identical to it).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -37,8 +41,12 @@ object Similarity {
   /** Euclidean norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in double precision. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity in double precision. Routed through the native
+    * codegen'd [[graft.functions.DotProductExpr]] (same fold order, same
+    * bits, no per-element lambda dispatch) — the 100 TB hot path.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.DotProductExpr.cosineFast(a, b)
 
   /** Sign-bit LSH bucket: bit j of the bucket id is the sign of
     * component `dims(j)` (axis-aligned hyperplane family).
