@@ -125,15 +125,72 @@ object QueriesSim {
        |ORDER BY a, b""".stripMargin
 
   // ---------------------------------------------------------------------
+  // IVF ANN: 8 seed centroids (vec_id < 8) as the coarse quantizer,
+  // every vector assigned to its nearest list, queries probe the 2
+  // nearest lists and search only those candidates — work scales with
+  // list sizes, not |vectors|. Recall < 1 by design; the oracle runs the
+  // identical algorithm.
+  private val IvfK = 8
+  private val IvfProbes = 2
+
+  def q36IvfAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).select("vec_id", "embedding")
+    val centroids = emb.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").as("cid"), col("embedding"))
+    val assigned = Similarity.ivfAssign(emb, centroids, "vec_id", "embedding")
+    val probes = Similarity.ivfProbe(
+      emb.filter(col("vec_id") % 50 === 0), centroids,
+      "vec_id", "embedding", IvfProbes)
+    val cands = probes.join(assigned.select(col("vec_id").as("nid"),
+        col("embedding").as("nvec"), col("cid")), Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(Similarity.cosine(col("qvec"), col("nvec")), 6).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select("qid", "rank", "nid", "cos")
+      .orderBy("qid", "rank")
+  }
+
+  val q36Sql: String =
+    s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, embedding AS cvec FROM emb WHERE vec_id < $IvfK),
+       |assigned AS (
+       | SELECT vec_id, embedding, cid FROM (
+       |  SELECT e.vec_id, e.embedding, c.cid,
+       |   row_number() OVER (PARTITION BY e.vec_id
+       |     ORDER BY round(${cosSql("e.embedding", "c.cvec")}, 6) DESC, c.cid) AS r
+       |  FROM emb e CROSS JOIN cent c) t WHERE r = 1),
+       |probes AS (
+       | SELECT qid, qvec, cid FROM (
+       |  SELECT e.vec_id AS qid, e.embedding AS qvec, c.cid,
+       |   row_number() OVER (PARTITION BY e.vec_id
+       |     ORDER BY round(${cosSql("e.embedding", "c.cvec")}, 6) DESC, c.cid) AS r
+       |  FROM emb e CROSS JOIN cent c WHERE e.vec_id % 50 = 0) t
+       | WHERE r <= $IvfProbes),
+       |cands AS (
+       | SELECT p.qid, a.vec_id AS nid,
+       |  round(${cosSql("p.qvec", "a.embedding")}, 6) AS cos
+       | FROM probes p JOIN assigned a ON a.cid = p.cid AND a.vec_id != p.qid),
+       |ranked AS (
+       | SELECT qid, nid, cos,
+       |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       | FROM cands)
+       |SELECT qid, rank, nid, cos FROM ranked WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_cosine_topk" -> (q26CosineTopk _),
     "q27_lsh_ann" -> (q27LshAnn _),
     "q28_embed_neardup" -> (q28EmbedNeardup _),
+    "q36_ivf_ann" -> (q36IvfAnn _),
   )
 
   val oracle: Map[String, String] = Map(
     "q26_cosine_topk" -> q26Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_embed_neardup" -> q28Sql,
+    "q36_ivf_ann" -> q36Sql,
   )
 }

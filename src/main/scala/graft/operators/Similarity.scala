@@ -56,6 +56,39 @@ object Similarity {
       when(element_at(vec, d + 1) >= 0f, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF list assignment: each vector goes to its nearest centroid by
+    * cosine (rounded before ranking for cross-engine stability, ties on
+    * centroid id). `centroids` must be small (broadcast) — in a real
+    * deployment it is the trained k-means coarse quantizer; any
+    * deterministic seed set works structurally.
+    * Output: input columns + `cid` of the owning list.
+    */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame,
+                vId: String, vecCol: String, roundTo: Int = 6): DataFrame = {
+    val scored = vectors.join(
+        broadcast(centroids.select(col("cid"), col(vecCol).as("cvec"))))
+      .withColumn("ccos", round(cosine(col(vecCol), col("cvec")), roundTo))
+    val w = Window.partitionBy(vId).orderBy(col("ccos").desc, col("cid"))
+    scored.withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .drop("cvec", "ccos", "crank")
+  }
+
+  /** IVF probe: for each query, the `nProbe` nearest centroid lists
+    * (same rounded-cosine ranking). Output: (qid, cid) probe pairs.
+    */
+  def ivfProbe(queries: DataFrame, centroids: DataFrame,
+               qId: String, vecCol: String, nProbe: Int,
+               roundTo: Int = 6): DataFrame = {
+    val scored = queries.select(col(qId).as("qid"), col(vecCol).as("qvec"))
+      .join(broadcast(centroids.select(col("cid"), col(vecCol).as("cvec"))))
+      .withColumn("ccos", round(cosine(col("qvec"), col("cvec")), roundTo))
+    val w = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cid"))
+    scored.withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= nProbe)
+      .select("qid", "qvec", "cid")
+  }
+
   /** Brute-force cosine top-k: for each row of `queries` (small side,
     * broadcast), the `k` nearest `candidates` by cosine. Similarities are
     * rounded to `roundTo` decimals BEFORE ranking so rank order is
