@@ -105,6 +105,21 @@ object Multimodal {
     media.repartition(parts, col("media_id"))
   }
 
+  /** STUB resize: recomputes metadata for a target box (aspect-preserving
+    * fit) and re-stamps the payload deterministically. A real deployment
+    * replaces the payload transform with a codec resize; the metadata
+    * arithmetic and column contract are the production shape.
+    */
+  def resizeStub(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scale = least(lit(maxW.toDouble) / col("width"),
+      least(lit(maxH.toDouble) / col("height"), lit(1.0)))
+    media
+      .withColumn("out_width", floor(col("width") * scale).cast("int"))
+      .withColumn("out_height", floor(col("height") * scale).cast("int"))
+      // stub payload transform: real code re-encodes pixels here
+      .withColumn("bytes", expr("substring(bytes, 1, greatest(out_width, 16))"))
+  }
+
   /** Frame-sample fan-out for video rows: one output row per sampled
     * frame index (deterministic stride), non-video rows pass with frame
     * 0. The real pipeline decodes the frame bytes here.

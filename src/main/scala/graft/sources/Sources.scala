@@ -71,6 +71,20 @@ object Sources {
         col("f.geometry.type").as("geom_type"),
         to_json(col("f.geometry")).as("geometry_json"))
 
+  /** Scale-path sink: parquet partitioned by the given columns with
+    * rows sorted within partitions by `sortCol` — the 100 TB replacement
+    * for the reference's one-CSV-per-region output. Partition pruning on
+    * read is free; sorting by the join key keeps downstream merge joins
+    * exchange-free when bucketing is configured on the warehouse table.
+    */
+  def writePartitionedParquet(df: DataFrame, path: String,
+                              partitionCols: Seq[String],
+                              sortCol: String): Unit =
+    df.sortWithinPartitions(sortCol)
+      .write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** S5: line-delimited feature stream (tippecanoe-json-tool emits one
     * sorted feature per line, `build.sh:115-118`) — as a DataFrame this
     * is just the GeoJSON features ordered by key; no materialization

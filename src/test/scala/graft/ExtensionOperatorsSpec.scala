@@ -130,6 +130,31 @@ class ExtensionOperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(byKind("video") > 1 && byKind("image") == 1)
   }
 
+  test("resizeStub: aspect-preserving fit, never upscales") {
+    val media = Seq(
+      (1L, "image", Array[Byte](1, 2, 3), 640, 480, 0),
+      (2L, "image", Array[Byte](1), 100, 50, 0))
+      .toDF("media_id", "kind", "bytes", "width", "height", "duration_ms")
+    val out = Multimodal.resizeStub(media, 320, 320)
+      .orderBy("media_id")
+      .select("out_width", "out_height").as[(Int, Int)].collect()
+    assert(out(0) == ((320, 240))) // 640x480 fit into 320 box
+    assert(out(1) == ((100, 50))) // already smaller: untouched
+  }
+
+  test("writePartitionedParquet: partition pruning on read (scale sink)") {
+    val df = Seq(("00", "g1", 1.0), ("00", "g2", 2.0), ("10", "g3", 3.0))
+      .toDF("decade", "GEOID", "v")
+    val out = java.nio.file.Files.createTempDirectory("pq").toString + "/t"
+    graft.sources.Sources.writePartitionedParquet(df, out, Seq("decade"), "GEOID")
+    assert(new java.io.File(s"$out/decade=00").exists)
+    val read = spark.read.parquet(out).filter($"decade" === "10")
+    assert(read.count() == 1)
+    val scan = read.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(decade"),
+      "decade filter must prune partitions at the scan")
+  }
+
   test("sampleFrames fans out video by stride, passes others through") {
     val media = Seq(
       (1L, "video", Array[Byte](1), 0, 0, 2000),
