@@ -227,7 +227,59 @@ object QueriesRel {
        |ORDER BY features.user_id""".stripMargin
   }
 
+  // TPC-H Q3 shape: selective filters both sides, 2-way join, agg, top-k
+  // by computed measure — the canonical filter-pushdown + partial-agg +
+  // TakeOrdered composition.
+  def q37ShippingPriority(s: SparkSession, d: String): DataFrame =
+    customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1995-03-15 00:00:00")))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  val q37Sql: String =
+    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
+      | o_orderpriority,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer
+      | JOIN orders ON c_custkey = o_custkey
+      | JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  // TPC-H Q18 shape: HAVING over a grouped subquery feeding a semi join.
+  def q38BigOrders(s: SparkSession, d: String): DataFrame = {
+    val big = lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("qty"))
+      .filter(col("qty") > 150)
+    orders(s, d)
+      .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy("o_orderkey")
+  }
+
+  val q38Sql: String =
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+      |FROM orders
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_shipping_priority" -> (q37ShippingPriority _),
+    "q38_big_orders" -> (q38BigOrders _),
     "q08_regional_revenue" -> (q08RegionalRevenue _),
     "q09_semi_join" -> (q09SemiJoin _),
     "q10_anti_join" -> (q10AntiJoin _),
@@ -241,6 +293,8 @@ object QueriesRel {
   )
 
   val oracle: Map[String, String] = Map(
+    "q37_shipping_priority" -> q37Sql,
+    "q38_big_orders" -> q38Sql,
     "q08_regional_revenue" -> q08Sql,
     "q09_semi_join" -> q09Sql,
     "q10_anti_join" -> q10Sql,

@@ -38,4 +38,23 @@ object Joins {
     */
   def layerMerge(a: DataFrame, b: DataFrame, key: Seq[String]): DataFrame =
     a.join(b, key, "full_outer")
+
+  /** Skew-salted equi-join: the big side gets a deterministic salt in
+    * [0, factor) derived from `saltBy` (any high-cardinality column —
+    * NOT the join key), the small side is replicated once per salt
+    * value, and the join runs on (key, salt) so one hot key spreads over
+    * `factor` reducers.
+    *
+    * AQE's skew-join split handles most cases at runtime; explicit
+    * salting remains the tool when one key dominates a whole stage
+    * (e.g. a null-heavy foreign key at 100 TB). Results are identical to
+    * the plain join (asserted in CoreOperatorsSpec).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 saltBy: String, factor: Int): DataFrame = {
+    val salted = big.withColumn("__salt", pmod(hash(col(saltBy)), lit(factor)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(factor - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -93,6 +93,25 @@ class CoreOperatorsSpec extends AnyFunSuite with SharedSpark {
       Seq(("g", 3), ("g", 2), ("h", 9)))
   }
 
+  test("saltedJoin equals the plain join (skew-spread, same rows)") {
+    val big = Seq((1, "a"), (1, "b"), (1, "c"), (2, "d")).toDF("k", "payload")
+    val small = Seq((1, "x"), (2, "y"), (3, "z")).toDF("k", "dim")
+    val plain = big.join(small, Seq("k")).orderBy("payload").collect()
+    val salted = graft.operators.Joins.saltedJoin(big, small, "k", "payload", 4)
+      .orderBy("payload").collect()
+    assert(salted.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
+  }
+
+  test("approximate extents stay within 2% of exact quantiles") {
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 5000).map(_ => rnd.nextDouble() * 1000).toDF("a")
+    val exact = Extents.extents(df, Seq("a")).collect()(0)
+    val approx = Extents.extents(df, Seq("a"), approximate = true).collect()(0)
+    for (i <- Seq(3, 4)) // q1, q99
+      assert(math.abs(approx.getDouble(i) - exact.getDouble(i)) <=
+        0.02 * math.max(1.0, math.abs(exact.getDouble(i))))
+  }
+
   test("GEOID stays string: leading zeros survive the pivot round-trip") {
     val long = Seq(("01234", "00", 1.0, 1L)).toDF("id", "yy", "v", "ord")
     val wide = Shape.pivotWide(long, "id", Nil, "yy", Seq("v"), Seq("00"), "ord")
