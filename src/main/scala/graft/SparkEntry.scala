@@ -12,7 +12,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.all ++ QueriesRel.all ++ QueriesText.all ++ QueriesDedup.all ++
-      QueriesSim.all ++ QueriesMm.all ++ QueriesTile.all ++ QueriesStream.all
+      QueriesSim.all ++ QueriesMm.all ++ QueriesTile.all ++
+      QueriesStream.all ++ QueriesCuration.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -20,5 +21,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Queries.oracle ++ QueriesRel.oracle ++ QueriesText.oracle ++
       QueriesDedup.oracle ++ QueriesSim.oracle ++ QueriesMm.oracle ++
-      QueriesTile.oracle ++ QueriesStream.oracle
+      QueriesTile.oracle ++ QueriesStream.oracle ++ QueriesCuration.oracle
 }

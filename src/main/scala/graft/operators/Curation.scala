@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators for the training-data pipeline tier:
+  * deterministic splits, stratified sampling, and distribution
+  * histograms.
+  *
+  * Spark-first design notes (100 TB scale):
+  *  - splits/samples are HASH-based, not `rand()`-based: assignment is a
+    *  pure function of the key, so it is reproducible across runs,
+    *  engines (oracle-checkable), partitionings, and re-shards — the
+    *  property a training pipeline needs so examples never leak between
+    *  train and eval when data is re-processed.
+  *  - everything is a narrow projection + one aggregate; no shuffles
+  *    beyond the final rollups.
+  */
+object Curation {
+
+  /** Deterministic bucket in [0, buckets) from a key: md5-derived 60-bit
+    * hash mod buckets ([[TextStats.hash60]] — engine-reproducible; swap
+    * `xxhash64` at deployment).
+    */
+  def hashBucket(key: Column, buckets: Int): Column =
+    TextStats.hash60(key.cast("string")) % buckets
+
+  /** Split assignment: "train" for buckets < trainPct, else "eval".
+    * Percentages over 100 hash buckets.
+    */
+  def splitAssign(key: Column, trainPct: Int): Column =
+    when(hashBucket(key, 100) < trainPct, lit("train")).otherwise(lit("eval"))
+
+  /** Stratified deterministic sample: keep a row iff its key hashes
+    * under the per-stratum fraction. `fractions` maps stratum value →
+    * keep-fraction in [0,1]; missing strata default to 0.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+                       fractions: Map[String, Double]): DataFrame = {
+    val pct = fractions.foldLeft(lit(0.0)) { case (acc, (s, f)) =>
+      when(col(stratumCol) === s, lit(f)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol), 10000) < pct * 10000)
+  }
+
+  /** Fixed-width histogram of a numeric column: bucket i covers
+    * [lo + i*w, lo + (i+1)*w); values at/above hi clamp to the last
+    * bucket, below lo to the first.
+    */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+                buckets: Int): DataFrame = {
+    val w = (hi - lo) / buckets
+    val b = least(lit(buckets - 1), greatest(lit(0),
+      floor((col(valueCol) - lo) / w).cast("int")))
+    df.select(b.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .withColumn("lo", round(lit(lo) + col("bucket") * w, 6))
+      .withColumn("hi", round(lit(lo) + (col("bucket") + 1) * w, 6))
+  }
+}
