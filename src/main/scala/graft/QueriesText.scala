@@ -129,11 +129,54 @@ object QueriesText {
        |FROM h ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // TF-IDF: smoothed idf = ln((N+1)/(df+1)); top-3 scored terms per doc
+  // (ranked on the rounded score for engine stability). Terms explode
+  // once; doc-frequency is one aggregate; the per-doc top-k is a
+  // WindowGroupLimit.
+  def q42Tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val nDocs = docs.count() // small driver-side scalar, stable
+    val terms = docs
+      .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .withColumn("score",
+        round(col("tf") * log((lit(nDocs) + 1.0) / (col("df") + 1.0)), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3 && col("doc_id") < 50)
+      .select("doc_id", "rank", "term", "score")
+      .orderBy("doc_id", "rank")
+  }
+
+  val q42Sql: String =
+    s"""WITH terms AS (
+       | SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |scored AS (
+       | SELECT tf.doc_id, tf.term,
+       |  round(tf * ln((n.n + 1.0) / (df + 1.0)), 6) AS score
+       | FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+       |ranked AS (
+       | SELECT doc_id, term, score,
+       |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+       | FROM scored)
+       |SELECT doc_id, rank, term, score FROM ranked
+       |WHERE rank <= 3 AND doc_id < 50
+       |ORDER BY doc_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_token_stats" -> (q18TokenStats _),
     "q19_quality_score" -> (q19QualityScore _),
     "q20_lang_id" -> (q20LangId _),
     "q21_fingerprint" -> (q21Fingerprint _),
+    "q42_tfidf" -> (q42Tfidf _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -141,5 +184,6 @@ object QueriesText {
     "q19_quality_score" -> q19Sql,
     "q20_lang_id" -> q20Sql,
     "q21_fingerprint" -> q21Sql,
+    "q42_tfidf" -> q42Sql,
   )
 }

@@ -89,6 +89,61 @@ object Similarity {
       .select("qid", "qvec", "cid")
   }
 
+  /** Lloyd k-means over an embedding column — the trainer for the IVF
+    * coarse quantizer and a curation tool (cluster-balanced sampling,
+    * diversity filtering). Deterministic: seeds are the first k vectors
+    * by id; assignment ties break on centroid id.
+    *
+    * Scale notes: each iteration is one broadcast join (k centroids) +
+    * one `groupBy(cid)` aggregation over per-dimension sums — vectors
+    * never shuffle; only k×dim floats move. Centroids collect to the
+    * driver between iterations (k ≪ data, standard for Lloyd on Spark).
+    *
+    * @return (assignments DataFrame with `cid`, final centroid map)
+    */
+  def kmeans(vectors: DataFrame, idCol: String, vecCol: String,
+             k: Int, iters: Int, dim: Int): (DataFrame, Map[Int, Array[Double]]) = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    var centroids: Map[Int, Array[Double]] = vectors
+      .orderBy(idCol).limit(k).select(vecCol).as[Array[Float]].collect()
+      .zipWithIndex.map { case (v, i) => i -> v.map(_.toDouble) }.toMap
+    var assigned: DataFrame = null
+    for (_ <- 0 until iters) {
+      val centDf = centroids.toSeq
+        .map { case (cid, v) => (cid, v.map(_.toFloat)) }
+        .toDF("cid", "cvec")
+      assigned = ivfAssignWith(vectors, centDf, idCol, vecCol)
+      val sums = assigned
+        .select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byC = sums.groupBy(_.getInt(0))
+      centroids = centroids.map { case (cid, old) =>
+        cid -> byC.get(cid).map { rows =>
+          val v = old.clone()
+          rows.foreach(r => v(r.getInt(1)) = r.getLong(3) match {
+            case 0 => old(r.getInt(1))
+            case n => r.getDouble(2) / n
+          })
+          v
+        }.getOrElse(old) // empty cluster keeps its centroid
+      }
+    }
+    (assigned, centroids)
+  }
+
+  private def ivfAssignWith(vectors: DataFrame, centDf: DataFrame,
+                            vId: String, vecCol: String): DataFrame = {
+    val scored = vectors.join(broadcast(centDf))
+      .withColumn("ccos", round(cosine(col(vecCol), col("cvec")), 6))
+    val w = Window.partitionBy(vId).orderBy(col("ccos").desc, col("cid"))
+    scored.withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .drop("cvec", "ccos", "crank")
+  }
+
   /** Brute-force cosine top-k: for each row of `queries` (small side,
     * broadcast), the `k` nearest `candidates` by cosine. Similarities are
     * rounded to `roundTo` decimals BEFORE ranking so rank order is

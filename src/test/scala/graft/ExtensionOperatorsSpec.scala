@@ -108,6 +108,27 @@ class ExtensionOperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(b.toSet.size == 3 && b(0) == 3L)
   }
 
+  test("kmeans separates two obvious clusters and assigns all points") {
+    val rnd = new scala.util.Random(5)
+    // two tight blobs around orthogonal axes in 4d
+    val rows = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(1f, 0f, 0f, 0f) else Array(0f, 1f, 0f, 0f)
+      (i.toLong, base.map(x => x + rnd.nextFloat() * 0.05f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (assigned, centroids) = Similarity.kmeans(df, "vec_id", "embedding",
+      k = 2, iters = 3, dim = 4)
+    assert(assigned.count() == 40)
+    // each blob maps to a single cluster
+    val byParity = assigned.withColumn("parity", $"vec_id" % 2)
+      .groupBy("parity").agg(countDistinct("cid").as("k")).collect()
+    assert(byParity.forall(_.getAs[Long]("k") == 1L))
+    // centroids converged near the blob axes
+    assert(centroids.size == 2)
+    val axes = centroids.values.map(_.zipWithIndex.maxBy(_._1)._2).toSet
+    assert(axes == Set(0, 1))
+  }
+
   // ---------------------------------------------------------- multimodal
   test("multimodal decode: batching preserves all rows and determinism") {
     val media = spark.range(0, 100).select(
