@@ -73,6 +73,28 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     assert(!byId.keySet.exists(k => k == "GEOID" || k == "n" || k == "pl"))
   }
 
+  test("runRegion with features writes merged bubble+choropleth pbf trees") {
+    import spark.implicits._
+    val features = Seq(("01001", -86.6, 32.5)).toDF("GEOID", "lon", "lat")
+    val out = Files.createTempDirectory("tiles").toString
+    Pipeline.runRegion(spark, fixtureCsv, "raw", metricLongNames,
+      "counties", features = Some(features), outDir = Some(out))
+    for (decade <- Seq("00", "10")) {
+      val dir = new java.io.File(s"$out/counties/$decade")
+      assert(dir.exists, s"missing $dir")
+      assert(new java.io.File(dir, "metadata.json").exists)
+      val pbfs = java.nio.file.Files.walk(dir.toPath)
+        .filter(_.toString.endsWith(".pbf")).count()
+      assert(pbfs > 0)
+    }
+    // merged tile bytes contain BOTH layer names (J3 protobuf-level merge)
+    val z0 = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$out/counties/00"))
+      .filter(_.toString.endsWith(".pbf")).findFirst().get()
+    val bytes = java.nio.file.Files.readAllBytes(z0)
+    val s0 = new String(bytes.map(b => (b & 0xff).toChar))
+    assert(s0.contains("counties-00-bubble") && s0.contains("counties-00-choropleth"))
+  }
+
   test("decade tiles: slice + if-matched join + MVT build end-to-end") {
     val (wide, _) = Pipeline.runRegion(spark, fixtureCsv, "raw",
       metricLongNames, "counties")

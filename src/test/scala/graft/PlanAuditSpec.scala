@@ -65,6 +65,31 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       p.contains("BroadcastExchange"))
   }
 
+  test("q16: as-of join is union + window — NO join node, no pair explosion") {
+    val p = plan("q16_asof_join")
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
+    assert(p.contains("Window"), "as-of resolves through a window pass")
+    assert(p.contains("Union"))
+  }
+
+  test("q03: extents is one unpivot + one aggregation pass") {
+    val p = plan("q03_extents")
+    assert(p.contains("partial_min") && p.contains("partial_percentile"),
+      "extents must partial-aggregate map-side")
+    // one hash-agg shuffle + one presentation sort, nothing else
+    assert("Exchange".r.findAllIn(p).size <= 3, p)
+  }
+
+  test("q22: exact dedup shuffles only the digest — md5 computed map-side") {
+    val p = plan("q22_exact_dedup")
+    assert(p.contains("Exchange hashpartitioning(text_md5"),
+      "the shuffle key must be the 16-byte digest, not the document text")
+    assert(p.contains("partial_min"), "min(doc_id) must partial-aggregate")
+    // the partial aggregate's output carries no raw text column
+    val partialLine = p.linesIterator.find(_.contains("partial_min")).get
+    assert(!partialLine.matches(".*output=\\[.*[^_]text#.*"), partialLine)
+  }
+
   test("q31: tile fan-out is pure projection + explode (no join, no extra shuffle)") {
     val p = plan("q31_tile_assign")
     assert(p.contains("Generate explode"))
