@@ -41,6 +41,27 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       batch.map(r => (r.getString(0), r.getString(1))).toSet)
   }
 
+  test("rollup streams to a parquet file sink with checkpointing") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream").toString
+    val stream = MemoryStream[Event]
+    stream.addData(evts: _*)
+    val q = Streaming.hourlyRollup(stream.toDF(), watermark = Some("0 seconds"))
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark past all events so windows finalize
+      stream.addData(Event(9L, ts(10 * 60), "tick", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() >= 2) // the first two hourly windows emitted
+    assert(new java.io.File(s"$dir/ckpt").exists) // checkpoint written
+  }
+
   test("sessionize (flatMapGroupsWithState) matches the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
