@@ -277,7 +277,35 @@ object QueriesRel {
       |  GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
       |ORDER BY o_orderkey""".stripMargin
 
+  // Banded range join: purchases paired with every click by the same
+  // user within the following hour (conversion attribution).
+  def q43RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_eid"),
+        unix_micros(col("ts")).as("p_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_eid"),
+        unix_micros(col("ts")).as("c_us"))
+    Joins.rangeJoin(purchases, clicks, "user_id", "p_us", "c_us",
+        maxDeltaUs = 3600L * 1000000L)
+      .select(col("p_eid"), col("c_eid"), col("user_id"),
+        (col("c_us") - col("p_us")).as("delta_us"))
+      .orderBy("p_eid", "c_eid")
+  }
+
+  val q43Sql: String =
+    """WITH p AS (SELECT user_id, event_id AS p_eid, epoch_us(ts) AS p_us
+      |           FROM events WHERE event_type = 'purchase'),
+      | c AS (SELECT user_id, event_id AS c_eid, epoch_us(ts) AS c_us
+      |       FROM events WHERE event_type = 'click')
+      |SELECT p_eid, c_eid, p.user_id, c_us - p_us AS delta_us
+      |FROM p JOIN c ON p.user_id = c.user_id
+      | AND c_us >= p_us AND c_us <= p_us + 3600000000
+      |ORDER BY p_eid, c_eid""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_range_join" -> (q43RangeJoin _),
     "q37_shipping_priority" -> (q37ShippingPriority _),
     "q38_big_orders" -> (q38BigOrders _),
     "q08_regional_revenue" -> (q08RegionalRevenue _),
@@ -293,6 +321,7 @@ object QueriesRel {
   )
 
   val oracle: Map[String, String] = Map(
+    "q43_range_join" -> q43Sql,
     "q37_shipping_priority" -> q37Sql,
     "q38_big_orders" -> q38Sql,
     "q08_regional_revenue" -> q08Sql,

@@ -57,4 +57,26 @@ object Joins {
       explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Banded range join: pairs (l, r) with the same key and
+    * `r.ts ∈ [l.ts, l.ts + maxDelta]` (microsecond columns).
+    *
+    * Catalyst plans a raw inequality join as a broadcast-nested-loop —
+    * quadratic per key. Here both sides bucket by `floor(ts / maxDelta)`
+    * and the left side fans out to its bucket and the next one (any
+    * right ts within delta lands in one of the two), making the join a
+    * standard shuffle EQUI-join on (key, bucket) with a residual range
+    * filter — linear in matches, the canonical interval-join idiom.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, key: String,
+                leftTsUs: String, rightTsUs: String, maxDeltaUs: Long): DataFrame = {
+    val lb = left.withColumn("__bucket",
+      explode(array(floor(col(leftTsUs) / maxDeltaUs),
+        floor(col(leftTsUs) / maxDeltaUs) + 1)))
+    val rb = right.withColumn("__bucket", floor(col(rightTsUs) / maxDeltaUs))
+    lb.join(rb, Seq(key, "__bucket"))
+      .filter(col(rightTsUs) >= col(leftTsUs) &&
+        col(rightTsUs) <= col(leftTsUs) + maxDeltaUs)
+      .drop("__bucket")
+  }
 }

@@ -102,6 +102,18 @@ class CoreOperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(salted.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
   }
 
+  test("rangeJoin matches the naive inequality join across bucket edges") {
+    val left = Seq((1L, 100L), (1L, 1000L), (2L, 500L)).toDF("k", "lts")
+    val right = Seq((1L, 100L), (1L, 150L), (1L, 1099L), (1L, 1101L), (2L, 400L))
+      .toDF("k", "rts")
+    val out = graft.operators.Joins.rangeJoin(left, right, "k", "lts", "rts", 100L)
+      .select("k", "lts", "rts").orderBy("k", "lts", "rts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // (1,100): rts 100,150 in [100,200]; (1,1000): 1099 yes (edge-adjacent
+    // bucket), 1101 no; (2,500): 400 before window -> excluded
+    assert(out == Seq((1L, 100L, 100L), (1L, 100L, 150L), (1L, 1000L, 1099L)))
+  }
+
   test("approximate extents stay within 2% of exact quantiles") {
     val rnd = new scala.util.Random(11)
     val df = (0 until 5000).map(_ => rnd.nextDouble() * 1000).toDF("a")
