@@ -152,8 +152,32 @@ object Queries {
       |FROM customer ORDER BY geoid LIMIT 100""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Grouped extents: per-returnflag choropleth scales (the reference's
+  // one-extents-file-per-region, as one grouped shuffle).
+  def q44ExtentsByGroup(s: SparkSession, d: String): DataFrame =
+    Extents.extentsBy(lineitem(s, d), "l_returnflag",
+        Seq("l_quantity", "l_extendedprice"))
+      .select(col("l_returnflag"), col("id"),
+        round(col("vmin"), 6).as("vmin"), round(col("vmax"), 6).as("vmax"),
+        round(col("q1"), 6).as("q1"), round(col("q99"), 6).as("q99"))
+      .orderBy("l_returnflag", "id")
+
+  val q44Sql: String =
+    """WITH long AS (
+      | SELECT l_returnflag, 'l_quantity' AS id, CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+      | UNION ALL
+      | SELECT l_returnflag, 'l_extendedprice' AS id, CAST(l_extendedprice AS DOUBLE) AS value FROM lineitem)
+      |SELECT l_returnflag, id,
+      | round(min(value), 6) AS vmin, round(max(value), 6) AS vmax,
+      | round(quantile_cont(value, 0.01), 6) AS q1,
+      | round(quantile_cont(value, 0.99), 6) AS q99
+      |FROM long WHERE value IS NOT NULL AND NOT isnan(value)
+      |GROUP BY l_returnflag, id ORDER BY l_returnflag, id""".stripMargin
+
+  // ---------------------------------------------------------------------
   /** Registry: name -> query. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_extents_by_group" -> (q44ExtentsByGroup _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_shape_pivot" -> (q02ShapePivot _),
     "q03_extents" -> (q03Extents _),
@@ -165,6 +189,7 @@ object Queries {
 
   /** Registry: name -> DuckDB oracle SQL. */
   val oracle: Map[String, String] = Map(
+    "q44_extents_by_group" -> q44Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_shape_pivot" -> q02Sql,
     "q03_extents" -> q03Sql,

@@ -58,6 +58,24 @@ object Extents {
       .orderBy("id")
   }
 
+  /** Grouped extents: per (group, metric) min/max/q1/q99 — the
+    * reference's per-region extents files (`build.sh:69,84-88` — one
+    * extents CSV per region table) generalized to a grouping column in
+    * one shuffle.
+    */
+  def extentsBy(df: DataFrame, groupCol: String, metricCols: Seq[String],
+                lo: Double = 0.01, hi: Double = 0.99): DataFrame = {
+    val stackExpr = explodeToLong(metricCols)
+    val long = df.select(col(groupCol) +: stackExpr: _*)
+      .select(col(groupCol), col("id"), numericOrNull(col("value")).as("value"))
+      .filter(col("value").isNotNull)
+    long.groupBy(groupCol, "id")
+      .agg(min("value").as("vmin"), max("value").as("vmax"),
+        percentile(col("value"), lit(lo)).as("q1"),
+        percentile(col("value"), lit(hi)).as("q99"))
+      .orderBy(groupCol, "id")
+  }
+
   /** A2: wide→long unpivot via `stack` (one pass, no per-column scans). */
   private def explodeToLong(metricCols: Seq[String]): Seq[Column] = {
     val pairs = metricCols
