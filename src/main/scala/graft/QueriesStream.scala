@@ -57,13 +57,58 @@ object QueriesStream {
       | count(*) AS n_events
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // JSON property extraction (`events.props` is a JSON string): typed
+  // get_json_object + per-key rollup — the JSON-function surface of the
+  // extension tier (SURVEY.md §2.2 notes).
+  def q45JsonExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("k_sum"),
+        min("k").as("k_min"), max("k").as("k_max"))
+      .orderBy("event_type")
+
+  val q45Sql: String =
+    """SELECT event_type, count(*) AS n,
+      | CAST(sum(k) AS BIGINT) AS k_sum, min(k) AS k_min, max(k) AS k_max
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |WHERE k IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // RANGE-frame window: per-user trailing 1-hour event-value sum —
+  // value-based frames over microsecond time (numeric RANGE frame, same
+  // semantics both engines).
+  def q46RangeFrame(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000L, Window.currentRow)
+    events(s, d)
+      .withColumn("hour_sum", round(sum("value").over(w), 2))
+      .select(col("event_id").as("eid"), col("user_id"), col("hour_sum"))
+      .orderBy("eid")
+  }
+
+  val q46Sql: String =
+    """SELECT event_id AS eid, user_id,
+      | round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2) AS hour_sum
+      |FROM events ORDER BY eid""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_sessionize" -> (q34Sessionize _),
     "q35_count_distinct" -> (q35CountDistinct _),
+    "q45_json_extract" -> (q45JsonExtract _),
+    "q46_range_frame" -> (q46RangeFrame _),
   )
 
   val oracle: Map[String, String] = Map(
     "q34_sessionize" -> q34Sql,
     "q35_count_distinct" -> q35Sql,
+    "q45_json_extract" -> q45Sql,
+    "q46_range_frame" -> q46Sql,
   )
 }
