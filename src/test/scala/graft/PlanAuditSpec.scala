@@ -90,6 +90,29 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(!partialLine.matches(".*output=\\[.*[^_]text#.*"), partialLine)
   }
 
+  test("q43: range join stays an equi-join — never BroadcastNestedLoop") {
+    val p = plan("q43_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"banded range join must plan as an equi-join:\n$p")
+    assert(p.contains("Join") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("q37: selective filters push to scans; top-k is TakeOrdered") {
+    val p = plan("q37_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      "mktsegment filter must reach the customer scan")
+    assert(p.contains("GreaterThan(l_shipdate"),
+      "shipdate filter must reach the lineitem scan")
+  }
+
+  test("q46: RANGE frame window runs in one shuffle") {
+    val p = plan("q46_range_frame")
+    assert(p.contains("RangeFrame"), "value-based frame required")
+    assert("Exchange".r.findAllIn(p).size <= 3, p)
+  }
+
   test("q31: tile fan-out is pure projection + explode (no join, no extra shuffle)") {
     val p = plan("q31_tile_assign")
     assert(p.contains("Generate explode"))
