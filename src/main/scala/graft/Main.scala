@@ -20,7 +20,7 @@ import graft.config.EtlConfig
 object Main {
   private case class Args(data: String = "", out: String = "",
                           geo: Option[String] = None,
-                          regions: Seq[String] = Seq("counties"),
+                          regions: Seq[String] = Nil, // default applied post-parse
                           inputType: String = "raw",
                           extents: Boolean = false, tiles: Boolean = false)
 
@@ -29,9 +29,7 @@ object Main {
     case "--data" :: v :: rest => parse(rest, acc.copy(data = v))
     case "--out" :: v :: rest => parse(rest, acc.copy(out = v))
     case "--geo" :: v :: rest => parse(rest, acc.copy(geo = Some(v)))
-    case "-r" :: v :: rest =>
-      parse(rest, acc.copy(regions =
-        (if (acc.regions == Seq("counties")) Nil else acc.regions) :+ v))
+    case "-r" :: v :: rest => parse(rest, acc.copy(regions = acc.regions :+ v))
     case "-i" :: v :: rest => parse(rest, acc.copy(inputType = v))
     case "-e" :: rest => parse(rest, acc.copy(extents = true))
     case "-t" :: rest => parse(rest, acc.copy(tiles = true))
@@ -39,7 +37,9 @@ object Main {
   }
 
   def main(argv: Array[String]): Unit = {
-    val args = parse(argv.toList, Args())
+    val parsed = parse(argv.toList, Args())
+    val args = if (parsed.regions.isEmpty)
+      parsed.copy(regions = Seq("counties")) else parsed
     require(args.data.nonEmpty && args.out.nonEmpty, "--data and --out required")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

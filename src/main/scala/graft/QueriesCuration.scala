@@ -62,7 +62,7 @@ object QueriesCuration {
       | round(0.0 + (bucket + 1) * 50.0, 6) AS hi
       |FROM (SELECT least(19, greatest(0,
       |        CAST(floor((value - 0.0) / 50.0) AS INT))) AS bucket
-      |      FROM events)
+      |      FROM events WHERE value IS NOT NULL)
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
   // ---------------------------------------------------------------------

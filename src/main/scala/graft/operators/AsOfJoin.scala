@@ -28,25 +28,33 @@ object AsOfJoin {
   /** @param payload right-side columns carried onto matching left rows
     *                (emitted under the same names; they must not clash
     *                with left column names).
+    *
+    * The payload travels as ONE struct filled with a single
+    * `last(ignoreNulls)` — per-column fills would tear rows when the
+    * latest right row holds a null in one payload column (mixing values
+    * from different right rows).
     */
   def asofBackward(left: DataFrame, right: DataFrame, key: String,
                    ts: String, payload: Seq[String]): DataFrame = {
     val leftCols = left.columns
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c).copy(name = c)))
     val lTagged = left.select(
-      (leftCols.map(col) :+ lit(1).as("__side")) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+      leftCols.map(col) :+ lit(1).as("__side") :+
+        lit(null).cast(payloadType).as("__payload"): _*)
     val rTagged = right.select(
-      (Seq(col(key), col(ts), lit(0).as("__side")) ++
+      Seq(col(key), col(ts), lit(0).as("__side")) ++
         leftCols.filterNot(c => c == key || c == ts)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(col)): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payload.map(col): _*).as("__payload"): _*)
     val unioned = lTagged.unionByName(rTagged)
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).drop("__side")
+    val filled = unioned.withColumn("__payload",
+      last(col("__payload"), ignoreNulls = true).over(w))
+    filled.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(c => col(s"__payload.$c").as(c)): _*)
   }
 }

@@ -52,7 +52,9 @@ object Curation {
     val w = (hi - lo) / buckets
     val b = least(lit(buckets - 1), greatest(lit(0),
       floor((col(valueCol) - lo) / w).cast("int")))
-    df.select(b.as("bucket"))
+    // null values must be EXCLUDED, not land in bucket 0 (Spark's
+    // greatest() skips nulls, which would silently count them)
+    df.filter(col(valueCol).isNotNull).select(b.as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n"))
       .withColumn("lo", round(lit(lo) + col("bucket") * w, 6))
       .withColumn("hi", round(lit(lo) + (col("bucket") + 1) * w, 6))

@@ -59,16 +59,19 @@ object TileBuild {
 
     val attrPairs = attrCols.flatMap(c => Seq(lit(c), col(c).cast("string")))
     val rows = budgeted.select(col("z"), col("x"), col("y"),
-      col(idCol).cast("long").as("fid"), col("px"), col("py"),
-      map(attrPairs: _*).as("attrs"))
+      col("density_rank"), col(idCol).cast("long").as("fid"),
+      col("px"), col("py"), map(attrPairs: _*).as("attrs"))
 
-    rows.as[(Int, Long, Long, Long, Int, Int, Map[String, String])]
-      .groupByKey { case (z, x, y, _, _, _, _) => (z, x, y) }
+    rows.as[(Int, Long, Long, Int, Long, Int, Int, Map[String, String])]
+      .groupByKey { case (z, x, y, _, _, _, _, _) => (z, x, y) }
       .mapGroups { (key: (Int, Long, Long),
-                    it: Iterator[(Int, Long, Long, Long, Int, Int, Map[String, String])]) =>
+                    it: Iterator[(Int, Long, Long, Int, Long, Int, Int, Map[String, String])]) =>
         val (z, x, y) = key
-        val feats = it.toSeq.sortBy(t => t._4).map {
-          case (_, _, _, fid, px, py, attrs) =>
+        // pinned order: density_rank already encodes (importance desc,
+        // tie id) — renderers that draw/drop in feature order see the
+        // most important features first (tippecanoe discipline)
+        val feats = it.toSeq.sortBy(t => (t._4, t._5)).map {
+          case (_, _, _, _, fid, px, py, attrs) =>
             Mvt.Feature(fid, Mvt.PointGeom, Seq(Seq((px, py))),
               attrs.toSeq.filter(_._2 != null).sortBy(_._1))
         }

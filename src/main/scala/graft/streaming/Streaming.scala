@@ -44,37 +44,64 @@ object Streaming {
   case class SessionOut(user_id: Long, session_start: Timestamp,
                         session_end: Timestamp, n_events: Long, total: Double)
 
-  /** Stateful sessionization: events within `gapMs` of each other belong
-    * to one session; a closed (or timed-out) session emits one row.
-    * Works identically under `readStream` (with GroupStateTimeout) and
-    * in tests via MemoryStream.
+  /** One state-machine step of sessionization: the timed-out branch
+    * flushes the open session and REMOVES the state (without eviction,
+    * state grows with every user ever seen — the 100 TB state blow-up);
+    * the data branch merges events within `gapMs`, emits closed
+    * sessions, and re-arms the timeout when `armTimeout`. Exposed for
+    * direct unit testing via `TestGroupState`.
     */
-  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[SessionOut] = {
+  def sessionStep(gapMs: Long, armTimeout: Boolean)(
+      userId: Long, it: Iterator[Event], state: GroupState[SessionState])
+      : Iterator[SessionOut] = {
+    if (state.hasTimedOut) {
+      val flushed = state.getOption.map(s =>
+        SessionOut(userId, new Timestamp(s.start),
+          new Timestamp(s.lastSeen), s.nEvents, s.total))
+      state.remove()
+      flushed.iterator
+    } else {
+      val sorted = it.toSeq.sortBy(_.ts.getTime)
+      var cur = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      for (e <- sorted) {
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.lastSeen <= gapMs =>
+            cur = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1,
+              total = s.total + e.value))
+          case Some(s) =>
+            out += SessionOut(userId, new Timestamp(s.start),
+              new Timestamp(s.lastSeen), s.nEvents, s.total)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        if (armTimeout) state.setTimeoutDuration(gapMs)
+      }
+      out.iterator
+    }
+  }
+
+  /** Stateful sessionization: events within `gapMs` of each other belong
+    * to one session; a closed session emits one row. In production
+    * (default) idle users time out after `gapMs` of processing time:
+    * their open session flushes and the state is evicted. Tests pass
+    * `NoTimeout` so `processAllAvailable` settles deterministically (a
+    * processing-time timeout keeps the micro-batch trigger busy); the
+    * timeout branch itself is unit-tested with `TestGroupState`.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+                 timeout: GroupStateTimeout =
+                   GroupStateTimeout.ProcessingTimeTimeout()): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    val arm = timeout == GroupStateTimeout.ProcessingTimeTimeout()
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(_.ts.getTime)
-          var cur = state.getOption
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          for (e <- sorted) {
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.lastSeen <= gapMs =>
-                cur = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1,
-                  total = s.total + e.value))
-              case Some(s) =>
-                out += SessionOut(userId, new Timestamp(s.start),
-                  new Timestamp(s.lastSeen), s.nEvents, s.total)
-                cur = Some(SessionState(t, t, 1, e.value))
-              case None =>
-                cur = Some(SessionState(t, t, 1, e.value))
-            }
-          }
-          cur.foreach(state.update)
-          out.iterator
-      }
+        OutputMode.Append(), timeout)(sessionStep(gapMs, arm))
   }
 
   /** Batch twin of [[sessionize]] — windowed gap detection, same output

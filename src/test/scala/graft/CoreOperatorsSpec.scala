@@ -85,6 +85,26 @@ class CoreOperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(out(2).isNullAt(out(2).fieldIndex("payload"))) // none at ts<=5
   }
 
+  test("asofBackward payload is atomic: no torn rows when latest has nulls") {
+    val left = Seq((1L, 3L, "p")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 1L, Some(1L), Some(5.0)), (1L, 2L, Some(2L), None))
+      .toDF("k", "ts", "eid", "v")
+    val out = AsOfJoin.asofBackward(left, right, "k", "ts", Seq("eid", "v"))
+      .collect()(0)
+    // latest right row is (eid=2, v=null) — v must NOT leak 5.0 from eid=1
+    assert(out.getAs[Long]("eid") == 2L)
+    assert(out.isNullAt(out.fieldIndex("v")))
+  }
+
+  test("histogram excludes null values instead of counting them in bucket 0") {
+    val df = Seq(Some(10.0), None, None, Some(95.0)).toDF("v")
+    val h = graft.operators.Curation.histogram(df, "v", 0.0, 100.0, 10)
+      .orderBy("bucket").collect()
+    assert(h.map(_.getAs[Long]("n")).sum == 2) // only the non-null rows
+    assert(h.map(r => (r.getInt(0), r.getAs[Long]("n"))).toSeq ==
+      Seq((1, 1L), (9, 1L)))
+  }
+
   test("topKPerGroup keeps k rows per group in priority order") {
     val df = Seq(("g", 1), ("g", 3), ("g", 2), ("h", 9)).toDF("grp", "v")
     val out = Windows.topKPerGroup(df, Seq("grp"), $"v".desc, $"v", 2)

@@ -32,6 +32,17 @@ class DotProductExprSpec extends AnyFunSuite with SharedSpark {
     assert(plan.contains("*(1)"), s"expected codegen stage marker in:\n$plan")
   }
 
+  test("several dotp instances share one codegen scope without collisions") {
+    // non-nullable array children (array literal) exercise the unbraced
+    // nullSafeCodeGen path where local names must be fresh per instance
+    val df = spark.range(1).select(
+      array(lit(1f), lit(2f)).as("a"), array(lit(3f), lit(4f)).as("b"))
+    val r = df.select(
+      (DotProductExpr.dotp($"a", $"b") + DotProductExpr.dotp($"a", $"a")
+        + DotProductExpr.dotp($"b", $"b")).as("s")).as[Double].collect()(0)
+    assert(r == 11.0 + 5.0 + 25.0)
+  }
+
   test("cosineFast self-similarity is ~1") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(10)
     val vals = emb.select(

@@ -62,11 +62,28 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(new java.io.File(s"$dir/ckpt").exists) // checkpoint written
   }
 
+  test("sessionStep timeout branch flushes the open session and evicts state") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    val open = Streaming.SessionState(start = 1000L, lastSeen = 2000L,
+      nEvents = 3L, total = 7.5)
+    val state = TestGroupState.create[Streaming.SessionState](
+      optionalState = org.apache.spark.api.java.Optional.of(open),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout(),
+      batchProcessingTimeMs = 10000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = true)
+    val out = Streaming.sessionStep(gapMs = 1000L, armTimeout = true)(
+      1L, Iterator.empty, state).toSeq
+    assert(out.map(s => (s.user_id, s.n_events, s.total)) == Seq((1L, 3L, 7.5)))
+    assert(state.isRemoved, "idle user's state must be evicted")
+  }
+
   test("sessionize (flatMapGroupsWithState) matches the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
     stream.addData(evts: _*)
-    val q = Streaming.sessionize(stream.toDS(), gapMs = 30 * 60 * 1000L)
+    val q = Streaming.sessionize(stream.toDS(), gapMs = 30 * 60 * 1000L,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
       .writeStream.format("memory").queryName("sessions_out")
       .outputMode(OutputMode.Append()).start()
     try q.processAllAvailable() finally q.stop()
