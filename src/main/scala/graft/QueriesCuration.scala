@@ -66,13 +66,65 @@ object QueriesCuration {
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Capstone: the full training-data assembly flow in ONE lazy plan —
+  // exact dedup (survivor = min doc_id per normalized-text digest) →
+  // quality gate (stopword/length composite >= 0.3) → language filter →
+  // deterministic train/eval split → per-split rollup. Composes the
+  // dedup, text-quality and curation tiers; every stage is a narrow
+  // projection or a single hash aggregation.
+  def q47CurationPipeline(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Dedup, TextStats}
+    val docs = documents(s, d)
+    val survivors = Dedup.exactDedup(docs, "text", "doc_id")
+      .select(col("keep_id").as("doc_id"))
+    val quality = TextStats.qualityColumns("text")
+      .find(_._1 == "quality").get._2
+    docs.join(survivors, "doc_id")
+      .filter(col("lang").isin("en", "de"))
+      .withColumn("quality", quality)
+      .filter(col("quality") >= 0.3)
+      .withColumn("split", Curation.splitAssign(col("doc_id"), 80))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("quality"), 6).as("avg_quality"),
+        sum("n_chars").cast("long").as("total_chars"))
+      .orderBy("split", "lang")
+  }
+
+  val q47Sql: String = {
+    val normSql = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+    val stop = graft.operators.TextStats.stopwords
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH survivors AS (
+       | SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5($normSql)),
+       |quality AS (
+       | SELECT doc_id, lang, n_chars,
+       |  round(least(1.0, greatest(0.0,
+       |    0.5 * least(round(CAST(len(list_filter(string_split($normSql, ' '),
+       |          t -> list_contains($stop, t))) AS DOUBLE)
+       |        / len(string_split($normSql, ' ')), 6) * 4.0, 1.0)
+       |    + 0.5 * least(len(string_split($normSql, ' ')) / 50.0, 1.0)
+       |    - round(CAST(len(regexp_extract_all($normSql, '[^a-z0-9 ]')) AS DOUBLE)
+       |        / length($normSql), 6))), 6) AS quality
+       | FROM documents
+       | WHERE doc_id IN (SELECT doc_id FROM survivors) AND lang IN ('en', 'de')),
+       |gated AS (SELECT * FROM quality WHERE quality >= 0.3)
+       |SELECT CASE WHEN ${hash60Sql("doc_id")} % 100 < 80
+       |  THEN 'train' ELSE 'eval' END AS split, lang,
+       | count(*) AS n_docs, round(avg(quality), 6) AS avg_quality,
+       | CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM gated GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_curation_pipeline" -> (q47CurationPipeline _),
     "q39_train_eval_split" -> (q39TrainEvalSplit _),
     "q40_stratified_sample" -> (q40StratifiedSample _),
     "q41_value_histogram" -> (q41ValueHistogram _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q47_curation_pipeline" -> q47Sql,
     "q39_train_eval_split" -> q39Sql,
     "q40_stratified_sample" -> q40Sql,
     "q41_value_histogram" -> q41Sql,
