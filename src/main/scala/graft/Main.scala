@@ -41,6 +41,13 @@ object Main {
     val args = if (parsed.regions.isEmpty)
       parsed.copy(regions = Seq("counties")) else parsed
     require(args.data.nonEmpty && args.out.nonEmpty, "--data and --out required")
+    // fail fast on unknown regions — EtlConfig zoom lookups are
+    // Map.apply and would otherwise die mid-pipeline with an opaque
+    // NoSuchElementException after minutes of work
+    val unknown = args.regions.filterNot(EtlConfig.regions.contains)
+    require(unknown.isEmpty,
+      s"unknown region(s): ${unknown.mkString(", ")} " +
+        s"(known: ${EtlConfig.regions.mkString(", ")})")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))

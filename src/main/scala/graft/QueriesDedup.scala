@@ -163,7 +163,8 @@ object QueriesDedup {
        |h AS (SELECT doc_id,
        |  list_transform(toks, x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS hs
        | FROM t)
-       |SELECT doc_id, $bitTerms AS simhash
+       |SELECT doc_id,
+       |  CASE WHEN len(hs) = 0 THEN 0 ELSE ($bitTerms) END AS simhash
        |FROM h ORDER BY doc_id""".stripMargin
   }
 

@@ -23,6 +23,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("graft_dotp"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dotp"),
-      (children: Seq[Expression]) => DotProductExpr(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw org.apache.spark.sql.GraftBridge.wrongNumArgs(
+            "graft_dotp", expected = 2, actual = children.length)
+        DotProductExpr(children(0), children(1))
+      }))
   }
 }

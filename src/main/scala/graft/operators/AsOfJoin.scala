@@ -33,28 +33,40 @@ object AsOfJoin {
     * `last(ignoreNulls)` — per-column fills would tear rows when the
     * latest right row holds a null in one payload column (mixing values
     * from different right rows).
+    *
+    * Determinism: when several right rows share (key, ts), the window
+    * order adds the payload struct itself as the final tiebreak, so the
+    * GREATEST payload wins — stable across runs and engines (payload
+    * fields must therefore be orderable types). Internal working columns
+    * are uniquified against the left schema, so `__side`-style user
+    * columns can't collide.
     */
   def asofBackward(left: DataFrame, right: DataFrame, key: String,
                    ts: String, payload: Seq[String]): DataFrame = {
     val leftCols = left.columns
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+        .find(n => !leftCols.contains(n)).get
+    val sideCol = fresh("__graft_asof_side")
+    val payCol = fresh("__graft_asof_payload")
     val payloadType = org.apache.spark.sql.types.StructType(
       payload.map(c => right.schema(c).copy(name = c)))
     val lTagged = left.select(
-      leftCols.map(col) :+ lit(1).as("__side") :+
-        lit(null).cast(payloadType).as("__payload"): _*)
+      leftCols.map(col) :+ lit(1).as(sideCol) :+
+        lit(null).cast(payloadType).as(payCol): _*)
     val rTagged = right.select(
-      Seq(col(key), col(ts), lit(0).as("__side")) ++
+      Seq(col(key), col(ts), lit(0).as(sideCol)) ++
         leftCols.filterNot(c => c == key || c == ts)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
-        struct(payload.map(col): _*).as("__payload"): _*)
+        struct(payload.map(col): _*).as(payCol): _*)
     val unioned = lTagged.unionByName(rTagged)
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col("__side"))
+      .orderBy(col(ts), col(sideCol), col(payCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = unioned.withColumn("__payload",
-      last(col("__payload"), ignoreNulls = true).over(w))
-    filled.filter(col("__side") === 1)
+    val filled = unioned.withColumn(payCol,
+      last(col(payCol), ignoreNulls = true).over(w))
+    filled.filter(col(sideCol) === 1)
       .select(leftCols.map(col) ++
-        payload.map(c => col(s"__payload.$c").as(c)): _*)
+        payload.map(c => col(s"$payCol.$c").as(c)): _*)
   }
 }

@@ -109,11 +109,14 @@ object Dedup {
   def simhash(textCol: String, bits: Int): Column = {
     val hashes = transform(tokens(col(textCol)), t => hash60(t))
     val n = size(hashes)
-    (0 until bits).map { j =>
+    val sig = (0 until bits).map { j =>
       val setCount = size(filter(hashes,
         h => shiftright(h, j).bitwiseAND(lit(1L)) === 1L))
       // votes = setCount - (n - setCount) >= 0  <=>  2*setCount >= n
       when(setCount * 2 >= n, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+    // n == 0 would make every vote pass vacuously (0 >= 0), collapsing
+    // all empty token sets onto the all-ones signature; pin them to 0.
+    when(n === 0, lit(0L)).otherwise(sig)
   }
 }

@@ -80,8 +80,16 @@ object Tiling {
     val latC = least(lit(MaxLat), greatest(lit(-MaxLat), lat))
     val latRad = radians(latC)
     val fy = round((lit(1.0) - log(tan(latRad) + lit(1.0) / cos(latRad)) / lit(math.Pi)) / 2.0 * n, 6)
-    val px = floor((fx - floor(fx)) * extent).cast("int")
-    val py = floor((fy - floor(fy)) * extent).cast("int")
+    // pixel offset is taken against the CLAMPED tile index (consistent
+    // with tileX/tileY), then pinned to [0, extent-1] — lon=180 / the
+    // south mercator clamp would otherwise floor() into tile n with
+    // pixel 0 instead of tile n-1 with pixel extent-1.
+    val xIdx = least(lit(n - 1), greatest(lit(0L), floor(fx).cast("long")))
+    val yIdx = least(lit(n - 1), greatest(lit(0L), floor(fy).cast("long")))
+    val px = least(lit(extent - 1), greatest(lit(0),
+      floor((fx - xIdx) * extent))).cast("int")
+    val py = least(lit(extent - 1), greatest(lit(0),
+      floor((fy - yIdx) * extent))).cast("int")
     (px, py)
   }
 

@@ -52,8 +52,13 @@ object TileBuild {
       .withColumn("fy",
         round((lit(1.0) - log(tan(radians(col("latc"))) + lit(1.0) / cos(radians(col("latc"))))
           / lit(math.Pi)) / 2.0 * pow(lit(2.0), col("z")), 6))
-      .withColumn("px", floor((col("fx") - col("x")) * 4096).cast("int"))
-      .withColumn("py", floor((col("fy") - col("y")) * 4096).cast("int"))
+      // clamp: tile x/y are clamped to [0, n-1] but fx/fy are not, so the
+      // antimeridian (lon=180) / south-clamp (merc=1) edge lands at pixel
+      // 4096 — one past the MVT extent. Pin to [0, 4095].
+      .withColumn("px", least(lit(4095), greatest(lit(0),
+        floor((col("fx") - col("x")) * 4096))).cast("int"))
+      .withColumn("py", least(lit(4095), greatest(lit(0),
+        floor((col("fy") - col("y")) * 4096))).cast("int"))
     val budgeted = Tiling.dropDensest(withPx,
       col(importanceCol.getOrElse(idCol)), col(idCol), budget)
 

@@ -10,4 +10,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Proper WRONG_NUM_ARGS AnalysisException for injected SQL functions
+    * (the error-class factory lives in `private[sql]`
+    * QueryCompilationErrors).
+    */
+  def wrongNumArgs(name: String, expected: Int, actual: Int): Throwable =
+    errors.QueryCompilationErrors.wrongNumArgsError(
+      name, Seq(expected), actual)
 }

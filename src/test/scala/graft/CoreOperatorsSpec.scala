@@ -96,6 +96,28 @@ class CoreOperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(out.isNullAt(out.fieldIndex("v")))
   }
 
+  test("asofBackward ties on (key, ts) resolve deterministically (greatest payload)") {
+    val left = Seq((1L, 10L, "p")).toDF("k", "ts", "tag")
+    // three right rows at the SAME (k, ts): the greatest payload struct
+    // must win, run after run
+    val right = Seq((1L, 10L, "alpha"), (1L, 10L, "zulu"), (1L, 10L, "mike"))
+      .toDF("k", "ts", "payload")
+    (1 to 3).foreach { _ =>
+      val out = AsOfJoin.asofBackward(left, right.repartition(4), "k", "ts",
+        Seq("payload")).collect()(0)
+      assert(out.getAs[String]("payload") == "zulu")
+    }
+  }
+
+  test("asofBackward internal columns don't collide with user __side/__payload") {
+    val left = Seq((1L, 10L, "x")).toDF("k", "ts", "__graft_asof_side")
+    val right = Seq((1L, 5L, "r")).toDF("k", "ts", "payload")
+    val out = AsOfJoin.asofBackward(left, right, "k", "ts", Seq("payload"))
+      .collect()(0)
+    assert(out.getAs[String]("__graft_asof_side") == "x")
+    assert(out.getAs[String]("payload") == "r")
+  }
+
   test("histogram excludes null values instead of counting them in bucket 0") {
     val df = Seq(Some(10.0), None, None, Some(95.0)).toDF("v")
     val h = graft.operators.Curation.histogram(df, "v", 0.0, 100.0, 10)

@@ -57,4 +57,12 @@ class DotProductExprSpec extends AnyFunSuite with SharedSpark {
       .collect()(0).getDouble(0)
     assert(r == 11.0)
   }
+
+  test("graft_dotp with wrong arity raises AnalysisException, not IndexOutOfBounds") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_dotp(array(cast(1.0 as float)))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("parameter") ||
+      e.getMessage.toLowerCase.contains("argument"))
+  }
 }

@@ -84,6 +84,17 @@ class ExtensionOperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(hamming(hs(0), hs(1)) < hamming(hs(0), hs(2)))
   }
 
+  test("simhash of null/empty text is pinned away from the all-ones signature") {
+    val texts = Seq((1L, null: String), (2L, ""), (3L, "   "))
+      .toDF("id", "text")
+    val hs = texts.select($"id", Dedup.simhash("text", 32).as("h"))
+      .orderBy("id").as[(Long, Long)].collect().map(_._2)
+    assert(hs(0) == 0L) // null text -> 0
+    // empty / whitespace-only must NOT collide at 2^32-1 (the vacuous
+    // all-votes-pass fingerprint)
+    assert(hs.forall(_ != (1L << 32) - 1))
+  }
+
   // ---------------------------------------------------------- similarity
   test("cosine: self-similarity 1, orthogonal 0") {
     val df = Seq((Seq(1f, 0f), Seq(0f, 2f))).toDF("a", "b")
