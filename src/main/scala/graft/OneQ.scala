@@ -9,8 +9,12 @@ object OneQ {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     for (q <- args) {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(q)(spark, d).count()
-      println(f"[oneq] $q rows=$n t=${(System.nanoTime()-t0)/1e9}%.2f s")
+      // same full-evaluation consumer as Bench (count() lets Catalyst
+      // prune the very projections being timed)
+      SparkEntry.queries(q)(spark, d).write.format("noop")
+        .mode("overwrite").save()
+      println(f"[oneq] $q t=${(System.nanoTime()-t0)/1e9}%.2f s")
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -151,7 +151,14 @@ object QueriesDedup {
 
   def q24Simhash(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .select(col("doc_id"), Dedup.simhash("text", SimhashBits).as("simhash"))
+      // stage the token-hash array once — the 32 per-bit filter() HOFs
+      // are outside subexpression elimination and would otherwise each
+      // re-run the tokenize+md5 pipeline (see Dedup.simhashFromHashes)
+      .select(col("doc_id"),
+        transform(graft.operators.TextStats.tokens(col("text")),
+          t => graft.operators.TextStats.hash60(t)).as("hs"))
+      .select(col("doc_id"),
+        Dedup.simhashFromHashes(col("hs"), SimhashBits).as("simhash"))
       .orderBy("doc_id")
 
   val q24Sql: String = {

@@ -80,10 +80,21 @@ object QueriesText {
   // Language-ID: marker-lexicon hit scores per language, argmax with a
   // fixed tie-break order; per-(true,predicted) confusion rollup.
   def q20LangId(s: SparkSession, d: String): DataFrame = {
-    val scores = TextStats.langScores("text").map { case (n, c) => c.as(n) }
-    documents(s, d)
-      .select(col("doc_id") +: col("lang") +:
-        TextStats.langPredict("text").as("predicted") +: scores: _*)
+    // three stages so the expensive pieces evaluate ONCE each: tokens
+    // (normalize+split), then the 5 marker-filter scores (HOFs — outside
+    // subexpression elimination), then argmax over cheap score columns
+    val toksDf = documents(s, d).select(col("doc_id"), col("lang"),
+      TextStats.tokens(col("text")).as("toks"))
+    val scoreCols = TextStats.langScoresFromTokens(col("toks"))
+    val scored = toksDf.select(
+      col("doc_id") +: col("lang") +:
+        scoreCols.map { case (n, c) => c.as(n) }: _*)
+    val scoreRefs = TextStats.langMarkers.map {
+      case (lang, _) => lang -> col(s"score_$lang")
+    }
+    scored.select(Seq(col("doc_id"), col("lang"),
+        TextStats.langPredictFromScores(scoreRefs).as("predicted")) ++
+        scoreCols.map { case (n, _) => col(n) }: _*)
       .orderBy("doc_id")
   }
 
@@ -112,10 +123,20 @@ object QueriesText {
   // ---------------------------------------------------------------------
   // Document fingerprinting: normalized-text md5 + min/max 8-gram shingle
   // hash (winnowing-style sketch; oracle-reproducible 60-bit hashes).
-  def q21Fingerprint(s: SparkSession, d: String): DataFrame = {
-    val fps = TextStats.fingerprint("text", k = 8).map { case (n, c) => c.as(n) }
-    documents(s, d).select(col("doc_id") +: fps: _*).orderBy("doc_id")
-  }
+  def q21Fingerprint(s: SparkSession, d: String): DataFrame =
+    // stage norm, then the shingle-hash array (transform() HOF — outside
+    // subexpression elimination; fp_min and fp_max would otherwise each
+    // re-run the ~300 md5s per doc), then the cheap folds
+    documents(s, d)
+      .select(col("doc_id"), TextStats.normalize(col("text")).as("norm"))
+      .select(col("doc_id"), col("norm"),
+        TextStats.shingleHashExpr("norm", k = 8, normalized = true)
+          .as("hashes"))
+      .select(col("doc_id"),
+        md5(col("norm").cast("binary")).as("fp_md5"),
+        array_min(col("hashes")).as("fp_min"),
+        array_max(col("hashes")).as("fp_max"))
+      .orderBy("doc_id")
 
   val q21Sql: String =
     s"""WITH t AS (SELECT doc_id, $normSql AS norm FROM documents),

@@ -106,8 +106,20 @@ object Dedup {
     * 60-bit hash. `bits` ≤ 32 keeps the result in int range for easy
     * cross-engine compare.
     */
-  def simhash(textCol: String, bits: Int): Column = {
-    val hashes = transform(tokens(col(textCol)), t => hash60(t))
+  def simhash(textCol: String, bits: Int): Column =
+    simhashFromHashes(transform(tokens(col(textCol)), t => hash60(t)), bits)
+
+  /** SimHash voting over a PRE-COMPUTED token-hash array column.
+    *
+    * Stage the hash array into its own projection before calling this:
+    * the per-bit `filter` lambdas are higher-order functions, which
+    * Spark's subexpression elimination skips — inlining the
+    * tokenize+md5 pipeline here would re-evaluate it once per bit
+    * (32x the md5 work; observed 5.4s -> 0.3s at sf0.01 when staged).
+    * CollapseProject keeps the stage: a non-cheap alias referenced more
+    * than once is not re-inlined.
+    */
+  def simhashFromHashes(hashes: Column, bits: Int): Column = {
     val n = size(hashes)
     val sig = (0 until bits).map { j =>
       val setCount = size(filter(hashes,

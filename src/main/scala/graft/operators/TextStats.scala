@@ -58,9 +58,15 @@ object TextStats {
       "fp_max" -> array_max(hashes))
   }
 
-  /** Array of 60-bit k-gram shingle hashes as a single expression. */
-  def shingleHashExpr(textCol: String, k: Int): Column = {
-    val norm = s"regexp_replace(trim(lower($textCol)), '\\\\s+', ' ')"
+  /** Array of 60-bit k-gram shingle hashes as a single expression.
+    * Pass `normalized = true` when `textCol` already holds the
+    * [[normalize]]d form (normalize is idempotent, so this is purely a
+    * re-regex saving).
+    */
+  def shingleHashExpr(textCol: String, k: Int,
+                      normalized: Boolean = false): Column = {
+    val norm = if (normalized) textCol
+      else s"regexp_replace(trim(lower($textCol)), '\\\\s+', ' ')"
     expr(
       s"""transform(sequence(1, greatest(length($norm) - ${k - 1}, 1)),
          |  i -> cast(conv(substring(md5(cast(substring($norm, i, $k) as binary)), 1, 15), 16, 10) as long))
@@ -123,11 +129,29 @@ object TextStats {
     "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1", "zhe4", "bu4"))
 
   /** Per-language marker-hit score columns (`score_<lang>`). */
-  def langScores(textCol: String): Seq[(String, Column)] = {
-    val toks = tokens(col(textCol))
+  def langScores(textCol: String): Seq[(String, Column)] =
+    langScoresFromTokens(tokens(col(textCol)))
+
+  /** Marker-hit scores over a PRE-COMPUTED token array column. Stage the
+    * tokens into their own projection first: `lexiconHits` is a filter()
+    * HOF, outside subexpression elimination — inlining the tokenizer
+    * here re-runs the normalize+split pipeline once per language.
+    */
+  def langScoresFromTokens(toks: Column): Seq[(String, Column)] =
     langMarkers.map { case (lang, markers) =>
       s"score_$lang" -> lexiconHits(toks, markers).cast("long")
     }
+
+  /** Argmax prediction from already-computed score COLUMNS (cheap
+    * attribute references — safe to combine in one projection).
+    */
+  def langPredictFromScores(scores: Seq[(String, Column)]): Column = {
+    val best = greatest(scores.map(_._2): _*)
+    val firstMax = scores.foldLeft(lit(null).cast("string")) {
+      case (acc, (lang, score)) =>
+        when(acc.isNotNull, acc).otherwise(when(score === best, lit(lang)))
+    }
+    when(best === 0, lit("und")).otherwise(firstMax)
   }
 
   /** Predicted language: argmax of marker scores, ties broken by the
