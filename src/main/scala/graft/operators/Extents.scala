@@ -62,17 +62,31 @@ object Extents {
     * reference's per-region extents files (`build.sh:69,84-88` — one
     * extents CSV per region table) generalized to a grouping column in
     * one shuffle.
+    *
+    * Memory ceiling: exact `percentile` buffers EVERY value of a
+    * (group, metric) cell in one aggregation buffer — at 100 TB a hot
+    * group OOMs the executor. Pass `approximate = true` to switch to
+    * `percentile_approx` (KLL-style sketch, constant memory, ~1e-4
+    * relative accuracy at 10k buckets — ample for choropleth scales).
+    * The exact path stays the default because it is the oracle-parity
+    * (R-7 / d3.quantile) estimator.
     */
   def extentsBy(df: DataFrame, groupCol: String, metricCols: Seq[String],
-                lo: Double = 0.01, hi: Double = 0.99): DataFrame = {
+                lo: Double = 0.01, hi: Double = 0.99,
+                approximate: Boolean = false): DataFrame = {
     val stackExpr = explodeToLong(metricCols)
     val long = df.select(col(groupCol) +: stackExpr: _*)
       .select(col(groupCol), col("id"), numericOrNull(col("value")).as("value"))
       .filter(col("value").isNotNull)
+    val (q1, q99) =
+      if (approximate)
+        (percentile_approx(col("value"), lit(lo), lit(10000)),
+         percentile_approx(col("value"), lit(hi), lit(10000)))
+      else
+        (percentile(col("value"), lit(lo)), percentile(col("value"), lit(hi)))
     long.groupBy(groupCol, "id")
       .agg(min("value").as("vmin"), max("value").as("vmax"),
-        percentile(col("value"), lit(lo)).as("q1"),
-        percentile(col("value"), lit(hi)).as("q99"))
+        q1.as("q1"), q99.as("q99"))
       .orderBy(groupCol, "id")
   }
 

@@ -30,16 +30,23 @@ object TileBuild {
 
   /** Encode point features into per-tile MVT byte blobs.
     *
-    * @param points   DataFrame with id, lon, lat and `attrCols`
-    * @param attrCols attribute columns carried into tiles (null cells
-    *                 dropped per-feature — `--empty-csv-columns-are-null`)
+    * @param points     DataFrame with id, lon, lat and `attrCols`
+    * @param attrCols   attribute columns carried into tiles (null cells
+    *                   dropped per-feature — `--empty-csv-columns-are-null`)
+    * @param budget     per-tile feature-COUNT cap, applied map-side BEFORE
+    *                   the tile shuffle (bounds shuffle fan-in)
+    * @param byteBudget per-tile encoded-BYTE cap, applied at encode time —
+    *                   tippecanoe's actual `--drop-densest-as-needed`
+    *                   semantics are a tile size budget
+    *                   (`build.sh:124-126`; tippecanoe default 500K)
     * @return DataFrame (z, x, y, n_features, tile_bytes)
     */
   def buildPointTiles(points: DataFrame, idCol: String, lonCol: String,
                       latCol: String, attrCols: Seq[String], layerName: String,
                       minZoom: Int, maxZoom: Int,
                       importanceCol: Option[String] = None,
-                      budget: Int = 10000): DataFrame = {
+                      budget: Int = 10000,
+                      byteBudget: Int = 500 * 1024): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
 
@@ -80,9 +87,33 @@ object TileBuild {
             Mvt.Feature(fid, Mvt.PointGeom, Seq(Seq((px, py))),
               attrs.toSeq.filter(_._2 != null).sortBy(_._1))
         }
-        (z, x, y, feats.length, Mvt.encodeLayer(layerName, feats))
+        val (kept, bytes) = fitToByteBudget(layerName, feats, byteBudget)
+        (z, x, y, kept, bytes)
       }
       .toDF("z", "x", "y", "n_features", "tile_bytes")
+  }
+
+  /** Drop-densest on a BYTE budget: the largest importance-ordered
+    * prefix of `feats` whose encoded layer fits `byteBudget`. Encoded
+    * size is monotone in prefix length (key/value interning only ever
+    * adds bytes), so a binary search needs O(log n) re-encodes — and
+    * only for tiles that actually overflow.
+    * Returns (kept feature count, layer bytes).
+    */
+  private[sinks] def fitToByteBudget(layerName: String,
+                                     feats: Seq[Mvt.Feature],
+                                     byteBudget: Int): (Int, Array[Byte]) = {
+    val full = Mvt.encodeLayer(layerName, feats)
+    if (full.length <= byteBudget) return (feats.length, full)
+    var lo = 0 // invariant: prefix of length lo fits (empty layer best-effort)
+    var hi = feats.length // invariant: prefix of length hi overflows
+    var best = Mvt.encodeLayer(layerName, Seq.empty)
+    while (lo + 1 < hi) {
+      val mid = (lo + hi) / 2
+      val enc = Mvt.encodeLayer(layerName, feats.take(mid))
+      if (enc.length <= byteBudget) { lo = mid; best = enc } else hi = mid
+    }
+    (lo, best)
   }
 
   /** S7: explode tiles to a `z/x/y.pbf` directory tree + metadata.json

@@ -166,6 +166,26 @@ class CoreOperatorsSpec extends AnyFunSuite with SharedSpark {
         0.02 * math.max(1.0, math.abs(exact.getDouble(i))))
   }
 
+  test("approximate grouped extents stay within 2% of exact quantiles") {
+    val rnd = new scala.util.Random(13)
+    val df = (0 until 5000)
+      .map(i => (if (i % 2 == 0) "g1" else "g2", rnd.nextDouble() * 1000))
+      .toDF("grp", "a")
+    val exact = Extents.extentsBy(df, "grp", Seq("a")).collect()
+    val approx = Extents.extentsBy(df, "grp", Seq("a"), approximate = true)
+      .collect()
+    assert(exact.length == 2 && approx.length == 2)
+    // percentile_approx returns a member value (no R-7 interpolation),
+    // so bound the error relative to the group's value RANGE — the
+    // scale that matters for choropleth breaks — not the quantile value
+    // itself (q1 ~ 10 here, below the ~0.4 inter-value spacing).
+    // output layout: (grp, id, vmin, vmax, q1, q99)
+    for ((e, a) <- exact.zip(approx); i <- Seq(4, 5)) { // q1, q99 per group
+      val range = e.getDouble(3) - e.getDouble(2) // vmax - vmin
+      assert(math.abs(a.getDouble(i) - e.getDouble(i)) <= 0.01 * range)
+    }
+  }
+
   test("GEOID stays string: leading zeros survive the pivot round-trip") {
     val long = Seq(("01234", "00", 1.0, 1L)).toDF("id", "yy", "v", "ord")
     val wide = Shape.pivotWide(long, "id", Nil, "yy", Seq("v"), Seq("00"), "ord")

@@ -132,6 +132,32 @@ class TilingSpec extends AnyFunSuite with SharedSpark {
     assert(s.contains("test") && s.contains("name"))
   }
 
+  test("byte budget drops densest features until the tile fits") {
+    // 200 points in ONE z0 tile, importance = id: the byte cap must keep
+    // an importance-ordered prefix and the encoded tile must fit
+    val pts = (1 to 200)
+      .map(i => (i.toLong, i * 0.01, i * 0.01, s"val-${i}-end", i.toDouble))
+      .toDF("id", "lon", "lat", "tag", "imp")
+    val cap = 1500
+    val tiles = TileBuild.buildPointTiles(pts, "id", "lon", "lat",
+      Seq("tag"), "dense", minZoom = 0, maxZoom = 0,
+      importanceCol = Some("imp"), byteBudget = cap)
+    val r = tiles.collect()(0)
+    val kept = r.getAs[Int]("n_features")
+    val bytes = r.getAs[Array[Byte]]("tile_bytes")
+    assert(bytes.length <= cap, s"tile ${bytes.length}B over the ${cap}B cap")
+    assert(kept > 0 && kept < 200, s"expected a proper prefix, kept=$kept")
+    // keeping one more feature must overflow (largest fitting prefix)
+    val uncapped = TileBuild.buildPointTiles(pts, "id", "lon", "lat",
+      Seq("tag"), "dense", 0, 0, importanceCol = Some("imp"))
+    assert(uncapped.collect()(0).getAs[Int]("n_features") == 200)
+    // the kept features are the HIGHEST-importance ones (imp = id desc
+    // => ids 200, 199, ...): the encoded tile must contain the top id's
+    // attr string and not the lowest id's
+    val s = new String(bytes.map(b => (b & 0xff).toChar))
+    assert(s.contains("val-200-end") && !s.contains("val-1-end"))
+  }
+
   test("buildPointTiles + writePbfDirectory emits z/x/y.pbf tree") {
     val pts = Seq(
       (1L, 10.5, 20.5, "a"), (2L, 10.6, 20.6, "b"), (3L, -100.0, -40.0, "c"))
