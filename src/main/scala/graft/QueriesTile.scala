@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Tiling, Windows}
+import graft.operators.{Geometry, Tiling, Windows}
+import graft.sinks.TileBuild
 
 /** Tiling query batch (SURVEY.md §2.10 M7): slippy-map tile assignment,
   * per-tile density ranking, bubble centers. Synthetic deterministic
@@ -30,19 +31,22 @@ object QueriesTile {
       |FROM customer""".stripMargin
 
   /** DuckDB web-mercator tile formulas (must mirror Tiling.tileX/tileY
-    * including the 6-decimal pre-floor round).
+    * including the 6-decimal pre-floor round), over an arbitrary
+    * lon/lat SQL expression.
     */
-  private def tileXSql(z: Int): String = {
+  private def tileXExprSql(lonE: String, z: Int): String = {
     val n = 1L << z
-    s"least(${n - 1}, greatest(0, CAST(floor(round((lon + 180.0) / 360.0 * $n, 6)) AS BIGINT)))"
+    s"least(${n - 1}, greatest(0, CAST(floor(round(($lonE + 180.0) / 360.0 * $n, 6)) AS BIGINT)))"
   }
-  private def tileYSql(z: Int): String = {
+  private def tileYExprSql(latE: String, z: Int): String = {
     val n = 1L << z
-    val latc = s"least(85.05112878, greatest(-85.05112878, lat))"
+    val latc = s"least(85.05112878, greatest(-85.05112878, $latE))"
     s"""least(${n - 1}, greatest(0, CAST(floor(round(
        |  (1.0 - ln(tan(radians($latc)) + 1.0 / cos(radians($latc))) / pi()) / 2.0 * $n,
        |  6)) AS BIGINT)))""".stripMargin
   }
+  private def tileXSql(z: Int): String = tileXExprSql("lon", z)
+  private def tileYSql(z: Int): String = tileYExprSql("lat", z)
 
   // ---------------------------------------------------------------------
   // T4 tile assignment: every point fans out to its (z,x,y) for z 3..6;
@@ -108,15 +112,71 @@ object QueriesTile {
        |FROM pts GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
   // ---------------------------------------------------------------------
+  // T4/S6 polygon tile assignment: square choropleth features (radius
+  // keyed off c_custkey) run the FULL polygon path — GeoJSON string →
+  // parsePolygons → bbox cover fan-out → per-tile clip + quantize +
+  // MVT encode — and the per-tile kept-feature counts must equal the
+  // bbox cover (axis-aligned squares: clip nonempty ⟺ bbox overlap).
+  // Radii are picked so bbox edges never land within quantization
+  // distance of a z≤5 tile boundary (decimals .05/.17/.29/.71/.83 vs
+  // boundaries at multiples of 11.25°), keeping the sliver-drop rule
+  // unobservable to the oracle.
+  private def squareFeatures(s: SparkSession, d: String): DataFrame =
+    points(s, d)
+      .withColumn("r", (lit(31) + (col("c_custkey") % 5) * 12) / 100.0)
+      .withColumn("geometry_json", concat(
+        lit("""{"type":"Polygon","coordinates":[[["""),
+        col("lon") - col("r"), lit(","), col("lat") - col("r"), lit("],["),
+        col("lon") + col("r"), lit(","), col("lat") - col("r"), lit("],["),
+        col("lon") + col("r"), lit(","), col("lat") + col("r"), lit("],["),
+        col("lon") - col("r"), lit(","), col("lat") + col("r"), lit("],["),
+        col("lon") - col("r"), lit(","), col("lat") - col("r"), lit("]]]}")))
+
+  def q48PolygonCover(s: SparkSession, d: String): DataFrame = {
+    val feats = squareFeatures(s, d).select(
+      col("c_custkey").as("fid"),
+      Geometry.parsePolygons(col("geometry_json")).as("polys"),
+      col("c_acctbal"))
+    TileBuild.buildPolygonTiles(feats, "fid", "polys", Seq("c_acctbal"),
+        layerName = "sq", minZoom = 3, maxZoom = 5)
+      .select(col("z"), col("x"), col("y"), col("n_features"))
+      .orderBy("z", "x", "y")
+  }
+
+  val q48Sql: String = {
+    val zs = (3 to 5).map { z =>
+      s"""covx$z AS (
+         | SELECT fid, y0, y1, unnest(generate_series(x0, x1)) AS x FROM (
+         |  SELECT fid,
+         |   ${tileXExprSql("lon_min", z)} AS x0, ${tileXExprSql("lon_max", z)} AS x1,
+         |   ${tileYExprSql("lat_max", z)} AS y0, ${tileYExprSql("lat_min", z)} AS y1
+         |  FROM feat)),
+         |cov$z AS (
+         | SELECT $z AS z, x, unnest(generate_series(y0, y1)) AS y FROM covx$z)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pts AS ($pointsSql),
+       |feat AS (
+       | SELECT c_custkey AS fid, lon - r AS lon_min, lon + r AS lon_max,
+       |        lat - r AS lat_min, lat + r AS lat_max
+       | FROM (SELECT *, (31 + (c_custkey % 5) * 12) / 100.0 AS r FROM pts)),
+       |$zs,
+       |cover AS (SELECT * FROM cov3 UNION ALL SELECT * FROM cov4 UNION ALL SELECT * FROM cov5)
+       |SELECT z, x, y, CAST(count(*) AS INT) AS n_features
+       |FROM cover GROUP BY z, x, y ORDER BY z, x, y""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_tile_assign" -> (q31TileAssign _),
     "q32_tile_density_drop" -> (q32TileDensityDrop _),
     "q33_bubble_centers" -> (q33BubbleCenters _),
+    "q48_polygon_cover" -> (q48PolygonCover _),
   )
 
   val oracle: Map[String, String] = Map(
     "q31_tile_assign" -> q31Sql,
     "q32_tile_density_drop" -> q32Sql,
     "q33_bubble_centers" -> q33Sql,
+    "q48_polygon_cover" -> q48Sql,
   )
 }

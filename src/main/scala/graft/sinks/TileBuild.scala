@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Tiling
+import graft.operators.{Geometry, Tiling}
 
 /** Tile-pyramid build + sink: the Spark re-expression of the reference's
   * tippecanoe → tile-join → `--output-to-directory` chain
@@ -91,6 +91,82 @@ object TileBuild {
         (z, x, y, kept, bytes)
       }
       .toDF("z", "x", "y", "n_features", "tile_bytes")
+  }
+
+  /** Encode polygon features into per-tile MVT byte blobs — the
+    * choropleth half of the reference's tippecanoe stage
+    * (`build.sh:139-160`: mapshaper simplify → tippecanoe polygon
+    * tiles). Candidate tiles come from the bbox cover
+    * ([[Geometry.coverTiles]], a pure Generate fan-out); the exact
+    * refinement happens per tile AFTER the one groupBy(z,x,y) shuffle:
+    * project rings to world pixels, per-zoom Douglas-Peucker simplify
+    * (`--simplification`, pixel tolerance is zoom-scaled for free
+    * because pixel space doubles per zoom), Sutherland–Hodgman clip to
+    * the tile square, quantize to the 4096 grid, drop empty/sliver
+    * rings — a feature whose clipped exterior vanishes is dropped, and
+    * tiles left with zero features are dropped (bbox-cover false
+    * positives on diagonal shapes).
+    *
+    * @param polys      DataFrame with id, a parsed polygons column
+    *                   ([[Geometry.parsePolygons]] layout:
+    *                   polygons→rings→points→[lon,lat]) and `attrCols`
+    * @param simplifyPx Douglas-Peucker tolerance in tile pixels (the
+    *                   tippecanoe `--simplification` knob; 0 disables)
+    * @return DataFrame (z, x, y, n_features, tile_bytes)
+    */
+  def buildPolygonTiles(polys: DataFrame, idCol: String, polygonsCol: String,
+                        attrCols: Seq[String], layerName: String,
+                        minZoom: Int, maxZoom: Int,
+                        importanceCol: Option[String] = None,
+                        budget: Int = 10000,
+                        byteBudget: Int = 500 * 1024,
+                        simplifyPx: Double = 1.0): DataFrame = {
+    val spark = polys.sparkSession
+    import spark.implicits._
+
+    val withBbox = Geometry.bboxColumns(col(polygonsCol))
+      .foldLeft(polys) { case (df, (n, c)) => df.withColumn(n, c) }
+    val covered = Geometry.coverTiles(withBbox, minZoom, maxZoom)
+    // map-side candidate cap BEFORE the tile shuffle, like the point path
+    val budgeted = Tiling.dropDensest(covered,
+      col(importanceCol.getOrElse(idCol)), col(idCol), budget)
+
+    val attrPairs = attrCols.flatMap(c => Seq(lit(c), col(c).cast("string")))
+    val rows = budgeted.select(col("z").cast("int"), col("x"), col("y"),
+      col("density_rank"), col(idCol).cast("long").as("fid"),
+      col(polygonsCol).as("polys"), map(attrPairs: _*).as("attrs"))
+
+    rows.as[(Int, Long, Long, Int, Long, Seq[Seq[Seq[Seq[Double]]]], Map[String, String])]
+      .groupByKey { case (z, x, y, _, _, _, _) => (z, x, y) }
+      .mapGroups { (key: (Int, Long, Long),
+                    it: Iterator[(Int, Long, Long, Int, Long, Seq[Seq[Seq[Seq[Double]]]], Map[String, String])]) =>
+        val (z, x, y) = key
+        val ox = x * 4096.0; val oy = y * 4096.0
+        val feats = it.toSeq.sortBy(t => (t._4, t._5)).flatMap {
+          case (_, _, _, _, fid, polygons, attrs) =>
+            val rings = polygons.flatMap { poly =>
+              val quantized = poly.map { ring =>
+                val proj = ring.map(p => Geometry.worldPx(p(0), p(1), z))
+                val simp = if (simplifyPx > 0) Tiling.simplify(proj, simplifyPx)
+                           else proj
+                Geometry.quantizeRing(
+                  Geometry.clipRing(simp, ox, oy, ox + 4096, oy + 4096), ox, oy)
+              }
+              // exterior gone ⇒ whole polygon gone; holes keep MVT winding
+              if (quantized.isEmpty || quantized.head.isEmpty) Seq.empty
+              else Geometry.orient(quantized.head, exterior = true) +:
+                quantized.tail.filter(_.nonEmpty)
+                  .map(Geometry.orient(_, exterior = false))
+            }
+            if (rings.isEmpty) None
+            else Some(Mvt.Feature(fid, Mvt.PolygonGeom, rings,
+              attrs.toSeq.filter(_._2 != null).sortBy(_._1)))
+        }
+        val (kept, bytes) = fitToByteBudget(layerName, feats, byteBudget)
+        (z, x, y, kept, bytes)
+      }
+      .toDF("z", "x", "y", "n_features", "tile_bytes")
+      .filter(col("n_features") > 0)
   }
 
   /** Drop-densest on a BYTE budget: the largest importance-ordered
