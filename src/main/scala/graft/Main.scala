@@ -10,12 +10,15 @@ import graft.config.EtlConfig
   *
   * Usage:
   *   graft.Main --data <long.csv[.gz]> --out <dir> [-r region]...
-  *     [-i raw|modeled] [-e] [-t --geo <features.parquet|csv>]
+  *     [-i raw|modeled] [-e] [-t --geo <source.geojson|features.parquet|csv>]
   *
-  * -e writes extents CSV, -t builds tile pyramids (requires --geo with
-  * GEOID, lon, lat feature points). The wide CSV is always written
-  * (`build.sh:81`). Deploy (-d) is out of scope offline — outputs land
-  * under --out; point it at a mounted bucket in production.
+  * -e writes extents CSV, -t builds tile pyramids. --geo takes the
+  * source GeoJSON (`build.sh:111`: polygons drive the choropleth layer,
+  * polylabel interior points the bubble layer) or, degraded, a
+  * parquet/csv of pre-computed GEOID, lon, lat points (bubble layer
+  * only). The wide CSV is always written (`build.sh:81`). Deploy (-d) is
+  * out of scope offline — outputs land under --out; point it at a
+  * mounted bucket in production.
   */
 object Main {
   private case class Args(data: String = "", out: String = "",
@@ -62,7 +65,9 @@ object Main {
         .filterNot(Seq("id", "year", "name", "parent_location").contains)
       for (region <- args.regions) {
         val features = args.geo.map { g =>
-          if (g.endsWith(".parquet")) spark.read.parquet(g)
+          if (g.endsWith(".geojson") || g.endsWith(".json"))
+            Pipeline.geometryFeatures(graft.sources.Sources.readGeoJson(spark, g))
+          else if (g.endsWith(".parquet")) spark.read.parquet(g)
           else spark.read.option("header", true).csv(g)
         }
         val (wide, ext) = Pipeline.runRegion(spark, args.data, args.inputType,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.config.EtlConfig
-import graft.operators.{Extents, Joins, Shape}
+import graft.operators.{Extents, Geometry, Joins, Shape}
 import graft.sinks.TileBuild
 import graft.sources.Sources
 
@@ -50,12 +50,29 @@ object Pipeline {
     Extents.extents(wide, metricCols).orderBy("id")
   }
 
+  /** Stage d — feature derivation from source geometry
+    * (`build.sh:111-118`: mapshaper `-points inner`): GeoJSON features →
+    * parsed polygon rings + polylabel interior point, in one typed map.
+    * Output columns: GEOID, polys (parsed rings), lon, lat (the bubble
+    * center, guaranteed inside the polygon).
+    */
+  def geometryFeatures(geo: DataFrame): DataFrame = {
+    val parsed = geo.select(col("GEOID"),
+        Geometry.parsePolygons(col("geometry_json")).as("polys"))
+      .filter(col("polys").isNotNull)
+    Geometry.withInteriorPoints(parsed, "GEOID", "polys")
+  }
+
   /** Stage e — one (layer, decade) tile build (`build.sh:163-231`):
     * csvcut column slice → `--if-matched` attribute join onto features →
-    * tile assignment + density budget + MVT encode.
+    * tile assignment + density budget + MVT encode. The bubble layer
+    * encodes the interior points (`build.sh:121-134`); the choropleth
+    * layer encodes the polygon rings themselves
+    * (`build.sh:139-160` — requires a `polys` column, see
+    * [[geometryFeatures]]).
     *
-    * @param features points with GEOID, lon, lat (bubble centers from
-    *                 the geometry pipeline, `build.sh:111-118`)
+    * @param features GEOID + lon/lat (bubble center) and, for the
+    *                 choropleth layer, the parsed `polys` column
     */
   def decadeTiles(wide: DataFrame, features: DataFrame, inputType: String,
                   decade: String, layer: String, region: String): DataFrame = {
@@ -72,13 +89,24 @@ object Pipeline {
     val slice = Shape.decadeSlice(wide, fields)
     val joined = Joins.attributeJoin(features, slice, "GEOID", ifMatched = true)
       .withColumn("fid", col("GEOID").cast("long")) // P5/T5 numeric feature id
-    TileBuild.buildPointTiles(joined, "fid", "lon", "lat",
-      fields.filterNot(_ == "GEOID"), s"$region-$decade-$layer",
-      zoom.minZoom, zoom.maxZoom)
+    val attrs = fields.filterNot(_ == "GEOID")
+    val name = s"$region-$decade-$layer"
+    if (layer == "bubble")
+      TileBuild.buildPointTiles(joined, "fid", "lon", "lat", attrs, name,
+        zoom.minZoom, zoom.maxZoom)
+    else {
+      require(features.columns.contains("polys"),
+        "choropleth layer needs polygon geometry: supply GeoJSON-derived " +
+          "features (Pipeline.geometryFeatures), not bare lon/lat points")
+      TileBuild.buildPolygonTiles(joined, "fid", "polys", attrs, name,
+        zoom.minZoom, zoom.maxZoom)
+    }
   }
 
   /** Full region run (`build.sh:69-233`): returns (wide, extents) and
     * writes tiles per decade under `outDir` when features are given.
+    * With GeoJSON-derived features ([[geometryFeatures]]) both layers
+    * build; with bare lon/lat points only the bubble layer can.
     */
   def runRegion(spark: SparkSession, longCsvPath: String, inputType: String,
                 metricLongNames: Seq[String], region: String,
@@ -89,8 +117,11 @@ object Pipeline {
     val wide = shape(long, inputType)
     val ext = extents(wide)
     for (f <- features; out <- outDir; decade <- EtlConfig.decades.keys.toSeq.sorted) {
+      val hasPolys = f.columns.contains("polys")
       val bubble = decadeTiles(wide, f, inputType, decade, "bubble", region)
-      val choro = decadeTiles(wide, f, inputType, decade, "choropleth", region)
+      val choro = if (hasPolys)
+        decadeTiles(wide, f, inputType, decade, "choropleth", region)
+      else bubble.limit(0)
       // J3 layer union-merge (`tile-join` `build.sh:214`): align on
       // (z,x,y), concatenate layer bytes at the protobuf level.
       val merged = bubble.select(col("z"), col("x"), col("y"),

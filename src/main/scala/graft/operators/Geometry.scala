@@ -112,12 +112,38 @@ object Geometry {
         col(polygonsCol).cast(multiPolygonCoords.sql))
       .as[(String, Seq[Seq[Seq[Seq[Double]]]])]
       .map { case (id, polys) =>
-        val outer = polys.map(_.head).maxBy(r => math.abs(ringArea(r)))
-        val ring = outer.map(p => (p(0), p(1)))
-        val (ix, iy) = Tiling.polylabel(ring)
+        val (ix, iy) = interiorPoint(polys)
         (id, ix, iy)
       }
       .toDF(idCol, "ip_lon", "ip_lat")
+  }
+
+  /** Interior point of one parsed polygons value: polylabel of the
+    * largest-area exterior ring (mapshaper's largest-part rule).
+    */
+  def interiorPoint(polys: Seq[Seq[Seq[Seq[Double]]]]): (Double, Double) = {
+    val outer = polys.map(_.head).maxBy(r => math.abs(ringArea(r)))
+    Tiling.polylabel(outer.map(p => (p(0), p(1))))
+  }
+
+  /** T1 wiring variant: stamp `lon`/`lat` interior-point columns while
+    * CARRYING the polygons column through — one narrow typed map, no
+    * self-join, no shuffle. This is the feature-derivation step of
+    * `build.sh:111-118` feeding BOTH tile layers: the polygons drive the
+    * choropleth build, the stamped point drives the bubble build.
+    */
+  def withInteriorPoints(df: DataFrame, idCol: String, polygonsCol: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("string"),
+        col(polygonsCol).cast(multiPolygonCoords.sql))
+      .as[(String, Seq[Seq[Seq[Seq[Double]]]])]
+      .map { case (id, polys) =>
+        val (ix, iy) = interiorPoint(polys)
+        (id, polys, ix, iy)
+      }
+      .toDF(idCol, polygonsCol, "lon", "lat")
   }
 
   /** Shoelace area of a [lon,lat] ring (sign = orientation). */

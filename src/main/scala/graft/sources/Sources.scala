@@ -59,17 +59,28 @@ object Sources {
   }
 
   /** S4: GeoJSON FeatureCollection scan → one row per feature with
-    * `GEOID`, properties map, and raw geometry JSON string (geometry
+    * `GEOID`, geometry type, and raw geometry JSON string (geometry
     * stays opaque until the tiling stage, like the reference's
     * mapshaper pass-through).
+    *
+    * Deliberately NO schema inference: a mixed Polygon/MultiPolygon
+    * collection would make Spark merge the conflicting `coordinates`
+    * array depths into strings. Instead the document is read as text
+    * and features are split with JSON-path expressions (`from_json` to
+    * `array<string>` keeps each feature's raw JSON). A FeatureCollection
+    * is a single JSON document, so one input row per FILE — the scale
+    * path for huge geometry is the line-delimited variant (S5), which
+    * splits for free.
     */
   def readGeoJson(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("multiLine", true).json(path)
-      .select(explode(col("features")).as("f"))
+    spark.read.option("wholetext", true).text(path)
+      .select(explode(from_json(
+        get_json_object(col("value"), "$.features"),
+        ArrayType(StringType))).as("f"))
       .select(
-        col("f.properties.GEOID").as("GEOID"),
-        col("f.geometry.type").as("geom_type"),
-        to_json(col("f.geometry")).as("geometry_json"))
+        get_json_object(col("f"), "$.properties.GEOID").as("GEOID"),
+        get_json_object(col("f"), "$.geometry.type").as("geom_type"),
+        get_json_object(col("f"), "$.geometry").as("geometry_json"))
 
   /** Scale-path sink: parquet partitioned by the given columns with
     * rows sorted within partitions by `sortCol` — the 100 TB replacement

@@ -73,9 +73,48 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     assert(!byId.keySet.exists(k => k == "GEOID" || k == "n" || k == "pl"))
   }
 
-  test("runRegion with features writes merged bubble+choropleth pbf trees") {
-    import spark.implicits._
-    val features = Seq(("01001", -86.6, 32.5)).toDF("GEOID", "lon", "lat")
+  /** Source-geometry fixture (`build.sh:111`): a FeatureCollection with
+    * a concave (L-shaped) polygon for 01001 and a MultiPolygon for
+    * 02013 — the real entry point of the reference's geometry pipeline.
+    */
+  private lazy val fixtureGeoJson: String = {
+    val dir = Files.createTempDirectory("geo").toString
+    val gj =
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","properties":{"GEOID":"01001"},"geometry":
+        | {"type":"Polygon","coordinates":[[[-86.8,32.3],[-86.4,32.3],
+        |  [-86.4,32.45],[-86.7,32.45],[-86.7,32.7],[-86.8,32.7],[-86.8,32.3]]]}},
+        |{"type":"Feature","properties":{"GEOID":"02013"},"geometry":
+        | {"type":"MultiPolygon","coordinates":[
+        |  [[[-151.6,54.4],[-151.4,54.4],[-151.4,54.6],[-151.6,54.6],[-151.6,54.4]]],
+        |  [[[-151.9,54.4],[-151.8,54.4],[-151.8,54.5],[-151.9,54.5],[-151.9,54.4]]]]}}
+        |]}""".stripMargin
+    val p = java.nio.file.Paths.get(dir, "source.geojson")
+    Files.write(p, gj.getBytes("UTF-8"))
+    p.toString
+  }
+
+  test("geometryFeatures: interior points land inside their polygons") {
+    val geo = graft.sources.Sources.readGeoJson(spark, fixtureGeoJson)
+    val feats = Pipeline.geometryFeatures(geo).collect()
+      .map(r => r.getAs[String]("GEOID") -> r).toMap
+    assert(feats.keySet == Set("01001", "02013"))
+    // 01001 is L-shaped (concave): the interior point must be INSIDE the
+    // L, which its centroid is not guaranteed to be
+    val r1 = feats("01001")
+    val lRing = Seq((-86.8, 32.3), (-86.4, 32.3), (-86.4, 32.45),
+      (-86.7, 32.45), (-86.7, 32.7), (-86.8, 32.7))
+    assert(graft.operators.Tiling.signedDist(
+      r1.getAs[Double]("lon"), r1.getAs[Double]("lat"), lRing) > 0)
+    // 02013: largest part (the first, 0.2x0.2 square) anchors the point
+    val r2 = feats("02013")
+    assert(r2.getAs[Double]("lon") > -151.6 && r2.getAs[Double]("lon") < -151.4)
+    assert(r2.getAs[Double]("lat") > 54.4 && r2.getAs[Double]("lat") < 54.6)
+  }
+
+  test("runRegion with GeoJSON features writes merged bubble+choropleth pbf trees") {
+    val features = Pipeline.geometryFeatures(
+      graft.sources.Sources.readGeoJson(spark, fixtureGeoJson))
     val out = Files.createTempDirectory("tiles").toString
     Pipeline.runRegion(spark, fixtureCsv, "raw", metricLongNames,
       "counties", features = Some(features), outDir = Some(out))
@@ -95,21 +134,41 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     assert(s0.contains("counties-00-bubble") && s0.contains("counties-00-choropleth"))
   }
 
-  test("decade tiles: slice + if-matched join + MVT build end-to-end") {
+  test("decade tiles: slice + if-matched join + polygon MVT build end-to-end") {
     val (wide, _) = Pipeline.runRegion(spark, fixtureCsv, "raw",
       metricLongNames, "counties")
-    import spark.implicits._
-    // one feature matches, one does not (if-matched drops it), one extra
-    val features = Seq(
-      ("01001", -86.6, 32.5), ("99999", 0.0, 0.0))
-      .toDF("GEOID", "lon", "lat")
+    // 01001/02013 match the wide table; an unmatched feature would be
+    // dropped by the if-matched join (geometry fixture has no 99999)
+    val features = Pipeline.geometryFeatures(
+      graft.sources.Sources.readGeoJson(spark, fixtureGeoJson))
     val tiles = Pipeline.decadeTiles(wide, features, "raw", "00",
       "choropleth", "counties")
     val rows = tiles.collect()
     assert(rows.nonEmpty)
-    // only the matched feature tiles: counties choropleth z1..7 -> 7 tiles
-    assert(rows.length == 7)
-    assert(rows.forall(_.getAs[Int]("n_features") == 1))
+    // both polygons stay within one tile per zoom: counties choropleth
+    // z1..7, two features sharing low-zoom tiles
+    assert(rows.map(_.getAs[Int]("z")).distinct.sorted.toSeq == (1 to 7).toSeq)
+    assert(rows.forall(r => r.getAs[Int]("n_features") >= 1 &&
+      r.getAs[Int]("n_features") <= 2))
     assert(rows.forall(_.getAs[Array[Byte]]("tile_bytes").length > 10))
+    // polygon features encode as geomType 3 (field 3 varint = 3) —
+    // check the wire bytes carry a polygon, not a point
+    val bytes = rows.head.getAs[Array[Byte]]("tile_bytes")
+    assert(bytes.sliding(2).exists(w => (w(0) & 0xff) == 0x18 && w(1) == 3))
+  }
+
+  test("decadeTiles choropleth without polygon geometry fails fast") {
+    val (wide, _) = Pipeline.runRegion(spark, fixtureCsv, "raw",
+      metricLongNames, "counties")
+    import spark.implicits._
+    val pts = Seq(("01001", -86.6, 32.5)).toDF("GEOID", "lon", "lat")
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.decadeTiles(wide, pts, "raw", "00", "choropleth", "counties")
+    }
+    assert(e.getMessage.contains("polygon geometry"))
+    // bubble layer still builds from bare points
+    val bubble = Pipeline.decadeTiles(wide, pts, "raw", "00", "bubble",
+      "counties")
+    assert(bubble.count() > 0)
   }
 }
