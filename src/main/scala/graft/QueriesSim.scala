@@ -46,48 +46,85 @@ object QueriesSim {
        |ORDER BY qid, rank""".stripMargin
 
   // ---------------------------------------------------------------------
-  // Sign-bit LSH ANN: bucket on the sign pattern of dims 0..7, candidates
-  // are bucket-mates only (equi-join on bucket id), top-3 per query.
-  // Recall < 1 by design — the oracle runs the same algorithm.
-  private val LshDims = 0 until 8
+  // Banded hyperplane LSH ANN (scale-safe): 4 independent 8-bit sign
+  // tables (bands over dim ranges 0-7, 8-15, 16-23, 24-31), candidates
+  // = distinct pairs colliding in ANY band, bucket fan-in capped at 64
+  // members. Candidate generation is an equi-join on (band, bucket) —
+  // never an all-pairs product — and bitsPerBand is the knob that must
+  // track log₂(corpus) at scale. Recall < 1 by design — the oracle runs
+  // the identical algorithm.
+  private val LshBands = 4
+  private val LshBits = 8
+  private val LshMaxBucket = 64
 
   def q27LshAnn(s: SparkSession, d: String): DataFrame = {
-    val emb = embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
-        Similarity.signBucket(col("embedding"), LshDims).as("bucket"))
-    val pairs = emb.as("q").join(emb.as("c"),
-        col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
-      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("nid"),
-        round(Similarity.cosine(col("q.embedding"), col("c.embedding")), 6).as("cos"))
+    val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val pairs = Similarity.lshCandidatePairs(emb, "vec_id", "embedding",
+      LshBands, LshBits, LshMaxBucket)
+    val directed = pairs.unionByName(
+      pairs.select(col("b").as("a"), col("a").as("b")))
+    val scored = directed
+      .join(emb.select(col("vec_id").as("a"), col("embedding").as("qvec")), Seq("a"))
+      .join(emb.select(col("vec_id").as("b"), col("embedding").as("nvec")), Seq("b"))
+      .select(col("a").as("qid"), col("b").as("nid"),
+        round(Similarity.cosine(col("qvec"), col("nvec")), 6).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
       .select("qid", "rank", "nid", "cos")
       .orderBy("qid", "rank")
   }
 
-  private val bucketSql: String =
-    LshDims.zipWithIndex.map { case (dim, j) =>
+  /** Bucket id of band t over a 64-dim embedding column named
+    * `embedding` (must mirror Similarity.signBucket bit order).
+    */
+  private def bandBucketSql(band: Int): String =
+    (0 until LshBits).map { j =>
+      val dim = band * LshBits + j
       s"(CASE WHEN embedding[${dim + 1}] >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Banded membership CTE body over a corpus relation (vec_id,
+    * embedding): one row per (vec_id, band), bucket fan-in capped —
+    * mirrors Similarity.lshMembership.
+    */
+  private def membershipSql(corpus: String): String = {
+    val bandRows = (0 until LshBands).map { t =>
+      s"SELECT vec_id, $t AS band, ${bandBucketSql(t)} AS bucket FROM $corpus"
+    }.mkString("\n  UNION ALL ")
+    s"""SELECT vec_id, band, bucket FROM (
+       | SELECT vec_id, band, bucket,
+       |  row_number() OVER (PARTITION BY band, bucket ORDER BY vec_id) AS rn
+       | FROM ($bandRows))
+       |WHERE rn <= $LshMaxBucket""".stripMargin
+  }
+
   val q27Sql: String =
-    s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
-       |sims AS (
-       | SELECT q.vec_id AS qid, c.vec_id AS nid,
-       |  round(${cosSql("q.embedding", "c.embedding")}, 6) AS cos
-       | FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id),
+    s"""WITH mem AS (${membershipSql("embeddings")}),
+       |pairs AS (
+       | SELECT DISTINCT q.vec_id AS a, c.vec_id AS b
+       | FROM mem q JOIN mem c
+       |   ON q.band = c.band AND q.bucket = c.bucket AND q.vec_id < c.vec_id),
+       |directed AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+       |scored AS (
+       | SELECT d.a AS qid, d.b AS nid,
+       |  round(${cosSql("qe.embedding", "ne.embedding")}, 6) AS cos
+       | FROM directed d
+       | JOIN embeddings qe ON qe.vec_id = d.a
+       | JOIN embeddings ne ON ne.vec_id = d.b),
        |ranked AS (
        | SELECT qid, nid, cos,
        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
-       | FROM sims)
+       | FROM scored)
        |SELECT qid, rank, nid, cos FROM ranked WHERE rank <= 3
        |ORDER BY qid, rank""".stripMargin
 
   // ---------------------------------------------------------------------
   // Embedding near-dup: inject perturbed copies (id+10000, ±0.01
-  // alternating per component), LSH-bucket prefilter, verify cos >= 0.99.
-  // Bucket recall < 1 (perturbation can flip a sign bit) — realistic ANN
-  // behavior, identically reproduced by the oracle.
+  // alternating per component), banded-LSH candidate prefilter (any-band
+  // collision — a perturbation flipping one band's sign bit no longer
+  // hides the pair from the other three), verify cos >= 0.99.
+  // Recall < 1 still possible by design — identically reproduced by the
+  // oracle.
   def q28EmbedNeardup(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     val perturbed = emb.filter(col("vec_id") % 3 === 0)
@@ -97,12 +134,13 @@ object QueriesSim {
             + when(i % 2 === 0, 0.01).otherwise(-0.01)).cast("float"))
           .as("embedding"))
     val corpus = emb.select("vec_id", "embedding").unionByName(perturbed)
-      .select(col("vec_id"), col("embedding"),
-        Similarity.signBucket(col("embedding"), LshDims).as("bucket"))
-    corpus.as("x").join(corpus.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        round(Similarity.cosine(col("x.embedding"), col("y.embedding")), 6).as("cos"))
+    val pairs = Similarity.lshCandidatePairs(corpus, "vec_id", "embedding",
+      LshBands, LshBits, LshMaxBucket)
+    pairs
+      .join(corpus.select(col("vec_id").as("a"), col("embedding").as("avec")), Seq("a"))
+      .join(corpus.select(col("vec_id").as("b"), col("embedding").as("bvec")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(Similarity.cosine(col("avec"), col("bvec")), 6).as("cos"))
       .filter(col("cos") >= 0.99)
       .orderBy("a", "b")
   }
@@ -116,12 +154,18 @@ object QueriesSim {
        |    i -> CAST(CAST(embedding[i + 1] AS DOUBLE)
        |         + (CASE WHEN i % 2 = 0 THEN 0.01 ELSE -0.01 END) AS FLOAT)) AS embedding
        | FROM embeddings WHERE vec_id % 3 = 0),
-       |b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM corpus),
+       |mem AS (${membershipSql("corpus")}),
        |pairs AS (
-       | SELECT x.vec_id AS a, y.vec_id AS b,
-       |  round(${cosSql("x.embedding", "y.embedding")}, 6) AS cos
-       | FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
-       |SELECT a, b, cos FROM pairs WHERE cos >= 0.99
+       | SELECT DISTINCT q.vec_id AS a, c.vec_id AS b
+       | FROM mem q JOIN mem c
+       |   ON q.band = c.band AND q.bucket = c.bucket AND q.vec_id < c.vec_id),
+       |scored AS (
+       | SELECT p.a, p.b,
+       |  round(${cosSql("ae.embedding", "be.embedding")}, 6) AS cos
+       | FROM pairs p
+       | JOIN corpus ae ON ae.vec_id = p.a
+       | JOIN corpus be ON be.vec_id = p.b)
+       |SELECT a, b, cos FROM scored WHERE cos >= 0.99
        |ORDER BY a, b""".stripMargin
 
   // ---------------------------------------------------------------------

@@ -56,6 +56,62 @@ object Similarity {
       when(element_at(vec, d + 1) >= 0f, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Multi-table banded hyperplane LSH — the Dedup.lshBuckets band
+    * machinery applied to embeddings: band t buckets on the sign
+    * pattern of `bitsPerBand` consecutive components starting at
+    * t*bitsPerBand, giving `bands` INDEPENDENT hash tables (a pair is a
+    * candidate if it collides in ANY band — multi-probe recall without
+    * widening any single table).
+    *
+    * Scale parameterization (100 TB): bitsPerBand ≈ log₂(n / B) for a
+    * target mean bucket size B — bucket count must GROW with the corpus
+    * or within-bucket self-join work is n²/2^bits. The axis-aligned
+    * family caps total bits at the vector dim; past that, swap
+    * [[signBucket]] for a Rademacher family (sign of a deterministic
+    * ±1-combination of components) — same banding plumbing.
+    */
+  def hyperplaneBands(vec: Column, bands: Int, bitsPerBand: Int): Column =
+    array((0 until bands).map { t =>
+      struct(lit(t).as("band"),
+        signBucket(vec, (t * bitsPerBand) until ((t + 1) * bitsPerBand))
+          .as("bucket"))
+    }: _*)
+
+  /** (id, band, bucket) membership with DETERMINISTIC bounded bucket
+    * fan-in: at most `maxBucket` members per (band, bucket), kept by
+    * ascending id, so the candidate join's per-bucket work is capped at
+    * maxBucket² however skewed the corpus (what production ANN systems
+    * do to degenerate buckets). The cap window prunes map-side via
+    * WindowGroupLimit.
+    */
+  def lshMembership(df: DataFrame, idCol: String, vecCol: String,
+                    bands: Int, bitsPerBand: Int, maxBucket: Int): DataFrame = {
+    val exploded = df.select(col(idCol),
+        explode(hyperplaneBands(col(vecCol), bands, bitsPerBand)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    val w = Window.partitionBy("band", "bucket").orderBy(col(idCol))
+    exploded.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxBucket).drop("__rn")
+  }
+
+  /** Distinct undirected candidate pairs (a < b) from banded LSH: an
+    * equi-join on (band, bucket) with bounded fan-in — work scales with
+    * Σ bucket², never |corpus|². The distinct dedups pairs colliding in
+    * several bands before any (expensive) exact scoring.
+    */
+  def lshCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
+                        bands: Int, bitsPerBand: Int,
+                        maxBucket: Int = 1 << 10): DataFrame = {
+    val m = lshMembership(df, idCol, vecCol, bands, bitsPerBand, maxBucket)
+    m.as("q").join(m.as("c"),
+        col("q.band") === col("c.band") &&
+          col("q.bucket") === col("c.bucket") &&
+          col(s"q.$idCol") < col(s"c.$idCol"))
+      .select(col(s"q.$idCol").as("a"), col(s"c.$idCol").as("b"))
+      .distinct()
+  }
+
   /** IVF list assignment: each vector goes to its nearest centroid by
     * cosine (rounded before ranking for cross-engine stability, ties on
     * centroid id). `centroids` must be small (broadcast) — in a real

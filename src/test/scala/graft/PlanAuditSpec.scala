@@ -90,6 +90,17 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(!partialLine.matches(".*output=\\[.*[^_]text#.*"), partialLine)
   }
 
+  test("q27/q28: banded LSH candidates stay an equi-join with bounded fan-in") {
+    for (q <- Seq("q27_lsh_ann", "q28_embed_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q candidate generation must be an equi-join on (band, bucket):\n$p")
+      // the bucket fan-in cap must prune map-side, not post-sort
+      assert(p.contains("WindowGroupLimit"),
+        s"$q bucket cap must plan as WindowGroupLimit")
+    }
+  }
+
   test("q43: range join stays an equi-join — never BroadcastNestedLoop") {
     val p = plan("q43_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
