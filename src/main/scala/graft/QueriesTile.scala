@@ -166,11 +166,61 @@ object QueriesTile {
   }
 
   // ---------------------------------------------------------------------
+  // T3 shared-border detection: unit grid cells derived from customer
+  // keys — a dense 50-wide block where adjacent cells share edges
+  // exactly, like county borders. Spark runs the real operator over
+  // parsed GeoJSON; the oracle builds the 4 edges per cell
+  // arithmetically and counts owners per canonical edge.
+  def q49SharedBorders(s: SparkSession, d: String): DataFrame = {
+    val cells = customer(s, d)
+      .select((col("c_custkey") % 50).cast("double").as("cx"),
+        (floor(col("c_custkey") / 50) % 40).cast("double").as("cy"))
+      .distinct()
+      .withColumn("fid", (col("cx") * 1000 + col("cy")).cast("long"))
+      .withColumn("geometry_json", concat(
+        lit("""{"type":"Polygon","coordinates":[[["""),
+        col("cx"), lit(","), col("cy"), lit("],["),
+        col("cx") + 1, lit(","), col("cy"), lit("],["),
+        col("cx") + 1, lit(","), col("cy") + 1, lit("],["),
+        col("cx"), lit(","), col("cy") + 1, lit("],["),
+        col("cx"), lit(","), col("cy"), lit("]]]}")))
+    val parsed = cells.select(col("fid"),
+      Geometry.parsePolygons(col("geometry_json")).as("polys"))
+    Geometry.sharedBorders(parsed, "fid", "polys")
+      .select(
+        element_at(col("seg.a"), 1).as("ax"), element_at(col("seg.a"), 2).as("ay"),
+        element_at(col("seg.b"), 1).as("bx"), element_at(col("seg.b"), 2).as("by"),
+        col("n_owners"))
+      .orderBy("ax", "ay", "bx", "by")
+  }
+
+  val q49Sql: String =
+    s"""WITH cells AS (
+       | SELECT DISTINCT CAST(c_custkey % 50 AS DOUBLE) AS cx,
+       |        CAST(CAST(floor(c_custkey / 50) AS BIGINT) % 40 AS DOUBLE) AS cy
+       | FROM customer),
+       |edges AS (
+       | SELECT cx AS ax, cy AS ay, cx + 1 AS bx, cy AS by FROM cells
+       | UNION ALL SELECT cx + 1, cy, cx + 1, cy + 1 FROM cells
+       | UNION ALL SELECT cx, cy + 1, cx + 1, cy + 1 FROM cells
+       | UNION ALL SELECT cx, cy, cx, cy + 1 FROM cells),
+       |canon AS (
+       | SELECT CASE WHEN ax < bx OR (ax = bx AND ay < by) THEN ax ELSE bx END AS cax,
+       |        CASE WHEN ax < bx OR (ax = bx AND ay < by) THEN ay ELSE by END AS cay,
+       |        CASE WHEN ax < bx OR (ax = bx AND ay < by) THEN bx ELSE ax END AS cbx,
+       |        CASE WHEN ax < bx OR (ax = bx AND ay < by) THEN by ELSE ay END AS cby
+       | FROM edges)
+       |SELECT cax AS ax, cay AS ay, cbx AS bx, cby AS by, count(*) AS n_owners
+       |FROM canon GROUP BY cax, cay, cbx, cby HAVING count(*) >= 2
+       |ORDER BY ax, ay, bx, by""".stripMargin
+
+  // ---------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_tile_assign" -> (q31TileAssign _),
     "q32_tile_density_drop" -> (q32TileDensityDrop _),
     "q33_bubble_centers" -> (q33BubbleCenters _),
     "q48_polygon_cover" -> (q48PolygonCover _),
+    "q49_shared_borders" -> (q49SharedBorders _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -178,5 +228,6 @@ object QueriesTile {
     "q32_tile_density_drop" -> q32Sql,
     "q33_bubble_centers" -> q33Sql,
     "q48_polygon_cover" -> q48Sql,
+    "q49_shared_borders" -> q49Sql,
   )
 }

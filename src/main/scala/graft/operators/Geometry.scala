@@ -261,4 +261,41 @@ object Geometry {
     val a = intArea2(ring)
     if ((a > 0) == exterior) ring else ring.reverse
   }
+
+  // ------------------------------------------------------------------
+  // T3 shared-border detection — the detection half of tippecanoe's
+  // `--detect-shared-borders` (`build.sh:148-152`): adjacent polygons
+  // (county borders) share ring segments exactly; finding them is a
+  // segment fan-out + one groupBy on the canonical segment key. (The
+  // consume half — arc-consistent simplification — remains a documented
+  // deviation, SURVEY.md §2.10.)
+
+  /** All ring segments of a parsed polygons value as canonical
+    * `struct(a, b)` pairs (endpoints ordered lexicographically, so the
+    * two traversal directions of a shared border produce the SAME key).
+    * Rings must be closed (GeoJSON invariant: first point repeated
+    * last). Pure codegen'd collection expressions — no UDF.
+    */
+  def ringSegments(polygons: Column): Column = {
+    val rings = flatten(polygons) // polygons -> all rings
+    flatten(transform(rings, ring =>
+      transform(slice(ring, lit(1), size(ring) - 1), (p, i) => {
+        val q = element_at(ring, i + 2) // 1-based: the next vertex
+        when(p < q, struct(p.as("a"), q.as("b")))
+          .otherwise(struct(q.as("a"), p.as("b")))
+      })))
+  }
+
+  /** T3: segments owned by ≥2 features. One explode + one aggregation on
+    * the segment key — at 100 TB the shuffle carries only (segment key,
+    * feature id), never geometry blobs.
+    *
+    * @return (seg struct(a,b), n_owners) rows for shared segments
+    */
+  def sharedBorders(df: DataFrame, idCol: String, polygonsCol: String)
+      : DataFrame =
+    df.select(col(idCol), explode(ringSegments(col(polygonsCol))).as("seg"))
+      .groupBy("seg")
+      .agg(count_distinct(col(idCol)).as("n_owners"))
+      .filter(col("n_owners") >= 2)
 }

@@ -272,6 +272,21 @@ class TilingSpec extends AnyFunSuite with SharedSpark {
     assert(bytes.sameElements(exp))
   }
 
+  test("sharedBorders finds the one edge two adjacent squares share") {
+    val a = """{"type":"Polygon","coordinates":[[[0,0],[1,0],[1,1],[0,1],[0,0]]]}"""
+    val b = """{"type":"Polygon","coordinates":[[[1,0],[2,0],[2,1],[1,1],[1,0]]]}"""
+    val c = """{"type":"Polygon","coordinates":[[[5,5],[6,5],[6,6],[5,6],[5,5]]]}"""
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "gj")
+      .select($"id", Geometry.parsePolygons($"gj").as("polys"))
+    val shared = Geometry.sharedBorders(df, "id", "polys").collect()
+    assert(shared.length == 1)
+    val seg = shared(0).getStruct(0)
+    // canonical: (1,0) < (1,1) regardless of traversal direction
+    assert(seg.getSeq[Double](0) == Seq(1.0, 0.0))
+    assert(seg.getSeq[Double](1) == Seq(1.0, 1.0))
+    assert(shared(0).getLong(1) == 2L)
+  }
+
   test("buildPointTiles + writePbfDirectory emits z/x/y.pbf tree") {
     val pts = Seq(
       (1L, 10.5, 20.5, "a"), (2L, 10.6, 20.6, "b"), (3L, -100.0, -40.0, "c"))
