@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -21,9 +22,13 @@ import org.apache.spark.sql.types.DoubleType
   *    (`extract-extents.js:14,34`); here the wide table is unpivoted with
   *    `stack` into (metric, value) pairs and aggregated in ONE shuffle
   *    keyed by metric — constant memory per partition, spills externally.
-  *  - exact `percentile` is used for oracle parity. At true 100 TB scale,
-  *    swap `percentileApprox` in via `approximate = true` (documented
-  *    tolerance; the choropleth scale use-case only needs ~1% accuracy).
+  *  - exact quantiles are computed with a DISTRIBUTED histogram (groupBy
+  *    (metric, value) → cumulative ranks over distinct values → R-7
+  *    interpolation), never Spark's `percentile` aggregate, whose buffer
+  *    holds a group's entire value multiset (OOM at 100 TB). See
+  *    `computeExtents`. `approximate = true` switches to the
+  *    `percentile_approx` sketch for when even the distinct-value
+  *    histogram is hot (choropleth scales only need ~1% accuracy).
   */
 object Extents {
 
@@ -46,15 +51,7 @@ object Extents {
     val long = df.select(stackExpr: _*)
       .select(col("id"), numericOrNull(col("value")).as("value"))
       .filter(col("value").isNotNull)
-    val (q1, q99) =
-      if (approximate)
-        (percentile_approx(col("value"), lit(lo), lit(10000)),
-         percentile_approx(col("value"), lit(hi), lit(10000)))
-      else
-        (percentile(col("value"), lit(lo)), percentile(col("value"), lit(hi)))
-    long.groupBy("id")
-      .agg(min("value").as("vmin"), max("value").as("vmax"),
-           q1.as("q1"), q99.as("q99"))
+    computeExtents(long, Seq("id"), lo, hi, approximate)
       .orderBy("id")
   }
 
@@ -78,16 +75,77 @@ object Extents {
     val long = df.select(col(groupCol) +: stackExpr: _*)
       .select(col(groupCol), col("id"), numericOrNull(col("value")).as("value"))
       .filter(col("value").isNotNull)
-    val (q1, q99) =
-      if (approximate)
-        (percentile_approx(col("value"), lit(lo), lit(10000)),
-         percentile_approx(col("value"), lit(hi), lit(10000)))
-      else
-        (percentile(col("value"), lit(lo)), percentile(col("value"), lit(hi)))
-    long.groupBy(groupCol, "id")
-      .agg(min("value").as("vmin"), max("value").as("vmax"),
-        q1.as("q1"), q99.as("q99"))
+    computeExtents(long, Seq(groupCol, "id"), lo, hi, approximate)
       .orderBy(groupCol, "id")
+  }
+
+  /** Shared extents engine over a pre-filtered long table of
+    * (groupCols..., value).
+    *
+    * EXACT path — distributed histogram quantile (R-7), not Spark's
+    * `percentile` aggregate: `percentile` holds a group's ENTIRE value
+    * multiset in one in-memory aggregation buffer (the 100 TB OOM). Here:
+    *   1. value histogram: groupBy(group, value) count — fully
+    *      distributed, combines duplicates map-side (real metric columns
+    *      are heavily duplicated: rates, counts, flags);
+    *   2. cumulative ranks: one window over each group's DISTINCT values
+    *      (sorted, disk-spilling, orders of magnitude smaller than the
+    *      raw multiset);
+    *   3. the two bracketing values of each target rank are picked with
+    *      conditional aggregates and linearly interpolated — exactly
+    *      d3.quantile / DuckDB `quantile_cont` R-7:
+    *      h = (n-1)p, v = v⌊h⌋ + (h-⌊h⌋)(v⌊h⌋₊₁ - v⌊h⌋).
+    * Every step is a codegen'd relational operator: two shuffles, no
+    * unbounded aggregation buffer anywhere.
+    *
+    * APPROXIMATE path — `percentile_approx` sketch (constant memory,
+    * ~1e-4 relative rank accuracy at 10k buckets) for when even the
+    * distinct-value histogram is too hot; both quantiles share one
+    * sketch buffer.
+    */
+  private def computeExtents(long: DataFrame, groupCols: Seq[String],
+                             lo: Double, hi: Double,
+                             approximate: Boolean): DataFrame = {
+    val gcols = groupCols.map(col)
+    if (approximate) {
+      long.groupBy(gcols: _*)
+        .agg(min("value").as("vmin"), max("value").as("vmax"),
+          percentile_approx(col("value"), array(lit(lo), lit(hi)), lit(10000))
+            .as("qq"))
+        .select(gcols ++ Seq(col("vmin"), col("vmax"),
+          element_at(col("qq"), 1).as("q1"),
+          element_at(col("qq"), 2).as("q99")): _*)
+    } else {
+      val hist = long.groupBy((groupCols :+ "value").map(col): _*)
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(gcols: _*).orderBy("value")
+      val cum = hist
+        .withColumn("cum", sum("cnt").over(w))
+        .withColumn("cum_before", col("cum") - col("cnt"))
+        .withColumn("n", sum("cnt").over(Window.partitionBy(gcols: _*)))
+      // rank targets (1-based): kLo = ⌊h⌋+1 and its successor, clamped
+      def picks(p: Double, name: String): Seq[Column] = {
+        val h = (col("n") - 1) * p
+        val kLo = floor(h) + 1
+        val kHi = least(floor(h) + 2, col("n"))
+        Seq(
+          max(when(col("cum_before") < kLo && kLo <= col("cum"), col("value")))
+            .as(s"${name}_lo"),
+          max(when(col("cum_before") < kHi && kHi <= col("cum"), col("value")))
+            .as(s"${name}_hi"))
+      }
+      def interp(p: Double, name: String): Column = {
+        val h = (col("n") - 1) * p
+        val frac = h - floor(h)
+        col(s"${name}_lo") + frac * (col(s"${name}_hi") - col(s"${name}_lo"))
+      }
+      cum.groupBy(gcols: _*)
+        .agg(first("n").as("n"),
+          Seq(min("value").as("vmin"), max("value").as("vmax")) ++
+            picks(lo, "a") ++ picks(hi, "b"): _*)
+        .select(gcols ++ Seq(col("vmin"), col("vmax"),
+          interp(lo, "a").as("q1"), interp(hi, "b").as("q99")): _*)
+    }
   }
 
   /** A2: wide→long unpivot via `stack` (one pass, no per-column scans). */

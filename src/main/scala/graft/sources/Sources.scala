@@ -96,6 +96,16 @@ object Sources {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Read twin of [[writePartitionedParquet]] with an EXPLICIT schema:
+    * partition-value inference would coerce directory values like
+    * `decade=00` to int 0 — the same leading-zero hazard P10 exists for
+    * (`build.sh:133`). Passing the schema keeps partition columns typed
+    * as declared AND preserves partition pruning on reads.
+    */
+  def readPartitionedParquet(spark: SparkSession, path: String,
+                             schema: StructType): DataFrame =
+    spark.read.schema(schema).parquet(path)
+
   /** S5: line-delimited feature stream (tippecanoe-json-tool emits one
     * sorted feature per line, `build.sh:115-118`) — as a DataFrame this
     * is just the GeoJSON features ordered by key; no materialization

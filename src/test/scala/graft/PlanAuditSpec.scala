@@ -72,12 +72,17 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(p.contains("Union"))
   }
 
-  test("q03: extents is one unpivot + one aggregation pass") {
+  test("q03: exact extents = distributed histogram, no percentile buffer") {
     val p = plan("q03_extents")
-    assert(p.contains("partial_min") && p.contains("partial_percentile"),
-      "extents must partial-aggregate map-side")
-    // one hash-agg shuffle + one presentation sort, nothing else
-    assert("Exchange".r.findAllIn(p).size <= 3, p)
+    // the histogram groupBy(id, value) must combine duplicates map-side
+    assert(p.contains("partial_count"),
+      "value histogram must partial-aggregate map-side")
+    // NO Percentile aggregate anywhere: that operator buffers a group's
+    // whole value multiset in memory — the 100 TB OOM this design avoids
+    assert(!p.toLowerCase.contains("percentile"),
+      "exact extents must not use the in-memory percentile aggregate")
+    // histogram shuffle + window repartition + final agg + output sort
+    assert("Exchange".r.findAllIn(p).size <= 4, p)
   }
 
   test("q22: exact dedup shuffles only the digest — md5 computed map-side") {
@@ -99,6 +104,42 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       assert(p.contains("WindowGroupLimit"),
         s"$q bucket cap must plan as WindowGroupLimit")
     }
+  }
+
+  test("decade-partitioned parquet read prunes partitions (T6 scale path)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("decade-part").toString
+    val df = Seq(("01001", "00", 1.0), ("01001", "10", 2.0),
+      ("02013", "00", 3.0), ("02013", "10", 4.0))
+      .toDF("GEOID", "decade", "v")
+    graft.sources.Sources.writePartitionedParquet(df, dir, Seq("decade"), "GEOID")
+    // read via the explicit-schema twin: bare spark.read.parquet would
+    // INFER decade "00" as int 0 (leading-zero hazard, P10) and the
+    // string predicate below would prune nothing
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("GEOID",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("decade",
+        org.apache.spark.sql.types.StringType)))
+    val read = graft.sources.Sources.readPartitionedParquet(spark, dir, schema)
+      .filter(col("decade") === "00")
+    val p = read.queryExecution.executedPlan.toString
+    // the reference's vertical-partitioning rationale (build.sh:33-36):
+    // a decade slice must read ONLY that decade's files
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters"))
+    assert(scanLine.isDefined, s"no PartitionFilters in scan:\n$p")
+    assert(scanLine.get.contains("decade") && scanLine.get.contains("00"),
+      s"decade predicate must prune partitions, got: ${scanLine.get}")
+    // pruning happens at planning: only the decade=00 files are selected
+    val files = read.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.toPartitionArray.map(_.urlEncodedPath)
+    }.flatten
+    assert(files.nonEmpty && files.forall(_.contains("decade=00")),
+      s"scan must touch only decade=00 files: ${files.mkString(",")}")
   }
 
   test("q43: range join stays an equi-join — never BroadcastNestedLoop") {
