@@ -3,6 +3,7 @@ import org.apache.spark.sql.SparkSession
 object OneQ {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.optimizer.windowGroupLimitThreshold", 100000)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

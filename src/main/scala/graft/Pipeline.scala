@@ -98,8 +98,10 @@ object Pipeline {
       require(features.columns.contains("polys"),
         "choropleth layer needs polygon geometry: supply GeoJSON-derived " +
           "features (Pipeline.geometryFeatures), not bare lon/lat points")
+      // the reference's choropleth tippecanoe keeps coverage under the
+      // size cap by coalescing, not dropping (`build.sh:149-152`)
       TileBuild.buildPolygonTiles(joined, "fid", "polys", attrs, name,
-        zoom.minZoom, zoom.maxZoom)
+        zoom.minZoom, zoom.maxZoom, coalesce = true)
     }
   }
 

@@ -20,7 +20,11 @@ import graft.operators.{Geometry, Tiling}
   *  - per-tile feature order is pinned (importance desc, id) so tile
   *    bytes are deterministic; the density budget (O4) is applied
   *    BEFORE the shuffle would explode — the window prunes map-side via
-  *    WindowGroupLimit.
+  *    WindowGroupLimit. NB: that rewrite only fires when the budget ≤
+  *    `spark.sql.optimizer.windowGroupLimitThreshold` (default 1000);
+  *    every session builder in this repo raises it to 100000 so the
+  *    default 10000 budget stays rank-limit-optimizable — keep that
+  *    conf when embedding the library elsewhere.
   *  - the directory sink writes `z/x/y.pbf` straight from executors
   *    (`foreachPartition`), exactly the reference's exploded tile tree
   *    (`build.sh:220`); on a cluster the same code targets a shared
@@ -112,6 +116,11 @@ object TileBuild {
     *                   polygons→rings→points→[lon,lat]) and `attrCols`
     * @param simplifyPx Douglas-Peucker tolerance in tile pixels (the
     *                   tippecanoe `--simplification` knob; 0 disables)
+    * @param coalesce   over-budget strategy: true =
+    *                   `--coalesce-smallest-as-needed` (merge
+    *                   attr-identical features, keep coverage — the
+    *                   reference's choropleth setting), false =
+    *                   `--drop-densest-as-needed` prefix drop
     * @return DataFrame (z, x, y, n_features, tile_bytes)
     */
   def buildPolygonTiles(polys: DataFrame, idCol: String, polygonsCol: String,
@@ -120,7 +129,8 @@ object TileBuild {
                         importanceCol: Option[String] = None,
                         budget: Int = 10000,
                         byteBudget: Int = 500 * 1024,
-                        simplifyPx: Double = 1.0): DataFrame = {
+                        simplifyPx: Double = 1.0,
+                        coalesce: Boolean = false): DataFrame = {
     val spark = polys.sparkSession
     import spark.implicits._
 
@@ -162,11 +172,63 @@ object TileBuild {
             else Some(Mvt.Feature(fid, Mvt.PolygonGeom, rings,
               attrs.toSeq.filter(_._2 != null).sortBy(_._1)))
         }
-        val (kept, bytes) = fitToByteBudget(layerName, feats, byteBudget)
+        val (kept, bytes) =
+          if (coalesce) coalesceToByteBudget(layerName, feats, byteBudget)
+          else fitToByteBudget(layerName, feats, byteBudget)
         (z, x, y, kept, bytes)
       }
       .toDF("z", "x", "y", "n_features", "tile_bytes")
       .filter(col("n_features") > 0)
+  }
+
+  /** `--coalesce-smallest-as-needed` (`build.sh:139-160`): when a tile
+    * overflows its byte budget, MERGE attribute-identical features into
+    * one multi-ring feature — smallest (fewest vertices) groups first —
+    * instead of dropping coverage; only if every mergeable group is
+    * coalesced and the tile still overflows does it fall back to the
+    * importance-ordered prefix drop. Merging strictly shrinks the
+    * encoding (duplicate ids/tags/geometry headers collapse), so the
+    * "how many groups to coalesce" search is binary, O(log n) encodes.
+    * Returns (kept feature count after merging, layer bytes).
+    */
+  private[graft] def coalesceToByteBudget(layerName: String,
+                                          feats: Seq[Mvt.Feature],
+                                          byteBudget: Int): (Int, Array[Byte]) = {
+    val full = Mvt.encodeLayer(layerName, feats)
+    if (full.length <= byteBudget) return (feats.length, full)
+    // mergeable groups: ≥2 features sharing the exact attr list,
+    // smallest total vertex count first (deterministic tie on min id)
+    val groups = feats.zipWithIndex.groupBy(_._1.attrs).values
+      .filter(_.length >= 2).toSeq
+      .sortBy(g => (g.map(_._1.rings.map(_.length).sum).sum, g.map(_._1.id).min))
+    def coalesced(k: Int): Seq[Mvt.Feature] = {
+      val merged = groups.take(k).map { g =>
+        val members = g.sortBy(_._2) // keep importance order
+        (members.head._2, Mvt.Feature(members.map(_._1.id).min,
+          Mvt.PolygonGeom, members.flatMap(_._1.rings), members.head._1.attrs))
+      }.toMap
+      val dropIdx = groups.take(k).flatMap(_.drop(1).map(_._2)).toSet
+      feats.indices.collect {
+        case i if merged.contains(i) => merged(i)
+        case i if !dropIdx.contains(i) && !merged.contains(i) => feats(i)
+      }
+    }
+    // everything coalesced and still over budget ⇒ fall back to drop
+    val allMerged = coalesced(groups.length)
+    val allEnc = Mvt.encodeLayer(layerName, allMerged)
+    if (allEnc.length > byteBudget)
+      return fitToByteBudget(layerName, allMerged, byteBudget)
+    // smallest k whose encoding fits (k=0 overflows, k=|groups| fits)
+    var lo = 1; var hi = groups.length
+    var best = allMerged; var bytes = allEnc
+    while (lo < hi) {
+      val mid = (lo + hi) / 2
+      val cand = coalesced(mid)
+      val enc = Mvt.encodeLayer(layerName, cand)
+      if (enc.length <= byteBudget) { hi = mid; best = cand; bytes = enc }
+      else lo = mid + 1
+    }
+    (best.length, bytes)
   }
 
   /** Drop-densest on a BYTE budget: the largest importance-ordered
@@ -176,7 +238,7 @@ object TileBuild {
     * only for tiles that actually overflow.
     * Returns (kept feature count, layer bytes).
     */
-  private[sinks] def fitToByteBudget(layerName: String,
+  private[graft] def fitToByteBudget(layerName: String,
                                      feats: Seq[Mvt.Feature],
                                      byteBudget: Int): (Int, Array[Byte]) = {
     val full = Mvt.encodeLayer(layerName, feats)

@@ -142,6 +142,15 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"scan must touch only decade=00 files: ${files.mkString(",")}")
   }
 
+  test("q48: polygon tile build — explode fan-out, capped window, no join") {
+    val p = plan("q48_polygon_cover")
+    assert(p.contains("Generate explode"),
+      "tile cover must fan out via Generate, not a join against a tile list")
+    assert(p.contains("WindowGroupLimit"),
+      "the per-tile candidate budget must prune map-side")
+    assert(!p.contains("Join"), s"no join belongs in the tile build:\n$p")
+  }
+
   test("q43: range join stays an equi-join — never BroadcastNestedLoop") {
     val p = plan("q43_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

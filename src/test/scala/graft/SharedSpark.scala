@@ -10,7 +10,8 @@ trait SharedSpark extends BeforeAndAfterAll { self: Suite =>
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.optimizer.windowGroupLimitThreshold", 100000)
+      .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()

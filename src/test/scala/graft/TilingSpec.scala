@@ -272,6 +272,29 @@ class TilingSpec extends AnyFunSuite with SharedSpark {
     assert(bytes.sameElements(exp))
   }
 
+  test("coalesceToByteBudget merges attr-identical features, keeps coverage") {
+    val feats = (1 to 20).map { i =>
+      val g = if (i <= 10) "grp-A" else "grp-B"
+      Mvt.Feature(i.toLong, Mvt.PolygonGeom,
+        Seq(Seq((i * 50, i * 50), (i * 50 + 40, i * 50), (i * 50 + 40, i * 50 + 40))),
+        Seq("grp" -> g))
+    }
+    val fullLen = Mvt.encodeLayer("t", feats).length
+    val budget = fullLen - 10 // force at least one coalesce
+    val (kept, bytes) = TileBuild.coalesceToByteBudget("t", feats, budget)
+    assert(bytes.length <= budget)
+    assert(kept < 20 && kept >= 2, s"kept=$kept")
+    // unlike the drop path, BOTH attribute groups survive (coverage kept)
+    val s = new String(bytes.map(b => (b & 0xff).toChar))
+    assert(s.contains("grp-A") && s.contains("grp-B"))
+    // under-budget input passes through untouched
+    val (k2, b2) = TileBuild.coalesceToByteBudget("t", feats, fullLen)
+    assert(k2 == 20 && b2.length == fullLen)
+    // impossible budget falls back to the drop path (possibly empty)
+    val (k3, b3) = TileBuild.coalesceToByteBudget("t", feats, 30)
+    assert(b3.length <= 30 && k3 <= 2)
+  }
+
   test("sharedBorders finds the one edge two adjacent squares share") {
     val a = """{"type":"Polygon","coordinates":[[[0,0],[1,0],[1,1],[0,1],[0,0]]]}"""
     val b = """{"type":"Polygon","coordinates":[[[1,0],[2,0],[2,1],[1,1],[1,0]]]}"""
