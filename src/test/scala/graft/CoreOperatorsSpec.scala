@@ -156,6 +156,35 @@ class CoreOperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(out == Seq((1L, 100L, 100L), (1L, 100L, 150L), (1L, 1000L, 1099L)))
   }
 
+  test("histogram quantile matches direct R-7 on random duplicated multisets") {
+    // the exact path is a distributed histogram + interpolation, not a
+    // value-multiset buffer — it must agree with naive R-7 bit-for-bit
+    // (modulo 1e-12) on arbitrary data, including heavy duplication,
+    // n=1, and negative values
+    def r7(sorted: IndexedSeq[Double], p: Double): Double = {
+      val n = sorted.length
+      val h = (n - 1) * p
+      val lo = math.floor(h).toInt
+      val hi = math.min(lo + 1, n - 1)
+      sorted(lo) + (h - lo) * (sorted(hi) - sorted(lo))
+    }
+    val rnd = new scala.util.Random(42)
+    val cases = Seq(1, 2, 3, 17, 100, 257).map { n =>
+      Seq.fill(n)((rnd.nextInt(41) - 20).toDouble / (1 + rnd.nextInt(4)))
+    }
+    for (vals <- cases) {
+      val df = vals.toDF("a")
+      val row = Extents.extents(df, Seq("a")).collect()(0)
+      val sorted = vals.sorted.toIndexedSeq
+      assert(row.getAs[Double]("vmin") == sorted.head)
+      assert(row.getAs[Double]("vmax") == sorted.last)
+      assert(math.abs(row.getAs[Double]("q1") - r7(sorted, 0.01)) < 1e-12,
+        s"q1 n=${vals.length}")
+      assert(math.abs(row.getAs[Double]("q99") - r7(sorted, 0.99)) < 1e-12,
+        s"q99 n=${vals.length}")
+    }
+  }
+
   test("approximate extents stay within 2% of exact quantiles") {
     val rnd = new scala.util.Random(11)
     val df = (0 until 5000).map(_ => rnd.nextDouble() * 1000).toDF("a")
