@@ -169,6 +169,39 @@ object QueriesSim {
        |ORDER BY a, b""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Duplicate-cluster canonicalization: q28's near-dup pairs are edges;
+  // 3 rounds of min-label propagation assign every clustered vector its
+  // component's minimum id, and `keep` marks the canonical survivor.
+  // Fixed round count (not convergence detection) keeps the labeling
+  // engine-reproducible — the oracle unrolls the same 3 rounds.
+  private val CcRounds = 3
+
+  def q50NeardupComponents(s: SparkSession, d: String): DataFrame = {
+    val edges = q28EmbedNeardup(s, d).select("a", "b")
+    graft.operators.Dedup.connectedComponents(edges, "a", "b", CcRounds)
+      .orderBy("id")
+  }
+
+  val q50Sql: String = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (
+         | SELECT id, min(cluster) AS cluster FROM (
+         |  SELECT id, cluster FROM $prev
+         |  UNION ALL
+         |  SELECT u.src AS id, l.cluster FROM und u JOIN $prev l ON u.dst = l.id)
+         | GROUP BY id)""".stripMargin
+    val rounds = (1 to CcRounds).map(i => round(s"l${i - 1}", s"l$i"))
+      .mkString(",\n")
+    s"""WITH edges AS (SELECT a, b FROM ($q28Sql) q28),
+       |und AS (SELECT a AS src, b AS dst FROM edges
+       |        UNION ALL SELECT b AS src, a AS dst FROM edges),
+       |l0 AS (SELECT DISTINCT src AS id, src AS cluster FROM und),
+       |$rounds
+       |SELECT id, cluster, (id = cluster) AS keep FROM l$CcRounds
+       |ORDER BY id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // IVF ANN: 8 seed centroids (vec_id < 8) as the coarse quantizer,
   // every vector assigned to its nearest list, queries probe the 2
   // nearest lists and search only those candidates — work scales with
@@ -229,6 +262,7 @@ object QueriesSim {
     "q27_lsh_ann" -> (q27LshAnn _),
     "q28_embed_neardup" -> (q28EmbedNeardup _),
     "q36_ivf_ann" -> (q36IvfAnn _),
+    "q50_neardup_components" -> (q50NeardupComponents _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -236,5 +270,6 @@ object QueriesSim {
     "q27_lsh_ann" -> q27Sql,
     "q28_embed_neardup" -> q28Sql,
     "q36_ivf_ann" -> q36Sql,
+    "q50_neardup_components" -> q50Sql,
   )
 }

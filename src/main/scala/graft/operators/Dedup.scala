@@ -131,4 +131,44 @@ object Dedup {
     // all empty token sets onto the all-ones signature; pin them to 0.
     when(n === 0, lit(0L)).otherwise(sig)
   }
+
+  /** Duplicate-CLUSTER canonicalization: connected components over the
+    * undirected near-dup pair graph via `rounds` of min-label
+    * propagation — the step that turns pairwise near-dups (q23/q28
+    * output) into "keep exactly one document per duplicate cluster".
+    *
+    * Each round: every node takes the minimum label among itself and
+    * its neighbors — `rounds` = R reaches labels R hops away, so R ≥
+    * graph diameter converges (near-dup clusters are shallow; R=3
+    * covers chains of 8). The round count is FIXED, not
+    * convergence-detected, so any engine running the same R computes
+    * the identical labeling — the oracle unrolls the same R rounds as
+    * CTEs.
+    *
+    * Scale: each round is one equi-join (edges ⋈ labels on node id) +
+    * one min-aggregation — all shuffles on node ids, label payload is
+    * one long. This is label propagation à la large-star/small-star,
+    * bounded-round instead of loop-until-fixpoint (a driver-side
+    * convergence loop needs an action per round; at known-shallow
+    * diameter the fixed unroll is cheaper and deterministic).
+    *
+    * @param edges (aCol, bCol) undirected pair rows
+    * @return (id, cluster, keep) per node appearing in any edge;
+    *         cluster = min id reachable in `rounds` hops, keep = this
+    *         node is the cluster's canonical representative
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          rounds: Int = 3): DataFrame = {
+    val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+    for (_ <- 1 to rounds) {
+      val fromNbr = und.join(labels, und("dst") === labels("id"))
+        .select(und("src").as("id"), col("cluster"))
+      labels = labels.unionByName(fromNbr)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+    }
+    labels.withColumn("keep", col("id") === col("cluster"))
+  }
 }

@@ -196,4 +196,20 @@ class ExtensionOperatorsSpec extends AnyFunSuite with SharedSpark {
       .groupBy("media_id").count().orderBy("media_id").as[(Long, Long)].collect()
     assert(out.toSeq == Seq((1L, 4L), (2L, 1L)))
   }
+
+  // ------------------------------------------------- connected components
+  test("connectedComponents labels a chain, keeps one canonical per cluster") {
+    // chain 5-3-9-7 (diameter 3) + separate pair (20, 12) + edge order
+    // and direction must not matter
+    val edges = Seq((5L, 3L), (9L, 3L), (7L, 9L), (20L, 12L))
+      .toDF("a", "b")
+    val out = Dedup.connectedComponents(edges, "a", "b", rounds = 3)
+      .orderBy("id")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (3L, 3L, true), (5L, 3L, false), (7L, 3L, false), (9L, 3L, false),
+      (12L, 12L, true), (20L, 12L, false)))
+    // exactly one canonical per cluster
+    assert(out.count(_._3) == 2)
+  }
 }
