@@ -111,19 +111,27 @@ object Geometry {
     df.select(col(idCol).cast("string"),
         col(polygonsCol).cast(multiPolygonCoords.sql))
       .as[(String, Seq[Seq[Seq[Seq[Double]]]])]
-      .map { case (id, polys) =>
-        val (ix, iy) = interiorPoint(polys)
-        (id, ix, iy)
+      .flatMap { case (id, polys) =>
+        interiorPoint(polys).map { case (ix, iy) => (id, ix, iy) }
       }
       .toDF(idCol, "ip_lon", "ip_lat")
   }
 
   /** Interior point of one parsed polygons value: polylabel of the
-    * largest-area exterior ring (mapshaper's largest-part rule).
+    * largest-area exterior ring (mapshaper's largest-part rule). None
+    * for degenerate geometry (no polygon with a non-empty exterior
+    * ring) — at scale one malformed feature must drop, not kill the
+    * executor task.
     */
-  def interiorPoint(polys: Seq[Seq[Seq[Seq[Double]]]]): (Double, Double) = {
-    val outer = polys.map(_.head).maxBy(r => math.abs(ringArea(r)))
-    Tiling.polylabel(outer.map(p => (p(0), p(1))))
+  def interiorPoint(polys: Seq[Seq[Seq[Seq[Double]]]])
+      : Option[(Double, Double)] = {
+    val exteriors = polys.flatMap(_.headOption)
+      .map(_.filter(_.length >= 2)).filter(_.nonEmpty)
+    if (exteriors.isEmpty) None
+    else {
+      val outer = exteriors.maxBy(r => math.abs(ringArea(r)))
+      Some(Tiling.polylabel(outer.map(p => (p(0), p(1)))))
+    }
   }
 
   /** T1 wiring variant: stamp `lon`/`lat` interior-point columns while
@@ -139,9 +147,8 @@ object Geometry {
     df.select(col(idCol).cast("string"),
         col(polygonsCol).cast(multiPolygonCoords.sql))
       .as[(String, Seq[Seq[Seq[Seq[Double]]]])]
-      .map { case (id, polys) =>
-        val (ix, iy) = interiorPoint(polys)
-        (id, polys, ix, iy)
+      .flatMap { case (id, polys) =>
+        interiorPoint(polys).map { case (ix, iy) => (id, polys, ix, iy) }
       }
       .toDF(idCol, polygonsCol, "lon", "lat")
   }

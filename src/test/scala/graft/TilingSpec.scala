@@ -295,6 +295,20 @@ class TilingSpec extends AnyFunSuite with SharedSpark {
     assert(b3.length <= 30 && k3 <= 2)
   }
 
+  test("withInteriorPoints drops degenerate geometry instead of crashing") {
+    val rows = Seq(
+      (1L, """{"type":"Polygon","coordinates":[[[0,0],[4,0],[4,4],[0,0]]]}"""),
+      (2L, """{"type":"Polygon","coordinates":[]}"""),
+      (3L, """{"type":"MultiPolygon","coordinates":[[]]}"""))
+      .toDF("id", "gj")
+      .select($"id", Geometry.parsePolygons($"gj").as("polys"))
+      .filter($"polys".isNotNull)
+    val out = Geometry.withInteriorPoints(rows, "id", "polys").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("1"))
+    val (lon, lat) = (out(0).getDouble(2), out(0).getDouble(3))
+    assert(lon > 0 && lon < 4 && lat > 0 && lat < 4)
+  }
+
   test("sharedBorders finds the one edge two adjacent squares share") {
     val a = """{"type":"Polygon","coordinates":[[[0,0],[1,0],[1,1],[0,1],[0,0]]]}"""
     val b = """{"type":"Polygon","coordinates":[[[1,0],[2,0],[2,1],[1,1],[1,0]]]}"""
