@@ -98,10 +98,12 @@ object Pipeline {
       require(features.columns.contains("polys"),
         "choropleth layer needs polygon geometry: supply GeoJSON-derived " +
           "features (Pipeline.geometryFeatures), not bare lon/lat points")
-      // the reference's choropleth tippecanoe keeps coverage under the
-      // size cap by coalescing, not dropping (`build.sh:149-152`)
+      // per-region tippecanoe knobs (`build.sh:148-152`): simplification
+      // scale and coalesce-vs-drop over-budget strategy
+      val knobs = EtlConfig.choroplethBuild(region)
       TileBuild.buildPolygonTiles(joined, "fid", "polys", attrs, name,
-        zoom.minZoom, zoom.maxZoom, coalesce = true)
+        zoom.minZoom, zoom.maxZoom,
+        simplifyPx = knobs.simplifyPx, coalesce = knobs.coalesce)
     }
   }
 

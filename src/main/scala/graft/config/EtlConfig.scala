@@ -124,6 +124,23 @@ object EtlConfig {
     "block-groups" -> ZoomSpec(8, 10, 10),
   )
 
+  /** Per-region choropleth build knobs (`build.sh:148-152`): tippecanoe
+    * `--simplification` scale (mapped to the Douglas-Peucker pixel
+    * tolerance at the 4096 extent — an approximation of tippecanoe's
+    * internal tolerance unit) and the over-budget strategy
+    * (`--coalesce-smallest-as-needed` for the dense polygon regions vs
+    * `--drop-densest-as-needed` for cities; states set no strategy).
+    */
+  final case class ChoroplethBuild(simplifyPx: Double, coalesce: Boolean)
+
+  val choroplethBuild: Map[String, ChoroplethBuild] = Map(
+    "states" -> ChoroplethBuild(10.0, coalesce = false),
+    "counties" -> ChoroplethBuild(10.0, coalesce = true),
+    "cities" -> ChoroplethBuild(10.0, coalesce = false),
+    "tracts" -> ChoroplethBuild(25.0, coalesce = true),
+    "block-groups" -> ChoroplethBuild(25.0, coalesce = true),
+  )
+
   /** The five region granularities (`build.sh:28`). */
   val regions: Seq[String] =
     Seq("states", "counties", "cities", "tracts", "block-groups")

@@ -146,8 +146,11 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     val rows = tiles.collect()
     assert(rows.nonEmpty)
     // both polygons stay within one tile per zoom: counties choropleth
-    // z1..7, two features sharing low-zoom tiles
-    assert(rows.map(_.getAs[Int]("z")).distinct.sorted.toSeq == (1 to 7).toSeq)
+    // z1..7 — except z1, where the 0.4° fixture squares are ~9 px and
+    // collapse under the counties simplification scale (10 px,
+    // EtlConfig.choroplethBuild) — the tippecanoe-style fate of
+    // sub-pixel polygons at low zoom
+    assert(rows.map(_.getAs[Int]("z")).distinct.sorted.toSeq == (2 to 7).toSeq)
     assert(rows.forall(r => r.getAs[Int]("n_features") >= 1 &&
       r.getAs[Int]("n_features") <= 2))
     assert(rows.forall(_.getAs[Array[Byte]]("tile_bytes").length > 10))
