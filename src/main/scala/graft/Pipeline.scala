@@ -120,23 +120,54 @@ object Pipeline {
       Sources.longSchema(metricLongNames))
     val wide = shape(long, inputType)
     val ext = extents(wide)
-    for (f <- features; out <- outDir; decade <- EtlConfig.decades.keys.toSeq.sorted) {
+    for (f <- features; out <- outDir) {
       val hasPolys = f.columns.contains("polys")
-      val bubble = decadeTiles(wide, f, inputType, decade, "bubble", region)
-      val choro = if (hasPolys)
-        decadeTiles(wide, f, inputType, decade, "choropleth", region)
-      else bubble.limit(0)
-      // J3 layer union-merge (`tile-join` `build.sh:214`): align on
-      // (z,x,y), concatenate layer bytes at the protobuf level.
-      val merged = bubble.select(col("z"), col("x"), col("y"),
-          col("tile_bytes").as("bubble_bytes"))
-        .join(choro.select(col("z"), col("x"), col("y"),
-          col("tile_bytes").as("choro_bytes")), Seq("z", "x", "y"), "full_outer")
-        .select(col("z"), col("x"), col("y"),
-          concat(coalesce(col("bubble_bytes"), lit(Array.empty[Byte])),
-            coalesce(col("choro_bytes"), lit(Array.empty[Byte]))).as("tile_bytes"))
-      TileBuild.writePbfDirectory(merged, s"$out/$region/$decade",
-        Map("name" -> s"$region-$decade"))
+      // base choropleth GEOMETRY is decade-independent — built ONCE and
+      // persisted, exactly the reference's base-tileset + per-decade
+      // `tile-join` split (`build.sh:139-160` once, `:208-211` per
+      // decade); only the attribute join + encode re-run per decade
+      val zoom = EtlConfig.choroplethZoom(region)
+      val knobs = EtlConfig.choroplethBuild(region)
+      val polyFeats = if (hasPolys) Some(
+        TileBuild.polygonTileFeatures(
+          f.withColumn("fid", col("GEOID").cast("long")), "fid", "polys",
+          zoom.minZoom, zoom.maxZoom, simplifyPx = knobs.simplifyPx)
+          .persist())
+      else None
+      for (decade <- EtlConfig.decades.keys.toSeq.sorted) {
+        val bubble = decadeTiles(wide, f, inputType, decade, "bubble", region)
+        val choro = polyFeats match {
+          case Some(tf) =>
+            val fields = EtlConfig.decadeFields(
+              EtlConfig.choroplethVars(inputType), decade)
+              .filter(wide.columns.contains)
+            val slice = Shape.decadeSlice(wide, fields)
+            val attrCols = fields.filterNot(_ == "GEOID")
+            val attrPairs = attrCols.flatMap(c => Seq(lit(c), col(c).cast("string")))
+            // inner join on fid = tile-join `--if-matched` (`build.sh:208`)
+            val attrs = slice.select(col("GEOID").cast("long").as("fid"),
+              map(attrPairs: _*).as("attrs"))
+            TileBuild.encodePolygonTiles(tf, attrs,
+              s"$region-$decade-choropleth", coalesce = knobs.coalesce)
+          case None => bubble.limit(0)
+        }
+        // J3 layer union-merge (`tile-join` `build.sh:214`): align on
+        // (z,x,y), concatenate layer bytes at the protobuf level.
+        val merged = bubble.select(col("z"), col("x"), col("y"),
+            col("tile_bytes").as("bubble_bytes"))
+          .join(choro.select(col("z"), col("x"), col("y"),
+            col("tile_bytes").as("choro_bytes")), Seq("z", "x", "y"), "full_outer")
+          .select(col("z"), col("x"), col("y"),
+            concat(coalesce(col("bubble_bytes"), lit(Array.empty[Byte])),
+              coalesce(col("choro_bytes"), lit(Array.empty[Byte]))).as("tile_bytes"))
+        val bz = EtlConfig.bubbleZoom(region)
+        TileBuild.writePbfDirectory(merged, s"$out/$region/$decade",
+          Map("name" -> s"$region-$decade",
+            "minzoom" -> math.min(bz.minZoom, zoom.minZoom).toString,
+            "maxzoom" -> math.max(bz.maxZoom, zoom.maxZoom).toString,
+            "layers" -> s"$region-$decade-bubble,$region-$decade-choropleth"))
+      }
+      polyFeats.foreach(_.unpersist())
     }
     (wide, ext)
   }

@@ -131,16 +131,16 @@ object TileBuild {
                         byteBudget: Int = 500 * 1024,
                         simplifyPx: Double = 1.0,
                         coalesce: Boolean = false): DataFrame = {
+    // fused single-pass plan (attrs ride the fan-out rows — NO join):
+    // the split polygonTileFeatures/encodePolygonTiles pair exists for
+    // the per-decade reuse path where the geometry stage is persisted
     val spark = polys.sparkSession
     import spark.implicits._
-
     val withBbox = Geometry.bboxColumns(col(polygonsCol))
       .foldLeft(polys) { case (df, (n, c)) => df.withColumn(n, c) }
     val covered = Geometry.coverTiles(withBbox, minZoom, maxZoom)
-    // map-side candidate cap BEFORE the tile shuffle, like the point path
     val budgeted = Tiling.dropDensest(covered,
       col(importanceCol.getOrElse(idCol)), col(idCol), budget)
-
     val attrPairs = attrCols.flatMap(c => Seq(lit(c), col(c).cast("string")))
     val rows = budgeted.select(col("z").cast("int"), col("x"), col("y"),
       col("density_rank"), col(idCol).cast("long").as("fid"),
@@ -151,26 +151,108 @@ object TileBuild {
       .mapGroups { (key: (Int, Long, Long),
                     it: Iterator[(Int, Long, Long, Int, Long, Seq[Seq[Seq[Seq[Double]]]], Map[String, String])]) =>
         val (z, x, y) = key
-        val ox = x * 4096.0; val oy = y * 4096.0
         val feats = it.toSeq.sortBy(t => (t._4, t._5)).flatMap {
           case (_, _, _, _, fid, polygons, attrs) =>
-            val rings = polygons.flatMap { poly =>
-              val quantized = poly.map { ring =>
-                val proj = ring.map(p => Geometry.worldPx(p(0), p(1), z))
-                val simp = if (simplifyPx > 0) Tiling.simplify(proj, simplifyPx)
-                           else proj
-                Geometry.quantizeRing(
-                  Geometry.clipRing(simp, ox, oy, ox + 4096, oy + 4096), ox, oy)
-              }
-              // exterior gone ⇒ whole polygon gone; holes keep MVT winding
-              if (quantized.isEmpty || quantized.head.isEmpty) Seq.empty
-              else Geometry.orient(quantized.head, exterior = true) +:
-                quantized.tail.filter(_.nonEmpty)
-                  .map(Geometry.orient(_, exterior = false))
-            }
+            val rings = tileRings(z, x, y, polygons, simplifyPx)
             if (rings.isEmpty) None
             else Some(Mvt.Feature(fid, Mvt.PolygonGeom, rings,
               attrs.toSeq.filter(_._2 != null).sortBy(_._1)))
+        }
+        val (kept, bytes) =
+          if (coalesce) coalesceToByteBudget(layerName, feats, byteBudget)
+          else fitToByteBudget(layerName, feats, byteBudget)
+        (z, x, y, kept, bytes)
+      }
+      .toDF("z", "x", "y", "n_features", "tile_bytes")
+      .filter(col("n_features") > 0)
+  }
+
+  /** The per-(tile, feature) geometry kernel shared by the fused and
+    * split builds: project → simplify → clip → quantize → MVT winding.
+    * Empty result ⇒ the feature misses this tile.
+    */
+  private def tileRings(z: Int, x: Long, y: Long,
+                        polygons: Seq[Seq[Seq[Seq[Double]]]],
+                        simplifyPx: Double): Seq[Seq[(Int, Int)]] = {
+    val ox = x * 4096.0; val oy = y * 4096.0
+    polygons.flatMap { poly =>
+      val quantized = poly.map { ring =>
+        val proj = ring.map(p => Geometry.worldPx(p(0), p(1), z))
+        val simp = if (simplifyPx > 0) Tiling.simplify(proj, simplifyPx)
+                   else proj
+        Geometry.quantizeRing(
+          Geometry.clipRing(simp, ox, oy, ox + 4096, oy + 4096), ox, oy)
+      }
+      // exterior gone ⇒ whole polygon gone; holes keep MVT winding
+      if (quantized.isEmpty || quantized.head.isEmpty) Seq.empty
+      else Geometry.orient(quantized.head, exterior = true) +:
+        quantized.tail.filter(_.nonEmpty)
+          .map(Geometry.orient(_, exterior = false))
+    }
+  }
+
+  /** Stage 1 of the polygon build — everything DECADE-INDEPENDENT: bbox
+    * cover fan-out, per-tile simplify/clip/quantize. The reference builds
+    * its base choropleth tileset exactly once and then `tile-join`s each
+    * decade's CSV onto it (`build.sh:139-160` once, `:208-211` per
+    * decade); persisting this stage's output and re-running only
+    * [[encodePolygonTiles]] per decade reproduces that shape — the
+    * geometry pipeline (the expensive half) never re-runs.
+    *
+    * @return (z, x, y, density_rank, fid, rings) — rings already
+    *         tile-local integer rings in MVT winding order
+    */
+  def polygonTileFeatures(polys: DataFrame, idCol: String,
+                          polygonsCol: String, minZoom: Int, maxZoom: Int,
+                          importanceCol: Option[String] = None,
+                          budget: Int = 10000,
+                          simplifyPx: Double = 1.0): DataFrame = {
+    val spark = polys.sparkSession
+    import spark.implicits._
+
+    val withBbox = Geometry.bboxColumns(col(polygonsCol))
+      .foldLeft(polys) { case (df, (n, c)) => df.withColumn(n, c) }
+    val covered = Geometry.coverTiles(withBbox, minZoom, maxZoom)
+    // map-side candidate cap BEFORE the tile shuffle, like the point path
+    val budgeted = Tiling.dropDensest(covered,
+      col(importanceCol.getOrElse(idCol)), col(idCol), budget)
+    val rows = budgeted.select(col("z").cast("int"), col("x"), col("y"),
+      col("density_rank"), col(idCol).cast("long").as("fid"),
+      col(polygonsCol).as("polys"))
+
+    rows.as[(Int, Long, Long, Int, Long, Seq[Seq[Seq[Seq[Double]]]])]
+      .map { case (z, x, y, rank, fid, polygons) =>
+        val rings = tileRings(z, x, y, polygons, simplifyPx)
+        (z, x, y, rank, fid, rings.map(_.map(p => Seq(p._1, p._2))))
+      }
+      .toDF("z", "x", "y", "density_rank", "fid", "rings")
+      .filter(size(col("rings")) > 0)
+  }
+
+  /** Stage 2 — per-decade attribute join + MVT encode: one broadcast-able
+    * join on fid, one groupBy(z,x,y) shuffle, per-group byte-budget fold.
+    * `attrs` = (fid, attrs map); features with no attr row are DROPPED
+    * (tile-join `--if-matched`, `build.sh:208`).
+    */
+  def encodePolygonTiles(tileFeatures: DataFrame, attrs: DataFrame,
+                         layerName: String,
+                         byteBudget: Int = 500 * 1024,
+                         coalesce: Boolean = false): DataFrame = {
+    val spark = tileFeatures.sparkSession
+    import spark.implicits._
+    tileFeatures.join(attrs, Seq("fid"))
+      .select(col("z"), col("x"), col("y"), col("density_rank"), col("fid"),
+        col("rings"), col("attrs"))
+      .as[(Int, Long, Long, Int, Long, Seq[Seq[Seq[Int]]], Map[String, String])]
+      .groupByKey { case (z, x, y, _, _, _, _) => (z, x, y) }
+      .mapGroups { (key: (Int, Long, Long),
+                    it: Iterator[(Int, Long, Long, Int, Long, Seq[Seq[Seq[Int]]], Map[String, String])]) =>
+        val (z, x, y) = key
+        val feats = it.toSeq.sortBy(t => (t._4, t._5)).map {
+          case (_, _, _, _, fid, rings, attrs) =>
+            Mvt.Feature(fid, Mvt.PolygonGeom,
+              rings.map(_.map(p => (p(0), p(1)))),
+              attrs.toSeq.filter(_._2 != null).sortBy(_._1))
         }
         val (kept, bytes) =
           if (coalesce) coalesceToByteBudget(layerName, feats, byteBudget)

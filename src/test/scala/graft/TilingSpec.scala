@@ -250,6 +250,25 @@ class TilingSpec extends AnyFunSuite with SharedSpark {
     assert(xs == Set((0L, 1L), (0L, 0L), (1L, 0L)), s"unexpected tiles $xs")
   }
 
+  test("split geometry+encode path is byte-identical to the fused build") {
+    val gjA = """{"type":"Polygon","coordinates":[[[-45,-40],[45,-40],[45,40],[-45,40],[-45,-40]]]}"""
+    val gjB = """{"type":"Polygon","coordinates":[[[100,10],[140,10],[140,50],[100,50],[100,10]]]}"""
+    val df = Seq((1L, gjA, "red"), (2L, gjB, "blue")).toDF("id", "gj", "color")
+      .select($"id", Geometry.parsePolygons($"gj").as("polys"), $"color")
+    val fused = TileBuild.buildPolygonTiles(df, "id", "polys", Seq("color"),
+      "L", 1, 2).collect()
+    val tf = TileBuild.polygonTileFeatures(df, "id", "polys", 1, 2)
+    val attrs = df.select($"id".cast("long").as("fid"),
+      map(lit("color"), $"color".cast("string")).as("attrs"))
+    val split = TileBuild.encodePolygonTiles(tf, attrs, "L").collect()
+    def asMap(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getAs[Int]("z"), r.getAs[Long]("x"), r.getAs[Long]("y")) ->
+        (r.getAs[Int]("n_features"), r.getAs[Array[Byte]]("tile_bytes").toSeq)
+    }.toMap
+    assert(asMap(fused) == asMap(split))
+    assert(fused.nonEmpty)
+  }
+
   test("buildPolygonTiles encodes holes with opposite winding") {
     val gj = """{"type":"Polygon","coordinates":[[[-60,-50],[60,-50],[60,50],[-60,50],[-60,-50]],[[-20,-15],[20,-15],[20,15],[-20,15],[-20,-15]]]}"""
     val df = Seq((1L, gj)).toDF("id", "gj")
