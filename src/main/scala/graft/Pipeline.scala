@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.config.EtlConfig
-import graft.operators.{Extents, Geometry, Joins, Shape}
+import graft.operators.{Extents, Geometry, Joins, Shape, Tiling}
 import graft.sinks.TileBuild
 import graft.sources.Sources
 
@@ -75,7 +75,8 @@ object Pipeline {
     *                 choropleth layer, the parsed `polys` column
     */
   def decadeTiles(wide: DataFrame, features: DataFrame, inputType: String,
-                  decade: String, layer: String, region: String): DataFrame = {
+                  decade: String, layer: String, region: String,
+                  maxZoomOverride: Option[Int] = None): DataFrame = {
     val vars = layer match {
       case "bubble" => EtlConfig.bubbleVars(inputType)
       case _ => EtlConfig.choroplethVars(inputType)
@@ -84,6 +85,7 @@ object Pipeline {
       case "bubble" => EtlConfig.bubbleZoom(region)
       case _ => EtlConfig.choroplethZoom(region)
     }
+    val maxZ = maxZoomOverride.getOrElse(zoom.maxZoom)
     val fields = EtlConfig.decadeFields(vars, decade)
       .filter(f => wide.columns.contains(f))
     val slice = Shape.decadeSlice(wide, fields)
@@ -93,7 +95,7 @@ object Pipeline {
     val name = s"$region-$decade-$layer"
     if (layer == "bubble")
       TileBuild.buildPointTiles(joined, "fid", "lon", "lat", attrs, name,
-        zoom.minZoom, zoom.maxZoom)
+        zoom.minZoom, maxZ)
     else {
       require(features.columns.contains("polys"),
         "choropleth layer needs polygon geometry: supply GeoJSON-derived " +
@@ -102,7 +104,7 @@ object Pipeline {
       // scale and coalesce-vs-drop over-budget strategy
       val knobs = EtlConfig.choroplethBuild(region)
       TileBuild.buildPolygonTiles(joined, "fid", "polys", attrs, name,
-        zoom.minZoom, zoom.maxZoom,
+        zoom.minZoom, maxZ,
         simplifyPx = knobs.simplifyPx, coalesce = knobs.coalesce)
     }
   }
@@ -134,8 +136,16 @@ object Pipeline {
           zoom.minZoom, zoom.maxZoom, simplifyPx = knobs.simplifyPx)
           .persist())
       else None
+      // `--extend-zooms-if-still-dropping`: decided ONCE per region from
+      // the geometry (decade-independent), then reused by every decade
+      val bz = EtlConfig.bubbleZoom(region)
+      val bubbleMaxZ = if (bz.extend)
+        Some(Tiling.extendMaxZoom(f, "lon", "lat",
+          bz.maxZoom, bz.maxZoom + 2, budget = 10000))
+      else None
       for (decade <- EtlConfig.decades.keys.toSeq.sorted) {
-        val bubble = decadeTiles(wide, f, inputType, decade, "bubble", region)
+        val bubble = decadeTiles(wide, f, inputType, decade, "bubble", region,
+          maxZoomOverride = bubbleMaxZ)
         val choro = polyFeats match {
           case Some(tf) =>
             val fields = EtlConfig.decadeFields(
@@ -160,11 +170,11 @@ object Pipeline {
           .select(col("z"), col("x"), col("y"),
             concat(coalesce(col("bubble_bytes"), lit(Array.empty[Byte])),
               coalesce(col("choro_bytes"), lit(Array.empty[Byte]))).as("tile_bytes"))
-        val bz = EtlConfig.bubbleZoom(region)
         TileBuild.writePbfDirectory(merged, s"$out/$region/$decade",
           Map("name" -> s"$region-$decade",
             "minzoom" -> math.min(bz.minZoom, zoom.minZoom).toString,
-            "maxzoom" -> math.max(bz.maxZoom, zoom.maxZoom).toString,
+            "maxzoom" -> math.max(bubbleMaxZ.getOrElse(bz.maxZoom),
+              zoom.maxZoom).toString,
             "layers" -> s"$region-$decade-bubble,$region-$decade-choropleth"))
       }
       polyFeats.foreach(_.unpersist())

@@ -105,15 +105,23 @@ object EtlConfig {
   def decadeFields(vars: Seq[String], decade: String): Seq[String] =
     idColumns ++ (for (v <- vars; y <- decades(decade)) yield s"$v-$y")
 
-  /** Per-region tile zoom envelopes (`build.sh:121-126,147-152`). */
-  final case class ZoomSpec(minZoom: Int, maxZoom: Int, baseZoom: Int)
+  /** Per-region tile zoom envelopes (`build.sh:121-126,147-152`).
+    * `extend` = tippecanoe `--extend-zooms-if-still-dropping`: the dense
+    * point regions may deepen maxZoom until the density limiter stops
+    * dropping ([[graft.operators.Tiling.extendMaxZoom]]). Choropleth
+    * regions using the coalesce strategy never drop, so extension only
+    * matters for the point/bubble layers (and cities choropleth, which
+    * shares the bubble geometry density profile).
+    */
+  final case class ZoomSpec(minZoom: Int, maxZoom: Int, baseZoom: Int,
+                            extend: Boolean = false)
 
   val bubbleZoom: Map[String, ZoomSpec] = Map(
     "states" -> ZoomSpec(0, 6, 1),
     "counties" -> ZoomSpec(0, 7, 2),
-    "cities" -> ZoomSpec(0, 9, 7),
-    "tracts" -> ZoomSpec(0, 10, 9),
-    "block-groups" -> ZoomSpec(0, 10, 10),
+    "cities" -> ZoomSpec(0, 9, 7, extend = true),
+    "tracts" -> ZoomSpec(0, 10, 9, extend = true),
+    "block-groups" -> ZoomSpec(0, 10, 10, extend = true),
   )
 
   val choroplethZoom: Map[String, ZoomSpec] = Map(

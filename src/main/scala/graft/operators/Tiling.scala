@@ -101,6 +101,27 @@ object Tiling {
     Windows.topKPerGroup(tiles, Seq("z", "x", "y"), importance.desc,
       tieBreak, budget, rankCol = "density_rank")
 
+  /** `--extend-zooms-if-still-dropping` (`build.sh:124-126,149-152`):
+    * the smallest max zoom in [baseMax, hardCap] whose DENSEST tile fits
+    * the feature budget — i.e. keep adding zoom levels until the density
+    * limiter would stop dropping. One aggregation job over the candidate
+    * zoom fan-out; the collect moves ≤ (hardCap-baseMax+1) rows (max
+    * count per zoom), so this is an eager but O(zooms) driver action —
+    * run it once per layer build, not per decade.
+    */
+  def extendMaxZoom(df: DataFrame, lonCol: String, latCol: String,
+                    baseMax: Int, hardCap: Int, budget: Int): Int = {
+    if (baseMax >= hardCap) return baseMax
+    val perZoom = assignTiles(df, lonCol, latCol, baseMax, hardCap)
+      .groupBy("z", "x", "y").agg(count(lit(1)).as("n"))
+      .groupBy("z").agg(max("n").as("densest"))
+      .collect()
+      .map(r => (r.getAs[Int]("z"), r.getAs[Long]("densest")))
+      .sortBy(_._1)
+    perZoom.collectFirst { case (z, densest) if densest <= budget => z }
+      .getOrElse(hardCap)
+  }
+
   // ------------------------------------------------------------------
   // T1 interior point (pole of inaccessibility) — plain-Scala polylabel
   // over a polygon ring, exposed for typed map use. Centroid is the

@@ -158,6 +158,19 @@ class TilingSpec extends AnyFunSuite with SharedSpark {
     assert(s.contains("val-200-end") && !s.contains("val-1-end"))
   }
 
+  test("extendMaxZoom deepens until the densest tile fits the budget") {
+    // 10 points 0.4° apart: tile width at z10 is 0.352° (< spacing, all
+    // singleton); at z9 it is 0.703° (> spacing, some tiles hold 2)
+    val pts = (0 until 10).map(i => (i.toLong, i * 0.4, 0.5))
+      .toDF("id", "lon", "lat")
+    assert(Tiling.extendMaxZoom(pts, "lon", "lat", 5, 12, budget = 1) == 10)
+    // generous budget: no extension needed, base wins
+    assert(Tiling.extendMaxZoom(pts, "lon", "lat", 5, 12, budget = 10) == 5)
+    // impossible budget: clamped at the hard cap
+    val dup = pts.union(pts)
+    assert(Tiling.extendMaxZoom(dup, "lon", "lat", 5, 7, budget = 1) == 7)
+  }
+
   test("clipRing: square clipped to overlapping rect keeps the intersection") {
     val sq = Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0))
     val out = Geometry.clipRing(sq, 5.0, 5.0, 20.0, 20.0)
