@@ -175,7 +175,8 @@ object Pipeline {
             "minzoom" -> math.min(bz.minZoom, zoom.minZoom).toString,
             "maxzoom" -> math.max(bubbleMaxZ.getOrElse(bz.maxZoom),
               zoom.maxZoom).toString,
-            "layers" -> s"$region-$decade-bubble,$region-$decade-choropleth"))
+            "layers" -> (s"$region-$decade-bubble" +
+              (if (hasPolys) s",$region-$decade-choropleth" else ""))))
       }
       polyFeats.foreach(_.unpersist())
     }
