@@ -151,6 +151,20 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(!p.contains("Join"), s"no join belongs in the tile build:\n$p")
   }
 
+  test("q49: shared borders = segment Generate + aggregation, no join") {
+    val p = plan("q49_shared_borders")
+    assert(p.contains("Generate explode"),
+      "segments must fan out via Generate")
+    assert(!p.contains("Join"),
+      s"shared-border detection needs no join, only the segment groupBy:\n$p")
+  }
+
+  test("q50: connected components — equi-joins only, label is the payload") {
+    val p = plan("q50_neardup_components")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"CC rounds must stay equi-joins:\n$p")
+  }
+
   test("q43: range join stays an equi-join — never BroadcastNestedLoop") {
     val p = plan("q43_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
