@@ -48,6 +48,30 @@ object TilingProperties extends Properties("tiling") {
         Tiling.signedDist(-1.0, -1.0, sq) < 0
     }
 
+  property("clipRing output stays inside the clip rect") =
+    forAll(ringGen, Gen.choose(-500.0, 0.0), Gen.choose(-500.0, 0.0),
+      Gen.choose(1.0, 800.0), Gen.choose(1.0, 800.0)) { (ring, x0, y0, w, h) =>
+      val out = graft.operators.Geometry.clipRing(ring, x0, y0, x0 + w, y0 + h)
+      out.forall { case (x, y) =>
+        x >= x0 - 1e-9 && x <= x0 + w + 1e-9 &&
+          y >= y0 - 1e-9 && y <= y0 + h + 1e-9
+      }
+    }
+
+  property("clipRing is identity (minus closing dup) for contained rings") =
+    forAll(ringGen) { ring =>
+      val closed = ring :+ ring.head
+      val out = graft.operators.Geometry.clipRing(closed,
+        -1001.0, -1001.0, 1001.0, 1001.0)
+      out == ring
+    }
+
+  property("quantizeRing coords land on the [0, extent] grid") =
+    forAll(ringGen) { ring =>
+      graft.operators.Geometry.quantizeRing(ring, -500.0, -500.0, 4096)
+        .forall { case (x, y) => x >= 0 && x <= 4096 && y >= 0 && y <= 4096 }
+    }
+
   property("MVT point geometry roundtrips through zigzag deltas") =
     forAll(Gen.listOfN(5, Gen.zip(Gen.choose(0, 4095), Gen.choose(0, 4095)))) {
       pts =>
