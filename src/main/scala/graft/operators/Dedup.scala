@@ -159,8 +159,14 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           rounds: Int = 3): DataFrame = {
+    // cache barrier: the final lineage references the edge list once per
+    // round (plus the node seed) — without it, an expensive upstream
+    // (LSH candidate generation) re-executes ~2×rounds times. The edge
+    // list itself is tiny (two longs per pair). Same documented pattern
+    // as the q23 shingle cache; callers clear cache between queries.
     val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .cache()
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
     for (_ <- 1 to rounds) {
