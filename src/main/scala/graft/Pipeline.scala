@@ -105,7 +105,8 @@ object Pipeline {
       val knobs = EtlConfig.choroplethBuild(region)
       TileBuild.buildPolygonTiles(joined, "fid", "polys", attrs, name,
         zoom.minZoom, maxZ,
-        simplifyPx = knobs.simplifyPx, coalesce = knobs.coalesce)
+        simplifyPx = knobs.simplifyPx, coalesce = knobs.coalesce,
+        sharedBorders = knobs.sharedBorders)
     }
   }
 
@@ -133,7 +134,8 @@ object Pipeline {
       val polyFeats = if (hasPolys) Some(
         TileBuild.polygonTileFeatures(
           f.withColumn("fid", col("GEOID").cast("long")), "fid", "polys",
-          zoom.minZoom, zoom.maxZoom, simplifyPx = knobs.simplifyPx)
+          zoom.minZoom, zoom.maxZoom, simplifyPx = knobs.simplifyPx,
+          sharedBorders = knobs.sharedBorders)
           .persist())
       else None
       // `--extend-zooms-if-still-dropping`: decided ONCE per region from

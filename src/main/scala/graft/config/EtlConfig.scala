@@ -139,14 +139,15 @@ object EtlConfig {
     * (`--coalesce-smallest-as-needed` for the dense polygon regions vs
     * `--drop-densest-as-needed` for cities; states set no strategy).
     */
-  final case class ChoroplethBuild(simplifyPx: Double, coalesce: Boolean)
+  final case class ChoroplethBuild(simplifyPx: Double, coalesce: Boolean,
+                                   sharedBorders: Boolean)
 
   val choroplethBuild: Map[String, ChoroplethBuild] = Map(
-    "states" -> ChoroplethBuild(10.0, coalesce = false),
-    "counties" -> ChoroplethBuild(10.0, coalesce = true),
-    "cities" -> ChoroplethBuild(10.0, coalesce = false),
-    "tracts" -> ChoroplethBuild(25.0, coalesce = true),
-    "block-groups" -> ChoroplethBuild(25.0, coalesce = true),
+    "states" -> ChoroplethBuild(10.0, coalesce = false, sharedBorders = true),
+    "counties" -> ChoroplethBuild(10.0, coalesce = true, sharedBorders = true),
+    "cities" -> ChoroplethBuild(10.0, coalesce = false, sharedBorders = false),
+    "tracts" -> ChoroplethBuild(25.0, coalesce = true, sharedBorders = true),
+    "block-groups" -> ChoroplethBuild(25.0, coalesce = true, sharedBorders = true),
   )
 
   /** The five region granularities (`build.sh:28`). */

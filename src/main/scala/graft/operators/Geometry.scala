@@ -305,4 +305,97 @@ object Geometry {
       .groupBy("seg")
       .agg(count_distinct(col(idCol)).as("n_owners"))
       .filter(col("n_owners") >= 2)
+
+  /** Per-feature shared-segment lists: each feature row gains a
+    * `shared_segs` array of its OWN segments that some other feature
+    * also owns (empty when none). One segment fan-out + the
+    * [[sharedBorders]] aggregate + one equi-join back — geometry blobs
+    * never shuffle, only (segment, id) pairs.
+    */
+  def withSharedSegments(df: DataFrame, idCol: String, polygonsCol: String)
+      : DataFrame = {
+    val segs = df.select(col(idCol),
+      explode(ringSegments(col(polygonsCol))).as("seg"))
+    val shared = segs.groupBy("seg")
+      .agg(count_distinct(col(idCol)).as("n_owners"))
+      .filter(col("n_owners") >= 2)
+      .select("seg")
+    val perFeature = segs.join(shared, Seq("seg"), "left_semi")
+      .groupBy(idCol)
+      .agg(collect_set(array(col("seg.a"), col("seg.b"))).as("shared_segs"))
+    df.join(perFeature, Seq(idCol), "left")
+      .withColumn("shared_segs",
+        coalesce(col("shared_segs"),
+          lit(Array.empty[Array[Array[Double]]])))
+  }
+
+  // ------------------------------------------------------------------
+  // T3 consume half — topology-aware simplification (the semantics of
+  // tippecanoe `--detect-shared-borders`): a ring is split into runs of
+  // shared vs private edges at junction vertices; each run simplifies
+  // INDEPENDENTLY (junctions always survive), and shared runs simplify
+  // in a canonical direction — so the two owners of a border compute the
+  // IDENTICAL simplified polyline and simplification opens no gaps.
+
+  private type P = (Double, Double)
+
+  /** Split an OPEN ring (no duplicate closing vertex) into maximal runs
+    * of edges with equal shared-flag. Each run is (flag, vertices); a
+    * run's last vertex is the next run's first. A ring whose edges all
+    * carry one flag yields a single cyclic run rotated to its
+    * lexicographically-smallest vertex (both owners rotate identically —
+    * determinism for fully-shared rings).
+    */
+  private[operators] def splitRuns(ring: IndexedSeq[P],
+                                   flags: IndexedSeq[Boolean])
+      : Seq[(Boolean, IndexedSeq[P])] = {
+    val n = ring.length
+    val boundary = (0 until n).find(i => flags((i + n - 1) % n) != flags(i))
+    boundary match {
+      case None =>
+        val start = ring.indices.minBy(ring)
+        val rotated = (ring.drop(start) ++ ring.take(start)) :+ ring(start)
+        Seq((flags(0), rotated))
+      case Some(s) =>
+        val runs = scala.collection.mutable.ArrayBuffer
+          .empty[(Boolean, IndexedSeq[P])]
+        var runStart = 0
+        val idx = (0 until n).map(i => (s + i) % n)
+        val rotFlags = (0 until n).map(i => flags(idx(i)))
+        val rotRing = (0 until n).map(i => ring(idx(i)))
+        for (i <- 1 until n)
+          if (rotFlags(i) != rotFlags(i - 1)) {
+            runs += ((rotFlags(runStart),
+              (runStart to i).map(rotRing) ))
+            runStart = i
+          }
+        runs += ((rotFlags(runStart),
+          (runStart until n).map(rotRing) :+ rotRing(0)))
+        runs.toSeq
+    }
+  }
+
+  /** Simplify one run: shared runs run Douglas-Peucker in canonical
+    * (endpoint-ordered) direction so both owners agree vertex-for-vertex
+    * even where DP tie-breaking is direction-dependent.
+    */
+  private def simplifyRun(flag: Boolean, vs: IndexedSeq[P],
+                          tolerance: Double): Seq[P] =
+    if (!flag) Tiling.simplify(vs, tolerance)
+    else if (Ordering[P].lteq(vs.head, vs.last)) Tiling.simplify(vs, tolerance)
+    else Tiling.simplify(vs.reverse, tolerance).reverse
+
+  /** Shared-border-aware ring simplification: `flags(i)` marks edge
+    * (ring(i), ring(i+1 mod n)) as shared. Returns the OPEN simplified
+    * ring; junction vertices (flag changes) always survive.
+    */
+  def simplifySharedAware(ring: IndexedSeq[P], flags: IndexedSeq[Boolean],
+                          tolerance: Double): Seq[P] = {
+    if (ring.length < 3) return ring
+    val runs = splitRuns(ring, flags)
+    val out = runs.flatMap { case (flag, vs) =>
+      simplifyRun(flag, vs, tolerance).dropRight(1)
+    }
+    out
+  }
 }

@@ -130,30 +130,38 @@ object TileBuild {
                         budget: Int = 10000,
                         byteBudget: Int = 500 * 1024,
                         simplifyPx: Double = 1.0,
-                        coalesce: Boolean = false): DataFrame = {
-    // fused single-pass plan (attrs ride the fan-out rows — NO join):
+                        coalesce: Boolean = false,
+                        sharedBorders: Boolean = false): DataFrame = {
+    // fused single-pass plan (attrs ride the fan-out rows — NO join
+    // unless sharedBorders adds the per-feature shared-segment join):
     // the split polygonTileFeatures/encodePolygonTiles pair exists for
     // the per-decade reuse path where the geometry stage is persisted
     val spark = polys.sparkSession
     import spark.implicits._
+    val withShared =
+      if (sharedBorders) Geometry.withSharedSegments(polys, idCol, polygonsCol)
+      else polys.withColumn("shared_segs",
+        typedLit(Seq.empty[Seq[Seq[Double]]]))
     val withBbox = Geometry.bboxColumns(col(polygonsCol))
-      .foldLeft(polys) { case (df, (n, c)) => df.withColumn(n, c) }
+      .foldLeft(withShared) { case (df, (n, c)) => df.withColumn(n, c) }
     val covered = Geometry.coverTiles(withBbox, minZoom, maxZoom)
     val budgeted = Tiling.dropDensest(covered,
       col(importanceCol.getOrElse(idCol)), col(idCol), budget)
     val attrPairs = attrCols.flatMap(c => Seq(lit(c), col(c).cast("string")))
     val rows = budgeted.select(col("z").cast("int"), col("x"), col("y"),
       col("density_rank"), col(idCol).cast("long").as("fid"),
-      col(polygonsCol).as("polys"), map(attrPairs: _*).as("attrs"))
+      col(polygonsCol).as("polys"), map(attrPairs: _*).as("attrs"),
+      col("shared_segs"))
 
-    rows.as[(Int, Long, Long, Int, Long, Seq[Seq[Seq[Seq[Double]]]], Map[String, String])]
-      .groupByKey { case (z, x, y, _, _, _, _) => (z, x, y) }
+    rows.as[(Int, Long, Long, Int, Long, Seq[Seq[Seq[Seq[Double]]]], Map[String, String], Seq[Seq[Seq[Double]]])]
+      .groupByKey { case (z, x, y, _, _, _, _, _) => (z, x, y) }
       .mapGroups { (key: (Int, Long, Long),
-                    it: Iterator[(Int, Long, Long, Int, Long, Seq[Seq[Seq[Seq[Double]]]], Map[String, String])]) =>
+                    it: Iterator[(Int, Long, Long, Int, Long, Seq[Seq[Seq[Seq[Double]]]], Map[String, String], Seq[Seq[Seq[Double]]])]) =>
         val (z, x, y) = key
         val feats = it.toSeq.sortBy(t => (t._4, t._5)).flatMap {
-          case (_, _, _, _, fid, polygons, attrs) =>
-            val rings = tileRings(z, x, y, polygons, simplifyPx)
+          case (_, _, _, _, fid, polygons, attrs, sharedSegs) =>
+            val rings = tileRings(z, x, y, polygons, simplifyPx,
+              if (sharedBorders) Some(toSegSet(sharedSegs)) else None)
             if (rings.isEmpty) None
             else Some(Mvt.Feature(fid, Mvt.PolygonGeom, rings,
               attrs.toSeq.filter(_._2 != null).sortBy(_._1)))
@@ -167,19 +175,50 @@ object TileBuild {
       .filter(col("n_features") > 0)
   }
 
+  private def toSegSet(segs: Seq[Seq[Seq[Double]]])
+      : Set[((Double, Double), (Double, Double))] =
+    segs.map { s =>
+      ((s(0)(0), s(0)(1)), (s(1)(0), s(1)(1)))
+    }.toSet
+
   /** The per-(tile, feature) geometry kernel shared by the fused and
     * split builds: project → simplify → clip → quantize → MVT winding.
     * Empty result ⇒ the feature misses this tile.
+    *
+    * With `sharedSegs` (T3 `--detect-shared-borders` consume half), the
+    * ring is split at junction vertices into shared/private runs and
+    * each run simplifies independently — shared runs in canonical
+    * direction, so the border's two owners emit identical simplified
+    * polylines (gap-free across features, per zoom).
     */
   private def tileRings(z: Int, x: Long, y: Long,
                         polygons: Seq[Seq[Seq[Seq[Double]]]],
-                        simplifyPx: Double): Seq[Seq[(Int, Int)]] = {
+                        simplifyPx: Double,
+                        sharedSegs: Option[Set[((Double, Double), (Double, Double))]] = None)
+      : Seq[Seq[(Int, Int)]] = {
     val ox = x * 4096.0; val oy = y * 4096.0
     polygons.flatMap { poly =>
       val quantized = poly.map { ring =>
-        val proj = ring.map(p => Geometry.worldPx(p(0), p(1), z))
-        val simp = if (simplifyPx > 0) Tiling.simplify(proj, simplifyPx)
-                   else proj
+        val simp = sharedSegs match {
+          case Some(set) if simplifyPx > 0 =>
+            // open the ring; flags from LONLAT canonical pairs, geometry
+            // simplified in projected world-px (same tolerance space as
+            // the plain path)
+            val open = if (ring.length > 1 && ring.head == ring.last)
+              ring.dropRight(1) else ring
+            val pts = open.map(p => (p(0), p(1))).toIndexedSeq
+            val flags = pts.indices.map { i =>
+              val a = pts(i); val b = pts((i + 1) % pts.length)
+              val canon = if (Ordering[(Double, Double)].lteq(a, b)) (a, b)
+                          else (b, a)
+              set.contains(canon)
+            }
+            val proj = pts.map { case (lo, la) => Geometry.worldPx(lo, la, z) }
+            Geometry.simplifySharedAware(proj, flags, simplifyPx)
+          case _ =>
+            val proj = ring.map(p => Geometry.worldPx(p(0), p(1), z))
+            if (simplifyPx > 0) Tiling.simplify(proj, simplifyPx) else proj
+        }
         Geometry.quantizeRing(
           Geometry.clipRing(simp, ox, oy, ox + 4096, oy + 4096), ox, oy)
       }
@@ -206,23 +245,29 @@ object TileBuild {
                           polygonsCol: String, minZoom: Int, maxZoom: Int,
                           importanceCol: Option[String] = None,
                           budget: Int = 10000,
-                          simplifyPx: Double = 1.0): DataFrame = {
+                          simplifyPx: Double = 1.0,
+                          sharedBorders: Boolean = false): DataFrame = {
     val spark = polys.sparkSession
     import spark.implicits._
 
+    val withShared =
+      if (sharedBorders) Geometry.withSharedSegments(polys, idCol, polygonsCol)
+      else polys.withColumn("shared_segs",
+        typedLit(Seq.empty[Seq[Seq[Double]]]))
     val withBbox = Geometry.bboxColumns(col(polygonsCol))
-      .foldLeft(polys) { case (df, (n, c)) => df.withColumn(n, c) }
+      .foldLeft(withShared) { case (df, (n, c)) => df.withColumn(n, c) }
     val covered = Geometry.coverTiles(withBbox, minZoom, maxZoom)
     // map-side candidate cap BEFORE the tile shuffle, like the point path
     val budgeted = Tiling.dropDensest(covered,
       col(importanceCol.getOrElse(idCol)), col(idCol), budget)
     val rows = budgeted.select(col("z").cast("int"), col("x"), col("y"),
       col("density_rank"), col(idCol).cast("long").as("fid"),
-      col(polygonsCol).as("polys"))
+      col(polygonsCol).as("polys"), col("shared_segs"))
 
-    rows.as[(Int, Long, Long, Int, Long, Seq[Seq[Seq[Seq[Double]]]])]
-      .map { case (z, x, y, rank, fid, polygons) =>
-        val rings = tileRings(z, x, y, polygons, simplifyPx)
+    rows.as[(Int, Long, Long, Int, Long, Seq[Seq[Seq[Seq[Double]]]], Seq[Seq[Seq[Double]]])]
+      .map { case (z, x, y, rank, fid, polygons, sharedSegs) =>
+        val rings = tileRings(z, x, y, polygons, simplifyPx,
+          if (sharedBorders) Some(toSegSet(sharedSegs)) else None)
         (z, x, y, rank, fid, rings.map(_.map(p => Seq(p._1, p._2))))
       }
       .toDF("z", "x", "y", "density_rank", "fid", "rings")

@@ -341,6 +341,43 @@ class TilingSpec extends AnyFunSuite with SharedSpark {
     assert(lon > 0 && lon < 4 && lat > 0 && lat < 4)
   }
 
+  test("simplifySharedAware: both owners reduce the shared border identically") {
+    // squares A (left) and B (right) share a wiggly vertical border
+    // x≈10 from (10,0) to (10,8); wiggle amplitude 0.2 < tolerance 1.0
+    val border = Seq((10.0, 0.0), (10.2, 2.0), (9.8, 4.0), (10.1, 6.0), (10.0, 8.0))
+    val ringA = (Seq((0.0, 0.0)) ++ border ++ Seq((0.0, 8.0))).toIndexedSeq
+    val ringB = (Seq((10.0, 0.0), (20.0, 0.0), (20.0, 8.0)) ++
+      border.reverse.dropRight(1)).toIndexedSeq
+    val sharedSet = border.sliding(2).map { case Seq(a, b) =>
+      if (Ordering[(Double, Double)].lteq(a, b)) (a, b) else (b, a)
+    }.toSet
+    def flags(ring: IndexedSeq[(Double, Double)]) = ring.indices.map { i =>
+      val a = ring(i); val b = ring((i + 1) % ring.length)
+      sharedSet.contains(
+        if (Ordering[(Double, Double)].lteq(a, b)) (a, b) else (b, a))
+    }
+    val outA = Geometry.simplifySharedAware(ringA, flags(ringA), 1.0)
+    val outB = Geometry.simplifySharedAware(ringB, flags(ringB), 1.0)
+    // wiggle gone, junctions survive, private corners survive
+    assert(outA.toSet == Set((0.0, 0.0), (10.0, 0.0), (10.0, 8.0), (0.0, 8.0)),
+      s"A got $outA")
+    assert(outB.toSet == Set((10.0, 0.0), (20.0, 0.0), (20.0, 8.0), (10.0, 8.0)),
+      s"B got $outB")
+    // the shared border collapsed to the same straight segment in both
+    // owners -> no gap, no overlap
+  }
+
+  test("buildPolygonTiles sharedBorders mode keeps both owners' features") {
+    val a = """{"type":"Polygon","coordinates":[[[-40,-30],[0,-30],[0.4,0],[-0.4,15],[0,30],[-40,30],[-40,-30]]]}"""
+    val b = """{"type":"Polygon","coordinates":[[[0,-30],[40,-30],[40,30],[0,30],[-0.4,15],[0.4,0],[0,-30]]]}"""
+    val df = Seq((1L, a), (2L, b)).toDF("id", "gj")
+      .select($"id", Geometry.parsePolygons($"gj").as("polys"))
+    val tiles = TileBuild.buildPolygonTiles(df, "id", "polys", Nil, "t", 0, 1,
+      simplifyPx = 50.0, sharedBorders = true)
+    val z0 = tiles.filter($"z" === 0).collect()
+    assert(z0.length == 1 && z0(0).getAs[Int]("n_features") == 2)
+  }
+
   test("sharedBorders finds the one edge two adjacent squares share") {
     val a = """{"type":"Polygon","coordinates":[[[0,0],[1,0],[1,1],[0,1],[0,0]]]}"""
     val b = """{"type":"Polygon","coordinates":[[[1,0],[2,0],[2,1],[1,1],[1,0]]]}"""
