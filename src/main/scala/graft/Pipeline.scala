@@ -94,8 +94,11 @@ object Pipeline {
     val attrs = fields.filterNot(_ == "GEOID")
     val name = s"$region-$decade-$layer"
     if (layer == "bubble")
+      // `--base-zoom` (`build.sh:121-126`): zooms below the region's base
+      // thin at ~2.5×/level — how 217k block-group dots stay readable at
+      // z4; the flat density budget only caps the residue
       TileBuild.buildPointTiles(joined, "fid", "lon", "lat", attrs, name,
-        zoom.minZoom, maxZ)
+        zoom.minZoom, maxZ, baseZoom = Some(zoom.baseZoom))
     else {
       require(features.columns.contains("polys"),
         "choropleth layer needs polygon geometry: supply GeoJSON-derived " +
@@ -115,10 +118,17 @@ object Pipeline {
     * With GeoJSON-derived features ([[geometryFeatures]]) both layers
     * build; with bare lon/lat points only the bubble layer can.
     */
+  /** @param extendBudget densest-tile feature budget driving the
+    *                     `--extend-zooms-if-still-dropping` decision for
+    *                     both layers (tippecanoe's default tile budget;
+    *                     a test seam for forcing extension on small
+    *                     fixtures)
+    */
   def runRegion(spark: SparkSession, longCsvPath: String, inputType: String,
                 metricLongNames: Seq[String], region: String,
                 features: Option[DataFrame] = None,
-                outDir: Option[String] = None): (DataFrame, DataFrame) = {
+                outDir: Option[String] = None,
+                extendBudget: Int = 10000): (DataFrame, DataFrame) = {
     val long = Sources.readCsv(spark, longCsvPath,
       Sources.longSchema(metricLongNames))
     val wide = shape(long, inputType)
@@ -131,10 +141,20 @@ object Pipeline {
       // decade); only the attribute join + encode re-run per decade
       val zoom = EtlConfig.choroplethZoom(region)
       val knobs = EtlConfig.choroplethBuild(region)
+      // `--extend-zooms-if-still-dropping` applies to the CHOROPLETH too
+      // (`build.sh:148-152`) — but only the drop-densest strategy ever
+      // drops (cities); coalesce regions merge instead of dropping, so
+      // extension is a no-op there and is skipped. Density is measured
+      // on the decade-independent interior points (one per polygon —
+      // the same features that overflow a tile's feature budget).
+      val choroMaxZ = if (zoom.extend && !knobs.coalesce)
+        Tiling.extendMaxZoom(f, "lon", "lat",
+          zoom.maxZoom, zoom.maxZoom + 2, budget = extendBudget)
+      else zoom.maxZoom
       val polyFeats = if (hasPolys) Some(
         TileBuild.polygonTileFeatures(
           f.withColumn("fid", col("GEOID").cast("long")), "fid", "polys",
-          zoom.minZoom, zoom.maxZoom, simplifyPx = knobs.simplifyPx,
+          zoom.minZoom, choroMaxZ, simplifyPx = knobs.simplifyPx,
           sharedBorders = knobs.sharedBorders)
           .persist())
       else None
@@ -143,7 +163,7 @@ object Pipeline {
       val bz = EtlConfig.bubbleZoom(region)
       val bubbleMaxZ = if (bz.extend)
         Some(Tiling.extendMaxZoom(f, "lon", "lat",
-          bz.maxZoom, bz.maxZoom + 2, budget = 10000))
+          bz.maxZoom, bz.maxZoom + 2, budget = extendBudget))
       else None
       for (decade <- EtlConfig.decades.keys.toSeq.sorted) {
         val bubble = decadeTiles(wide, f, inputType, decade, "bubble", region,
@@ -176,7 +196,7 @@ object Pipeline {
           Map("name" -> s"$region-$decade",
             "minzoom" -> math.min(bz.minZoom, zoom.minZoom).toString,
             "maxzoom" -> math.max(bubbleMaxZ.getOrElse(bz.maxZoom),
-              zoom.maxZoom).toString,
+              choroMaxZ).toString,
             "layers" -> (s"$region-$decade-bubble" +
               (if (hasPolys) s",$region-$decade-choropleth" else ""))))
       }

@@ -60,14 +60,21 @@ object QueriesStream {
   // JSON property extraction (`events.props` is a JSON string): typed
   // get_json_object + per-key rollup — the JSON-function surface of the
   // extension tier (SURVEY.md §2.2 notes).
+  // The null-k filter is folded INTO the aggregate: count(k) counts only
+  // non-null rows and sum/min/max already ignore nulls, so a pre-agg
+  // `filter(k.isNotNull)` would only exclude all-null groups — which the
+  // post-agg `n > 0` does identically. This matters for the plan: the
+  // pushed-down predicate re-evaluated `get_json_object` beneath the
+  // aggregation (parse once for the filter, again for the agg input);
+  // with no row filter the JSON parse runs exactly once per row.
   def q45JsonExtract(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .select(col("event_type"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
-      .filter(col("k").isNotNull)
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum("k").as("k_sum"),
+      .agg(count(col("k")).as("n"), sum("k").as("k_sum"),
         min("k").as("k_min"), max("k").as("k_max"))
+      .filter(col("n") > 0)
       .orderBy("event_type")
 
   val q45Sql: String =

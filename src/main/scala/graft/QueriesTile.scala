@@ -215,12 +215,45 @@ object QueriesTile {
        |ORDER BY ax, ay, bx, by""".stripMargin
 
   // ---------------------------------------------------------------------
+  // tippecanoe `--base-zoom` thinning (build.sh:121-126): z 0..7 fan-out
+  // with base zoom 5 — zooms below base keep a deterministic hash-ordered
+  // ~1/2.5^(5-z) of the points (Tiling.baseZoomKeep). Keep thresholds are
+  // driver-computed integer literals shared with the oracle, so no
+  // runtime pow() can diverge between engines.
+  private val Q51Base = 5
+
+  def q51BaseZoomThin(s: SparkSession, d: String): DataFrame =
+    Tiling.assignTiles(points(s, d), "lon", "lat", minZoom = 0, maxZoom = 7)
+      .filter(Tiling.baseZoomKeep(
+        graft.operators.TextStats.hash60(col("geoid")), col("z"),
+        minZoom = 0, baseZoom = Q51Base))
+      .groupBy("z")
+      .agg(count(lit(1)).as("n_points"),
+        countDistinct(col("x") * 100000 + col("y")).as("n_tiles"))
+      .orderBy("z")
+
+  val q51Sql: String = {
+    val hashSql = "(CAST(('0x' || substr(md5(geoid), 1, 15)) AS BIGINT) % 1000000)"
+    val branches = (0 to 7).map { z =>
+      val keep = if (z >= Q51Base) "TRUE"
+        else s"$hashSql < ${Tiling.baseZoomThreshold(Q51Base - z)}"
+      s"SELECT $z AS z, ${tileXSql(z)} AS x, ${tileYSql(z)} AS y FROM pts WHERE $keep"
+    }.mkString("\nUNION ALL ")
+    s"""WITH pts AS ($pointsSql),
+       |assigned AS ($branches)
+       |SELECT z, count(*) AS n_points,
+       | count(DISTINCT x * 100000 + y) AS n_tiles
+       |FROM assigned GROUP BY z ORDER BY z""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_tile_assign" -> (q31TileAssign _),
     "q32_tile_density_drop" -> (q32TileDensityDrop _),
     "q33_bubble_centers" -> (q33BubbleCenters _),
     "q48_polygon_cover" -> (q48PolygonCover _),
     "q49_shared_borders" -> (q49SharedBorders _),
+    "q51_base_zoom_thin" -> (q51BaseZoomThin _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -229,5 +262,6 @@ object QueriesTile {
     "q33_bubble_centers" -> q33Sql,
     "q48_polygon_cover" -> q48Sql,
     "q49_shared_borders" -> q49Sql,
+    "q51_base_zoom_thin" -> q51Sql,
   )
 }

@@ -126,10 +126,10 @@ object EtlConfig {
 
   val choroplethZoom: Map[String, ZoomSpec] = Map(
     "states" -> ZoomSpec(0, 6, 6),
-    "counties" -> ZoomSpec(1, 7, 7),
-    "cities" -> ZoomSpec(2, 9, 9),
-    "tracts" -> ZoomSpec(7, 10, 10),
-    "block-groups" -> ZoomSpec(8, 10, 10),
+    "counties" -> ZoomSpec(1, 7, 7, extend = true),
+    "cities" -> ZoomSpec(2, 9, 9, extend = true),
+    "tracts" -> ZoomSpec(7, 10, 10, extend = true),
+    "block-groups" -> ZoomSpec(8, 10, 10, extend = true),
   )
 
   /** Per-region choropleth build knobs (`build.sh:148-152`): tippecanoe

@@ -167,14 +167,30 @@ object Dedup {
     val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .cache()
+    // Every round references the previous labels TWICE (the keep-own-label
+    // side of the union and the neighbor join), so an unpersisted chain
+    // embeds two copies of round r-1's subtree in round r's plan — the
+    // seed distinct and each intermediate join/agg re-execute up to 2^R
+    // times, and even a persist() leaves a plan TREE that doubles per
+    // round (the analyzer and the plan string walk both references).
+    // localCheckpoint (eager) cuts the lineage to a flat scan of the
+    // materialized round, so both execution cost and plan size are
+    // linear in `rounds`. The label payload is two longs per node, so a
+    // round's footprint is tiny at any scale.
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
+      .localCheckpoint()
     for (_ <- 1 to rounds) {
       val fromNbr = und.join(labels, und("dst") === labels("id"))
         .select(und("src").as("id"), col("cluster"))
       labels = labels.unionByName(fromNbr)
         .groupBy("id").agg(min("cluster").as("cluster"))
+        .localCheckpoint()
     }
+    // the final round is resident, so the expensive edge upstream is no
+    // longer reachable from the returned plan — release it now rather
+    // than waiting for the caller's cache clear
+    und.unpersist()
     labels.withColumn("keep", col("id") === col("cluster"))
   }
 }

@@ -70,6 +70,35 @@ object Tiling {
       .drop("tile")
   }
 
+  /** tippecanoe `--base-zoom` per-million keep threshold `zoomsBelow`
+    * levels under the base zoom: points thin at `gamma`× per level (2.5
+    * is tippecanoe's default drop rate). Computed driver-side so both
+    * engines compare against identical integer literals — no runtime
+    * pow() that could diverge between libm implementations.
+    */
+  def baseZoomThreshold(zoomsBelow: Int, gamma: Double = 2.5): Long =
+    math.floor(1000000.0 / math.pow(gamma, zoomsBelow)).toLong
+
+  /** tippecanoe `--base-zoom` point thinning
+    * (`/root/reference/build.sh:121-126`): below the base zoom a point
+    * survives iff its per-million id-hash draw falls under the zoom's
+    * keep threshold. Hash-ordered, so the kept sets NEST across zooms
+    * (a point visible at z stays visible at every deeper zoom — the
+    * tippecanoe discipline) and the choice is deterministic across
+    * engines, runs, and re-shards. Pure per-row predicate: thinning
+    * happens BEFORE the tile shuffle, so low-zoom shuffle volume drops
+    * by gamma^(base-z) at scale.
+    *
+    * @param idHash non-negative 60-bit feature hash
+    *               ([[TextStats.hash60]] of the feature id)
+    */
+  def baseZoomKeep(idHash: Column, z: Column, minZoom: Int, baseZoom: Int,
+                   gamma: Double = 2.5): Column =
+    (minZoom until baseZoom).foldLeft(z >= baseZoom: Column) { (acc, zz) =>
+      acc || (z === zz &&
+        idHash % 1000000L < baseZoomThreshold(baseZoom - zz, gamma))
+    }
+
   /** MVT pixel coordinates of a point within its tile (extent 4096):
     * the quantization step of tile encoding.
     */

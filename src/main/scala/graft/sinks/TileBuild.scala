@@ -43,6 +43,11 @@ object TileBuild {
     *                   tippecanoe's actual `--drop-densest-as-needed`
     *                   semantics are a tile size budget
     *                   (`build.sh:124-126`; tippecanoe default 500K)
+    * @param baseZoom   tippecanoe `--base-zoom` (`build.sh:121-126`):
+    *                   zooms below it thin points at ~2.5×/level
+    *                   ([[Tiling.baseZoomKeep]] — deterministic
+    *                   hash-ordered drop, applied per-row BEFORE the
+    *                   tile shuffle)
     * @return DataFrame (z, x, y, n_features, tile_bytes)
     */
   def buildPointTiles(points: DataFrame, idCol: String, lonCol: String,
@@ -50,11 +55,18 @@ object TileBuild {
                       minZoom: Int, maxZoom: Int,
                       importanceCol: Option[String] = None,
                       budget: Int = 10000,
-                      byteBudget: Int = 500 * 1024): DataFrame = {
+                      byteBudget: Int = 500 * 1024,
+                      baseZoom: Option[Int] = None): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
 
-    val assigned = Tiling.assignTiles(points, lonCol, latCol, minZoom, maxZoom)
+    val fanned = Tiling.assignTiles(points, lonCol, latCol, minZoom, maxZoom)
+    val assigned = baseZoom match {
+      case Some(bz) if bz > minZoom => fanned.filter(Tiling.baseZoomKeep(
+        graft.operators.TextStats.hash60(col(idCol).cast("string")),
+        col("z"), minZoom, bz))
+      case _ => fanned
+    }
     // pixel coords per zoom: computed per-row from the already-assigned z
     val withPx = assigned.withColumn("fx",
         round((col(lonCol) + 180.0) / 360.0 * pow(lit(2.0), col("z")), 6))

@@ -134,6 +134,37 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     assert(s0.contains("counties-00-bubble") && s0.contains("counties-00-choropleth"))
   }
 
+  test("extend-zooms: drop-strategy choropleth deepens; coalesce regions don't") {
+    val features = Pipeline.geometryFeatures(
+      graft.sources.Sources.readGeoJson(spark, fixtureGeoJson))
+    // extendBudget 0: no tile can satisfy the budget, so every layer
+    // entitled to extend runs to its hard cap — the wiring seam
+    def run(region: String): (String, java.io.File) = {
+      val out = Files.createTempDirectory("xt").toString
+      Pipeline.runRegion(spark, fixtureCsv, "raw", metricLongNames, region,
+        features = Some(features), outDir = Some(out), extendBudget = 0)
+      val meta = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$out/$region/00/metadata.json")), "UTF-8")
+      val mz = "\"maxzoom\": \"(\\d+)\"".r.findFirstMatchIn(meta).get.group(1)
+      (mz, new java.io.File(s"$out/$region/00"))
+    }
+    // cities choropleth uses drop-densest (`build.sh:150`) -> extends 9->11
+    val (cityMz, cityDir) = run("cities")
+    assert(cityMz == "11", s"cities must extend to 11, got $cityMz")
+    val z11 = new java.io.File(cityDir, "11")
+    assert(z11.exists, "cities choropleth must build z11 tiles")
+    val pbf = java.nio.file.Files.walk(z11.toPath)
+      .filter(_.toString.endsWith(".pbf")).findFirst().get()
+    val bytes = java.nio.file.Files.readAllBytes(pbf)
+    assert(new String(bytes.map(b => (b & 0xff).toChar))
+      .contains("cities-00-choropleth"),
+      "z11 tiles must carry the deepened choropleth layer")
+    // counties choropleth coalesces (never drops -> extension is moot)
+    // and its bubble carries no extend flag: maxzoom stays 7
+    val (countyMz, _) = run("counties")
+    assert(countyMz == "7", s"counties must not extend, got $countyMz")
+  }
+
   test("decade tiles: slice + if-matched join + polygon MVT build end-to-end") {
     val (wide, _) = Pipeline.runRegion(spark, fixtureCsv, "raw",
       metricLongNames, "counties")

@@ -165,6 +165,28 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"CC rounds must stay equi-joins:\n$p")
   }
 
+  test("q50: connected-components lineage is linear in rounds (no 2^R re-execution)") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (6L, 7L), (7L, 8L)).toDF("a", "b")
+    // Each round localCheckpoints, so round r's plan is a flat scan of
+    // round r-1's materialized rows, never two copies of its subtree.
+    // Discriminator: shuffle count in the final plan must grow by a
+    // CONSTANT per extra round — the unpersisted formulation doubled it
+    // (and even persist() left a plan tree doubling per round: both
+    // references to the cached round print/analyze its full child plan).
+    def exchanges(rounds: Int): Int = {
+      val p = graft.operators.Dedup.connectedComponents(edges, "a", "b", rounds)
+        .queryExecution.executedPlan.toString
+      "Exchange".r.findAllIn(p).size
+    }
+    try {
+      val Seq(e2, e4, e6) = Seq(2, 4, 6).map(exchanges)
+      assert(e4 - e2 == e6 - e4,
+        s"per-round shuffle increment must be constant: e2=$e2 e4=$e4 e6=$e6")
+      assert(e6 - e2 <= 16, s"4 extra rounds added ${e6 - e2} exchanges")
+    } finally spark.catalog.clearCache()
+  }
+
   test("q43: range join stays an equi-join — never BroadcastNestedLoop") {
     val p = plan("q43_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

@@ -76,6 +76,49 @@ class TilingSpec extends AnyFunSuite with SharedSpark {
       .getAs[Array[Byte]](0).sameElements(expected))
   }
 
+  test("base-zoom thinning: ~2.5x/zoom below base, nested, base+ untouched") {
+    val pts = (1L to 2000L).map(i =>
+        (i, (i * 7 % 360 - 180 + 0.5).toDouble, (i * 13 % 160 - 80 + 0.5).toDouble))
+      .toDF("id", "lon", "lat")
+    val kept = Tiling.assignTiles(pts, "lon", "lat", 0, 6)
+      .filter(Tiling.baseZoomKeep(
+        graft.operators.TextStats.hash60($"id".cast("string")), $"z",
+        minZoom = 0, baseZoom = 5))
+    val counts = kept.groupBy("z").count()
+      .as[(Int, Long)].collect().toMap
+    assert(counts(5) == 2000 && counts(6) == 2000,
+      "base zoom and deeper must keep every point")
+    for (z <- 0 until 5) {
+      val expected = 2000.0 / math.pow(2.5, 5 - z)
+      assert(math.abs(counts(z) - expected) < 6 * math.sqrt(expected) + 10,
+        s"z=$z kept ${counts(z)}, want ~$expected (2.5x/zoom)")
+    }
+    // tippecanoe discipline: the kept sets nest — a dot visible at z
+    // stays visible at every deeper zoom
+    val byZoom = (0 to 5).map(z =>
+      z -> kept.filter($"z" === z).select("id").as[Long].collect().toSet).toMap
+    for (z <- 0 until 5)
+      assert(byZoom(z).subsetOf(byZoom(z + 1)), s"z=$z not nested in z=${z + 1}")
+  }
+
+  test("buildPointTiles applies --base-zoom before the tile shuffle") {
+    val pts = (1L to 500L).map(i =>
+        (i, (i * 7 % 360 - 180 + 0.5).toDouble, (i * 13 % 160 - 80 + 0.5).toDouble))
+      .toDF("id", "lon", "lat")
+    def perZoom(baseZoom: Option[Int]): Map[Int, Long] =
+      TileBuild.buildPointTiles(pts, "id", "lon", "lat", Nil, "bz",
+          minZoom = 1, maxZoom = 4, baseZoom = baseZoom)
+        .groupBy("z").agg(sum("n_features").as("n"))
+        .as[(Int, Long)].collect().toMap
+    val thinned = perZoom(Some(4)); val flat = perZoom(None)
+    assert(thinned(4) == flat(4), "base zoom keeps the full layer")
+    for (z <- 1 to 3)
+      assert(thinned(z) < thinned(z + 1),
+        s"z=$z must be thinner than z=${z + 1}: $thinned")
+    assert(thinned(1) < flat(1) / 5,
+      s"3 below base must thin >5x: ${thinned(1)} vs ${flat(1)}")
+  }
+
   test("centroid of a square is its center; polylabel agrees for convex") {
     val square = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0))
     val c = Tiling.centroid(square)
