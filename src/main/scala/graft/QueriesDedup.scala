@@ -78,25 +78,31 @@ object QueriesDedup {
   private val Bands = 4
   private val RowsPerBand = 3
 
-  def q23MinhashLsh(s: SparkSession, d: String): DataFrame = {
+  /** The full MinHash→LSH→verify pipeline, hash engine selectable
+    * ([[graft.operators.TextStats.HashMode]]): q23 runs the
+    * oracle-reproducible md5 mode, q52 the xxhash64 deployment mode —
+    * same plan shape, same output structure, different hash cost.
+    */
+  private def minhashLshPipeline(s: SparkSession, d: String,
+      mode: graft.operators.TextStats.HashMode): DataFrame = {
     // cache() the shingle arrays: the LSH self-join and the Jaccard
     // verify both reuse them, and without a materialization barrier
     // Catalyst's CollapseProject would inline the whole
-    // normalize→tokenize→shingle→md5 pipeline into EVERY downstream
+    // normalize→tokenize→shingle→hash pipeline into EVERY downstream
     // expression (observed 10x slowdown at sf0.1). At cluster scale the
     // same barrier is a checkpoint/persisted table.
-    // Shingles are pre-hashed to 60-bit longs (ONE md5 per shingle);
+    // Shingles are pre-hashed to 60-bit longs (ONE digest per shingle);
     // signatures use the affine family over the base hash and the
     // Jaccard verify compares the same hashed sets.
     val base = nearCorpus(s, d)
       .withColumn("sh", transform(Dedup.wordShingles("text", 3),
-        x => graft.operators.TextStats.hash60(x)))
+        x => graft.operators.TextStats.hash60(x, mode)))
       .select(col("doc_id"), col("sh"))
       .cache()
     val withSig = Dedup.minhashSignature(col("sh"), NumHashes)
       .foldLeft(base) { case (df, (n, c)) => df.withColumn(n, c) }
     val withBuckets = withSig
-      .withColumn("buckets", Dedup.lshBuckets(Bands, RowsPerBand))
+      .withColumn("buckets", Dedup.lshBuckets(Bands, RowsPerBand, mode))
       .drop((0 until NumHashes).map(i => s"sig$i"): _*)
       .cache()
     val pairs = Dedup.lshCandidatePairs(withBuckets, "doc_id")
@@ -109,6 +115,18 @@ object QueriesDedup {
       .filter(col("jaccard") >= 0.5)
       .orderBy("a", "b")
   }
+
+  def q23MinhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashLshPipeline(s, d, graft.operators.TextStats.HashMode.OracleMd5)
+
+  /** Deployment-mode twin of q23 (xxhash64 engine hash): NOT
+    * oracle-checkable by design (DuckDB has no xxhash64) — it exists so
+    * the bench reports the tier's true deployment cost next to the
+    * md5 oracle-parity price (q21/q23/q25's md5 inner loops). Structure
+    * parity with q23 is asserted in EngineHashSpec.
+    */
+  def q52DedupXxhash(s: SparkSession, d: String): DataFrame =
+    minhashLshPipeline(s, d, graft.operators.TextStats.HashMode.EngineXx)
 
   val q23Sql: String = {
     val p = Dedup.MinhashP
@@ -234,6 +252,9 @@ object QueriesDedup {
     "q23_minhash_lsh" -> (q23MinhashLsh _),
     "q24_simhash" -> (q24Simhash _),
     "q25_ngram_jaccard" -> (q25NgramJaccard _),
+    // deployment-hash twin of q23 — deliberately absent from `oracle`
+    // (driver records rows-only): DuckDB cannot reproduce xxhash64
+    "q52_dedup_xxhash" -> (q52DedupXxhash _),
   )
 
   val oracle: Map[String, String] = Map(

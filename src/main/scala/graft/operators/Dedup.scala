@@ -19,19 +19,24 @@ import org.apache.spark.sql.functions._
   *  - Jaccard verification joins the (small) candidate-pair set back to
   *    per-doc shingle arrays; at scale the pair set is ≪ corpus so the
   *    shingle side can be semi-join-pruned first.
-  *  - hashes are md5-derived 60-bit longs ([[TextStats.hash60]]) for
-  *    bit-for-bit oracle parity; swap `xxhash64` at true scale (same
-  *    structure, engine-private hash — documented deviation).
+  *  - hashes default to md5-derived 60-bit longs ([[TextStats.hash60]])
+  *    for bit-for-bit oracle parity; [[TextStats.HashMode.EngineXx]] is
+  *    the constructor flag that swaps the whole tier onto xxhash64 at
+  *    deployment (same structure — EngineHashSpec asserts it; cost
+  *    difference benched as q52 vs q23).
   */
 object Dedup {
-  import TextStats.{hash60, normalize, tokens}
+  import TextStats.{hash60, normalize, tokens, HashMode}
 
-  /** Exact dedup: group by md5 of the normalized text; per group emit the
-    * surviving (minimum) id and the duplicate count. One shuffle on the
-    * 16-byte digest.
+  /** Exact dedup: group by the digest of the normalized text; per group
+    * emit the surviving (minimum) id and the duplicate count. One shuffle
+    * on the digest. `mode` picks the digest engine
+    * ([[TextStats.HashMode]]): oracle-reproducible md5 by default,
+    * xxhash64 for deployment — the grouping STRUCTURE is identical.
     */
-  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(md5(normalize(col(textCol)).cast("binary")).as("text_md5"),
+  def exactDedup(df: DataFrame, textCol: String, idCol: String,
+                 mode: HashMode = HashMode.OracleMd5): DataFrame =
+    df.select(TextStats.textDigest(col(textCol), mode).as("text_md5"),
         col(idCol))
       .groupBy("text_md5")
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
@@ -72,13 +77,20 @@ object Dedup {
 
   /** LSH band buckets: signature rows are cut into `bands` bands of
     * `rowsPerBand` values; each band hashes to a bucket id. Returns an
-    * array<struct<band:int,bucket:string>> for exploding.
+    * array<struct<band:int,bucket:string>> for exploding. `mode` picks
+    * the bucket-id hash engine (values differ, banding structure
+    * doesn't).
     */
-  def lshBuckets(bands: Int, rowsPerBand: Int): Column =
+  def lshBuckets(bands: Int, rowsPerBand: Int,
+                 mode: HashMode = HashMode.OracleMd5): Column =
     array((0 until bands).map { b =>
       val sigCols = (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"),
-        md5(concat_ws(",", sigCols: _*).cast("binary")).as("bucket"))
+      val key = concat_ws(",", sigCols: _*)
+      val bucket = mode match {
+        case HashMode.OracleMd5 => md5(key.cast("binary"))
+        case HashMode.EngineXx => lower(hex(xxhash64(key)))
+      }
+      struct(lit(b).as("band"), bucket.as("bucket"))
     }: _*)
 
   /** Candidate pairs from LSH: ids sharing any (band, bucket). The join

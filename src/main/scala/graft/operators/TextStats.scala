@@ -24,6 +24,26 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
+  /** Hash engine for the dedup/fingerprint tier.
+    *
+    *  - [[HashMode.OracleMd5]] — md5-derived, bit-for-bit reproducible in
+    *    any engine with md5 (DuckDB included): the correctness-gate mode,
+    *    and the default so oracle-checked queries stay oracle-checked.
+    *  - [[HashMode.EngineXx]] — xxhash64-derived: engine-private but far
+    *    cheaper (one 64-bit mix vs a full md5 block per value) — the
+    *    deployment mode at true scale.
+    *
+    * Both produce non-negative 60-bit longs, so every downstream stage
+    * (affine MinHash family mod 2^31-1, band buckets, Jaccard over hash
+    * sets, simhash bit votes) is mode-blind: swapping the mode changes
+    * hash VALUES but preserves dedup STRUCTURE (see EngineHashSpec).
+    */
+  sealed trait HashMode
+  object HashMode {
+    case object OracleMd5 extends HashMode
+    case object EngineXx extends HashMode
+  }
+
   /** Whitespace-normalized lowercase form: the canonical text every other
     * operator keys on. trim + lower + collapse runs of whitespace.
     */
@@ -40,20 +60,38 @@ object TextStats {
   def bpeTokenCount(text: Column): Column =
     regexp_count(normalize(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
 
-  /** 60-bit non-negative hash of a string, reproducible in any engine
-    * with md5: first 15 hex nibbles as a base-16 integer.
+  /** 60-bit non-negative hash of a string. Default mode is reproducible
+    * in any engine with md5 (first 15 hex nibbles as a base-16 integer);
+    * [[HashMode.EngineXx]] swaps in xxhash64 (top 60 bits) for the
+    * deployment-scale cost profile.
     */
-  def hash60(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+  def hash60(c: Column, mode: HashMode = HashMode.OracleMd5): Column =
+    mode match {
+      case HashMode.OracleMd5 =>
+        conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+      case HashMode.EngineXx => shiftrightunsigned(xxhash64(c), 4)
+    }
+
+  /** Full-text digest of the normalized form as a hex string — the
+    * exact-dedup grouping key. Same mode split as [[hash60]].
+    */
+  def textDigest(c: Column, mode: HashMode = HashMode.OracleMd5): Column =
+    mode match {
+      case HashMode.OracleMd5 => md5(normalize(c).cast("binary"))
+      case HashMode.EngineXx => lower(hex(xxhash64(normalize(c))))
+    }
 
   /** Document fingerprint columns: full-text md5 plus min/max shingle
     * hash (a winnowing-style 2-value sketch). SQL-expression based so it
     * stays codegen'd; k is the shingle width in characters.
     */
-  def fingerprint(textCol: String, k: Int = 8): Seq[(String, Column)] = {
-    val hashes = shingleHashExpr(textCol, k)
+  def fingerprint(textCol: String, k: Int = 8,
+                  mode: HashMode = HashMode.OracleMd5): Seq[(String, Column)] = {
+    val hashes = shingleHashExpr(textCol, k, mode = mode)
     Seq(
-      "fp_md5" -> md5(normalize(col(textCol)).cast("binary")),
+      // column is named for the default mode; under EngineXx it carries
+      // the xxhash64 hex digest in the same slot (structure-compatible)
+      "fp_md5" -> textDigest(col(textCol), mode),
       "fp_min" -> array_min(hashes),
       "fp_max" -> array_max(hashes))
   }
@@ -64,12 +102,19 @@ object TextStats {
     * re-regex saving).
     */
   def shingleHashExpr(textCol: String, k: Int,
-                      normalized: Boolean = false): Column = {
+                      normalized: Boolean = false,
+                      mode: HashMode = HashMode.OracleMd5): Column = {
     val norm = if (normalized) textCol
       else s"regexp_replace(trim(lower($textCol)), '\\\\s+', ' ')"
+    val h = mode match {
+      case HashMode.OracleMd5 =>
+        s"cast(conv(substring(md5(cast(substring($norm, i, $k) as binary)), 1, 15), 16, 10) as long)"
+      case HashMode.EngineXx =>
+        s"shiftrightunsigned(xxhash64(substring($norm, i, $k)), 4)"
+    }
     expr(
       s"""transform(sequence(1, greatest(length($norm) - ${k - 1}, 1)),
-         |  i -> cast(conv(substring(md5(cast(substring($norm, i, $k) as binary)), 1, 15), 16, 10) as long))
+         |  i -> $h)
          |""".stripMargin)
   }
 
