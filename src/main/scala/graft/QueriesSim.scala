@@ -53,9 +53,16 @@ object QueriesSim {
   // never an all-pairs product — and bitsPerBand is the knob that must
   // track log₂(corpus) at scale. Recall < 1 by design — the oracle runs
   // the identical algorithm.
-  private val LshBands = 4
-  private val LshBits = 8
-  private val LshMaxBucket = 64
+  // Knobs DERIVED from the verify fixture's nominal corpus scale (500
+  // embedding rows at sf0.01) via the documented scale rule
+  // (Similarity.lshKnobs — bitsPerBand ≈ log₂(n/B)): resolves to
+  // bands=4, bits=8, maxBucket=64. Static here so the SQL oracle twin
+  // stays one fixed query; a deployment derives from its MEASURED
+  // corpus size instead.
+  private val Lsh = Similarity.lshKnobs(corpusSize = 500, dim = 64)
+  private val LshBands = Lsh.bands
+  private val LshBits = Lsh.bitsPerBand
+  private val LshMaxBucket = Lsh.maxBucket
 
   def q27LshAnn(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))

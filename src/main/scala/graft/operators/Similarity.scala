@@ -56,6 +56,37 @@ object Similarity {
       when(element_at(vec, d + 1) >= 0f, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Derived banded-LSH knobs — see [[lshKnobs]]. */
+  final case class LshKnobs(bands: Int, bitsPerBand: Int, maxBucket: Int) {
+    def bucketsPerBand: Long = 1L << bitsPerBand
+  }
+
+  /** The scale rule for the banded hyperplane LSH, as code instead of
+    * prose: `bitsPerBand ≈ log₂(n / targetBucket)` keeps the MEAN bucket
+    * occupancy near `targetBucket` as the corpus grows — bucket count
+    * must scale with n or the within-bucket self-join reverts to n².
+    * The deterministic fan-in cap sits at the next power of two above
+    * 32× the target: sign-pattern buckets over correlated embeddings are
+    * heavily skewed, so the cap needs real headroom above the mean while
+    * still bounding degenerate-bucket work at maxBucket². Bits clamp to
+    * what the axis-aligned family supports (dim / bands); past that the
+    * documented upgrade is the Rademacher family ([[hyperplaneBands]]).
+    *
+    * `targetBucket` defaults to 2: a near-dup prefilter wants small
+    * precise buckets (the bands supply recall); top-k similarity search
+    * raises it for more candidates per query.
+    */
+  def lshKnobs(corpusSize: Long, dim: Int, bands: Int = 4,
+               targetBucket: Int = 2): LshKnobs = {
+    require(corpusSize > 0 && bands > 0 && dim >= bands && targetBucket > 0)
+    val raw = math.round(
+      math.log(corpusSize.toDouble / targetBucket) / math.log(2.0)).toInt
+    val bits = math.max(1, math.min(dim / bands, raw))
+    def nextPow2(x: Int): Int =
+      if (x <= 1) 1 else Integer.highestOneBit(x - 1) << 1
+    LshKnobs(bands, bits, nextPow2(32 * targetBucket))
+  }
+
   /** Multi-table banded hyperplane LSH — the Dedup.lshBuckets band
     * machinery applied to embeddings: band t buckets on the sign
     * pattern of `bitsPerBand` consecutive components starting at

@@ -83,3 +83,33 @@ object TilingProperties extends Properties("tiling") {
         decoded == pts.map(p => (p._1.toLong, p._2.toLong))
     }
 }
+
+/** Properties of the banded-LSH scale rule (Similarity.lshKnobs). */
+object LshKnobProperties extends Properties("lshKnobs") {
+  import graft.operators.Similarity
+
+  private val nGen = Gen.choose(1L, 1L << 40)
+  private val dimGen = Gen.choose(8, 4096)
+
+  property("bucket count is monotone nondecreasing in corpus size") =
+    forAll(nGen, nGen, dimGen) { (n1, n2, dim) =>
+      val (lo, hi) = if (n1 <= n2) (n1, n2) else (n2, n1)
+      Similarity.lshKnobs(lo, dim).bucketsPerBand <=
+        Similarity.lshKnobs(hi, dim).bucketsPerBand
+    }
+
+  property("bits never exceed what the axis-aligned family supports") =
+    forAll(nGen, dimGen, Gen.choose(1, 8)) { (n, dim, bands) =>
+      val k = Similarity.lshKnobs(n, dim, bands = bands)
+      k.bitsPerBand >= 1 && k.bitsPerBand * bands <= dim
+    }
+
+  property("fan-in cap bounds skew above the target occupancy") =
+    forAll(nGen, Gen.choose(1, 64)) { (n, target) =>
+      val k = Similarity.lshKnobs(n, 64, targetBucket = target)
+      k.maxBucket >= target && k.maxBucket <= 64 * target
+    }
+
+  property("verify-fixture anchor: 500 x 64-dim resolves to 4x8 bits, cap 64") =
+    Prop(Similarity.lshKnobs(500, 64) == Similarity.LshKnobs(4, 8, 64))
+}
