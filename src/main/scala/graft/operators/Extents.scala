@@ -79,6 +79,14 @@ object Extents {
       .orderBy(groupCol, "id")
   }
 
+  /** Distinct-value range buckets per group for the exact cumulative
+    * ranks: approximate-quantile boundaries balance the buckets, the
+    * EXACT result is unaffected by boundary placement (a bucket split
+    * only splits the running sum, never reorders it). Raise with cluster
+    * parallelism — each (group, bucket) cell is one window task.
+    */
+  val RangeBuckets = 32
+
   /** Shared extents engine over a pre-filtered long table of
     * (groupCols..., value).
     *
@@ -88,15 +96,22 @@ object Extents {
     *   1. value histogram: groupBy(group, value) count — fully
     *      distributed, combines duplicates map-side (real metric columns
     *      are heavily duplicated: rates, counts, flags);
-    *   2. cumulative ranks: one window over each group's DISTINCT values
-    *      (sorted, disk-spilling, orders of magnitude smaller than the
-    *      raw multiset);
+    *   2. cumulative ranks over each group's DISTINCT values — RANGE
+    *      PARTITIONED: per-group approximate-quantile boundaries cut the
+    *      distinct values into [[RangeBuckets]] balanced buckets, the
+    *      running sum is an in-bucket window (partitioned by
+    *      (group, bucket) — parallel across buckets) plus a per-bucket
+    *      offset from a second window over the TINY bucket-subtotal
+    *      table (≤ RangeBuckets rows per group). No operator ever sorts
+    *      a whole group's distinct values on one task — the 100 TB
+    *      continuous-metric skew this replaces;
     *   3. the two bracketing values of each target rank are picked with
     *      conditional aggregates and linearly interpolated — exactly
     *      d3.quantile / DuckDB `quantile_cont` R-7:
     *      h = (n-1)p, v = v⌊h⌋ + (h-⌊h⌋)(v⌊h⌋₊₁ - v⌊h⌋).
-    * Every step is a codegen'd relational operator: two shuffles, no
-    * unbounded aggregation buffer anywhere.
+    * Every step is a codegen'd relational operator; no unbounded
+    * aggregation buffer and no single-partition exchange anywhere
+    * (PlanAuditSpec).
     *
     * APPROXIMATE path — `percentile_approx` sketch (constant memory,
     * ~1e-4 relative rank accuracy at 10k buckets) for when even the
@@ -118,11 +133,31 @@ object Extents {
     } else {
       val hist = long.groupBy((groupCols :+ "value").map(col): _*)
         .agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(gcols: _*).orderBy("value")
-      val cum = hist
-        .withColumn("cum", sum("cnt").over(w))
+      // deterministic range bucketing: boundary sketch per group (the
+      // hist subplan is shared — ReuseExchange dedupes the shuffle),
+      // bucket = #boundaries below the value (HOF over a tiny array)
+      val qs = array((1 until RangeBuckets)
+        .map(i => lit(i.toDouble / RangeBuckets)): _*)
+      val bounds = hist.groupBy(gcols: _*)
+        .agg(percentile_approx(col("value"), qs, lit(1000)).as("__bnds"))
+      val bucketed = hist.join(bounds, groupCols)
+        .withColumn("bkt", size(filter(col("__bnds"), b => b < col("value"))))
+        .drop("__bnds")
+      val bktCols = groupCols :+ "bkt"
+      // per-(group, bucket) subtotals: ≤ RangeBuckets rows per group, so
+      // the offset window's per-group partition is trivially small
+      val sub = bucketed.groupBy(bktCols.map(col): _*)
+        .agg(sum("cnt").as("bsum"))
+      val offs = sub
+        .withColumn("__off", coalesce(sum("bsum").over(
+          Window.partitionBy(gcols: _*).orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum("bsum").over(Window.partitionBy(gcols: _*)))
+        .select(bktCols.map(col) :+ col("__off") :+ col("n"): _*)
+      val wIn = Window.partitionBy(bktCols.map(col): _*).orderBy("value")
+      val cum = bucketed.join(offs, bktCols)
+        .withColumn("cum", sum("cnt").over(wIn) + col("__off"))
         .withColumn("cum_before", col("cum") - col("cnt"))
-        .withColumn("n", sum("cnt").over(Window.partitionBy(gcols: _*)))
       // rank targets (1-based): kLo = ⌊h⌋+1 and its successor, clamped
       def picks(p: Double, name: String): Seq[Column] = {
         val h = (col("n") - 1) * p

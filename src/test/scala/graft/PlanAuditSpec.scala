@@ -77,12 +77,20 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     // the histogram groupBy(id, value) must combine duplicates map-side
     assert(p.contains("partial_count"),
       "value histogram must partial-aggregate map-side")
-    // NO Percentile aggregate anywhere: that operator buffers a group's
-    // whole value multiset in memory — the 100 TB OOM this design avoids
-    assert(!p.toLowerCase.contains("percentile"),
+    // NO exact Percentile aggregate anywhere: that operator buffers a
+    // group's whole value multiset in memory — the 100 TB OOM this
+    // design avoids. (approx_percentile is fine: it is the constant-
+    // memory sketch that places the range-bucket boundaries.)
+    assert(!p.toLowerCase.replace("approx_percentile", "")
+      .replace("percentile_approx", "").contains("percentile"),
       "exact extents must not use the in-memory percentile aggregate")
-    // histogram shuffle + window repartition + final agg + output sort
-    assert("Exchange".r.findAllIn(p).size <= 4, p)
+    // the cumulative-rank window must be range-bucketed: its exchange
+    // partitions by (group, bkt), never by the group alone — a 100 TB
+    // continuous metric would otherwise sort on one task
+    assert("hashpartitioning\\([^)]*bkt".r.findFirstIn(p).isDefined,
+      s"cumulative window must partition by (group, bkt):\n$p")
+    assert(!p.contains("SinglePartition"),
+      "no single-partition exchange anywhere in exact extents")
   }
 
   test("q22: exact dedup shuffles only the digest — md5 computed map-side") {
