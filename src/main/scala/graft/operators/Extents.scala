@@ -131,16 +131,22 @@ object Extents {
           element_at(col("qq"), 1).as("q1"),
           element_at(col("qq"), 2).as("q99")): _*)
     } else {
+      // cache barrier: the histogram (already the SMALL distinct-value
+      // table) feeds both the boundary sketch and the bucketed cumsum —
+      // without it the whole upstream unpivot + try_cast re-executes per
+      // reference (observed 3x at sf0.1). Same documented pattern as the
+      // q23 shingle cache; callers clear cache between queries.
       val hist = long.groupBy((groupCols :+ "value").map(col): _*)
         .agg(count(lit(1)).as("cnt"))
-      // deterministic range bucketing: boundary sketch per group (the
-      // hist subplan is shared — ReuseExchange dedupes the shuffle),
-      // bucket = #boundaries below the value (HOF over a tiny array)
+        .persist()
+      // deterministic range bucketing: per-group boundary sketch over the
+      // distinct values; bucket = #boundaries below the value (HOF over
+      // a tiny broadcast array)
       val qs = array((1 until RangeBuckets)
         .map(i => lit(i.toDouble / RangeBuckets)): _*)
       val bounds = hist.groupBy(gcols: _*)
         .agg(percentile_approx(col("value"), qs, lit(1000)).as("__bnds"))
-      val bucketed = hist.join(bounds, groupCols)
+      val bucketed = hist.join(broadcast(bounds), groupCols)
         .withColumn("bkt", size(filter(col("__bnds"), b => b < col("value"))))
         .drop("__bnds")
       val bktCols = groupCols :+ "bkt"
@@ -155,7 +161,7 @@ object Extents {
         .withColumn("n", sum("bsum").over(Window.partitionBy(gcols: _*)))
         .select(bktCols.map(col) :+ col("__off") :+ col("n"): _*)
       val wIn = Window.partitionBy(bktCols.map(col): _*).orderBy("value")
-      val cum = bucketed.join(offs, bktCols)
+      val cum = bucketed.join(broadcast(offs), bktCols)
         .withColumn("cum", sum("cnt").over(wIn) + col("__off"))
         .withColumn("cum_before", col("cum") - col("cnt"))
       // rank targets (1-based): kLo = ⌊h⌋+1 and its successor, clamped
