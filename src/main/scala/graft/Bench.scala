@@ -24,7 +24,11 @@ object Bench {
       // (pure-projection queries would time a bare scan).
       def run(): Unit =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          // keep the harness alive for the remaining queries, but NEVER
+          // silently: a failed query would otherwise bench as ~0 s
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
       // untimed warm-up run: janino compilation of the generated code is
       // a one-time per-plan cost (~5 s for the widest projections) that
       // any long-lived deployment amortizes to zero — steady-state

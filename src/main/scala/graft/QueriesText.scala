@@ -149,6 +149,27 @@ object QueriesText {
        | list_min(hashes) AS fp_min, list_max(hashes) AS fp_max
        |FROM h ORDER BY doc_id""".stripMargin
 
+  /** Deployment-hash twin of q21 ([[graft.operators.TextStats.HashMode]]
+    * EngineXx): the ~300 per-doc digests run through xxhash64 instead of
+    * md5 — NOT oracle-checkable by design (no xxhash64 in DuckDB); it
+    * exists so the bench reports the fingerprint tier's true deployment
+    * cost next to q21's oracle-parity md5 price. Structure parity is
+    * covered by EngineHashSpec.
+    */
+  def q53FingerprintXx(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TextStats.HashMode
+    documents(s, d)
+      .select(col("doc_id"), TextStats.normalize(col("text")).as("norm"))
+      .select(col("doc_id"), col("norm"),
+        TextStats.shingleHashExpr("norm", k = 8, normalized = true,
+          mode = HashMode.EngineXx).as("hashes"))
+      .select(col("doc_id"),
+        TextStats.textDigest(col("norm"), HashMode.EngineXx).as("fp_md5"),
+        array_min(col("hashes")).as("fp_min"),
+        array_max(col("hashes")).as("fp_max"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------------
   // TF-IDF: smoothed idf = ln((N+1)/(df+1)); top-3 scored terms per doc
   // (ranked on the rounded score for engine stability). Terms explode
@@ -198,6 +219,9 @@ object QueriesText {
     "q20_lang_id" -> (q20LangId _),
     "q21_fingerprint" -> (q21Fingerprint _),
     "q42_tfidf" -> (q42Tfidf _),
+    // deployment-hash twin of q21 — deliberately absent from `oracle`
+    // (driver records rows-only): DuckDB cannot reproduce xxhash64
+    "q53_fingerprint_xx" -> (q53FingerprintXx _),
   )
 
   val oracle: Map[String, String] = Map(
