@@ -61,14 +61,16 @@ object TextStats {
     regexp_count(normalize(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
 
   /** 60-bit non-negative hash of a string. Default mode is reproducible
-    * in any engine with md5 (first 15 hex nibbles as a base-16 integer);
-    * [[HashMode.EngineXx]] swaps in xxhash64 (top 60 bits) for the
-    * deployment-scale cost profile.
+    * in any engine with md5 (first 15 hex nibbles as a base-16 integer —
+    * computed natively from the digest bytes by
+    * [[graft.functions.Md5Hash60Expr]], bit-identical to
+    * `conv(substring(md5(...), 1, 15), 16, 10)` without the hex
+    * round-trip); [[HashMode.EngineXx]] swaps in xxhash64 (top 60 bits)
+    * for the deployment-scale cost profile.
     */
   def hash60(c: Column, mode: HashMode = HashMode.OracleMd5): Column =
     mode match {
-      case HashMode.OracleMd5 =>
-        conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+      case HashMode.OracleMd5 => graft.functions.Md5Hash60Expr.hash60(c)
       case HashMode.EngineXx => shiftrightunsigned(xxhash64(c), 4)
     }
 
@@ -99,23 +101,16 @@ object TextStats {
   /** Array of 60-bit k-gram shingle hashes as a single expression.
     * Pass `normalized = true` when `textCol` already holds the
     * [[normalize]]d form (normalize is idempotent, so this is purely a
-    * re-regex saving).
+    * re-regex saving — note the un-normalized form is referenced once
+    * per shingle, so callers on the hot path should stage `norm`).
     */
   def shingleHashExpr(textCol: String, k: Int,
                       normalized: Boolean = false,
                       mode: HashMode = HashMode.OracleMd5): Column = {
-    val norm = if (normalized) textCol
-      else s"regexp_replace(trim(lower($textCol)), '\\\\s+', ' ')"
-    val h = mode match {
-      case HashMode.OracleMd5 =>
-        s"cast(conv(substring(md5(cast(substring($norm, i, $k) as binary)), 1, 15), 16, 10) as long)"
-      case HashMode.EngineXx =>
-        s"shiftrightunsigned(xxhash64(substring($norm, i, $k)), 4)"
-    }
-    expr(
-      s"""transform(sequence(1, greatest(length($norm) - ${k - 1}, 1)),
-         |  i -> $h)
-         |""".stripMargin)
+    val norm = if (normalized) col(textCol) else normalize(col(textCol))
+    transform(
+      sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
+      i => hash60(substr(norm, i, lit(k)), mode))
   }
 
   /** English-ish stopword list used by quality scoring. */
