@@ -95,8 +95,7 @@ object QueriesDedup {
     // signatures use the affine family over the base hash and the
     // Jaccard verify compares the same hashed sets.
     val base = nearCorpus(s, d)
-      .withColumn("sh", transform(Dedup.wordShingles("text", 3),
-        x => graft.operators.TextStats.hash60(x, mode)))
+      .withColumn("sh", Dedup.hashedWordShingles("text", 3, mode))
       .select(col("doc_id"), col("sh"))
       .cache()
     val withSig = Dedup.minhashSignature(col("sh"), NumHashes)
@@ -206,8 +205,7 @@ object QueriesDedup {
     // identically).
     val sh = nearCorpus(s, d)
       .select(col("doc_id"), col("source"),
-        transform(Dedup.wordShingles("text", 3),
-          x => graft.operators.TextStats.hash60(x)).as("sh"))
+        Dedup.hashedWordShingles("text", 3).as("sh"))
       .cache()
     // Scalable all-pairs Jaccard: explode shingles, equi-join on
     // (source, shingle) so only pairs sharing >= 1 shingle ever

@@ -50,10 +50,14 @@ object Md5Hash60Expr {
     () => MessageDigest.getInstance("MD5"))
 
   /** Top 60 bits of md5(bytes) as a non-negative long. */
-  def hash(bytes: Array[Byte]): Long = {
+  def hash(bytes: Array[Byte]): Long = hashRange(bytes, 0, bytes.length)
+
+  /** Same over a byte range — zero-copy slice hashing for shingles. */
+  def hashRange(bytes: Array[Byte], off: Int, len: Int): Long = {
     val m = md.get()
     m.reset()
-    val d = m.digest(bytes)
+    m.update(bytes, off, len)
+    val d = m.digest()
     (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
       ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
       ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |

@@ -49,6 +49,17 @@ object Dedup {
       i => concat_ws(" ", slice(toks, i, lit(k)))))
   }
 
+  /** Distinct word k-gram shingle HASHES — the hot-path form of
+    * `transform(wordShingles(...), hash60)`, computed by the native
+    * [[graft.functions.WordShingleHashExpr]] in one zero-allocation
+    * pass (sorted set output; every consumer is set machinery, see the
+    * expression doc). Same hash values, same distinct set.
+    */
+  def hashedWordShingles(textCol: String, k: Int,
+                         mode: HashMode = HashMode.OracleMd5): Column =
+    graft.functions.WordShingleHashExpr.shingles(
+      normalize(col(textCol)), k, mode == HashMode.EngineXx)
+
   /** Mersenne prime 2^31-1: modulus of the affine MinHash family. Keeps
     * every intermediate product under 2^61 (no 64-bit overflow in any
     * engine).

@@ -57,8 +57,7 @@ class EngineHashSpec extends AnyFunSuite with SharedSpark {
     // normalization.
     def j1Pairs(mode: HashMode): Set[(Long, Long)] = {
       val base = exactCorpus
-        .withColumn("sh", transform(Dedup.wordShingles("text", 3),
-          x => TextStats.hash60(x, mode)))
+        .withColumn("sh", Dedup.hashedWordShingles("text", 3, mode))
         .select(col("doc_id"), col("sh"))
         .cache()
       val withSig = Dedup.minhashSignature(col("sh"), 12)
