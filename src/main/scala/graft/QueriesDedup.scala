@@ -172,8 +172,7 @@ object QueriesDedup {
       // are outside subexpression elimination and would otherwise each
       // re-run the tokenize+md5 pipeline (see Dedup.simhashFromHashes)
       .select(col("doc_id"),
-        transform(graft.operators.TextStats.tokens(col("text")),
-          t => graft.operators.TextStats.hash60(t)).as("hs"))
+        graft.operators.TextStats.tokenHashes(col("text")).as("hs"))
       .select(col("doc_id"),
         Dedup.simhashFromHashes(col("hs"), SimhashBits).as("simhash"))
       .orderBy("doc_id")

@@ -35,7 +35,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * as Spark's `xxhash64`, >>> 4 — bit-identical to the built-in
   * composition it replaces).
   */
-case class WordShingleHashExpr(child: Expression, k: Int, engineXx: Boolean)
+case class WordShingleHashExpr(child: Expression, k: Int, engineXx: Boolean,
+                               distinct: Boolean = true)
     extends UnaryExpression {
 
   require(k >= 1, s"shingle width must be >= 1, got $k")
@@ -48,11 +49,11 @@ case class WordShingleHashExpr(child: Expression, k: Int, engineXx: Boolean)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(s: Any): Any =
-    WordShingleHashExpr.compute(s.asInstanceOf[UTF8String], k, engineXx)
+    WordShingleHashExpr.compute(s.asInstanceOf[UTF8String], k, engineXx, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.WordShingleHashExpr.compute($c, $k, $engineXx)")
+      s"graft.functions.WordShingleHashExpr.compute($c, $k, $engineXx, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingleHashExpr =
     copy(child = newChild)
@@ -64,7 +65,8 @@ object WordShingleHashExpr {
     * sort → unique. 0x20 never occurs inside a UTF-8 multibyte sequence,
     * so byte-level space scanning is character-correct.
     */
-  def compute(s: UTF8String, k: Int, engineXx: Boolean): ArrayData = {
+  def compute(s: UTF8String, k: Int, engineXx: Boolean,
+              distinct: Boolean = true): ArrayData = {
     val bytes = s.getBytes
     val n = bytes.length
     // token starts (normalized input: no leading/trailing/double spaces,
@@ -97,6 +99,7 @@ object WordShingleHashExpr {
         else Md5Hash60Expr.hashRange(bytes, from, to - from)
       w += 1
     }
+    if (!distinct) return UnsafeArrayData.fromPrimitiveArray(out)
     java.util.Arrays.sort(out)
     var uniq = 0
     i = 0
@@ -111,4 +114,12 @@ object WordShingleHashExpr {
   def shingles(norm: Column, k: Int, engineXx: Boolean): Column =
     GraftBridge.column(
       WordShingleHashExpr(GraftBridge.expression(norm), k, engineXx))
+
+  /** ORDERED token-hash multiset (k=1 windows, duplicates kept) — the
+    * simhash voting input, equal element-wise to
+    * `transform(split(norm, " "), t -> hash60(t))`.
+    */
+  def tokenHashes(norm: Column, engineXx: Boolean): Column =
+    GraftBridge.column(WordShingleHashExpr(
+      GraftBridge.expression(norm), 1, engineXx, distinct = false))
 }

@@ -130,7 +130,7 @@ object Dedup {
     * cross-engine compare.
     */
   def simhash(textCol: String, bits: Int): Column =
-    simhashFromHashes(transform(tokens(col(textCol)), t => hash60(t)), bits)
+    simhashFromHashes(TextStats.tokenHashes(col(textCol)), bits)
 
   /** SimHash voting over a PRE-COMPUTED token-hash array column.
     *

@@ -53,6 +53,14 @@ object TextStats {
   /** Whitespace tokens of the normalized form. */
   def tokens(text: Column): Column = split(normalize(text), " ")
 
+  /** Ordered token-hash multiset (duplicates kept) — the native
+    * one-pass form of `transform(tokens(text), t => hash60(t, mode))`,
+    * the simhash voting input.
+    */
+  def tokenHashes(text: Column, mode: HashMode = HashMode.OracleMd5): Column =
+    graft.functions.WordShingleHashExpr.tokenHashes(
+      normalize(text), mode == HashMode.EngineXx)
+
   /** BPE-ish sub-token count: letter runs, digit runs, and single
     * non-alphanumeric marks each count as one token (the common
     * pre-tokenizer split used before byte-pair merging).
@@ -108,9 +116,11 @@ object TextStats {
                       normalized: Boolean = false,
                       mode: HashMode = HashMode.OracleMd5): Column = {
     val norm = if (normalized) col(textCol) else normalize(col(textCol))
-    transform(
-      sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
-      i => hash60(substr(norm, i, lit(k)), mode))
+    // native one-pass char-window hashing (identical ordered multiset to
+    // `transform(sequence(...), i -> hash60(substr(norm, i, k), mode))` —
+    // spec-verified); one UTF-8 offset walk, zero per-shingle allocation
+    graft.functions.CharShingleHashExpr.shingles(
+      norm, k, mode == HashMode.EngineXx)
   }
 
   /** English-ish stopword list used by quality scoring. */
