@@ -132,28 +132,16 @@ object Dedup {
   def simhash(textCol: String, bits: Int): Column =
     simhashFromHashes(TextStats.tokenHashes(col(textCol)), bits)
 
-  /** SimHash voting over a PRE-COMPUTED token-hash array column.
-    *
-    * Stage the hash array into its own projection before calling this:
-    * the per-bit `filter` lambdas are higher-order functions, which
-    * Spark's subexpression elimination skips — inlining the
-    * tokenize+md5 pipeline here would re-evaluate it once per bit
-    * (32x the md5 work; observed 5.4s -> 0.3s at sf0.01 when staged).
-    * CollapseProject keeps the stage: a non-cheap alias referenced more
-    * than once is not re-inlined.
+  /** SimHash voting over a PRE-COMPUTED token-hash array column — the
+    * native one-pass [[graft.functions.SimHashExpr]] (bit j set iff at
+    * least half the hashes have it set; empty input pins to 0). The
+    * composed per-bit `filter()` formulation scanned the array once per
+    * bit; its semantics are pinned by the SimHashExpr spec.
     */
-  def simhashFromHashes(hashes: Column, bits: Int): Column = {
-    val n = size(hashes)
-    val sig = (0 until bits).map { j =>
-      val setCount = size(filter(hashes,
-        h => shiftright(h, j).bitwiseAND(lit(1L)) === 1L))
-      // votes = setCount - (n - setCount) >= 0  <=>  2*setCount >= n
-      when(setCount * 2 >= n, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    // n == 0 would make every vote pass vacuously (0 >= 0), collapsing
-    // all empty token sets onto the all-ones signature; pin them to 0.
-    when(n === 0, lit(0L)).otherwise(sig)
-  }
+  def simhashFromHashes(hashes: Column, bits: Int): Column =
+    // null hash array (null text) pins to 0 like the empty doc — the
+    // composed formulation's otherwise-chain did the same
+    coalesce(graft.functions.SimHashExpr.simhash(hashes, bits), lit(0L))
 
   /** Duplicate-CLUSTER canonicalization: connected components over the
     * undirected near-dup pair graph via `rounds` of min-label
