@@ -77,6 +77,10 @@ object QueriesDedup {
   private val NumHashes = 12
   private val Bands = 4
   private val RowsPerBand = 3
+  // deterministic bucket fan-in cap (Dedup.lshCandidatePairs), mirrored
+  // by the oracle's rn filter — far above any fixture bucket, so it
+  // never binds at verify scale but bounds degenerate buckets at 100 TB
+  private val MaxBucket = 1 << 10
 
   /** The full MinHash→LSH→verify pipeline, hash engine selectable
     * ([[graft.operators.TextStats.HashMode]]): q23 runs the
@@ -104,7 +108,7 @@ object QueriesDedup {
       .withColumn("buckets", Dedup.lshBuckets(Bands, RowsPerBand, mode))
       .drop((0 until NumHashes).map(i => s"sig$i"): _*)
       .cache()
-    val pairs = Dedup.lshCandidatePairs(withBuckets, "doc_id")
+    val pairs = Dedup.lshCandidatePairs(withBuckets, "doc_id", MaxBucket)
     val sh = base
     pairs
       .join(sh.select(col("doc_id").as("a"), col("sh").as("sa")), "a")
@@ -146,7 +150,13 @@ object QueriesDedup {
        |sig AS (SELECT doc_id, sh,
        | $sigExprs
        | FROM sh),
-       |buckets AS ($bandSelects),
+       |allbuckets AS ($bandSelects),
+       |buckets AS (
+       | SELECT doc_id, band, bucket FROM (
+       |  SELECT doc_id, band, bucket,
+       |   row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn
+       |  FROM allbuckets)
+       | WHERE rn <= $MaxBucket),
        |pairs AS (
        | SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        | FROM buckets x JOIN buckets y

@@ -105,14 +105,26 @@ object Dedup {
     }: _*)
 
   /** Candidate pairs from LSH: ids sharing any (band, bucket). The join
-    * is an equi-join on the bucket key — the LSH scale path.
+    * is an equi-join on the bucket key — the LSH scale path — with the
+    * same DETERMINISTIC bounded bucket fan-in as the embedding variant
+    * ([[Similarity.lshMembership]]): at most `maxBucket` members per
+    * (band, bucket), kept by ascending id, so a degenerate bucket (the
+    * empty-document bucket, a boilerplate-heavy corpus) costs at most
+    * maxBucket² instead of n². The cap window prunes map-side via
+    * WindowGroupLimit; oracle twins replicate the identical rn cap.
     */
-  def lshCandidatePairs(withBuckets: DataFrame, idCol: String): DataFrame = {
+  def lshCandidatePairs(withBuckets: DataFrame, idCol: String,
+                        maxBucket: Int = 1 << 10): DataFrame = {
     val exploded = withBuckets
       .select(col(idCol), explode(col("buckets")).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
-    exploded.as("x")
-      .join(exploded.as("y"),
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "bucket").orderBy(col(idCol))
+    val capped = exploded
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxBucket).drop("__rn")
+    capped.as("x")
+      .join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
           && col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))

@@ -103,8 +103,15 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(!partialLine.matches(".*output=\\[.*[^_]text#.*"), partialLine)
   }
 
-  test("q27/q28: banded LSH candidates stay an equi-join with bounded fan-in") {
-    for (q <- Seq("q27_lsh_ann", "q28_embed_neardup")) {
+  test("q51: base-zoom thinning is a pure pre-shuffle filter (no join)") {
+    val p = plan("q51_base_zoom_thin")
+    assert(p.contains("Generate explode"), "zoom fan-out must be a Generate")
+    assert(!p.contains("Join"), s"thinning must not plan a join:\n$p")
+    assert(p.contains("partial_count"), "per-zoom counts must partial-aggregate")
+  }
+
+  test("q27/q28/q23: banded LSH candidates stay an equi-join with bounded fan-in") {
+    for (q <- Seq("q27_lsh_ann", "q28_embed_neardup", "q23_minhash_lsh")) {
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$q candidate generation must be an equi-join on (band, bucket):\n$p")
