@@ -80,13 +80,14 @@ object QueriesText {
   // Language-ID: marker-lexicon hit scores per language, argmax with a
   // fixed tie-break order; per-(true,predicted) confusion rollup.
   def q20LangId(s: SparkSession, d: String): DataFrame = {
-    // three stages so the expensive pieces evaluate ONCE each: tokens
-    // (normalize+split), then the 5 marker-filter scores (HOFs — outside
-    // subexpression elimination), then argmax over cheap score columns
-    val toksDf = documents(s, d).select(col("doc_id"), col("lang"),
-      TextStats.tokens(col("text")).as("toks"))
-    val scoreCols = TextStats.langScoresFromTokens(col("toks"))
-    val scored = toksDf.select(
+    // three stages so the expensive pieces evaluate ONCE each: the
+    // native one-pass score array (LexiconScoresExpr — one dictionary
+    // probe per token), then the per-language unpack, then argmax over
+    // cheap score columns
+    val arrDf = documents(s, d).select(col("doc_id"), col("lang"),
+      TextStats.langScoreArray(col("text")).as("sc"))
+    val scoreCols = TextStats.langScoresFromArray(col("sc"))
+    val scored = arrDf.select(
       col("doc_id") +: col("lang") +:
         scoreCols.map { case (n, c) => c.as(n) }: _*)
     val scoreRefs = TextStats.langMarkers.map {

@@ -182,6 +182,24 @@ object TextStats {
   def langScores(textCol: String): Seq[(String, Column)] =
     langScoresFromTokens(tokens(col(textCol)))
 
+  /** All marker scores in ONE native tokenization pass
+    * ([[graft.functions.LexiconScoresExpr]]) — the hot-path form of
+    * [[langScoresFromTokens]]: one dictionary probe per token instead of
+    * one `filter()` array scan per language. Stage the returned array
+    * into its own projection, then unpack with [[langScoresFromArray]]
+    * (unpacking an un-staged array would inline the scorer once per
+    * language — the usual CollapseProject trap).
+    */
+  def langScoreArray(text: Column): Column =
+    graft.functions.LexiconScoresExpr.scores(
+      normalize(text), langMarkers.map(_._2))
+
+  /** `score_<lang>` columns from a STAGED [[langScoreArray]] column. */
+  def langScoresFromArray(arr: Column): Seq[(String, Column)] =
+    langMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      s"score_$lang" -> element_at(arr, i + 1)
+    }
+
   /** Marker-hit scores over a PRE-COMPUTED token array column. Stage the
     * tokens into their own projection first: `lexiconHits` is a filter()
     * HOF, outside subexpression elimination — inlining the tokenizer
