@@ -199,7 +199,11 @@ object Dedup {
     // localCheckpoint (eager) cuts the lineage to a flat scan of the
     // materialized round, so both execution cost and plan size are
     // linear in `rounds`. The label payload is two longs per node, so a
-    // round's footprint is tiny at any scale.
+    // round's footprint is tiny at any scale. Cluster caveat:
+    // localCheckpoint stores on executors (an executor loss aborts the
+    // job — acceptable for a seconds-per-round iteration); a deployment
+    // wanting fault tolerance swaps in reliable checkpoint() with a
+    // checkpoint dir, same linearity.
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint()
