@@ -123,4 +123,22 @@ object Streaming {
         count(lit(1)).as("n_events"), round(sum("value"), 2).as("total"))
       .drop("session_id")
   }
+
+  /** Streaming exact dedup — the §2.9 face of
+    * [[graft.operators.Dedup.exactDedup]]: re-deliveries of the same
+    * normalized-text digest are dropped within the watermark horizon
+    * (`dropDuplicatesWithinWatermark`, the bounded-state streaming dedup
+    * idiom). State is one 32-char digest per distinct document inside
+    * the horizon and is evicted as the watermark passes — without the
+    * watermark the dedup store grows with every document ever seen.
+    * `mode` selects the digest engine like the batch operator.
+    */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
+                  watermark: String,
+                  mode: graft.operators.TextStats.HashMode =
+                    graft.operators.TextStats.HashMode.OracleMd5): DataFrame =
+    docs.withColumn("text_md5",
+        graft.operators.TextStats.textDigest(col(textCol), mode))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("text_md5")
 }

@@ -93,6 +93,14 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       "no single-partition exchange anywhere in exact extents")
   }
 
+  test("q44: grouped extents keeps the same range-bucketed shape") {
+    val p = plan("q44_extents_by_group")
+    assert("hashpartitioning\\([^)]*bkt".r.findFirstIn(p).isDefined,
+      s"grouped cumulative window must partition by (group, metric, bkt):\n$p")
+    assert(!p.contains("SinglePartition"),
+      "no single-partition exchange in grouped extents")
+  }
+
   test("q22: exact dedup shuffles only the digest — md5 computed map-side") {
     val p = plan("q22_exact_dedup")
     assert(p.contains("Exchange hashpartitioning(text_md5"),

@@ -62,6 +62,31 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(new java.io.File(s"$dir/ckpt").exists) // checkpoint written
   }
 
+  test("dedupStream drops re-delivered digests within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[StreamingSpec.Doc]
+    val t0 = 1700000000000L
+    def doc(id: Long, text: String, offSec: Int) =
+      StreamingSpec.Doc(id, text, new java.sql.Timestamp(t0 + offSec * 1000L))
+    val q = Streaming.dedupStream(stream.toDF(), "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // "B " re-delivers A's normalized text; doc 4 re-delivers doc 2's
+      stream.addData(doc(1, "alpha beta", 0), doc(2, "gamma", 1),
+        doc(3, "Alpha  Beta ", 2))
+      q.processAllAvailable()
+      stream.addData(doc(4, "GAMMA", 60), doc(5, "fresh text", 61))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("dedup_out").collect()
+    assert(out.length == 3, s"expected 3 survivors, got ${out.length}")
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L, 5L))
+    // digests unique among survivors
+    val digests = out.map(_.getAs[String]("text_md5"))
+    assert(digests.distinct.length == digests.length)
+  }
+
   test("sessionStep timeout branch flushes the open session and evicts state") {
     import org.apache.spark.sql.streaming.TestGroupState
     val open = Streaming.SessionState(start = 1000L, lastSeen = 2000L,
@@ -100,4 +125,8 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(batch.length == 3)
     assert(batch.map(_.getAs[Long]("n_events")).toSeq == Seq(2L, 1L, 1L))
   }
+}
+
+object StreamingSpec {
+  case class Doc(doc_id: Long, text: String, ts: java.sql.Timestamp)
 }
