@@ -52,7 +52,7 @@ object AsOfJoin {
     val payloadType = org.apache.spark.sql.types.StructType(
       payload.map(c => right.schema(c).copy(name = c)))
     val lTagged = left.select(
-      leftCols.map(col) :+ lit(1).as(sideCol) :+
+      leftCols.toIndexedSeq.map(col) :+ lit(1).as(sideCol) :+
         lit(null).cast(payloadType).as(payCol): _*)
     val rTagged = right.select(
       Seq(col(key), col(ts), lit(0).as(sideCol)) ++
@@ -66,7 +66,7 @@ object AsOfJoin {
     val filled = unioned.withColumn(payCol,
       last(col(payCol), ignoreNulls = true).over(w))
     filled.filter(col(sideCol) === 1)
-      .select(leftCols.map(col) ++
+      .select(leftCols.toIndexedSeq.map(col) ++
         payload.map(c => col(s"$payCol.$c").as(c)): _*)
   }
 }

@@ -100,7 +100,7 @@ object Multimodal {
     */
   def repartitionByPayload(media: DataFrame, byteCol: String,
                            targetBytes: Long): DataFrame = {
-    val total = media.select(sum(length(col(byteCol)))).head.getLong(0)
+    val total = media.select(sum(length(col(byteCol)))).head().getLong(0)
     val parts = math.max(1, (total / targetBytes).toInt)
     media.repartition(parts, col("media_id"))
   }
