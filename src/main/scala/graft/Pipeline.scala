@@ -158,6 +158,18 @@ object Pipeline {
           sharedBorders = knobs.sharedBorders)
           .persist())
       else None
+      // tileset bounds/center (decade-independent, one small aggregate):
+      // tile-join's metadata.json carries them (`build.sh:220,226`) —
+      // polygon regions use the true geometry bbox, point regions the
+      // bubble centers
+      val bounds = {
+        val r = (if (hasPolys) {
+          val bb = Geometry.bboxColumns(col("polys"))
+          f.select(min(bb(0)._2), min(bb(2)._2), max(bb(1)._2), max(bb(3)._2))
+        } else f.select(min(col("lon")), min(col("lat")),
+          max(col("lon")), max(col("lat")))).head()
+        (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      }
       // `--extend-zooms-if-still-dropping`: decided ONCE per region from
       // the geometry (decade-independent), then reused by every decade
       val bz = EtlConfig.bubbleZoom(region)
@@ -192,11 +204,15 @@ object Pipeline {
           .select(col("z"), col("x"), col("y"),
             concat(coalesce(col("bubble_bytes"), lit(Array.empty[Byte])),
               coalesce(col("choro_bytes"), lit(Array.empty[Byte]))).as("tile_bytes"))
+        val maxZoomOut = math.max(bubbleMaxZ.getOrElse(bz.maxZoom), choroMaxZ)
         TileBuild.writePbfDirectory(merged, s"$out/$region/$decade",
           Map("name" -> s"$region-$decade",
+            "type" -> "overlay",
             "minzoom" -> math.min(bz.minZoom, zoom.minZoom).toString,
-            "maxzoom" -> math.max(bubbleMaxZ.getOrElse(bz.maxZoom),
-              choroMaxZ).toString,
+            "maxzoom" -> maxZoomOut.toString,
+            "bounds" -> s"${bounds._1},${bounds._2},${bounds._3},${bounds._4}",
+            "center" -> (s"${(bounds._1 + bounds._3) / 2}," +
+              s"${(bounds._2 + bounds._4) / 2},$maxZoomOut"),
             "layers" -> (s"$region-$decade-bubble" +
               (if (hasPolys) s",$region-$decade-choropleth" else ""))))
       }

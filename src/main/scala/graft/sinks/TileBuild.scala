@@ -156,24 +156,26 @@ object TileBuild {
         typedLit(Seq.empty[Seq[Seq[Double]]]))
     val withBbox = Geometry.bboxColumns(col(polygonsCol))
       .foldLeft(withShared) { case (df, (n, c)) => df.withColumn(n, c) }
-    val covered = Geometry.coverTiles(withBbox, minZoom, maxZoom)
+    val covered = Geometry.coverTiles(withFlatGeom(withBbox, polygonsCol),
+      minZoom, maxZoom)
     val budgeted = Tiling.dropDensest(covered,
       col(importanceCol.getOrElse(idCol)), col(idCol), budget)
     val attrPairs = attrCols.flatMap(c => Seq(lit(c), col(c).cast("string")))
     val rows = budgeted.select(col("z").cast("int"), col("x"), col("y"),
       col("density_rank"), col(idCol).cast("long").as("fid"),
-      col(polygonsCol).as("polys"), map(attrPairs: _*).as("attrs"),
-      col("shared_segs"))
+      col("coords"), col("ring_sizes"), col("poly_sizes"),
+      col("shared_flat"), map(attrPairs: _*).as("attrs"))
 
-    rows.as[(Int, Long, Long, Int, Long, Seq[Seq[Seq[Seq[Double]]]], Map[String, String], Seq[Seq[Seq[Double]]])]
-      .groupByKey { case (z, x, y, _, _, _, _, _) => (z, x, y) }
+    rows.as[(Int, Long, Long, Int, Long, Array[Double], Array[Int], Array[Int], Array[Double], Map[String, String])]
+      .groupByKey { case (z, x, y, _, _, _, _, _, _, _) => (z, x, y) }
       .mapGroups { (key: (Int, Long, Long),
-                    it: Iterator[(Int, Long, Long, Int, Long, Seq[Seq[Seq[Seq[Double]]]], Map[String, String], Seq[Seq[Seq[Double]]])]) =>
+                    it: Iterator[(Int, Long, Long, Int, Long, Array[Double], Array[Int], Array[Int], Array[Double], Map[String, String])]) =>
         val (z, x, y) = key
         val feats = it.toSeq.sortBy(t => (t._4, t._5)).flatMap {
-          case (_, _, _, _, fid, polygons, attrs, sharedSegs) =>
-            val rings = tileRings(z, x, y, polygons, simplifyPx,
-              if (sharedBorders) Some(toSegSet(sharedSegs)) else None)
+          case (_, _, _, _, fid, coords, ringSizes, polySizes, sharedFlat, attrs) =>
+            val rings = tileRings(z, x, y,
+              unflatten(coords, ringSizes, polySizes), simplifyPx,
+              if (sharedBorders) Some(toSegSetFlat(sharedFlat)) else None)
             if (rings.isEmpty) None
             else Some(Mvt.Feature(fid, Mvt.PolygonGeom, rings,
               attrs.toSeq.filter(_._2 != null).sortBy(_._1)))
@@ -192,6 +194,67 @@ object TileBuild {
     segs.map { s =>
       ((s(0)(0), s(0)(1)), (s(1)(0), s(1)(1)))
     }.toSet
+
+  // -------------------------------------------------------------------
+  // Flattened geometry wire format. The per-(tile, feature) rows that
+  // cross the tile shuffle carried array<array<array<array<double>>>> —
+  // and the Catalyst codec for nested Seqs was measured at ~95% of the
+  // whole tile-build kernel's cost (the geometry math is cheap). The
+  // shuffle rows now carry primitive arrays (coords interleaved
+  // lon,lat; per-ring point counts; per-polygon ring counts), which use
+  // the fast primitive-array encoders, and the nested structure is
+  // rebuilt with plain Scala inside the kernel.
+
+  /** coords/sizes → the nested polygons layout [[tileRings]] consumes. */
+  private def unflatten(coords: Array[Double], ringSizes: Array[Int],
+                        polySizes: Array[Int]): Seq[Seq[Seq[Seq[Double]]]] = {
+    val polys = Vector.newBuilder[Seq[Seq[Seq[Double]]]]
+    var ri = 0
+    var ci = 0
+    var pi = 0
+    while (pi < polySizes.length) {
+      val rings = Vector.newBuilder[Seq[Seq[Double]]]
+      var r = 0
+      while (r < polySizes(pi)) {
+        val npts = ringSizes(ri); ri += 1
+        val pts = new Array[Seq[Double]](npts)
+        var j = 0
+        while (j < npts) {
+          pts(j) = Seq(coords(ci), coords(ci + 1)); ci += 2; j += 1
+        }
+        rings += scala.collection.immutable.ArraySeq.unsafeWrapArray(pts)
+        r += 1
+      }
+      polys += rings.result()
+      pi += 1
+    }
+    polys.result()
+  }
+
+  /** Flat (ax,ay,bx,by)* segment array → canonical segment set. */
+  private def toSegSetFlat(flat: Array[Double])
+      : Set[((Double, Double), (Double, Double))] = {
+    val b = Set.newBuilder[((Double, Double), (Double, Double))]
+    var i = 0
+    while (i + 3 < flat.length) {
+      b += (((flat(i), flat(i + 1)), (flat(i + 2), flat(i + 3))))
+      i += 4
+    }
+    b.result()
+  }
+
+  /** Replace the nested polygons + shared_segs columns with the flat
+    * wire format — applied BEFORE the tile fan-out, so the flattening
+    * runs once per FEATURE and only primitive arrays ride the
+    * per-(tile, feature) rows into the shuffle.
+    */
+  private def withFlatGeom(df: DataFrame, polygonsCol: String): DataFrame =
+    df.withColumn("coords", flatten(flatten(flatten(col(polygonsCol)))))
+      .withColumn("ring_sizes", flatten(transform(col(polygonsCol),
+        p => transform(p, r => size(r)))))
+      .withColumn("poly_sizes", transform(col(polygonsCol), p => size(p)))
+      .withColumn("shared_flat", flatten(flatten(col("shared_segs"))))
+      .drop(polygonsCol, "shared_segs")
 
   /** The per-(tile, feature) geometry kernel shared by the fused and
     * split builds: project → simplify → clip → quantize → MVT winding.
@@ -250,8 +313,10 @@ object TileBuild {
     * [[encodePolygonTiles]] per decade reproduces that shape — the
     * geometry pipeline (the expensive half) never re-runs.
     *
-    * @return (z, x, y, density_rank, fid, rings) — rings already
-    *         tile-local integer rings in MVT winding order
+    * @return (z, x, y, density_rank, fid, rings_flat, ring_sizes) —
+    *         tile-local integer rings in MVT winding order, flattened
+    *         (interleaved x,y + per-ring point counts: the primitive-
+    *         array wire format, see [[unflatten]] notes)
     */
   def polygonTileFeatures(polys: DataFrame, idCol: String,
                           polygonsCol: String, minZoom: Int, maxZoom: Int,
@@ -268,22 +333,29 @@ object TileBuild {
         typedLit(Seq.empty[Seq[Seq[Double]]]))
     val withBbox = Geometry.bboxColumns(col(polygonsCol))
       .foldLeft(withShared) { case (df, (n, c)) => df.withColumn(n, c) }
-    val covered = Geometry.coverTiles(withBbox, minZoom, maxZoom)
+    val covered = Geometry.coverTiles(withFlatGeom(withBbox, polygonsCol),
+      minZoom, maxZoom)
     // map-side candidate cap BEFORE the tile shuffle, like the point path
     val budgeted = Tiling.dropDensest(covered,
       col(importanceCol.getOrElse(idCol)), col(idCol), budget)
     val rows = budgeted.select(col("z").cast("int"), col("x"), col("y"),
       col("density_rank"), col(idCol).cast("long").as("fid"),
-      col(polygonsCol).as("polys"), col("shared_segs"))
+      col("coords"), col("ring_sizes"), col("poly_sizes"), col("shared_flat"))
 
-    rows.as[(Int, Long, Long, Int, Long, Seq[Seq[Seq[Seq[Double]]]], Seq[Seq[Seq[Double]]])]
-      .map { case (z, x, y, rank, fid, polygons, sharedSegs) =>
-        val rings = tileRings(z, x, y, polygons, simplifyPx,
-          if (sharedBorders) Some(toSegSet(sharedSegs)) else None)
-        (z, x, y, rank, fid, rings.map(_.map(p => Seq(p._1, p._2))))
+    rows.as[(Int, Long, Long, Int, Long, Array[Double], Array[Int], Array[Int], Array[Double])]
+      .map { case (z, x, y, rank, fid, coords, ringSizes, polySizes, sharedFlat) =>
+        val rings = tileRings(z, x, y,
+          unflatten(coords, ringSizes, polySizes), simplifyPx,
+          if (sharedBorders) Some(toSegSetFlat(sharedFlat)) else None)
+        val flat = new Array[Int](rings.map(_.length).sum * 2)
+        var i = 0
+        rings.foreach(_.foreach { p =>
+          flat(i) = p._1; flat(i + 1) = p._2; i += 2
+        })
+        (z, x, y, rank, fid, flat, rings.map(_.length).toArray)
       }
-      .toDF("z", "x", "y", "density_rank", "fid", "rings")
-      .filter(size(col("rings")) > 0)
+      .toDF("z", "x", "y", "density_rank", "fid", "rings_flat", "ring_sizes")
+      .filter(size(col("rings_flat")) > 0)
   }
 
   /** Stage 2 — per-decade attribute join + MVT encode: one broadcast-able
@@ -299,16 +371,22 @@ object TileBuild {
     import spark.implicits._
     tileFeatures.join(attrs, Seq("fid"))
       .select(col("z"), col("x"), col("y"), col("density_rank"), col("fid"),
-        col("rings"), col("attrs"))
-      .as[(Int, Long, Long, Int, Long, Seq[Seq[Seq[Int]]], Map[String, String])]
-      .groupByKey { case (z, x, y, _, _, _, _) => (z, x, y) }
+        col("rings_flat"), col("ring_sizes"), col("attrs"))
+      .as[(Int, Long, Long, Int, Long, Array[Int], Array[Int], Map[String, String])]
+      .groupByKey { case (z, x, y, _, _, _, _, _) => (z, x, y) }
       .mapGroups { (key: (Int, Long, Long),
-                    it: Iterator[(Int, Long, Long, Int, Long, Seq[Seq[Seq[Int]]], Map[String, String])]) =>
+                    it: Iterator[(Int, Long, Long, Int, Long, Array[Int], Array[Int], Map[String, String])]) =>
         val (z, x, y) = key
         val feats = it.toSeq.sortBy(t => (t._4, t._5)).map {
-          case (_, _, _, _, fid, rings, attrs) =>
-            Mvt.Feature(fid, Mvt.PolygonGeom,
-              rings.map(_.map(p => (p(0), p(1)))),
+          case (_, _, _, _, fid, flat, ringSizes, attrs) =>
+            var ci = 0
+            val rings = ringSizes.toIndexedSeq.map { n =>
+              val ring = new Array[(Int, Int)](n)
+              var j = 0
+              while (j < n) { ring(j) = (flat(ci), flat(ci + 1)); ci += 2; j += 1 }
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(ring): Seq[(Int, Int)]
+            }
+            Mvt.Feature(fid, Mvt.PolygonGeom, rings,
               attrs.toSeq.filter(_._2 != null).sortBy(_._1))
         }
         val (kept, bytes) =

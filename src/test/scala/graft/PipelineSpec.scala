@@ -132,6 +132,13 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     val bytes = java.nio.file.Files.readAllBytes(z0)
     val s0 = new String(bytes.map(b => (b & 0xff).toChar))
     assert(s0.contains("counties-00-bubble") && s0.contains("counties-00-choropleth"))
+    // tile-join metadata fidelity: bounds = the fixture's geometry bbox,
+    // center = its midpoint (lon,lat,maxzoom), type present
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/counties/00/metadata.json")), "UTF-8")
+    assert(meta.contains(""""bounds": "-151.9,32.3,-86.4,54.6""""), meta)
+    assert(meta.contains(""""center": "-119.15"""), meta)
+    assert(meta.contains(""""type": "overlay""""), meta)
   }
 
   test("extend-zooms: drop-strategy choropleth deepens; coalesce regions don't") {
