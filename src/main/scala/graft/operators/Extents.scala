@@ -47,11 +47,17 @@ object Extents {
   def extents(df: DataFrame, metricCols: Seq[String],
               lo: Double = 0.01, hi: Double = 0.99,
               approximate: Boolean = false): DataFrame = {
+    // the metric travels as an INT index through the histogram pipeline
+    // (the name string would otherwise be the repeated shuffle key on
+    // every histogram/window row) and is restored after the final
+    // per-metric aggregation
     val stackExpr = explodeToLong(metricCols)
     val long = df.select(stackExpr: _*)
       .select(col("id"), numericOrNull(col("value")).as("value"))
       .filter(col("value").isNotNull)
+    val names = array(metricCols.map(lit): _*)
     computeExtents(long, Seq("id"), lo, hi, approximate)
+      .withColumn("id", element_at(names, col("id") + 1))
       .orderBy("id")
   }
 
@@ -75,7 +81,9 @@ object Extents {
     val long = df.select(col(groupCol) +: stackExpr: _*)
       .select(col(groupCol), col("id"), numericOrNull(col("value")).as("value"))
       .filter(col("value").isNotNull)
+    val names = array(metricCols.map(lit): _*)
     computeExtents(long, Seq(groupCol, "id"), lo, hi, approximate)
+      .withColumn("id", element_at(names, col("id") + 1))
       .orderBy(groupCol, "id")
   }
 
@@ -189,10 +197,14 @@ object Extents {
     }
   }
 
-  /** A2: wide→long unpivot via `stack` (one pass, no per-column scans). */
+  /** A2: wide→long unpivot via `stack` (one pass, no per-column scans).
+    * Emits the metric as its int INDEX in `metricCols` — callers map it
+    * back to the name after aggregating (the name would otherwise ride
+    * every histogram row through every shuffle).
+    */
   private def explodeToLong(metricCols: Seq[String]): Seq[Column] = {
-    val pairs = metricCols
-      .map(c => s"'$c', try_cast(`$c` as double)")
+    val pairs = metricCols.zipWithIndex
+      .map { case (c, i) => s"$i, try_cast(`$c` as double)" }
       .mkString(", ")
     Seq(expr(s"stack(${metricCols.size}, $pairs) as (id, value)"))
   }
