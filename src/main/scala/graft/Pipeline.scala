@@ -117,8 +117,8 @@ object Pipeline {
     * writes tiles per decade under `outDir` when features are given.
     * With GeoJSON-derived features ([[geometryFeatures]]) both layers
     * build; with bare lon/lat points only the bubble layer can.
-    */
-  /** @param extendBudget densest-tile feature budget driving the
+    *
+    * @param extendBudget densest-tile feature budget driving the
     *                     `--extend-zooms-if-still-dropping` decision for
     *                     both layers (tippecanoe's default tile budget;
     *                     a test seam for forcing extension on small
