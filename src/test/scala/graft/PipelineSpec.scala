@@ -141,6 +141,27 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     assert(meta.contains(""""type": "overlay""""), meta)
   }
 
+  test("bubble-only runRegion: point features write a bubble tree with point bounds") {
+    import spark.implicits._
+    val features = Seq(("01001", -86.6, 32.5), ("02013", -151.5, 54.5))
+      .toDF("GEOID", "lon", "lat")
+    val out = Files.createTempDirectory("bubble-only").toString
+    Pipeline.runRegion(spark, fixtureCsv, "raw", metricLongNames,
+      "counties", features = Some(features), outDir = Some(out))
+    val dir = new java.io.File(s"$out/counties/00")
+    assert(dir.exists)
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/counties/00/metadata.json")), "UTF-8")
+    // bounds from the bubble centers; no choropleth layer advertised
+    assert(meta.contains(""""bounds": "-151.5,32.5,-86.6,54.5""""), meta)
+    assert(meta.contains(""""layers": "counties-00-bubble""""), meta)
+    val pbf = java.nio.file.Files.walk(dir.toPath)
+      .filter(_.toString.endsWith(".pbf")).findFirst().get()
+    val s0 = new String(java.nio.file.Files.readAllBytes(pbf)
+      .map(b => (b & 0xff).toChar))
+    assert(s0.contains("counties-00-bubble") && !s0.contains("choropleth"))
+  }
+
   test("extend-zooms: drop-strategy choropleth deepens; coalesce regions don't") {
     val features = Pipeline.geometryFeatures(
       graft.sources.Sources.readGeoJson(spark, fixtureGeoJson))
