@@ -150,6 +150,47 @@ object QueriesText {
        | list_min(hashes) AS fp_min, list_max(hashes) AS fp_max
        |FROM h ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Rolling-hash fingerprint: Rabin-Karp polynomial hash over every
+  // 8-codepoint window — O(1) per shift on the Spark side
+  // (RollingHashExpr); the oracle expands the same polynomial per window
+  // with precomputed power literals (values identical, the oracle only
+  // checks them). Docs shorter than the window are excluded in BOTH
+  // engines (the fixture corpus has none).
+  private val RhK = 8
+
+  def q54RollingFingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), TextStats.normalize(col("text")).as("norm"))
+      .filter(length(col("norm")) >= RhK)
+      .select(col("doc_id"),
+        graft.functions.RollingHashExpr.rollingHashes(col("norm"), RhK)
+          .as("rh"))
+      .select(col("doc_id"),
+        array_min(col("rh")).as("rh_min"), array_max(col("rh")).as("rh_max"),
+        size(col("rh")).as("n_windows"))
+      .orderBy("doc_id")
+
+  val q54Sql: String = {
+    val B = graft.functions.RollingHashExpr.Base
+    val M = graft.functions.RollingHashExpr.Mod
+    // P(j) = B^(RhK-1-j) mod M as literals — every term and the 8-term
+    // sum stay far under 2^63
+    val pows = (0 until RhK).scanLeft(1L)((p, _) => p * B % M)
+    val terms = (0 until RhK).map { j =>
+      s"CAST(ascii(substr(norm, i + $j, 1)) AS BIGINT) * ${pows(RhK - 1 - j)}"
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, $normSql AS norm FROM documents),
+       |h AS (
+       | SELECT doc_id,
+       |  list_transform(range(1, len(norm) - ${RhK - 2}),
+       |    i -> ($terms) % $M) AS rh
+       | FROM t WHERE len(norm) >= $RhK)
+       |SELECT doc_id, list_min(rh) AS rh_min, list_max(rh) AS rh_max,
+       | CAST(len(rh) AS INT) AS n_windows
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
   /** Deployment-hash twin of q21 ([[graft.operators.TextStats.HashMode]]
     * EngineXx): the ~300 per-doc digests run through xxhash64 instead of
     * md5 — NOT oracle-checkable by design (no xxhash64 in DuckDB); it
@@ -223,6 +264,7 @@ object QueriesText {
     // deployment-hash twin of q21 — deliberately absent from `oracle`
     // (driver records rows-only): DuckDB cannot reproduce xxhash64
     "q53_fingerprint_xx" -> (q53FingerprintXx _),
+    "q54_rolling_fingerprint" -> (q54RollingFingerprint _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -231,5 +273,6 @@ object QueriesText {
     "q20_lang_id" -> q20Sql,
     "q21_fingerprint" -> q21Sql,
     "q42_tfidf" -> q42Sql,
+    "q54_rolling_fingerprint" -> q54Sql,
   )
 }
