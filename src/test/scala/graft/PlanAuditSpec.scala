@@ -118,6 +118,14 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(p.contains("partial_count"), "per-zoom counts must partial-aggregate")
   }
 
+  test("q54: rolling-hash fingerprint is a pure projection (no shuffle but the sort)") {
+    val p = plan("q54_rolling_fingerprint")
+    assert(!p.contains("Join") && !p.contains("Generate"),
+      s"rolling fingerprint must be a per-row projection:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"only the output sort may shuffle:\n$p")
+  }
+
   test("q27/q28/q23: banded LSH candidates stay an equi-join with bounded fan-in") {
     for (q <- Seq("q27_lsh_ann", "q28_embed_neardup", "q23_minhash_lsh")) {
       val p = plan(q)
