@@ -162,13 +162,16 @@ object Pipeline {
       // tile-join's metadata.json carries them (`build.sh:220,226`) —
       // polygon regions use the true geometry bbox, point regions the
       // bubble centers
-      val bounds = {
+      val bounds: Option[(Double, Double, Double, Double)] = {
         val r = (if (hasPolys) {
           val bb = Geometry.bboxColumns(col("polys"))
           f.select(min(bb(0)._2), min(bb(2)._2), max(bb(1)._2), max(bb(3)._2))
         } else f.select(min(col("lon")), min(col("lat")),
           max(col("lon")), max(col("lat")))).head()
-        (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+        // zero features ⇒ the min/max aggregate returns one all-null row;
+        // skip the bounds/center metadata keys rather than NPE on getDouble
+        if (r.isNullAt(0)) None
+        else Some((r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
       }
       // `--extend-zooms-if-still-dropping`: decided ONCE per region from
       // the geometry (decade-independent), then reused by every decade
@@ -210,11 +213,12 @@ object Pipeline {
             "type" -> "overlay",
             "minzoom" -> math.min(bz.minZoom, zoom.minZoom).toString,
             "maxzoom" -> maxZoomOut.toString,
-            "bounds" -> s"${bounds._1},${bounds._2},${bounds._3},${bounds._4}",
-            "center" -> (s"${(bounds._1 + bounds._3) / 2}," +
-              s"${(bounds._2 + bounds._4) / 2},$maxZoomOut"),
             "layers" -> (s"$region-$decade-bubble" +
-              (if (hasPolys) s",$region-$decade-choropleth" else ""))))
+              (if (hasPolys) s",$region-$decade-choropleth" else "")))
+            ++ bounds.map { case (x0, y0, x1, y1) =>
+              Map("bounds" -> s"$x0,$y0,$x1,$y1",
+                "center" -> s"${(x0 + x1) / 2},${(y0 + y1) / 2},$maxZoomOut")
+            }.getOrElse(Map.empty))
       }
       polyFeats.foreach(_.unpersist())
     }

@@ -112,17 +112,23 @@ object Dedup {
     * empty-document bucket, a boilerplate-heavy corpus) costs at most
     * maxBucket² instead of n². The cap window prunes map-side via
     * WindowGroupLimit; oracle twins replicate the identical rn cap.
+    *
+    * Capping is OPT-IN (default = no cap): members past the cap never
+    * form candidate pairs — a deliberate recall trade a caller must
+    * choose (and mirror in any oracle twin), never a silent default.
     */
   def lshCandidatePairs(withBuckets: DataFrame, idCol: String,
-                        maxBucket: Int = 1 << 10): DataFrame = {
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
     val exploded = withBuckets
       .select(col(idCol), explode(col("buckets")).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("band", "bucket").orderBy(col(idCol))
-    val capped = exploded
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= maxBucket).drop("__rn")
+    val capped =
+      if (maxBucket == Int.MaxValue) exploded
+      else exploded
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= maxBucket).drop("__rn")
     capped.as("x")
       .join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
@@ -151,8 +157,12 @@ object Dedup {
     * bit; its semantics are pinned by the SimHashExpr spec.
     */
   def simhashFromHashes(hashes: Column, bits: Int): Column =
-    // null hash array (null text) pins to 0 like the empty doc — the
-    // composed formulation's otherwise-chain did the same
+    // null hash array (null text) pins to 0 like the empty doc — an
+    // INTENTIONAL change from the earlier composed formulation, whose
+    // when/otherwise chain propagated null for null input: a signature
+    // column should be total so downstream grouping/banding never has
+    // to special-case null (null and empty text are the same "no
+    // content" class for dedup purposes)
     coalesce(graft.functions.SimHashExpr.simhash(hashes, bits), lit(0L))
 
   /** Duplicate-CLUSTER canonicalization: connected components over the

@@ -1,9 +1,13 @@
 package graft.operators
 
+import java.util.concurrent.atomic.AtomicBoolean
+
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Per-column extents (min / max / 1st / 99th percentile), used by the
   * reference front end to build choropleth scales.
@@ -47,6 +51,8 @@ object Extents {
   def extents(df: DataFrame, metricCols: Seq[String],
               lo: Double = 0.01, hi: Double = 0.99,
               approximate: Boolean = false): DataFrame = {
+    // per-metric extents: group cardinality == metricCols.size, so the
+    // exact path's boundary/offset broadcast is always safe here
     // the metric travels as an INT index through the histogram pipeline
     // (the name string would otherwise be the repeated shuffle key on
     // every histogram/window row) and is restored after the final
@@ -73,16 +79,25 @@ object Extents {
     * relative accuracy at 10k buckets — ample for choropleth scales).
     * The exact path stays the default because it is the oracle-parity
     * (R-7 / d3.quantile) estimator.
+    *
+    * `fewGroups` (default true) lets the exact path broadcast its
+    * per-group boundary/offset tables (≤ [[RangeBuckets]] rows per
+    * group). That is right for the reference shape — tens of regions ×
+    * a handful of metrics — but the broadcast grows LINEARLY in group
+    * cardinality: pass `fewGroups = false` above ~10⁵ groups and the
+    * boundary/offset sides join by shuffle instead (slower at small
+    * scale, bounded everywhere).
     */
   def extentsBy(df: DataFrame, groupCol: String, metricCols: Seq[String],
                 lo: Double = 0.01, hi: Double = 0.99,
-                approximate: Boolean = false): DataFrame = {
+                approximate: Boolean = false,
+                fewGroups: Boolean = true): DataFrame = {
     val stackExpr = explodeToLong(metricCols)
     val long = df.select(col(groupCol) +: stackExpr: _*)
       .select(col(groupCol), col("id"), numericOrNull(col("value")).as("value"))
       .filter(col("value").isNotNull)
     val names = array(metricCols.map(lit): _*)
-    computeExtents(long, Seq(groupCol, "id"), lo, hi, approximate)
+    computeExtents(long, Seq(groupCol, "id"), lo, hi, approximate, fewGroups)
       .withColumn("id", element_at(names, col("id") + 1))
       .orderBy(groupCol, "id")
   }
@@ -128,7 +143,8 @@ object Extents {
     */
   private def computeExtents(long: DataFrame, groupCols: Seq[String],
                              lo: Double, hi: Double,
-                             approximate: Boolean): DataFrame = {
+                             approximate: Boolean,
+                             fewGroups: Boolean = true): DataFrame = {
     val gcols = groupCols.map(col)
     if (approximate) {
       long.groupBy(gcols: _*)
@@ -143,7 +159,8 @@ object Extents {
       // table) feeds both the boundary sketch and the bucketed cumsum —
       // without it the whole upstream unpivot + try_cast re-executes per
       // reference (observed 3x at sf0.1). Same documented pattern as the
-      // q23 shingle cache; callers clear cache between queries.
+      // q23 shingle cache; released by `unpersistAfterUse` once the
+      // first action over the result completes.
       val hist = long.groupBy((groupCols :+ "value").map(col): _*)
         .agg(count(lit(1)).as("cnt"))
         .persist()
@@ -154,7 +171,15 @@ object Extents {
         .map(i => lit(i.toDouble / RangeBuckets)): _*)
       val bounds = hist.groupBy(gcols: _*)
         .agg(percentile_approx(col("value"), qs, lit(1000)).as("__bnds"))
-      val bucketed = hist.join(broadcast(bounds), groupCols)
+      // bounds/offs are ≤ RangeBuckets rows PER GROUP, so the broadcast
+      // hint is only safe while groupCol cardinality is bounded
+      // (`fewGroups`, the reference shape: a handful of metrics ×
+      // regions). A 100 TB caller with millions of groups passes
+      // fewGroups = false and these become shuffle joins — the driver
+      // never builds an unbounded broadcast table.
+      def maybeBroadcast(df: DataFrame): DataFrame =
+        if (fewGroups) broadcast(df) else df
+      val bucketed = hist.join(maybeBroadcast(bounds), groupCols)
         .withColumn("bkt", size(filter(col("__bnds"), b => b < col("value"))))
         .drop("__bnds")
       val bktCols = groupCols :+ "bkt"
@@ -169,7 +194,7 @@ object Extents {
         .withColumn("n", sum("bsum").over(Window.partitionBy(gcols: _*)))
         .select(bktCols.map(col) :+ col("__off") :+ col("n"): _*)
       val wIn = Window.partitionBy(bktCols.map(col): _*).orderBy("value")
-      val cum = bucketed.join(broadcast(offs), bktCols)
+      val cum = bucketed.join(maybeBroadcast(offs), bktCols)
         .withColumn("cum", sum("cnt").over(wIn) + col("__off"))
         .withColumn("cum_before", col("cum") - col("cnt"))
       // rank targets (1-based): kLo = ⌊h⌋+1 and its successor, clamped
@@ -188,13 +213,44 @@ object Extents {
         val frac = h - floor(h)
         col(s"${name}_lo") + frac * (col(s"${name}_hi") - col(s"${name}_lo"))
       }
-      cum.groupBy(gcols: _*)
+      val out = cum.groupBy(gcols: _*)
         .agg(first("n").as("n"),
           Seq(min("value").as("vmin"), max("value").as("vmax")) ++
             picks(lo, "a") ++ picks(hi, "b"): _*)
         .select(gcols ++ Seq(col("vmin"), col("vmax"),
           interp(lo, "a").as("q1"), interp(hi, "b").as("q99")): _*)
+      unpersistAfterUse(hist, out)
     }
+  }
+
+  /** Releases `cached` as soon as the first action consuming `out` (or
+    * any plan built on top of it) completes — the plan stays fully lazy
+    * (callers and plan audits see the real operator tree, not a cache
+    * scan), but a long-lived session no longer accumulates one orphaned
+    * cached histogram per extents call. If the caller never executes the
+    * plan, nothing was materialized and the listener is inert.
+    */
+  private def unpersistAfterUse(cached: DataFrame, out: DataFrame): DataFrame = {
+    val spark = out.sparkSession
+    val target = out.queryExecution.analyzed
+    val listener = new QueryExecutionListener {
+      private val released = new AtomicBoolean(false)
+      private def maybeRelease(qe: QueryExecution): Unit = {
+        val hit =
+          try qe.analyzed.exists(_.sameResult(target))
+          catch { case _: Exception => false }
+        if (hit && released.compareAndSet(false, true)) {
+          cached.unpersist(blocking = false)
+          spark.listenerManager.unregister(this)
+        }
+      }
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit = maybeRelease(qe)
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = maybeRelease(qe)
+    }
+    spark.listenerManager.register(listener)
+    out
   }
 
   /** A2: wide→long unpivot via `stack` (one pass, no per-column scans).

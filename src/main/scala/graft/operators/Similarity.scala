@@ -121,9 +121,12 @@ object Similarity {
         explode(hyperplaneBands(col(vecCol), bands, bitsPerBand)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
-    val w = Window.partitionBy("band", "bucket").orderBy(col(idCol))
-    exploded.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= maxBucket).drop("__rn")
+    if (maxBucket == Int.MaxValue) exploded
+    else {
+      val w = Window.partitionBy("band", "bucket").orderBy(col(idCol))
+      exploded.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= maxBucket).drop("__rn")
+    }
   }
 
   /** Distinct undirected candidate pairs (a < b) from banded LSH: an
@@ -133,7 +136,7 @@ object Similarity {
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
                         bands: Int, bitsPerBand: Int,
-                        maxBucket: Int = 1 << 10): DataFrame = {
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
     val m = lshMembership(df, idCol, vecCol, bands, bitsPerBand, maxBucket)
     m.as("q").join(m.as("c"),
         col("q.band") === col("c.band") &&

@@ -65,6 +65,19 @@ class CoreOperatorsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("extents releases its histogram cache after the first action") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 5.0).toDF("a")
+    Extents.extents(df, Seq("a")).collect()
+    // the release listener fires asynchronously on the listener bus
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    val deadline = System.currentTimeMillis + 10000
+    while (leaked.nonEmpty && System.currentTimeMillis < deadline)
+      Thread.sleep(50)
+    assert(leaked.isEmpty,
+      "the extents histogram must be unpersisted once the action completes")
+  }
+
   test("extents quantile is R-7 (d3.quantile parity)") {
     // d3.quantile([1,2,3,4], 0.01) = 1 + 0.03*(2-1) = 1.03
     val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("a")
