@@ -1,0 +1,220 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Dedup, TextStats}
+
+/** Corpus-hygiene query batch (training-data pipeline tier, round 4):
+  * test-set decontamination, within-document repetition, source-balanced
+  * resampling, and cross-corpus boilerplate-segment dedup — the four
+  * cleanup passes a web-scale corpus runs between raw crawl and
+  * training, each oracle-checked cell-exact against DuckDB.
+  *
+  * Fixtures follow the QueriesDedup pattern: the driver corpus is 100%
+  * distinct word-salad, so each query deterministically injects its own
+  * known positives (contaminated implants, doubled documents, shared
+  * footers) in both engines.
+  */
+object QueriesCorpus {
+  import Tables._
+
+  private val normSql = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+  private val hash60Sql =
+    (c: String) => s"CAST(('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+  /** DuckDB twin of [[Dedup.wordShingles]] for width `k` over a text
+    * expression `t` (distinct word k-grams; short docs clamp to one
+    * truncated gram — same as the Spark native expression).
+    */
+  private def shinglesSql(t: String, k: Int): String = {
+    val norm = s"regexp_replace(trim(lower($t)), '\\s+', ' ', 'g')"
+    s"""list_distinct(list_transform(
+       |  range(1, greatest(len(string_split($norm, ' ')) - ${k - 1}, 1) + 1),
+       |  i -> array_to_string((string_split($norm, ' '))[i:i+${k - 1}], ' ')))""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q55 decontamination: drop-list of train docs sharing a word 5-gram
+  // with the benchmark set. Eval = doc_id % 97 == 0; train = the rest
+  // plus IMPLANTS — for every eval doc, a train doc whose text embeds a
+  // 10-token verbatim span of it (the contamination the filter exists to
+  // catch).
+  private val DecontamK = 5
+
+  private def evalDocs(s: SparkSession, d: String): DataFrame =
+    documents(s, d).filter(col("doc_id") % 97 === 0)
+
+  private def trainDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select("doc_id", "text")
+    val span = concat_ws(" ", slice(TextStats.tokens(col("text")), 2, 10))
+    docs.filter(col("doc_id") % 97 =!= 0).unionByName(
+      documents(s, d).filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(lit("zqx yvw kpj "), span).as("text")))
+  }
+
+  private val trainSql =
+    s"""SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+       |UNION ALL
+       |SELECT doc_id + 300000 AS doc_id,
+       |  'zqx yvw kpj ' ||
+       |    array_to_string((string_split($normSql, ' '))[2:11], ' ') AS text
+       |FROM documents WHERE doc_id % 97 = 0""".stripMargin
+
+  def q55Decontaminate(s: SparkSession, d: String): DataFrame =
+    Dedup.contaminatedIds(trainDocs(s, d), evalDocs(s, d),
+        "text", "doc_id", DecontamK)
+      .orderBy("doc_id")
+
+  val q55Sql: String =
+    s"""WITH train AS ($trainSql),
+       |evsh AS (
+       | SELECT DISTINCT h
+       | FROM (SELECT unnest(list_transform(${shinglesSql("text", DecontamK)},
+       |         s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS h
+       |       FROM documents WHERE doc_id % 97 = 0)),
+       |trsh AS (
+       | SELECT doc_id,
+       |  unnest(list_transform(${shinglesSql("text", DecontamK)},
+       |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS h
+       | FROM train)
+       |SELECT DISTINCT doc_id FROM trsh
+       |WHERE h IN (SELECT h FROM evsh)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q56 repetition ratio: fraction of repeated word 3-grams per doc
+  // (Gopher-style looping signal). Injected positives: doc_id % 6 == 0
+  // docs re-inserted with their text DOUBLED (ratio ≈ 0.5).
+  private val RepK = 3
+
+  private def repCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select("doc_id", "text")
+    docs.unionByName(
+      docs.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          concat(col("text"), lit(" "), col("text")).as("text")))
+  }
+
+  private val repCorpusSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 400000 AS doc_id, text || ' ' || text AS text
+      |FROM documents WHERE doc_id % 6 = 0""".stripMargin
+
+  def q56Repetition(s: SparkSession, d: String): DataFrame = {
+    val cols = TextStats.repetitionColumns("text", RepK)
+      .map { case (n, c) => c.as(n) }
+    repCorpus(s, d)
+      .filter(size(TextStats.tokens(col("text"))) >= RepK)
+      .select(col("doc_id") +: cols: _*)
+      .orderBy("doc_id")
+  }
+
+  val q56Sql: String =
+    s"""WITH corpus AS ($repCorpusSql),
+       |t AS (
+       | SELECT doc_id, string_split($normSql, ' ') AS toks FROM corpus),
+       |g AS (
+       | SELECT doc_id,
+       |  len(toks) - ${RepK - 1} AS n_ngrams,
+       |  len(list_distinct(list_transform(range(1, len(toks) - ${RepK - 1} + 1),
+       |    i -> array_to_string(toks[i:i+${RepK - 1}], ' ')))) AS n_distinct_ngrams
+       | FROM t WHERE len(toks) >= $RepK)
+       |SELECT doc_id,
+       | CAST(n_ngrams AS BIGINT) AS n_ngrams,
+       | CAST(n_distinct_ngrams AS BIGINT) AS n_distinct_ngrams,
+       | round(1.0 - CAST(n_distinct_ngrams AS DOUBLE) / n_ngrams, 6) AS rep_ratio
+       |FROM g ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q57 source balancing: every source downsampled to ≈ the smallest
+  // source's size with an exact-integer keep threshold (data mixing).
+  def q57SourceBalance(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val before = docs.groupBy("source").agg(count(lit(1)).as("n_before"))
+    val kept = Curation.balancedSample(docs, "doc_id", "source")
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    before.join(kept, Seq("source"), "left")
+      .na.fill(0L, Seq("n_kept"))
+      .orderBy("source")
+  }
+
+  val q57Sql: String =
+    s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+       |m AS (SELECT min(n) AS nmin FROM c),
+       |thr AS (SELECT source, (1000000 * nmin) // n AS thr FROM c, m),
+       |kept AS (
+       | SELECT d.source FROM documents d JOIN thr t ON d.source = t.source
+       | WHERE ${hash60Sql("doc_id")} % 1000000 < t.thr)
+       |SELECT c.source, c.n AS n_before,
+       | coalesce(k.n_kept, 0) AS n_kept
+       |FROM c LEFT JOIN
+       | (SELECT source, count(*) AS n_kept FROM kept GROUP BY 1) k
+       | USING (source)
+       |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q58 boilerplate segments: docs carry injected shared footers on
+  // newline-separated "pages"; a segment is boilerplate when its digest
+  // appears in ≥ 5 distinct docs.
+  private val MinDocs = 5
+
+  private def pages(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 2 === 0,
+        lit("\nall rights reserved example footer")).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0,
+        lit("\nsubscribe to our newsletter today")).otherwise(lit("")))
+      .as("text"))
+
+  // no line may START with `||`: this snippet is re-embedded inside
+  // q58Sql's stripMargin, which would eat one pipe
+  private val pagesSql =
+    """SELECT doc_id, concat(text,
+      |  CASE WHEN doc_id % 2 = 0
+      |    THEN chr(10) || 'all rights reserved example footer' ELSE '' END,
+      |  CASE WHEN doc_id % 3 = 0
+      |    THEN chr(10) || 'subscribe to our newsletter today' ELSE '' END)
+      |  AS text
+      |FROM documents""".stripMargin
+
+  def q58Boilerplate(s: SparkSession, d: String): DataFrame =
+    Dedup.boilerplateStats(pages(s, d), "doc_id", "text", "\n", MinDocs)
+      .orderBy("doc_id")
+
+  val q58Sql: String = {
+    val segNorm = "regexp_replace(trim(lower(seg)), '\\s+', ' ', 'g')"
+    s"""WITH pages AS ($pagesSql),
+       |segs AS (
+       | SELECT doc_id, md5($segNorm) AS dig
+       | FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS seg
+       |       FROM pages)
+       | WHERE length(trim(seg)) > 0),
+       |freq AS (SELECT dig, count(DISTINCT doc_id) AS ndocs
+       |         FROM segs GROUP BY 1)
+       |SELECT doc_id,
+       | count(*) AS n_segments,
+       | CAST(sum(CASE WHEN ndocs >= $MinDocs THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_boilerplate,
+       | round(CAST(sum(CASE WHEN ndocs >= $MinDocs THEN 1 ELSE 0 END) AS DOUBLE)
+       |   / count(*), 6) AS boilerplate_ratio
+       |FROM segs JOIN freq USING (dig)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_decontaminate" -> (q55Decontaminate _),
+    "q56_repetition" -> (q56Repetition _),
+    "q57_source_balance" -> (q57SourceBalance _),
+    "q58_boilerplate" -> (q58Boilerplate _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q55_decontaminate" -> q55Sql,
+    "q56_repetition" -> q56Sql,
+    "q57_source_balance" -> q57Sql,
+    "q58_boilerplate" -> q58Sql,
+  )
+}

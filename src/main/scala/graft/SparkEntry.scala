@@ -13,7 +13,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.all ++ QueriesRel.all ++ QueriesText.all ++ QueriesDedup.all ++
       QueriesSim.all ++ QueriesMm.all ++ QueriesTile.all ++
-      QueriesStream.all ++ QueriesCuration.all
+      QueriesStream.all ++ QueriesCuration.all ++ QueriesCorpus.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -21,5 +21,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Queries.oracle ++ QueriesRel.oracle ++ QueriesText.oracle ++
       QueriesDedup.oracle ++ QueriesSim.oracle ++ QueriesMm.oracle ++
-      QueriesTile.oracle ++ QueriesStream.oracle ++ QueriesCuration.oracle
+      QueriesTile.oracle ++ QueriesStream.oracle ++ QueriesCuration.oracle ++
+      QueriesCorpus.oracle
 }

@@ -43,6 +43,34 @@ object Curation {
     df.filter(hashBucket(col(keyCol), 10000) < pct * 10000)
   }
 
+  /** Source-balanced downsample (data mixing): every group is sampled
+    * down to ≈ the SMALLEST group's size, flattening a skewed source /
+    * language distribution before training. Keep decisions are
+    * hash-deterministic per key (same reproducibility contract as
+    * [[stratifiedSample]]), and the per-group keep-rate is computed in
+    * pure BIGINT arithmetic — `floor(1e6 · n_min / n_g)` — so an oracle
+    * engine reproduces the exact kept set (no float `pow` divergence).
+    *
+    * Scale shape: one aggregation over the group column (tiny result —
+    * one row per source), a broadcast join of the thresholds, and a
+    * map-side filter. The full corpus is scanned twice and never
+    * shuffled. The temperature generalization (rate ∝ n_g^(α−1)) drops
+    * into the same plan by swapping the threshold expression.
+    */
+  def balancedSample(df: DataFrame, keyCol: String, groupCol: String): DataFrame = {
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val nMin = counts.agg(min("__n").as("__nmin"))
+    // `div`, not `/`: Spark's `/` is ALWAYS double division, and
+    // double(1e6 · n_min) loses integer precision past 2^53 — integral
+    // DIV keeps the threshold exact at any group size
+    val thresholds = counts.crossJoin(broadcast(nMin))
+      .select(col(groupCol),
+        expr("(1000000L * __nmin) div __n").as("__thr"))
+    df.join(broadcast(thresholds), groupCol)
+      .filter(TextStats.hash60(col(keyCol).cast("string")) % 1000000L < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Fixed-width histogram of a numeric column: bucket i covers
     * [lo + i*w, lo + (i+1)*w); values at/above hi clamp to the last
     * bucket, below lo to the first.

@@ -137,6 +137,66 @@ object Dedup {
       .distinct()
   }
 
+  /** Test-set decontamination: ids of `train` documents sharing at
+    * least one word k-gram with ANY document in `evalDocs` — the
+    * benchmark-overlap filter every training corpus runs before a model
+    * sees the data (the classic formulation drops a train doc on any
+    * verbatim 8–13-gram hit; k is the caller's contract).
+    *
+    * Scale shape: the eval side (benchmarks — thousands of docs, versus
+    * a 100 TB train corpus) collapses to a DISTINCT set of 60-bit
+    * shingle hashes and BROADCASTS; the train side explodes to
+    * (id, shingle-hash) and left-semi joins map-side — the corpus is
+    * never shuffled, only the matching ids reach the final distinct.
+    * One native-expression hashing pass per side ([[hashedWordShingles]]).
+    */
+  def contaminatedIds(train: DataFrame, evalDocs: DataFrame,
+                      textCol: String, idCol: String, k: Int,
+                      mode: HashMode = HashMode.OracleMd5): DataFrame = {
+    val evalSh = evalDocs
+      .select(explode(hashedWordShingles(textCol, k, mode)).as("__sh"))
+      .distinct()
+    train
+      .select(col(idCol), explode(hashedWordShingles(textCol, k, mode)).as("__sh"))
+      .join(broadcast(evalSh), Seq("__sh"), "left_semi")
+      .select(idCol)
+      .distinct()
+  }
+
+  /** Cross-corpus segment-level dedup stats ("boilerplate removal"):
+    * split each document into segments on `sep` (paragraphs, lines),
+    * digest each segment, and report per document how many of its
+    * segments occur in ≥ `minDocs` DISTINCT documents — the shared
+    * header/footer/navigation mass a web corpus strips before training.
+    *
+    * Output: (id, n_segments, n_boilerplate, boilerplate_ratio).
+    *
+    * Scale shape: the segment TEXT never shuffles — each segment is
+    * digested map-side and dropped, so both the frequency aggregation
+    * and the join back move only (id, digest) pairs. The digest
+    * frequency table is unbounded (distinct segments in the corpus), so
+    * the join back is a digest-keyed equi-join, not a broadcast.
+    */
+  def boilerplateStats(df: DataFrame, idCol: String, textCol: String,
+                       sep: String, minDocs: Int,
+                       mode: HashMode = HashMode.OracleMd5): DataFrame = {
+    val segs = df
+      .select(col(idCol), explode(split(col(textCol), sep)).as("__seg"))
+      .filter(length(trim(col("__seg"))) > 0)
+      .select(col(idCol),
+        TextStats.textDigest(col("__seg"), mode).as("__dig"))
+    val freq = segs.groupBy("__dig")
+      .agg(count_distinct(col(idCol)).as("__ndocs"))
+    segs.join(freq, "__dig")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("__ndocs") >= minDocs, 1L).otherwise(0L))
+          .as("n_boilerplate"))
+      .withColumn("boilerplate_ratio",
+        round(col("n_boilerplate").cast("double") /
+          col("n_segments").cast("double"), 6))
+  }
+
   /** Jaccard similarity of two shingle-set columns. */
   def jaccard(sa: Column, sb: Column): Column =
     size(array_intersect(sa, sb)).cast("double") /

@@ -68,6 +68,32 @@ object TextStats {
   def bpeTokenCount(text: Column): Column =
     regexp_count(normalize(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
 
+  /** Within-document repetition signal (the Gopher-rules family): the
+    * fraction of a document's word k-grams that are repeats of an
+    * earlier k-gram — high values mark looping/boilerplate generation.
+    * Emits (n_ngrams, n_distinct_ngrams, rep_ratio); callers should
+    * filter documents shorter than k tokens (a short doc degenerates to
+    * one truncated gram and a meaningless 0 ratio).
+    *
+    * Pure per-row codegen'd HOFs over the token array — a narrow
+    * projection, no shuffle, no UDF; the k-gram list lives only inside
+    * one row's expression evaluation (never materialized to storage),
+    * so memory is bounded by the longest single document.
+    */
+  def repetitionColumns(textCol: String, k: Int): Seq[(String, Column)] = {
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val nGrams = greatest(n - (k - 1), lit(1))
+    val grams = transform(sequence(lit(1), nGrams),
+      i => concat_ws(" ", slice(toks, i, lit(k))))
+    val nDistinct = size(array_distinct(grams))
+    Seq(
+      "n_ngrams" -> nGrams.cast("long"),
+      "n_distinct_ngrams" -> nDistinct.cast("long"),
+      "rep_ratio" -> round(lit(1.0) -
+        nDistinct.cast("double") / nGrams.cast("double"), 6))
+  }
+
   /** 60-bit non-negative hash of a string. Default mode is reproducible
     * in any engine with md5 (first 15 hex nibbles as a base-16 integer —
     * computed natively from the digest bytes by

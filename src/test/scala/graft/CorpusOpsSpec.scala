@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Curation, Dedup, TextStats}
+
+/** Corpus-hygiene operator tier (q55–q58): decontamination, repetition,
+  * source balancing, boilerplate-segment dedup.
+  */
+class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  test("contaminatedIds flags exactly the docs sharing a k-gram with eval") {
+    val eval = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "prefix words then quick brown fox jumps over suffix"), // 5-gram hit
+      (11L, "quick brown fox and nothing else here"),               // only 3 shared
+      (12L, "completely unrelated text about spark plans")
+    ).toDF("doc_id", "text")
+    val flagged = Dedup.contaminatedIds(train, eval, "text", "doc_id", k = 5)
+      .as[Long].collect().sorted
+    assert(flagged.toSeq == Seq(10L))
+  }
+
+  test("repetitionColumns: doubled text has the predicted ratio; distinct text ~0") {
+    val base = "alpha beta gamma delta epsilon zeta"
+    val df = Seq((1L, base), (2L, s"$base $base")).toDF("doc_id", "text")
+    val cols = TextStats.repetitionColumns("text", 3).map { case (n, c) => c.as(n) }
+    val out = df.select(col("doc_id") +: cols: _*).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 4 && out(1L).getLong(2) == 4)
+    assert(out(1L).getDouble(3) == 0.0)
+    // doubled: 12 tokens -> 10 grams; distinct = 4 originals + 2 seam
+    // grams (zeta alpha beta / epsilon zeta alpha) = 6; ratio = 0.4
+    assert(out(2L).getLong(1) == 10 && out(2L).getLong(2) == 6)
+    assert(math.abs(out(2L).getDouble(3) - 0.4) < 1e-9)
+  }
+
+  test("balancedSample: every group lands near the smallest group's size") {
+    // skewed corpus: group a = 1000 keys, b = 100, c = 100
+    val df = ((1 to 1000).map(i => (i.toLong, "a")) ++
+      (2001 to 2100).map(i => (i.toLong, "b")) ++
+      (3001 to 3100).map(i => (i.toLong, "c"))).toDF("k", "g")
+    val kept = Curation.balancedSample(df, "k", "g")
+      .groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // threshold for the min group = exactly 1e6 -> keep all of it
+    assert(kept("b") == 100 && kept("c") == 100)
+    // the big group's keep-rate is 0.1: hash-binomial around 100
+    assert(kept("a") > 60 && kept("a") < 140, s"got ${kept("a")}")
+    // deterministic: a second run keeps the identical set
+    val again = Curation.balancedSample(df, "k", "g")
+      .groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == kept)
+  }
+
+  test("boilerplateStats: shared footers counted per doc, text digested map-side") {
+    val docs = (1 to 10).map { i =>
+      val footer = if (i <= 6) "\nshared footer line" else ""
+      (i.toLong, s"unique body number $i$footer")
+    }.toDF("doc_id", "text")
+    val out = Dedup.boilerplateStats(docs, "doc_id", "text", "\n", minDocs = 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 2 && out(1L).getLong(2) == 1)
+    assert(math.abs(out(1L).getDouble(3) - 0.5) < 1e-9)
+    assert(out(7L).getLong(1) == 1 && out(7L).getLong(2) == 0)
+  }
+
+  test("boilerplateStats segments are whitespace-normalized before digesting") {
+    val docs = Seq(
+      (1L, "body one\n  Shared   Footer "),
+      (2L, "body two\nshared footer"),
+      (3L, "body three\nSHARED FOOTER"),
+      (4L, "body four\nshared footer"),
+      (5L, "body five\nshared footer")
+    ).toDF("doc_id", "text")
+    val out = Dedup.boilerplateStats(docs, "doc_id", "text", "\n", minDocs = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // all five footer variants normalize to the same digest
+    assert(out.values.forall(_ == 1), out.toString)
+  }
+}

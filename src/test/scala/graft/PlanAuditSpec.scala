@@ -126,6 +126,35 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"only the output sort may shuffle:\n$p")
   }
 
+  test("q55: eval shingle set broadcasts; the train corpus never shuffles into the join") {
+    val p = plan("q55_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"decontamination must be a broadcast left-semi join (benchmarks are tiny, the corpus is not):\n$p")
+    // the only Exchanges allowed: eval-side distinct (key = __sh alone),
+    // the final id distinct, and the output sort — an exchange keyed on
+    // BOTH __sh and doc_id would be the exploded train corpus shuffling
+    for (l <- p.linesIterator if l.contains("Exchange hashpartitioning(__sh"))
+      assert(!l.contains("doc_id"),
+        s"train (id, shingle) rows must meet the broadcast map-side, not shuffle: $l")
+  }
+
+  test("q57: balance thresholds broadcast; the corpus is filtered map-side") {
+    val p = plan("q57_source_balance")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source thresholds must broadcast onto the corpus:\n$p")
+    assert(p.contains("partial_count"), "source rollups must partial-aggregate")
+  }
+
+  test("q58: boilerplate shuffles digests, never segment text") {
+    val p = plan("q58_boilerplate")
+    assert(p.contains("Exchange hashpartitioning(__dig"),
+      s"segment frequency must shuffle on the digest:\n$p")
+    // no exchange may carry the exploded segment column
+    for (l <- p.linesIterator if l.contains("Exchange hashpartitioning"))
+      assert(!l.contains("__seg"),
+        s"segment text must be digested map-side and dropped before any shuffle: $l")
+  }
+
   test("q27/q28/q23: banded LSH candidates stay an equi-join with bounded fan-in") {
     for (q <- Seq("q27_lsh_ann", "q28_embed_neardup", "q23_minhash_lsh")) {
       val p = plan(q)
