@@ -104,11 +104,15 @@ object QueriesCorpus {
       |FROM documents WHERE doc_id % 6 = 0""".stripMargin
 
   def q56Repetition(s: SparkSession, d: String): DataFrame = {
-    val cols = TextStats.repetitionColumns("text", RepK)
+    // stage the normalized form so the regex pipeline runs once per row
+    // (CollapseProject keeps a multiply-referenced non-cheap alias
+    // staged); token-count filter is space arithmetic on the staged form
+    val staged = repCorpus(s, d)
+      .select(col("doc_id"), TextStats.normalize(col("text")).as("__norm"))
+      .filter(regexp_count(col("__norm"), lit(" ")) + 1 >= RepK)
+    val cols = TextStats.repetitionColumnsFromNorm(col("__norm"), RepK)
       .map { case (n, c) => c.as(n) }
-    repCorpus(s, d)
-      .filter(size(TextStats.tokens(col("text"))) >= RepK)
-      .select(col("doc_id") +: cols: _*)
+    staged.select(col("doc_id") +: cols: _*)
       .orderBy("doc_id")
   }
 

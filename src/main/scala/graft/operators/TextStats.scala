@@ -75,18 +75,40 @@ object TextStats {
     * filter documents shorter than k tokens (a short doc degenerates to
     * one truncated gram and a meaningless 0 ratio).
     *
-    * Pure per-row codegen'd HOFs over the token array — a narrow
-    * projection, no shuffle, no UDF; the k-gram list lives only inside
-    * one row's expression evaluation (never materialized to storage),
-    * so memory is bounded by the longest single document.
+    * Computed on 60-bit gram HASHES, never materialized gram strings:
+    * the earlier `transform(sequence…, concat_ws(slice(toks)))` +
+    * `array_distinct` formulation allocated a token array, a slice
+    * array, and a concatenated string PER GRAM per row (measured ~10×
+    * the cost of this whole projection). Here
+    * [[graft.functions.WordShingleHashExpr]] walks the normalized
+    * bytes once and `n_distinct_ngrams` is the length of its sorted
+    * unique-hash output; `n_ngrams` is pure token arithmetic (space
+    * count + 1). Distinct-count-by-hash equals distinct-count-by-string
+    * up to per-document collisions (~n²·2⁻⁶⁴ — negligible), and the
+    * hash VALUES never leave the expression (only the count is
+    * emitted), so the cheap engine-private xxhash64 is used even in
+    * oracle-checked queries — the oracle counts distinct gram STRINGS
+    * and gets the same number. Still a narrow per-row projection: no
+    * shuffle, no UDF, memory bounded by the longest single document.
     */
-  def repetitionColumns(textCol: String, k: Int): Seq[(String, Column)] = {
-    val toks = tokens(col(textCol))
-    val n = size(toks)
+  def repetitionColumns(textCol: String, k: Int): Seq[(String, Column)] =
+    repetitionColumnsFromNorm(normalize(col(textCol)), k)
+
+  /** [[repetitionColumns]] over an already-[[normalize]]d column.
+    * Callers staging `norm` in its own projection keep CollapseProject
+    * from inlining the regex pipeline once per output column (the
+    * shingle expression and the token count both consume it; plain
+    * deterministic expressions DO get subexpression-eliminated inside
+    * one codegen'd projection, so a single un-staged call is correct,
+    * just re-normalizes under predicate pushdown of derived filters).
+    */
+  def repetitionColumnsFromNorm(norm: Column, k: Int): Seq[(String, Column)] = {
+    // normalized form is single-spaced, so tokens = spaces + 1 (empty
+    // string degenerates to one empty token — same as split semantics)
+    val n = regexp_count(norm, lit(" ")) + 1
     val nGrams = greatest(n - (k - 1), lit(1))
-    val grams = transform(sequence(lit(1), nGrams),
-      i => concat_ws(" ", slice(toks, i, lit(k))))
-    val nDistinct = size(array_distinct(grams))
+    val nDistinct = size(
+      graft.functions.WordShingleHashExpr.shingles(norm, k, engineXx = true))
     Seq(
       "n_ngrams" -> nGrams.cast("long"),
       "n_distinct_ngrams" -> nDistinct.cast("long"),
