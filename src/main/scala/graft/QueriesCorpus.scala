@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Dedup, TextStats}
+import graft.operators.{Curation, Dedup, Scrub, TextStats}
 
 /** Corpus-hygiene query batch (training-data pipeline tier, round 4):
   * test-set decontamination, within-document repetition, source-balanced
@@ -208,11 +208,124 @@ object QueriesCorpus {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q59 PII scrub: regexp redaction of emails / phone numbers / IPv4
+  // addresses with per-doc counts (C4/RefinedWeb-style cleanup). The
+  // driver corpus is digit-free word salad, so known PII is injected on
+  // modular doc_id classes in both engines; the scrubbed text is
+  // md5-compared cell-exact (catches any replacement divergence), and
+  // clean docs double as the false-positive check.
+  private def piiCorpus(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com soon"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        lit(" call 555-123-4567 today")).otherwise(lit("")),
+      when(col("doc_id") % 13 === 0,
+        lit(" origin 10.0.42.7 logged")).otherwise(lit("")))
+      .as("text"))
+
+  // no line may START with `||` (re-embedded inside q59Sql's stripMargin)
+  private val piiCorpusSql =
+    """SELECT doc_id, text ||
+      |  CASE WHEN doc_id % 7 = 0
+      |    THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com soon'
+      |    ELSE '' END ||
+      |  CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567 today' ELSE '' END ||
+      |  CASE WHEN doc_id % 13 = 0 THEN ' origin 10.0.42.7 logged' ELSE '' END
+      |  AS text
+      |FROM documents""".stripMargin
+
+  def q59PiiScrub(s: SparkSession, d: String): DataFrame = {
+    val cols = Scrub.piiColumns(col("text")).map { case (n, c) => c.as(n) }
+    piiCorpus(s, d)
+      .select(col("doc_id") +: cols: _*)
+      .withColumn("scrubbed_md5", md5(col("scrubbed").cast("binary")))
+      .drop("scrubbed")
+      .orderBy("doc_id")
+  }
+
+  val q59Sql: String = {
+    val e = Scrub.EmailRe
+    val p = Scrub.PhoneRe
+    val ip = Scrub.Ipv4Re
+    s"""WITH corpus AS ($piiCorpusSql),
+       |x AS (
+       | SELECT doc_id,
+       |  len(regexp_extract_all(text, '$e')) AS n_emails,
+       |  len(regexp_extract_all(text, '$p')) AS n_phones,
+       |  len(regexp_extract_all(text, '$ip')) AS n_ips,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g'), '$ip', '<IP>', 'g')
+       |    AS scrubbed
+       | FROM corpus)
+       |SELECT doc_id,
+       | CAST(n_emails AS BIGINT) AS n_emails,
+       | CAST(n_phones AS BIGINT) AS n_phones,
+       | CAST(n_ips AS BIGINT) AS n_ips,
+       | CAST(n_emails + n_phones + n_ips AS BIGINT) AS n_redactions,
+       | md5(scrubbed) AS scrubbed_md5
+       |FROM x ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q60 domain blocklist filter: deterministic synthetic urls over the
+  // documents table (every 10th doc gets a `cdn.` subdomain so the
+  // suffix-chain semantics are exercised), three blocked domains,
+  // per-host kept counts. Broadcast blocklist, map-side semi/anti —
+  // the corpus never shuffles (q55's asymmetry).
+  private val BlockedDomains =
+    Seq("src3.example.com", "src7.example.com", "src12.example.com")
+
+  // cdn modulus 7 is coprime to the source assignment's modulus, so
+  // blocked domains occur under BOTH exact-host and cdn-subdomain forms
+  private def urled(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"),
+      concat(lit("https://"),
+        when(col("doc_id") % 7 === 0, lit("cdn.")).otherwise(lit("")),
+        col("source"), lit(".example.com/doc/"),
+        col("doc_id").cast("string")).as("url"))
+
+  // no line may START with `||` (re-embedded inside q60Sql's stripMargin)
+  private val urledSql =
+    """SELECT doc_id,
+      | 'https://' || CASE WHEN doc_id % 7 = 0 THEN 'cdn.' ELSE '' END ||
+      |  source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
+      |FROM documents""".stripMargin
+
+  def q60DomainFilter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val block = BlockedDomains.toDF("domain")
+    Scrub.domainFilter(urled(s, d), "url", "doc_id", block)
+      .select(Scrub.hostOf(col("url")).as("host"))
+      .groupBy("host").agg(count(lit(1)).as("n_kept"))
+      .orderBy("host")
+  }
+
+  val q60Sql: String = {
+    val vals = BlockedDomains.map(b => s"('$b')").mkString(", ")
+    s"""WITH u AS ($urledSql),
+       |h AS (
+       | SELECT doc_id,
+       |  regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host
+       | FROM u),
+       |b(domain) AS (VALUES $vals),
+       |kept AS (
+       | SELECT host FROM h WHERE NOT EXISTS (
+       |   SELECT 1 FROM b
+       |   WHERE h.host = b.domain OR h.host LIKE ('%.' || b.domain)))
+       |SELECT host, count(*) AS n_kept
+       |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_decontaminate" -> (q55Decontaminate _),
     "q56_repetition" -> (q56Repetition _),
     "q57_source_balance" -> (q57SourceBalance _),
     "q58_boilerplate" -> (q58Boilerplate _),
+    "q59_pii_scrub" -> (q59PiiScrub _),
+    "q60_domain_filter" -> (q60DomainFilter _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -220,5 +333,7 @@ object QueriesCorpus {
     "q56_repetition" -> q56Sql,
     "q57_source_balance" -> q57Sql,
     "q58_boilerplate" -> q58Sql,
+    "q59_pii_scrub" -> q59Sql,
+    "q60_domain_filter" -> q60Sql,
   )
 }

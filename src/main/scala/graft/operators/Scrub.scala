@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-scrubbing operators for the training-data pipeline tier: PII
+  * redaction and URL/domain blocklist filtering — the two standard
+  * cleanup passes (C4/RefinedWeb-style) between raw crawl and training
+  * that the dedup/quality tier doesn't cover.
+  *
+  * Spark-first design notes (100 TB scale):
+  *  - PII scrubbing is a pure per-row projection of codegen'd
+  *    `regexp_replace`/`regexp_count` — no shuffle, no UDF; cost is
+  *    linear in corpus bytes and embarrassingly parallel.
+  *  - the domain filter is the q55-decontamination asymmetry again: the
+  *    blocklist (thousands–millions of domains, tiny next to the corpus)
+  *    BROADCASTS and the corpus anti-joins map-side — the corpus never
+  *    shuffles. Subdomain semantics stay an EQUI-join by exploding each
+  *    host into its dot-suffix chain (`a.b.c` → `a.b.c`, `b.c`, `c`)
+  *    instead of a non-equi `LIKE` join.
+  *  - every pattern is deliberately RE2-compatible (no lookaround, no
+  *    backreferences), so the identical pattern string runs under
+  *    Spark's Java regex and an RE2-based oracle engine (DuckDB)
+  *    bit-for-bit.
+  */
+object Scrub {
+
+  /** PII patterns over the ASCII-lowercase normalized corpus contract
+    * (a deployment on raw text widens the classes with `(?i)` — still
+    * RE2-safe). Order of application: email → phone → IPv4; counts are
+    * taken on the ORIGINAL text per pattern, so they are independent of
+    * replacement order.
+    */
+  val EmailRe: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe: String = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+  val Ipv4Re: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redaction-count and scrubbed-text columns: (n_emails, n_phones,
+    * n_ips, n_redactions, scrubbed). One codegen'd projection; stage the
+    * text column if it is itself a non-trivial expression.
+    */
+  def piiColumns(text: Column): Seq[(String, Column)] = {
+    val nEmails = regexp_count(text, lit(EmailRe))
+    val nPhones = regexp_count(text, lit(PhoneRe))
+    val nIps = regexp_count(text, lit(Ipv4Re))
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+    Seq(
+      "n_emails" -> nEmails.cast("long"),
+      "n_phones" -> nPhones.cast("long"),
+      "n_ips" -> nIps.cast("long"),
+      "n_redactions" -> (nEmails + nPhones + nIps).cast("long"),
+      "scrubbed" -> scrubbed)
+  }
+
+  /** Host part of a URL: the authority between `scheme://` and the
+    * first `/`, `:`, `?` or `#`. Empty string when the URL doesn't
+    * parse (no scheme) — callers treat unparseable as "not blocked"
+    * or pre-filter, their policy.
+    */
+  def hostOf(url: Column): Column =
+    regexp_extract(url, "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+
+  /** Dot-suffix chain of a host: `cdn.src3.example.com` →
+    * [`cdn.src3.example.com`, `src3.example.com`, `example.com`, `com`].
+    * A blocklist entry matches a host iff it appears in the chain —
+    * exactly "host == domain OR host ends with '.' + domain", but as
+    * equi-join keys instead of a suffix LIKE.
+    */
+  def hostSuffixChain(host: Column): Column = {
+    val parts = split(host, "\\.")
+    transform(sequence(lit(1), size(parts)),
+      i => array_join(slice(parts, i, size(parts)), "."))
+  }
+
+  /** Drop rows whose URL host matches the domain blocklist (exact host
+    * or any-subdomain match). `blocklist` is a single-column DataFrame
+    * of domains; `idCol` is the row identity used to subtract matched
+    * rows (anti-join on "ANY suffix hits" needs a per-row key — a
+    * per-suffix anti-join would only drop the matching suffix twin).
+    *
+    * Plan shape: corpus → project (id, suffix-chain) → explode →
+    * broadcast LEFT-SEMI against the blocklist (map-side, yields the
+    * tiny set of blocked ids) → broadcast LEFT-ANTI of the corpus
+    * against those ids (map-side again). Two passes over the corpus
+    * scan, zero corpus shuffles — at 100 TB the only data movement is
+    * the blocked-id set, bounded by the corpus's blocklist hit rate.
+    */
+  def domainFilter(df: DataFrame, urlCol: String, idCol: String,
+                   blocklist: DataFrame): DataFrame = {
+    val blocked = blocklist.toDF("__dom")
+    val blockedIds = df
+      .select(col(idCol),
+        explode(hostSuffixChain(hostOf(col(urlCol)))).as("__dom"))
+      .join(broadcast(blocked), Seq("__dom"), "left_semi")
+      .select(idCol).distinct()
+    // blocked ids ≪ corpus whenever the blocklist prunes a minority of
+    // traffic; broadcast keeps the subtraction map-side. A corpus where
+    // MOST rows are blocked should flip this to a shuffle anti-join —
+    // at that point the kept side is the small one and a plain
+    // broadcast of blockedIds would not fit.
+    df.join(broadcast(blockedIds), Seq(idCol), "left_anti")
+  }
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Curation, Dedup, TextStats}
+import graft.operators.{Curation, Dedup, Scrub, TextStats}
 
 /** Corpus-hygiene operator tier (q55–q58): decontamination, repetition,
   * source balancing, boilerplate-segment dedup.
@@ -67,6 +67,45 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
     assert(out(1L).getLong(1) == 2 && out(1L).getLong(2) == 1)
     assert(math.abs(out(1L).getDouble(3) - 0.5) < 1e-9)
     assert(out(7L).getLong(1) == 1 && out(7L).getLong(2) == 0)
+  }
+
+  test("piiColumns: counts and redactions per pattern, clean text untouched") {
+    val df = Seq(
+      (1L, "mail me at jane.doe+x@corp.example.org or bob@x.io thanks"),
+      (2L, "call 555-123-4567 or 555.987.6543 from 10.0.0.1"),
+      (3L, "no pii in this perfectly ordinary sentence")
+    ).toDF("doc_id", "text")
+    val cols = Scrub.piiColumns(col("text")).map { case (n, c) => c.as(n) }
+    val out = df.select(col("doc_id") +: cols: _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 2 && out(1L).getLong(4) == 2)
+    assert(out(1L).getString(5) == "mail me at <EMAIL> or <EMAIL> thanks")
+    assert(out(2L).getLong(2) == 2 && out(2L).getLong(3) == 1
+      && out(2L).getLong(4) == 3)
+    assert(out(2L).getString(5) == "call <PHONE> or <PHONE> from <IP>")
+    assert(out(3L).getLong(4) == 0)
+    assert(out(3L).getString(5) == "no pii in this perfectly ordinary sentence")
+  }
+
+  test("domainFilter: exact host and any-subdomain matches drop, others keep") {
+    val df = Seq(
+      (1L, "https://ads.example.com/x"),          // exact block
+      (2L, "https://cdn.ads.example.com/y"),      // subdomain block
+      (3L, "https://example.com/z"),              // parent NOT blocked
+      (4L, "https://goodsite.org/a?q=1"),         // clean
+      (5L, "https://notads.example.com/b")        // 'notads' != 'ads' label
+    ).toDF("doc_id", "url")
+    val block = Seq("ads.example.com").toDF("domain")
+    val kept = Scrub.domainFilter(df, "url", "doc_id", block)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(3L, 4L, 5L))
+  }
+
+  test("hostSuffixChain covers every dot suffix") {
+    val chain = Seq(Tuple1("a.b.c.d")).toDF("h")
+      .select(Scrub.hostSuffixChain(col("h")).as("c"))
+      .as[Seq[String]].head()
+    assert(chain == Seq("a.b.c.d", "b.c.d", "c.d", "d"))
   }
 
   test("boilerplateStats segments are whitespace-normalized before digesting") {
