@@ -88,36 +88,14 @@ object QueriesDedup {
     * same plan shape, same output structure, different hash cost.
     */
   private def minhashLshPipeline(s: SparkSession, d: String,
-      mode: graft.operators.TextStats.HashMode): DataFrame = {
-    // cache() the shingle arrays: the LSH self-join and the Jaccard
-    // verify both reuse them, and without a materialization barrier
-    // Catalyst's CollapseProject would inline the whole
-    // normalize→tokenize→shingle→hash pipeline into EVERY downstream
-    // expression (observed 10x slowdown at sf0.1). At cluster scale the
-    // same barrier is a checkpoint/persisted table.
+      mode: graft.operators.TextStats.HashMode): DataFrame =
     // Shingles are pre-hashed to 60-bit longs (ONE digest per shingle);
-    // signatures use the affine family over the base hash and the
-    // Jaccard verify compares the same hashed sets.
-    val base = nearCorpus(s, d)
-      .withColumn("sh", Dedup.hashedWordShingles("text", 3, mode))
-      .select(col("doc_id"), col("sh"))
-      .cache()
-    val withSig = Dedup.minhashSignature(col("sh"), NumHashes)
-      .foldLeft(base) { case (df, (n, c)) => df.withColumn(n, c) }
-    val withBuckets = withSig
-      .withColumn("buckets", Dedup.lshBuckets(Bands, RowsPerBand, mode))
-      .drop((0 until NumHashes).map(i => s"sig$i"): _*)
-      .cache()
-    val pairs = Dedup.lshCandidatePairs(withBuckets, "doc_id", MaxBucket)
-    val sh = base
-    pairs
-      .join(sh.select(col("doc_id").as("a"), col("sh").as("sa")), "a")
-      .join(sh.select(col("doc_id").as("b"), col("sh").as("sb")), "b")
-      .select(col("a"), col("b"),
-        round(Dedup.jaccard(col("sa"), col("sb")), 6).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
-      .orderBy("a", "b")
-  }
+    // the shared pipeline (Dedup.lshNearDupPairs — cache barriers,
+    // affine signatures, banded buckets, Jaccard verify) does the rest.
+    Dedup.lshNearDupPairs(
+      nearCorpus(s, d).withColumn("sh", Dedup.hashedWordShingles("text", 3, mode)),
+      "doc_id", "sh", NumHashes, Bands, RowsPerBand,
+      minJaccard = 0.5, maxBucket = MaxBucket, mode = mode)
 
   def q23MinhashLsh(s: SparkSession, d: String): DataFrame =
     minhashLshPipeline(s, d, graft.operators.TextStats.HashMode.OracleMd5)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Multimodal
+import graft.operators.{Dedup, Multimodal}
 
 /** Multimodal query batch (SURVEY.md §7.2 M8): opaque-binary media
   * columns with typed metadata, stubbed decode behind the production
@@ -56,12 +56,100 @@ object QueriesMm {
       |ORDER BY media_id, frame_idx""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q61 payload near-dup: byte chunk-shingle MinHash over the binary
+  // payload feeding the SAME LSH/band/verify machinery as text near-dup
+  // (Dedup.lshNearDupPairs is payload-agnostic) — the codec-free
+  // perceptual-dedup stand-in. Injected positives: every media_id % 9
+  // == 0 payload re-inserted (id + 500000) with its last 8 of 128 bytes
+  // replaced — 14 of 15 chunk windows shared (Jaccard 0.875). Oracle
+  // mirrors the chunking in hex-string space (DuckDB cannot slice or
+  // md5 blobs): hex(substring(bytes, p, l)) IS a substring of the
+  // payload's hex form, so the values are identical by construction.
+  private val ChunkBytes = 16
+  private val ChunkStride = 8
+  private val MmNumHashes = 12
+  private val MmBands = 4
+  private val MmRowsPerBand = 3
+  private val MmMaxBucket = 1 << 10
+
+  private def payloadCorpus(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(documents(s, d))
+      .select("media_id", "bytes")
+    media.unionByName(
+      media.filter(col("media_id") % 9 === 0)
+        .select((col("media_id") + 500000).as("media_id"),
+          concat(substring(col("bytes"), 1, 120),
+            unhex(repeat(lit("ab"), 8))).as("bytes")))
+  }
+
+  def q61PayloadNeardup(s: SparkSession, d: String): DataFrame =
+    Dedup.lshNearDupPairs(
+      payloadCorpus(s, d).withColumn("sh",
+        Multimodal.byteChunkHashes(col("bytes"), ChunkBytes, ChunkStride)),
+      "media_id", "sh", MmNumHashes, MmBands, MmRowsPerBand,
+      minJaccard = 0.5, maxBucket = MmMaxBucket)
+
+  val q61Sql: String = {
+    val p = Dedup.MinhashP
+    // hex-space payload: upper(repeat(md5(text), 8)) = hex(bytes);
+    // chunk i covers hex chars [i*2*stride+1, +2*chunk)
+    val hexCorpus =
+      """SELECT doc_id AS media_id, upper(repeat(md5(text), 8)) AS hx
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 500000 AS media_id,
+        | upper(substr(repeat(md5(text), 8), 1, 240) || repeat('ab', 8)) AS hx
+        |FROM documents WHERE doc_id % 9 = 0""".stripMargin
+    val sigExprs = (0 until MmNumHashes).map { i =>
+      val (a, b) = Dedup.minhashCoeffs(i)
+      s"list_min(list_transform(sh, h -> ((h % $p) * $a + $b) % $p)) AS sig$i"
+    }.mkString(",\n ")
+    val bandSelects = (0 until MmBands).map { b =>
+      val cols = (0 until MmRowsPerBand)
+        .map(r => s"CAST(sig${b * MmRowsPerBand + r} AS VARCHAR)").mkString(", ")
+      s"SELECT media_id, $b AS band, md5(concat_ws(',', $cols)) AS bucket FROM sig"
+    }.mkString("\n UNION ALL ")
+    s"""WITH media AS ($hexCorpus),
+       |sh AS (SELECT media_id,
+       |  list_distinct(list_transform(
+       |    range(0, greatest((len(hx) // 2 - $ChunkBytes) // $ChunkStride + 1, 1)),
+       |    i -> CAST(('0x' || substr(md5(substr(hx, i * ${2 * ChunkStride} + 1,
+       |           ${2 * ChunkBytes})), 1, 15)) AS BIGINT))) AS sh
+       | FROM media),
+       |sig AS (SELECT media_id, sh,
+       | $sigExprs
+       | FROM sh),
+       |allbuckets AS ($bandSelects),
+       |buckets AS (
+       | SELECT media_id, band, bucket FROM (
+       |  SELECT media_id, band, bucket,
+       |   row_number() OVER (PARTITION BY band, bucket ORDER BY media_id) AS rn
+       |  FROM allbuckets)
+       | WHERE rn <= $MmMaxBucket),
+       |pairs AS (
+       | SELECT DISTINCT x.media_id AS a, y.media_id AS b
+       | FROM buckets x JOIN buckets y
+       |   ON x.band = y.band AND x.bucket = y.bucket AND x.media_id < y.media_id),
+       |verified AS (
+       | SELECT p.a, p.b,
+       |  round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+       | FROM pairs p
+       |  JOIN sh sa ON sa.media_id = p.a
+       |  JOIN sh sb ON sb.media_id = p.b)
+       |SELECT a, b, jaccard FROM verified WHERE jaccard >= 0.5
+       |ORDER BY a, b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_multimodal_decode" -> (q29MultimodalDecode _),
     "q30_frame_sample" -> (q30FrameSample _),
+    "q61_payload_neardup" -> (q61PayloadNeardup _),
   )
 
   val oracle: Map[String, String] = Map(
     "q30_frame_sample" -> q30Sql,
+    "q61_payload_neardup" -> q61Sql,
   )
 }

@@ -137,6 +137,44 @@ object Dedup {
       .distinct()
   }
 
+  /** The full MinHash→LSH→verify near-dup pipeline over ANY pre-hashed
+    * shingle column — word k-grams ([[hashedWordShingles]]), byte chunk
+    * shingles ([[Multimodal.byteChunkHashes]]), anything producing a
+    * 60-bit hash set: affine-family signatures → banded buckets →
+    * candidate equi-join (bounded fan-in, see [[lshCandidatePairs]]) →
+    * exact Jaccard verify over the shingle sets, emitting
+    * (a, b, jaccard) for pairs at/above `minJaccard`.
+    *
+    * cache() barriers: the LSH self-join and the Jaccard verify both
+    * reuse the shingle arrays, and without a materialization barrier
+    * CollapseProject would inline the whole shingle pipeline into EVERY
+    * downstream expression (observed 10x at sf0.1). At cluster scale
+    * the same barrier is a checkpoint/persisted table. Callers clear
+    * cache between queries (documented pattern).
+    */
+  def lshNearDupPairs(shingled: DataFrame, idCol: String, shCol: String,
+                      numHashes: Int, bands: Int, rowsPerBand: Int,
+                      minJaccard: Double, maxBucket: Int = Int.MaxValue,
+                      mode: HashMode = HashMode.OracleMd5): DataFrame = {
+    require(numHashes == bands * rowsPerBand,
+      s"numHashes ($numHashes) must equal bands*rowsPerBand (${bands * rowsPerBand})")
+    val base = shingled.select(col(idCol), col(shCol).as("sh")).cache()
+    val withSig = minhashSignature(col("sh"), numHashes)
+      .foldLeft(base) { case (df, (n, c)) => df.withColumn(n, c) }
+    val withBuckets = withSig
+      .withColumn("buckets", lshBuckets(bands, rowsPerBand, mode))
+      .drop((0 until numHashes).map(i => s"sig$i"): _*)
+      .cache()
+    val pairs = lshCandidatePairs(withBuckets, idCol, maxBucket)
+    pairs
+      .join(base.select(col(idCol).as("a"), col("sh").as("sa")), "a")
+      .join(base.select(col(idCol).as("b"), col("sh").as("sb")), "b")
+      .select(col("a"), col("b"),
+        round(jaccard(col("sa"), col("sb")), 6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy("a", "b")
+  }
+
   /** Test-set decontamination: ids of `train` documents sharing at
     * least one word k-gram with ANY document in `evalDocs` — the
     * benchmark-overlap filter every training corpus runs before a model

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -118,6 +118,37 @@ object Multimodal {
       .withColumn("out_height", floor(col("height") * scale).cast("int"))
       // stub payload transform: real code re-encodes pixels here
       .withColumn("bytes", expr("substring(bytes, 1, greatest(out_width, 16))"))
+  }
+
+  /** Distinct 60-bit hashes of overlapping byte-chunk "shingles" of a
+    * binary payload — the perceptual-dedup stand-in that needs no codec
+    * (real perceptual hashing swaps into the same column contract).
+    * Feed the result straight into the payload-agnostic near-dup
+    * machinery: [[Dedup.minhashSignature]] / [[Dedup.lshBuckets]] /
+    * [[Dedup.lshCandidatePairs]], or the whole
+    * [[Dedup.lshNearDupPairs]] pipeline.
+    *
+    * Windows are `chunkBytes` wide starting every `stride` bytes
+    * (stride < chunkBytes = overlapping, boundary-shift tolerant);
+    * payloads shorter than one chunk hash as a single whole-payload
+    * chunk. Chunk identity is the hash of the chunk's HEX form:
+    * binary slicing is engine-universal but blob hashing is not
+    * (DuckDB's md5 only takes VARCHAR), and the hex detour keeps the
+    * value oracle-reproducible under [[TextStats.HashMode.OracleMd5]].
+    * Composed codegen'd built-ins (substr/hex per window) — a native
+    * one-pass expression over the raw bytes is the same upgrade path as
+    * [[graft.functions.WordShingleHashExpr]] if payload hashing ever
+    * dominates a profile (payload DECODE dwarfs it in practice).
+    */
+  def byteChunkHashes(bytes: Column, chunkBytes: Int, stride: Int,
+      mode: TextStats.HashMode = TextStats.HashMode.OracleMd5): Column = {
+    require(chunkBytes >= 1 && stride >= 1, "chunkBytes and stride must be >= 1")
+    val n = length(bytes)
+    val nWin = greatest(
+      floor((n - lit(chunkBytes)).cast("double") / stride).cast("int") + 1,
+      lit(1))
+    array_distinct(transform(sequence(lit(0), nWin - 1),
+      i => TextStats.hash60(hex(bytes.substr(i * stride + 1, lit(chunkBytes))), mode)))
   }
 
   /** Frame-sample fan-out for video rows: one output row per sampled

@@ -108,6 +108,26 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
     assert(chain == Seq("a.b.c.d", "b.c.d", "c.d", "d"))
   }
 
+  test("byteChunkHashes: tail edit shares all but the affected windows") {
+    import graft.operators.Multimodal
+    // 32-byte payloads, chunk 8 stride 4 -> 7 windows
+    val a = Array.tabulate[Byte](32)(_.toByte)
+    val b = a.clone(); b(31) = 99 // last byte differs -> last window only
+    val c = a.map(x => (x + 1).toByte) // every window differs
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "bytes")
+      .select(col("id"),
+        Multimodal.byteChunkHashes(col("bytes"), 8, 4).as("sh"))
+    val sh = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(sh(1L).size == 7)
+    assert((sh(1L) intersect sh(2L)).size == 6)
+    assert((sh(1L) intersect sh(3L)).isEmpty)
+    // short payload (< one chunk) hashes as a single whole-payload chunk
+    val short = Seq((9L, Array[Byte](1, 2, 3))).toDF("id", "bytes")
+      .select(Multimodal.byteChunkHashes(col("bytes"), 8, 4).as("sh"))
+      .as[Seq[Long]].head()
+    assert(short.size == 1)
+  }
+
   test("boilerplateStats segments are whitespace-normalized before digesting") {
     val docs = Seq(
       (1L, "body one\n  Shared   Footer "),
