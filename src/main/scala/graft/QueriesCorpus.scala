@@ -319,6 +319,72 @@ object QueriesCorpus {
        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q62 temperature mixing: rate ∝ n_g^(α−1) at α = 0.7 — between q57's
+  // flatten-to-min (α=0) and no-op (α=1). The raw corpus has perfectly
+  // uniform sources (n=25 each at sf0.01), so the fixture replicates
+  // src0 ×8, src1 ×4, src2 ×2 to create real skew; output includes the
+  // per-group fixed-point threshold so the pow contract itself is
+  // oracle-checked, not just the kept counts.
+  private val MixAlpha = 0.7
+
+  private def skewedDocs(s: SparkSession, d: String): DataFrame = {
+    val factor = when(col("source") === "src0", 8)
+      .when(col("source") === "src1", 4)
+      .when(col("source") === "src2", 2)
+      .otherwise(1)
+    documents(s, d).select(col("doc_id"), col("source"), factor.as("__f"))
+      .select(col("source"),
+        explode(sequence(lit(0L), col("__f").cast("long") - 1)).as("__r"),
+        col("doc_id"))
+      .select((col("doc_id") + col("__r") * 1000000L).as("doc_id"),
+        col("source"))
+  }
+
+  private val skewedDocsSql =
+    """SELECT doc_id + t.r * 1000000 AS doc_id, source
+      |FROM documents, UNNEST(range(0,
+      |  CASE source WHEN 'src0' THEN 8 WHEN 'src1' THEN 4
+      |       WHEN 'src2' THEN 2 ELSE 1 END)) AS t(r)""".stripMargin
+
+  def q62TemperatureMix(s: SparkSession, d: String): DataFrame = {
+    val docs = skewedDocs(s, d)
+    val before = docs.groupBy("source").agg(count(lit(1)).as("n_before"))
+    val thr = before
+      .crossJoin(broadcast(before.agg(min("n_before").as("__nmin"))))
+      .select(col("source"),
+        Curation.temperatureThreshold(col("n_before"), col("__nmin"), MixAlpha)
+          .as("thr"))
+    val kept = Curation.temperatureSample(docs, "doc_id", "source", MixAlpha)
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    before.join(thr, "source")
+      .join(kept, Seq("source"), "left")
+      .na.fill(0L, Seq("n_kept"))
+      .orderBy("source")
+  }
+
+  val q62Sql: String = {
+    // the EXACT IEEE-754 double exponent Spark computes for 1.0 − α —
+    // a re-typed '0.3' could flip a rounded millionth
+    val exponent = 1.0 - MixAlpha
+    s"""WITH docs AS ($skewedDocsSql),
+       |c AS (SELECT source, count(*) AS n FROM docs GROUP BY 1),
+       |m AS (SELECT min(n) AS nmin FROM c),
+       |thr AS (SELECT source, n,
+       |  CAST(round(1000000 * pow(CAST(nmin AS DOUBLE) / n, $exponent)) AS BIGINT)
+       |    AS thr
+       | FROM c, m),
+       |kept AS (
+       | SELECT d.source FROM docs d JOIN thr t ON d.source = t.source
+       | WHERE ${hash60Sql("doc_id")} % 1000000 < t.thr)
+       |SELECT c.source, c.n AS n_before, t.thr AS thr,
+       | coalesce(k.n_kept, 0) AS n_kept
+       |FROM c JOIN thr t USING (source) LEFT JOIN
+       | (SELECT source, count(*) AS n_kept FROM kept GROUP BY 1) k
+       | USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_decontaminate" -> (q55Decontaminate _),
     "q56_repetition" -> (q56Repetition _),
@@ -326,6 +392,7 @@ object QueriesCorpus {
     "q58_boilerplate" -> (q58Boilerplate _),
     "q59_pii_scrub" -> (q59PiiScrub _),
     "q60_domain_filter" -> (q60DomainFilter _),
+    "q62_temperature_mix" -> (q62TemperatureMix _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -335,5 +402,6 @@ object QueriesCorpus {
     "q58_boilerplate" -> q58Sql,
     "q59_pii_scrub" -> q59Sql,
     "q60_domain_filter" -> q60Sql,
+    "q62_temperature_mix" -> q62Sql,
   )
 }

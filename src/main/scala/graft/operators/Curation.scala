@@ -54,8 +54,10 @@ object Curation {
     * Scale shape: one aggregation over the group column (tiny result —
     * one row per source), a broadcast join of the thresholds, and a
     * map-side filter. The full corpus is scanned twice and never
-    * shuffled. The temperature generalization (rate ∝ n_g^(α−1)) drops
-    * into the same plan by swapping the threshold expression.
+    * shuffled. [[temperatureSample]] is the rate ∝ n_g^(α−1)
+    * generalization (same plan, fixed-point pow threshold); this exact
+    * integer-division form is its α = 0 special case kept for the
+    * zero-float reproducibility guarantee.
     */
   def balancedSample(df: DataFrame, keyCol: String, groupCol: String): DataFrame = {
     val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
@@ -70,6 +72,48 @@ object Curation {
       .filter(TextStats.hash60(col(keyCol).cast("string")) % 1000000L < col("__thr"))
       .drop("__thr")
   }
+
+  /** Temperature-based source mixing (the UnifiedQA/mT5-style
+    * generalization of [[balancedSample]]): group g keeps rate
+    * `(n_min / n_g)^(1−α)` — α = 0 recovers the flatten-to-smallest
+    * behavior, α = 1 keeps the natural distribution, values between
+    * damp skew without erasing it.
+    *
+    * The keep threshold is FIXED-POINT at a declared precision of one
+    * millionth: one double `pow` per GROUP, rounded half-up to an
+    * integer count of millionths; the per-row keep decision is then
+    * pure integer (`hash60(key) % 1e6 < thr`). An oracle engine whose
+    * `pow` differs in the last ulp still reproduces the identical kept
+    * set unless the rounded millionth itself flips (~1e-10 per group
+    * — vs per-ROW divergence if rows compared doubles). Callers
+    * mirroring in SQL must interpolate the exact double exponent
+    * (1.0 − α as computed in IEEE-754, e.g. 0.30000000000000004 for
+    * α = 0.7), not a re-typed decimal.
+    *
+    * Same scale shape as [[balancedSample]]: one tiny group-count
+    * aggregation, broadcast thresholds, map-side filter; the corpus
+    * never shuffles.
+    */
+  def temperatureSample(df: DataFrame, keyCol: String, groupCol: String,
+                        alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val nMin = counts.agg(min("__n").as("__nmin"))
+    val thresholds = counts.crossJoin(broadcast(nMin))
+      .select(col(groupCol),
+        temperatureThreshold(col("__n"), col("__nmin"), alpha).as("__thr"))
+    df.join(broadcast(thresholds), groupCol)
+      .filter(TextStats.hash60(col(keyCol).cast("string")) % 1000000L < col("__thr"))
+      .drop("__thr")
+  }
+
+  /** Fixed-point keep threshold in millionths for [[temperatureSample]]:
+    * `round(1e6 · (nMin/n)^(1−α))` — exposed so callers (and tests) can
+    * audit the per-group thresholds the sampler will apply.
+    */
+  def temperatureThreshold(n: Column, nMin: Column, alpha: Double): Column =
+    round(pow(nMin.cast("double") / n.cast("double"), lit(1.0 - alpha))
+      * 1000000.0).cast("long")
 
   /** Fixed-width histogram of a numeric column: bucket i covers
     * [lo + i*w, lo + (i+1)*w); values at/above hi clamp to the last

@@ -108,6 +108,41 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
     assert(chain == Seq("a.b.c.d", "b.c.d", "c.d", "d"))
   }
 
+  test("temperatureThreshold: monotone in group size and alpha, exact endpoints") {
+    val sizes = Seq(25L, 50L, 200L, 1000L)
+    def thrs(alpha: Double): Seq[Long] =
+      sizes.toDF("n")
+        .select(Curation.temperatureThreshold(col("n"), lit(25L), alpha).as("t"))
+        .as[Long].collect().toSeq
+    val a0 = thrs(0.0); val a3 = thrs(0.3); val a7 = thrs(0.7); val a1 = thrs(1.0)
+    // α=1 keeps everything; α=0 flattens to exact nmin/n millionths
+    assert(a1.forall(_ == 1000000L))
+    assert(a0 == Seq(1000000L, 500000L, 125000L, 25000L))
+    // keep-rate is monotone non-increasing in group size for every α...
+    Seq(a0, a3, a7, a1).foreach(t => assert(t == t.sorted.reverse, t.toString))
+    // ...and monotone non-decreasing in α for every group
+    sizes.indices.foreach { i =>
+      assert(a0(i) <= a3(i) && a3(i) <= a7(i) && a7(i) <= a1(i),
+        s"size=${sizes(i)}: ${Seq(a0(i), a3(i), a7(i), a1(i))}")
+    }
+  }
+
+  test("temperatureSample at α=0.7 keeps more of a big group than balanced, less than all") {
+    val df = ((1 to 800).map(i => (i.toLong, "big")) ++
+      (9001 to 9100).map(i => (i.toLong, "small"))).toDF("k", "g")
+    val kept = Curation.temperatureSample(df, "k", "g", 0.7)
+      .groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("small") == 100) // min group threshold is exactly 1e6
+    // rate = (100/800)^0.3 ≈ 0.536: hash-binomial around 429
+    assert(kept("big") > 350 && kept("big") < 510, s"got ${kept("big")}")
+    // deterministic re-run keeps the identical set
+    val again = Curation.temperatureSample(df, "k", "g", 0.7)
+      .groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == kept)
+  }
+
   test("byteChunkHashes: tail edit shares all but the affected windows") {
     import graft.operators.Multimodal
     // 32-byte payloads, chunk 8 stride 4 -> 7 windows
