@@ -84,6 +84,63 @@ object QueriesCorpus {
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q63 multi-k decontamination: the realistic "any verbatim hit at
+  // k ∈ {8,13}" policy with per-(doc,k) containment counts, ONE train
+  // scan for both widths (plan-audited). Two implant classes: a
+  // 10-token verbatim span (hits k=8 only — too short for a 13-gram)
+  // and a 20-token span (hits both widths).
+  private val MultiKs = Seq(8, 13)
+
+  private def multiTrain(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select("doc_id", "text")
+    val toks = TextStats.tokens(col("text"))
+    def implant(offset: Int, prefix: String, spanLen: Int) =
+      documents(s, d).filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + offset).as("doc_id"),
+          concat(lit(prefix), concat_ws(" ", slice(toks, 2, spanLen))).as("text"))
+    docs.filter(col("doc_id") % 97 =!= 0)
+      .unionByName(implant(300000, "zqx yvw kpj ", 10))
+      .unionByName(implant(310000, "qqz wwx ", 20))
+  }
+
+  private val multiTrainSql =
+    s"""SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+       |UNION ALL
+       |SELECT doc_id + 300000 AS doc_id,
+       |  'zqx yvw kpj ' ||
+       |    array_to_string((string_split($normSql, ' '))[2:11], ' ') AS text
+       |FROM documents WHERE doc_id % 97 = 0
+       |UNION ALL
+       |SELECT doc_id + 310000 AS doc_id,
+       |  'qqz wwx ' ||
+       |    array_to_string((string_split($normSql, ' '))[2:21], ' ') AS text
+       |FROM documents WHERE doc_id % 97 = 0""".stripMargin
+
+  def q63MultikDecontaminate(s: SparkSession, d: String): DataFrame =
+    Dedup.contaminationStats(multiTrain(s, d), evalDocs(s, d),
+        "text", "doc_id", MultiKs)
+      .orderBy("doc_id", "k")
+
+  val q63Sql: String = {
+    val h60 = (e: String) => s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+    def perK(src: String, withId: Boolean) = MultiKs.map { k =>
+      val id = if (withId) "doc_id, " else ""
+      s"""SELECT $id$k AS k,
+         |  unnest(list_transform(${shinglesSql("text", k)},
+         |    s -> ${h60("s")})) AS h
+         |FROM $src""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH train AS ($multiTrainSql),
+       |ev AS (SELECT text FROM documents WHERE doc_id % 97 = 0),
+       |evsh AS (SELECT DISTINCT k, h FROM (${perK("ev", withId = false)})),
+       |trsh AS (${perK("train", withId = true)})
+       |SELECT doc_id, k, count(*) AS n_hits
+       |FROM trsh JOIN evsh USING (k, h)
+       |GROUP BY doc_id, k
+       |ORDER BY doc_id, k""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q56 repetition ratio: fraction of repeated word 3-grams per doc
   // (Gopher-style looping signal). Injected positives: doc_id % 6 == 0
   // docs re-inserted with their text DOUBLED (ratio ≈ 0.5).
@@ -393,6 +450,7 @@ object QueriesCorpus {
     "q59_pii_scrub" -> (q59PiiScrub _),
     "q60_domain_filter" -> (q60DomainFilter _),
     "q62_temperature_mix" -> (q62TemperatureMix _),
+    "q63_decontaminate_multik" -> (q63MultikDecontaminate _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -403,5 +461,6 @@ object QueriesCorpus {
     "q59_pii_scrub" -> q59Sql,
     "q60_domain_filter" -> q60Sql,
     "q62_temperature_mix" -> q62Sql,
+    "q63_decontaminate_multik" -> q63Sql,
   )
 }

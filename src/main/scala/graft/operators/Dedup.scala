@@ -201,6 +201,43 @@ object Dedup {
       .distinct()
   }
 
+  /** Multi-width decontamination stats: one row per (train doc, k) with
+    * the count of that doc's distinct word k-grams found in the eval
+    * corpus's k-gram set, for every width in `ks` — the standard
+    * "any verbatim 8–13-gram hit" policy ([[contaminatedIds]] is the
+    * single-k drop-list form) with doc-level containment evidence.
+    * Only (doc, k) combinations with ≥ 1 hit appear.
+    *
+    * ONE pass over each corpus for ALL widths: a single projection
+    * computes every per-k shingle array (the native expression walks
+    * the normalized bytes once per width — no re-scan, no re-read),
+    * tags each hash with its k, and one explode feeds one broadcast
+    * LEFT-SEMI equi-join on (k, hash). The train corpus is scanned
+    * once and never shuffled; the eval side collapses to a broadcast
+    * distinct exactly as in [[contaminatedIds]]. Plan-audited
+    * (PlanAuditSpec): exactly one scan per corpus regardless of |ks|.
+    */
+  def contaminationStats(train: DataFrame, evalDocs: DataFrame,
+                         textCol: String, idCol: String, ks: Seq[Int],
+                         mode: HashMode = HashMode.OracleMd5): DataFrame = {
+    require(ks.nonEmpty, "at least one shingle width required")
+    def tagged: Column =
+      concat(ks.map { k =>
+        transform(hashedWordShingles(textCol, k, mode),
+          h => struct(lit(k).as("k"), h.as("h")))
+      }: _*)
+    val evalSh = evalDocs
+      .select(explode(tagged).as("__kh"))
+      .select(col("__kh.k").as("__k"), col("__kh.h").as("__h"))
+      .distinct()
+    train
+      .select(col(idCol), explode(tagged).as("__kh"))
+      .select(col(idCol), col("__kh.k").as("__k"), col("__kh.h").as("__h"))
+      .join(broadcast(evalSh), Seq("__k", "__h"), "left_semi")
+      .groupBy(col(idCol), col("__k").as("k"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Cross-corpus segment-level dedup stats ("boilerplate removal"):
     * split each document into segments on `sep` (paragraphs, lines),
     * digest each segment, and report per document how many of its

@@ -24,6 +24,28 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
     assert(flagged.toSeq == Seq(10L))
   }
 
+  test("contaminationStats: per-width hit counts, short spans miss the wide k") {
+    val eval = Seq((1L, "a b c d e f g h i j k l m n o p q r s t"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // 10-token verbatim span: 8-grams hit, no 13-gram possible
+      (10L, "xx yy c d e f g h i j k l zz"),
+      // 16-token verbatim span: hits both widths
+      (11L, "xx b c d e f g h i j k l m n o p q yy"),
+      (12L, "totally unrelated words only here")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .contaminationStats(train, eval, "text", "doc_id", Seq(8, 13))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // doc 10: span c..l = 10 tokens -> 3 of its 8-grams are eval 8-grams
+    assert(out((10L, 8)) == 3)
+    assert(!out.contains((10L, 13)))
+    // doc 11: span b..q = 16 tokens -> 9 eval 8-grams, 4 eval 13-grams
+    assert(out((11L, 8)) == 9)
+    assert(out((11L, 13)) == 4)
+    assert(!out.exists(_._1._1 == 12L))
+  }
+
   test("repetitionColumns: doubled text has the predicted ratio; distinct text ~0") {
     val base = "alpha beta gamma delta epsilon zeta"
     val df = Seq((1L, base), (2L, s"$base $base")).toDF("doc_id", "text")

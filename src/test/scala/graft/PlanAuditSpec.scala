@@ -155,6 +155,30 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
         s"segment text must be digested map-side and dropped before any shuffle: $l")
   }
 
+  test("q63: multi-k decontamination scans each corpus once for ALL widths") {
+    import org.apache.spark.sql.functions.col
+    // the operator directly (the q63 fixture unions implants, which
+    // legitimately re-reads documents for corpus CONSTRUCTION): train
+    // and eval are one parquet relation each, so the whole multi-width
+    // plan must contain exactly two file scans — a per-k rescan would
+    // add |ks|-1 more
+    val docs = Tables.documents(spark, d)
+    val p = graft.operators.Dedup.contaminationStats(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "text", "doc_id", Seq(8, 13))
+      .queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(p).size == 2,
+      s"one scan per corpus side regardless of |ks|:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"eval (k, hash) set must broadcast into a map-side semi-join:\n$p")
+    // same no-corpus-shuffle contract as q55: no exchange may carry the
+    // exploded train (id, k, hash) rows
+    for (l <- p.linesIterator if l.contains("Exchange hashpartitioning(__k"))
+      assert(!l.contains("doc_id"),
+        s"train shingle rows must meet the broadcast map-side, not shuffle: $l")
+  }
+
   test("q27/q28/q23: banded LSH candidates stay an equi-join with bounded fan-in") {
     for (q <- Seq("q27_lsh_ann", "q28_embed_neardup", "q23_minhash_lsh")) {
       val p = plan(q)
