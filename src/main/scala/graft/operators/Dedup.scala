@@ -251,12 +251,19 @@ object Dedup {
     * and the join back move only (id, digest) pairs. The digest
     * frequency table is unbounded (distinct segments in the corpus), so
     * the join back is a digest-keyed equi-join, not a broadcast.
+    *
+    * `sep` is a LITERAL separator (quoted before reaching Spark's
+    * regex-based `split`), matching the "split on sep: paragraphs,
+    * lines" contract and any literal-split oracle twin — a caller
+    * passing "." or "|" gets literal dots/pipes, not regex wildcards.
     */
   def boilerplateStats(df: DataFrame, idCol: String, textCol: String,
                        sep: String, minDocs: Int,
                        mode: HashMode = HashMode.OracleMd5): DataFrame = {
     val segs = df
-      .select(col(idCol), explode(split(col(textCol), sep)).as("__seg"))
+      .select(col(idCol),
+        explode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as("__seg"))
       .filter(length(trim(col("__seg"))) > 0)
       .select(col(idCol),
         TextStats.textDigest(col("__seg"), mode).as("__dig"))

@@ -227,19 +227,35 @@ object Extents {
     * any plan built on top of it) completes — the plan stays fully lazy
     * (callers and plan audits see the real operator tree, not a cache
     * scan), but a long-lived session no longer accumulates one orphaned
-    * cached histogram per extents call. If the caller never executes the
-    * plan, nothing was materialized and the listener is inert.
+    * cached histogram per extents call.
+    *
+    * The listener is also SELF-EXPIRING: if `MaxUnmatchedExecutions`
+    * other queries complete without the target ever running (an
+    * explain-only/plan-audit call, an abandoned DataFrame), it releases
+    * the cache entry and unregisters anyway — otherwise each abandoned
+    * extents call would leave a live listener walking `sameResult`
+    * over every subsequent query's analyzed plan forever. Expiring is
+    * safe in both states: an un-executed persist() materialized
+    * nothing, and a later execution of the plan merely recomputes.
+    * Caveat (accepted): two concurrent extents calls over sameResult
+    * inputs share one cache entry, so the first completed action
+    * releases it for both — correct but the second recomputes.
     */
+  private[operators] val MaxUnmatchedExecutions = 64
+
   private def unpersistAfterUse(cached: DataFrame, out: DataFrame): DataFrame = {
     val spark = out.sparkSession
     val target = out.queryExecution.analyzed
     val listener = new QueryExecutionListener {
       private val released = new AtomicBoolean(false)
+      private val unmatched = new java.util.concurrent.atomic.AtomicInteger(0)
       private def maybeRelease(qe: QueryExecution): Unit = {
         val hit =
           try qe.analyzed.exists(_.sameResult(target))
           catch { case _: Exception => false }
-        if (hit && released.compareAndSet(false, true)) {
+        val expired = !hit &&
+          unmatched.incrementAndGet() >= MaxUnmatchedExecutions
+        if ((hit || expired) && released.compareAndSet(false, true)) {
           cached.unpersist(blocking = false)
           spark.listenerManager.unregister(this)
         }

@@ -185,6 +185,17 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
     assert(short.size == 1)
   }
 
+  test("boilerplateStats separator is literal, not a regex") {
+    // '|' as a regex would split on EVERY character boundary (empty
+    // alternation); literally it must yield exactly two segments
+    val docs = (1 to 5).map(i => (i.toLong, s"unique body $i|shared tail"))
+      .toDF("doc_id", "text")
+    val out = Dedup.boilerplateStats(docs, "doc_id", "text", "|", minDocs = 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 2, "exactly 2 literal segments")
+    assert(out(1L).getLong(2) == 1, "the shared tail is boilerplate")
+  }
+
   test("boilerplateStats segments are whitespace-normalized before digesting") {
     val docs = Seq(
       (1L, "body one\n  Shared   Footer "),
