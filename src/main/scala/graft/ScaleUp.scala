@@ -1,0 +1,45 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Writes a `factor`× key-shifted union of an existing SF dir's tables
+  * to `outDir` — the local stand-in for a larger scale factor
+  * (TESTDATA.md ships nothing above sf0.1), used for the SURVEY §6
+  * linear-scaling spot-checks of the structurally heavy queries.
+  * Key shifting (not plain replication) matters: derived geometry and
+  * hash keys are functions of the key, so shifted copies produce NEW
+  * features/groups instead of `factor` exact duplicates of each row.
+  *
+  * Usage: runMain graft.ScaleUp <srcSfDir> <outDir> <factor> [tables...]
+  * (default tables: customer, lineitem — the q48/q44 inputs)
+  */
+object ScaleUp {
+  private val keyCols = Map(
+    "customer" -> "c_custkey", "lineitem" -> "l_orderkey",
+    "orders" -> "o_orderkey", "documents" -> "doc_id",
+    "embeddings" -> "vec_id", "events" -> "event_id")
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, factorS, rest @ _*) = args
+    val factor = factorS.toInt
+    val tables = if (rest.nonEmpty) rest else Seq("customer", "lineitem")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (t <- tables) {
+      val df = spark.read.parquet(s"$src/$t.parquet")
+      val shifted = (0 until factor).map { i =>
+        keyCols.get(t) match {
+          case Some(k) => df.withColumn(k, col(k) + lit(i * 100000000L))
+          case None => df
+        }
+      }.reduce(_ unionByName _)
+      shifted.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[scaleup] $t x$factor -> $out/$t.parquet")
+    }
+    spark.stop()
+  }
+}
