@@ -442,6 +442,59 @@ object QueriesCorpus {
        |ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q64 line-rule cleanup (C4-style): drop lines with < 4 tokens or no
+  // terminal punctuation. Injected line classes: a 2-token fragment
+  // (token rule kills it), a nav row (enough tokens, no punctuation),
+  // and a full sentence (survives). The base word-salad line has no
+  // terminal punctuation, so it is dropped too — n_kept counts only
+  // injected sentences; cleaned text md5-compared cell-exact.
+  private val MinLineTokens = 4
+
+  private def linedCorpus(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 3 === 0, lit("\nshort line")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        lit("\nhome | products | about | contact")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+        lit("\nthis sentence has enough words to survive the filter."))
+        .otherwise(lit("")))
+      .as("text"))
+
+  private val linedCorpusSql =
+    """SELECT doc_id, concat(text,
+      |  CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'short line' ELSE '' END,
+      |  CASE WHEN doc_id % 5 = 0
+      |    THEN chr(10) || 'home | products | about | contact' ELSE '' END,
+      |  CASE WHEN doc_id % 4 = 0
+      |    THEN chr(10) || 'this sentence has enough words to survive the filter.'
+      |    ELSE '' END) AS text
+      |FROM documents""".stripMargin
+
+  def q64LineRules(s: SparkSession, d: String): DataFrame = {
+    val cols = Scrub.lineRuleColumns(col("text"), MinLineTokens)
+      .map { case (n, c) => c.as(n) }
+    linedCorpus(s, d)
+      .select(col("doc_id") +: cols: _*)
+      .withColumn("cleaned_md5", md5(col("cleaned").cast("binary")))
+      .drop("cleaned")
+      .orderBy("doc_id")
+  }
+
+  val q64Sql: String =
+    s"""WITH corpus AS ($linedCorpusSql),
+       |x AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM corpus),
+       |f AS (SELECT doc_id, len(lines) AS n_lines,
+       |  list_filter(lines, l ->
+       |    len(regexp_extract_all(trim(l), '\\S+')) >= $MinLineTokens
+       |    AND substr(trim(l), -1, 1) IN ('.', '!', '?', '"')) AS kept
+       | FROM x)
+       |SELECT doc_id,
+       | CAST(n_lines AS BIGINT) AS n_lines,
+       | CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       | md5(coalesce(array_to_string(kept, chr(10)), '')) AS cleaned_md5
+       |FROM f ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_decontaminate" -> (q55Decontaminate _),
     "q56_repetition" -> (q56Repetition _),
@@ -451,6 +504,7 @@ object QueriesCorpus {
     "q60_domain_filter" -> (q60DomainFilter _),
     "q62_temperature_mix" -> (q62TemperatureMix _),
     "q63_decontaminate_multik" -> (q63MultikDecontaminate _),
+    "q64_line_rules" -> (q64LineRules _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -462,5 +516,6 @@ object QueriesCorpus {
     "q60_domain_filter" -> q60Sql,
     "q62_temperature_mix" -> q62Sql,
     "q63_decontaminate_multik" -> q63Sql,
+    "q64_line_rules" -> q64Sql,
   )
 }

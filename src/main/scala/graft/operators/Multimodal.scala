@@ -97,10 +97,25 @@ object Multimodal {
   /** Repartition a media table so each partition carries roughly
     * `targetBytes` of payload (bytes-aware sizing; row-count sizing is
     * wrong for media).
+    *
+    * Total payload size is ESTIMATED from a deterministic row sample
+    * (`sampleFraction`, seed-pinned): partition sizing needs the right
+    * order of magnitude, not an exact byte count, and the previous
+    * exact `sum(length(bytes))` was a full eager scan of the payload
+    * column — at 100 TB, exactly the pass this operator exists to
+    * avoid. An empty sample (tiny table) falls back to the exact sum,
+    * where a full scan is by definition cheap.
     */
   def repartitionByPayload(media: DataFrame, byteCol: String,
-                           targetBytes: Long): DataFrame = {
-    val total = media.select(sum(length(col(byteCol)))).head().getLong(0)
+                           targetBytes: Long,
+                           sampleFraction: Double = 0.01): DataFrame = {
+    val sampled = media.sample(withReplacement = false, sampleFraction, seed = 42)
+      .select(sum(length(col(byteCol)))).head()
+    val total =
+      if (sampled.isNullAt(0)) { // empty sample: table is tiny, scan it
+        val full = media.select(sum(length(col(byteCol)))).head()
+        if (full.isNullAt(0)) 0L else full.getLong(0)
+      } else math.round(sampled.getLong(0) / sampleFraction)
     val parts = math.max(1, (total / targetBytes).toInt)
     media.repartition(parts, col("media_id"))
   }

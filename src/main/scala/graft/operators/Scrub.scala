@@ -56,6 +56,39 @@ object Scrub {
       "scrubbed" -> scrubbed)
   }
 
+  /** C4-style line-rule cleanup: split the document into lines and keep
+    * a line iff it has at least `minLineTokens` tokens AND (when
+    * `requireTerminalPunct`) ends in `.`, `!`, `?` or `"` — the crawl
+    * pass that strips nav menus, cookie banners, and one-word list
+    * items before any content-level filtering. Emits (n_lines,
+    * n_kept_lines, cleaned) where `cleaned` re-joins surviving lines
+    * with a newline (empty string when nothing survives — callers drop
+    * empty docs downstream).
+    *
+    * Pure per-row codegen'd array HOFs — no shuffle, no UDF. Token
+    * counting is `regexp_count(\\S+)` (count of non-space runs) rather
+    * than `size(split(...))`, so an empty line counts 0 tokens in any
+    * engine (split-of-empty yields one empty token in Spark but none
+    * in some oracles — the one formulation that diverges).
+    */
+  def lineRuleColumns(text: Column, minLineTokens: Int,
+                      requireTerminalPunct: Boolean = true): Seq[(String, Column)] = {
+    val lines = split(text, java.util.regex.Pattern.quote("\n"))
+    val kept = filter(lines, l => {
+      val t = trim(l)
+      val tokOk = regexp_count(t, lit("\\S+")) >= minLineTokens
+      val punctOk =
+        if (requireTerminalPunct)
+          substring(t, -1, 1).isin(".", "!", "?", "\"")
+        else lit(true)
+      tokOk && punctOk
+    })
+    Seq(
+      "n_lines" -> size(lines).cast("long"),
+      "n_kept_lines" -> size(kept).cast("long"),
+      "cleaned" -> array_join(kept, "\n"))
+  }
+
   /** Host part of a URL: the authority between `scheme://` and the
     * first `/`, `:`, `?` or `#`. Empty string when the URL doesn't
     * parse (no scheme) — callers treat unparseable as "not blocked"

@@ -165,6 +165,28 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
     assert(again == kept)
   }
 
+  test("lineRuleColumns: token minimum and terminal punctuation both gate") {
+    val df = Seq(
+      (1L, "a good long sentence right here.\nnav | bar | menu\nok.\n\nanother proper sentence follows here!"),
+      (2L, "no punctuation on this line at all")
+    ).toDF("doc_id", "text")
+    val cols = Scrub.lineRuleColumns(col("text"), 4).map { case (n, c) => c.as(n) }
+    val out = df.select(col("doc_id") +: cols: _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: 5 lines; 'nav | bar | menu' lacks punct, 'ok.' too short,
+    // empty line fails both -> 2 survivors
+    assert(out(1L).getLong(1) == 5 && out(1L).getLong(2) == 2)
+    assert(out(1L).getString(3) ==
+      "a good long sentence right here.\nanother proper sentence follows here!")
+    assert(out(2L).getLong(2) == 0 && out(2L).getString(3) == "")
+    // punctuation rule off: token count alone decides
+    val lax = Scrub.lineRuleColumns(col("text"), 4, requireTerminalPunct = false)
+      .map { case (n, c) => c.as(n) }
+    val out2 = df.select(col("doc_id") +: lax: _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out2(2L).getLong(2) == 1)
+  }
+
   test("byteChunkHashes: tail edit shares all but the affected windows") {
     import graft.operators.Multimodal
     // 32-byte payloads, chunk 8 stride 4 -> 7 windows

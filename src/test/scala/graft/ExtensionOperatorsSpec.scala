@@ -162,6 +162,22 @@ class ExtensionOperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(byKind("video") > 1 && byKind("image") == 1)
   }
 
+  test("repartitionByPayload sizes partitions from a sample, small tables exactly") {
+    val media = spark.range(0, 2000).select(
+      $"id".as("media_id"),
+      lit(new Array[Byte](1000)).as("bytes")) // ~2 MB total
+    // sample-estimated: ~2MB / 500KB target -> ~4 partitions (estimate
+    // tolerance: the 1% sample is hash-deterministic, so the count is
+    // stable run-to-run; assert the right magnitude, not an exact value)
+    val parts = Multimodal.repartitionByPayload(media, "bytes", 500000, 0.05)
+      .rdd.getNumPartitions
+    assert(parts >= 2 && parts <= 8, s"got $parts")
+    // tiny table: empty sample falls back to the exact sum -> 1 partition
+    val tiny = Seq((1L, Array[Byte](1, 2))).toDF("media_id", "bytes")
+    assert(Multimodal.repartitionByPayload(tiny, "bytes", 1L << 20, 0.0001)
+      .rdd.getNumPartitions == 1)
+  }
+
   test("resizeStub: aspect-preserving fit, never upscales") {
     val media = Seq(
       (1L, "image", Array[Byte](1, 2, 3), 640, 480, 0),
