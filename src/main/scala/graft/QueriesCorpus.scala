@@ -495,6 +495,49 @@ object QueriesCorpus {
        | md5(coalesce(array_to_string(kept, chr(10)), '')) AS cleaned_md5
        |FROM f ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q65 URL canonicalization + crawl dedup: two messy variants of every
+  // doc's URL (uppercase scheme/host + default port + tracking params +
+  // fragment + trailing slash vs. plain + port + fragment) must collapse
+  // to ONE canonical key — the fetch-level dedup that runs before any
+  // text-level dedup. n_copies == 2 for every group proves the collapse;
+  // md5(canon) pins the exact canonical string cell-exact.
+  private def messyUrls(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    documents(s, d).select(col("doc_id"), explode(array(
+      concat(lit("HTTPS://CDN."), upper(col("source")),
+        lit(".EXAMPLE.COM:443/doc/"), id,
+        lit("/?utm_source=rss&ref=home#frag")),
+      concat(lit("https://cdn."), col("source"),
+        lit(".example.com:443/doc/"), id, lit("#section2"))))
+      .as("url"))
+  }
+
+  // no line may START with `||` (re-embedded inside q65Sql's stripMargin)
+  private val messyUrlsSql =
+    """SELECT doc_id, unnest([
+      |  'HTTPS://CDN.' || upper(source) || '.EXAMPLE.COM:443/doc/' ||
+      |    CAST(doc_id AS VARCHAR) || '/?utm_source=rss&ref=home#frag',
+      |  'https://cdn.' || source || '.example.com:443/doc/' ||
+      |    CAST(doc_id AS VARCHAR) || '#section2']) AS url
+      |FROM documents""".stripMargin
+
+  def q65UrlCanonicalize(s: SparkSession, d: String): DataFrame =
+    messyUrls(s, d)
+      .select(col("doc_id"), Scrub.canonicalizeUrl(col("url")).as("canon"))
+      .groupBy("canon")
+      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keep_id"))
+      .select(md5(col("canon").cast("binary")).as("canon_md5"),
+        col("n_copies"), col("keep_id"))
+      .orderBy("keep_id")
+
+  val q65Sql: String =
+    s"""WITH u AS ($messyUrlsSql),
+       |c AS (SELECT doc_id, ${Scrub.canonicalizeUrlSql("url")} AS canon FROM u)
+       |SELECT md5(canon) AS canon_md5, count(*) AS n_copies,
+       | min(doc_id) AS keep_id
+       |FROM c GROUP BY canon ORDER BY keep_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_decontaminate" -> (q55Decontaminate _),
     "q56_repetition" -> (q56Repetition _),
@@ -505,6 +548,7 @@ object QueriesCorpus {
     "q62_temperature_mix" -> (q62TemperatureMix _),
     "q63_decontaminate_multik" -> (q63MultikDecontaminate _),
     "q64_line_rules" -> (q64LineRules _),
+    "q65_url_canonicalize" -> (q65UrlCanonicalize _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -517,5 +561,6 @@ object QueriesCorpus {
     "q62_temperature_mix" -> q62Sql,
     "q63_decontaminate_multik" -> q63Sql,
     "q64_line_rules" -> q64Sql,
+    "q65_url_canonicalize" -> q65Sql,
   )
 }

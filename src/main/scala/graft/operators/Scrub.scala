@@ -89,6 +89,70 @@ object Scrub {
       "cleaned" -> array_join(kept, "\n"))
   }
 
+  /** Canonical form of a URL for crawl-level dedup — two fetches of the
+    * same resource must map to one key before any text-level dedup
+    * runs. Applied steps (each a codegen'd regexp, all RE2-compatible):
+    *   1. lowercase scheme and host (path/query case is significant);
+    *   2. drop the fragment (`#...` never reaches the server);
+    *   3. drop tracking parameters (`utm_*`, `fbclid`, `gclid`,
+    *      `ref`), then any orphaned `?`/`&` punctuation;
+    *   4. drop explicit default ports (`:80` for http, `:443` for
+    *      https);
+    *   5. drop a single trailing `/` on a non-root path.
+    * Deliberately NOT applied: percent-encoding normalization and query
+    * re-sorting (they change semantics on some servers; a deployment
+    * opts in per-crawl).
+    */
+  /** Authority prefix (`scheme://host[:port]`) — the case-insensitive
+    * region of a URL.
+    */
+  val SchemeHostRe: String = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+
+  /** The regexp chain [[canonicalizeUrl]] applies after scheme+host
+    * lowering: (pattern, Java replacement, RE2 replacement) — one list
+    * so the Spark operator and the SQL twin cannot drift (only the
+    * backreference SYNTAX differs, `$1` vs `\1`). Order matters:
+    * fragment first (tracking params before a `#` must still match),
+    * query repair before port/slash cleanup (the trailing-slash rule
+    * keys on `?`-or-end). All patterns avoid lookaround/backrefs —
+    * they run identically under Java regex and RE2.
+    */
+  private val UrlCanonSteps: Seq[(String, String, String)] = Seq(
+    // drop fragment
+    ("#.*$", "", ""),
+    // drop "&tracker=..." (every non-first tracking param)
+    ("&(?:utm_[a-z]+|fbclid|gclid|ref)=[^&#]*", "", ""),
+    // drop a LEADING "?tracker=...&" promoting the next param to first
+    ("\\?(?:utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&?", "?", "?"),
+    // a query reduced to a bare "?" disappears
+    ("\\?$", "", ""),
+    // explicit default ports
+    ("^(https://[^/:?#]+):443([/?#]|$)", "$1$2", "\\1\\2"),
+    ("^(http://[^/:?#]+):80([/?#]|$)", "$1$2", "\\1\\2"),
+    // one trailing slash on a non-root path (before query or end)
+    ("(://[^/?#]+(?:/[^?#]*[^/?#]))/(\\?|$)", "$1$2", "\\1\\2"))
+
+  def canonicalizeUrl(url: Column): Column = {
+    // lowercase scheme+authority, keep path/query case verbatim; a URL
+    // with no scheme matches nothing and passes through unchanged
+    val lowered = concat(
+      lower(regexp_extract(url, s"($SchemeHostRe)", 1)),
+      regexp_replace(url, SchemeHostRe, ""))
+    UrlCanonSteps.foldLeft(lowered) { case (c, (pat, rep, _)) =>
+      regexp_replace(c, pat, rep)
+    }
+  }
+
+  /** DuckDB twin of [[canonicalizeUrl]] over a SQL expression — built
+    * from the SAME pattern chain. */
+  def canonicalizeUrlSql(e: String): String = {
+    val lowered = s"lower(regexp_extract($e, '($SchemeHostRe)', 1))" +
+      s" || regexp_replace($e, '$SchemeHostRe', '', 'g')"
+    UrlCanonSteps.foldLeft(s"($lowered)") { case (acc, (pat, _, rep)) =>
+      s"regexp_replace($acc, '$pat', '$rep', 'g')"
+    }
+  }
+
   /** Host part of a URL: the authority between `scheme://` and the
     * first `/`, `:`, `?` or `#`. Empty string when the URL doesn't
     * parse (no scheme) — callers treat unparseable as "not blocked"

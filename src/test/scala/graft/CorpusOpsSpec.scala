@@ -187,6 +187,34 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
     assert(out2(2L).getLong(2) == 1)
   }
 
+  test("canonicalizeUrl: case, port, tracking, fragment, trailing slash") {
+    val cases = Seq(
+      // scheme+host lowercase, path case preserved
+      "HTTP://WWW.Example.COM/Path/File" -> "http://www.example.com/Path/File",
+      // default ports drop; non-default stay
+      "https://h.io:443/a" -> "https://h.io/a",
+      "http://h.io:80/a" -> "http://h.io/a",
+      "https://h.io:8443/a" -> "https://h.io:8443/a",
+      // tracking params in every position; real params survive
+      "https://h.io/a?utm_source=x&id=7" -> "https://h.io/a?id=7",
+      "https://h.io/a?id=7&utm_campaign=y&gclid=z" -> "https://h.io/a?id=7",
+      "https://h.io/a?utm_a=1&utm_b=2" -> "https://h.io/a",
+      "https://h.io/a?ref=t&ref=u&id=1" -> "https://h.io/a?id=1",
+      // fragment always drops; trailing slash on non-root path drops
+      "https://h.io/a/b/#sec" -> "https://h.io/a/b",
+      "https://h.io/a/?id=1#x" -> "https://h.io/a?id=1",
+      // root slash is NOT a trailing path slash
+      "https://h.io/" -> "https://h.io/",
+      // no scheme: passes through untouched
+      "not a url" -> "not a url")
+    val out = cases.map(_._1).toDF("url")
+      .select(Scrub.canonicalizeUrl(col("url")).as("c"))
+      .as[String].collect().toSeq
+    out.zip(cases).foreach { case (got, (in, want)) =>
+      assert(got == want, s"canonicalizeUrl($in) = $got, want $want")
+    }
+  }
+
   test("byteChunkHashes: tail edit shares all but the affected windows") {
     import graft.operators.Multimodal
     // 32-byte payloads, chunk 8 stride 4 -> 7 windows
