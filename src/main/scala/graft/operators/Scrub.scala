@@ -4,9 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-scrubbing operators for the training-data pipeline tier: PII
-  * redaction and URL/domain blocklist filtering — the two standard
-  * cleanup passes (C4/RefinedWeb-style) between raw crawl and training
-  * that the dedup/quality tier doesn't cover.
+  * redaction, C4-style line rules, URL canonicalization, and
+  * URL/domain blocklist filtering — the standard cleanup passes
+  * (C4/RefinedWeb-style) between raw crawl and training that the
+  * dedup/quality tier doesn't cover.
   *
   * Spark-first design notes (100 TB scale):
   *  - PII scrubbing is a pure per-row projection of codegen'd
@@ -89,20 +90,6 @@ object Scrub {
       "cleaned" -> array_join(kept, "\n"))
   }
 
-  /** Canonical form of a URL for crawl-level dedup — two fetches of the
-    * same resource must map to one key before any text-level dedup
-    * runs. Applied steps (each a codegen'd regexp, all RE2-compatible):
-    *   1. lowercase scheme and host (path/query case is significant);
-    *   2. drop the fragment (`#...` never reaches the server);
-    *   3. drop tracking parameters (`utm_*`, `fbclid`, `gclid`,
-    *      `ref`), then any orphaned `?`/`&` punctuation;
-    *   4. drop explicit default ports (`:80` for http, `:443` for
-    *      https);
-    *   5. drop a single trailing `/` on a non-root path.
-    * Deliberately NOT applied: percent-encoding normalization and query
-    * re-sorting (they change semantics on some servers; a deployment
-    * opts in per-crawl).
-    */
   /** Authority prefix (`scheme://host[:port]`) — the case-insensitive
     * region of a URL.
     */
@@ -132,6 +119,16 @@ object Scrub {
     // one trailing slash on a non-root path (before query or end)
     ("(://[^/?#]+(?:/[^?#]*[^/?#]))/(\\?|$)", "$1$2", "\\1\\2"))
 
+  /** Canonical form of a URL for crawl-level dedup — two fetches of the
+    * same resource must map to one key before any text-level dedup
+    * runs: scheme+host lowercase (path/query case is significant),
+    * fragment dropped (never reaches the server), tracking parameters
+    * dropped in any query position, explicit default ports dropped,
+    * one trailing slash on a non-root path dropped. Deliberately NOT
+    * applied: percent-encoding normalization and query re-sorting
+    * (they change semantics on some servers; a deployment opts in
+    * per-crawl).
+    */
   def canonicalizeUrl(url: Column): Column = {
     // lowercase scheme+authority, keep path/query case verbatim; a URL
     // with no scheme matches nothing and passes through unchanged

@@ -235,6 +235,23 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
     assert(short.size == 1)
   }
 
+  test("byteChunkHashes: hash engines differ in values, agree in structure") {
+    import graft.operators.{Multimodal, TextStats}
+    val a = Array.tabulate[Byte](64)(_.toByte)
+    val b = a.clone(); b(63) = 77
+    val df = Seq((1L, a), (2L, b)).toDF("id", "bytes")
+    def sets(mode: TextStats.HashMode) = df
+      .select(col("id"), Multimodal.byteChunkHashes(col("bytes"), 8, 4, mode).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val md = sets(TextStats.HashMode.OracleMd5)
+    val xx = sets(TextStats.HashMode.EngineXx)
+    // different hash values...
+    assert(md(1L) != xx(1L))
+    // ...identical dedup structure: set sizes and overlap counts match
+    assert(md(1L).size == xx(1L).size && md(2L).size == xx(2L).size)
+    assert((md(1L) intersect md(2L)).size == (xx(1L) intersect xx(2L)).size)
+  }
+
   test("boilerplateStats separator is literal, not a regex") {
     // '|' as a regex would split on EVERY character boundary (empty
     // alternation); literally it must yield exactly two segments

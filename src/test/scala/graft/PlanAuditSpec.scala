@@ -155,6 +155,22 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
         s"segment text must be digested map-side and dropped before any shuffle: $l")
   }
 
+  test("q60: blocklist and blocked-id set broadcast; the corpus never shuffle-joins") {
+    val p = plan("q60_domain_filter")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"blocklist semi-join AND blocked-id anti-join must both broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus side must never shuffle into a join:\n$p")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
+  }
+
+  test("q62: temperature thresholds broadcast; corpus filtered map-side") {
+    val p = plan("q62_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source fixed-point thresholds must broadcast onto the corpus:\n$p")
+    assert(p.contains("partial_count"), "source rollups must partial-aggregate")
+  }
+
   test("q63: multi-k decontamination scans each corpus once for ALL widths") {
     import org.apache.spark.sql.functions.col
     // the operator directly (the q63 fixture unions implants, which
