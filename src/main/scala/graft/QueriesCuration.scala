@@ -116,11 +116,55 @@ object QueriesCuration {
        |FROM gated GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q66 sequence packing: docs concatenate in doc_id order into one
+  // token stream cut into 512-token context windows; each doc reports
+  // its cumulative end offset and the window span it occupies. The
+  // Spark side computes the prefix sum RANGE-BUCKETED (bucketWidth 64 →
+  // 8 buckets at sf0.01, so the bucketing is genuinely exercised, with
+  // only the 8 bucket totals crossing a single-partition pass); the
+  // oracle is the textbook single cumsum window — same values.
+  private val PackWindow = 512
+  private val PackBucket = 64L
+
+  def q66SequencePacking(s: SparkSession, d: String): DataFrame = {
+    val toks = regexp_count(
+      graft.operators.TextStats.normalize(col("text")), lit("\\S+"))
+    val docs = documents(s, d)
+      .select(col("doc_id"), toks.cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    Curation.packingOffsets(docs, "doc_id", "n_tokens", PackWindow, PackBucket)
+      .select("doc_id", "n_tokens", "cum_end",
+        "first_window", "last_window", "n_windows")
+      .orderBy("doc_id")
+  }
+
+  val q66Sql: String = {
+    val normSql = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+    s"""WITH t AS (
+       | SELECT doc_id,
+       |  CAST(len(regexp_extract_all($normSql, '\\S+')) AS BIGINT) AS n_tokens
+       | FROM documents),
+       |c AS (
+       | SELECT doc_id, n_tokens,
+       |  CAST(sum(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_end
+       | FROM t WHERE n_tokens > 0)
+       |SELECT doc_id, n_tokens, cum_end,
+       | (cum_end - n_tokens) // $PackWindow AS first_window,
+       | (cum_end - 1) // $PackWindow AS last_window,
+       | ((cum_end - 1) // $PackWindow - (cum_end - n_tokens) // $PackWindow + 1)
+       |   AS n_windows
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_curation_pipeline" -> (q47CurationPipeline _),
     "q39_train_eval_split" -> (q39TrainEvalSplit _),
     "q40_stratified_sample" -> (q40StratifiedSample _),
     "q41_value_histogram" -> (q41ValueHistogram _),
+    "q66_sequence_packing" -> (q66SequencePacking _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -128,5 +172,6 @@ object QueriesCuration {
     "q39_train_eval_split" -> q39Sql,
     "q40_stratified_sample" -> q40Sql,
     "q41_value_histogram" -> q41Sql,
+    "q66_sequence_packing" -> q66Sql,
   )
 }

@@ -115,6 +115,51 @@ object Curation {
     round(pow(nMin.cast("double") / n.cast("double"), lit(1.0 - alpha))
       * 1000000.0).cast("long")
 
+  /** Sequence-packing offsets (pretraining context packing): documents
+    * concatenate in deterministic `idCol` order into one token stream
+    * that is cut into fixed `windowSize` context windows; each doc gets
+    * its cumulative END offset and the [first_window, last_window] span
+    * it occupies — the bookkeeping a packed-pretraining loader needs to
+    * locate every document. Zero-token docs must be filtered upstream
+    * (they occupy no window; their span would be degenerate).
+    *
+    * Scale shape: the textbook `sum() over (order by id)` cumsum puts
+    * the WHOLE corpus into one task — the single-partition trap. Here
+    * the prefix sum is range-bucketed exactly like Extents' cumulative
+    * ranks: the corpus-side running sum windows partition BY BUCKET
+    * (`id div bucketWidth`), per-bucket totals aggregate to one tiny
+    * row each, the cumulative pass over those (bucket, sum) rows is
+    * the ONE acceptable single-partition window (corpus_size /
+    * bucketWidth rows — thousands at 100 TB with a ~1e6 width; recurse
+    * the same trick if that ever stops being tiny), and the resulting
+    * offsets broadcast-join back. Plan-audited: the only
+    * SinglePartition exchange carries bucket sums, never corpus rows.
+    */
+  def packingOffsets(df: DataFrame, idCol: String, tokenCol: String,
+                     windowSize: Int, bucketWidth: Long = 1L << 20): DataFrame = {
+    require(windowSize >= 1 && bucketWidth >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__bkt").orderBy(idCol)
+      .rowsBetween(Long.MinValue, 0)
+    val withCum = df
+      .withColumn("__bkt", expr(s"`$idCol` div $bucketWidth"))
+      .withColumn("__cum_in_bkt", sum(tokenCol).over(w))
+    val bktSums = withCum.groupBy("__bkt")
+      .agg(sum(tokenCol).as("__bkt_sum"))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy("__bkt").rowsBetween(Long.MinValue, -1)
+    val offsets = bktSums.select(col("__bkt"),
+      coalesce(sum("__bkt_sum").over(wOff), lit(0L)).as("__off"))
+    withCum.join(broadcast(offsets), "__bkt")
+      .withColumn("cum_end", (col("__off") + col("__cum_in_bkt")).cast("long"))
+      .withColumn("first_window",
+        expr(s"(cum_end - `$tokenCol`) div $windowSize"))
+      .withColumn("last_window", expr(s"(cum_end - 1) div $windowSize"))
+      .withColumn("n_windows",
+        (col("last_window") - col("first_window") + 1).cast("long"))
+      .drop("__bkt", "__cum_in_bkt", "__off")
+  }
+
   /** Fixed-width histogram of a numeric column: bucket i covers
     * [lo + i*w, lo + (i+1)*w); values at/above hi clamp to the last
     * bucket, below lo to the first.

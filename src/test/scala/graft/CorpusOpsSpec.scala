@@ -215,6 +215,30 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("packingOffsets: bucketed prefix sum equals the naive cumsum; spans correct") {
+    // ids deliberately sparse/unsorted-ish across 4 buckets (width 8)
+    val docs = Seq((1L, 100L), (2L, 300L), (9L, 200L), (10L, 50L),
+      (17L, 500L), (25L, 12L), (26L, 1L)).toDF("id", "toks")
+    val out = Curation.packingOffsets(docs, "id", "toks", 256, bucketWidth = 8)
+      .orderBy("id").collect()
+    // naive expectation
+    var cum = 0L
+    val want = Seq((1L, 100L), (2L, 300L), (9L, 200L), (10L, 50L),
+      (17L, 500L), (25L, 12L), (26L, 1L)).map { case (id, t) =>
+      cum += t
+      (id, cum, (cum - t) / 256, (cum - 1) / 256)
+    }
+    out.zip(want).foreach { case (r, (id, end, fw, lw)) =>
+      assert(r.getAs[Long]("id") == id)
+      assert(r.getAs[Long]("cum_end") == end, s"id=$id")
+      assert(r.getAs[Long]("first_window") == fw && r.getAs[Long]("last_window") == lw,
+        s"id=$id got (${r.getAs[Long]("first_window")},${r.getAs[Long]("last_window")}) want ($fw,$lw)")
+      assert(r.getAs[Long]("n_windows") == lw - fw + 1)
+    }
+    // doc 2 (tokens 300, offsets 100..400) spans windows 0 and 1
+    assert(out(1).getAs[Long]("n_windows") == 2)
+  }
+
   test("byteChunkHashes: tail edit shares all but the affected windows") {
     import graft.operators.Multimodal
     // 32-byte payloads, chunk 8 stride 4 -> 7 windows

@@ -171,6 +171,19 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(p.contains("partial_count"), "source rollups must partial-aggregate")
   }
 
+  test("q66: packing prefix sum is range-bucketed — corpus never single-partitions") {
+    val p = plan("q66_sequence_packing")
+    // the corpus-side running sum must window by bucket...
+    assert("hashpartitioning\\(__bkt".r.findFirstIn(p).isDefined,
+      s"corpus cumsum must partition by bucket:\n$p")
+    // ...and the only single-partition pass carries per-bucket sums
+    // (one tiny row per bucket), never corpus rows
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket offsets must broadcast back onto the corpus")
+    assert(p.contains("partial_sum"), "bucket totals must partial-aggregate")
+  }
+
   test("q63: multi-k decontamination scans each corpus once for ALL widths") {
     import org.apache.spark.sql.functions.col
     // the operator directly (the q63 fixture unions implants, which
