@@ -109,11 +109,23 @@ object QueriesMm {
         .map(r => s"CAST(sig${b * MmRowsPerBand + r} AS VARCHAR)").mkString(", ")
       s"SELECT media_id, $b AS band, md5(concat_ws(',', $cols)) AS bucket FROM sig"
     }.mkString("\n UNION ALL ")
+    // byte-window start offsets, mirroring Multimodal.byteChunkHashes:
+    // the strided grid plus one tail window when the payload length is
+    // not stride-aligned (inert for this 128-byte fixture, mirrored so
+    // the twins stay semantically identical)
+    val nSql = "(len(hx) // 2)"
+    val nWinSql =
+      s"greatest(($nSql - $ChunkBytes) // $ChunkStride + 1, 1)"
+    val gridSql =
+      s"list_transform(range(0, $nWinSql), i -> i * $ChunkStride)"
+    val startsSql =
+      s"""CASE WHEN ($nSql - $ChunkBytes) > ($nWinSql - 1) * $ChunkStride
+         |    THEN list_append($gridSql, $nSql - $ChunkBytes)
+         |    ELSE $gridSql END""".stripMargin
     s"""WITH media AS ($hexCorpus),
        |sh AS (SELECT media_id,
-       |  list_distinct(list_transform(
-       |    range(0, greatest((len(hx) // 2 - $ChunkBytes) // $ChunkStride + 1, 1)),
-       |    i -> CAST(('0x' || substr(md5(substr(hx, i * ${2 * ChunkStride} + 1,
+       |  list_distinct(list_transform($startsSql,
+       |    s -> CAST(('0x' || substr(md5(substr(hx, s * 2 + 1,
        |           ${2 * ChunkBytes})), 1, 15)) AS BIGINT))) AS sh
        | FROM media),
        |sig AS (SELECT media_id, sh,

@@ -121,7 +121,10 @@ object Curation {
     * its cumulative END offset and the [first_window, last_window] span
     * it occupies — the bookkeeping a packed-pretraining loader needs to
     * locate every document. Zero-token docs must be filtered upstream
-    * (they occupy no window; their span would be degenerate).
+    * (they occupy no window; their span would be degenerate), and
+    * `idCol` MUST be unique: the packing order is "by id", so tied ids
+    * would make the per-row cumsum (a ROWS-frame window) assign the
+    * tied rows' offsets arbitrarily per run — dedup ids first.
     *
     * Scale shape: the textbook `sum() over (order by id)` cumsum puts
     * the WHOLE corpus into one task — the single-partition trap. Here

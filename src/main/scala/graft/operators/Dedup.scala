@@ -149,8 +149,10 @@ object Dedup {
     * reuse the shingle arrays, and without a materialization barrier
     * CollapseProject would inline the whole shingle pipeline into EVERY
     * downstream expression (observed 10x at sf0.1). At cluster scale
-    * the same barrier is a checkpoint/persisted table. Callers clear
-    * cache between queries (documented pattern).
+    * the same barrier is a checkpoint/persisted table. Both barriers
+    * are released deterministically once the first action over the
+    * returned plan completes ([[CacheRelease]]) — a long-lived session
+    * does not accumulate two cached corpora per call.
     */
   def lshNearDupPairs(shingled: DataFrame, idCol: String, shCol: String,
                       numHashes: Int, bands: Int, rowsPerBand: Int,
@@ -166,13 +168,14 @@ object Dedup {
       .drop((0 until numHashes).map(i => s"sig$i"): _*)
       .cache()
     val pairs = lshCandidatePairs(withBuckets, idCol, maxBucket)
-    pairs
+    val out = pairs
       .join(base.select(col(idCol).as("a"), col("sh").as("sa")), "a")
       .join(base.select(col(idCol).as("b"), col("sh").as("sb")), "b")
       .select(col("a"), col("b"),
         round(jaccard(col("sa"), col("sb")), 6).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
       .orderBy("a", "b")
+    CacheRelease.afterUse(Seq(base, withBuckets), out)
   }
 
   /** Test-set decontamination: ids of `train` documents sharing at

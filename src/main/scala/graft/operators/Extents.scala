@@ -1,13 +1,9 @@
 package graft.operators
 
-import java.util.concurrent.atomic.AtomicBoolean
-
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
-import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Per-column extents (min / max / 1st / 99th percentile), used by the
   * reference front end to build choropleth scales.
@@ -223,51 +219,13 @@ object Extents {
     }
   }
 
-  /** Releases `cached` as soon as the first action consuming `out` (or
-    * any plan built on top of it) completes — the plan stays fully lazy
-    * (callers and plan audits see the real operator tree, not a cache
-    * scan), but a long-lived session no longer accumulates one orphaned
-    * cached histogram per extents call.
-    *
-    * The listener is also SELF-EXPIRING: if `MaxUnmatchedExecutions`
-    * other queries complete without the target ever running (an
-    * explain-only/plan-audit call, an abandoned DataFrame), it releases
-    * the cache entry and unregisters anyway — otherwise each abandoned
-    * extents call would leave a live listener walking `sameResult`
-    * over every subsequent query's analyzed plan forever. Expiring is
-    * safe in both states: an un-executed persist() materialized
-    * nothing, and a later execution of the plan merely recomputes.
-    * Caveat (accepted): two concurrent extents calls over sameResult
-    * inputs share one cache entry, so the first completed action
-    * releases it for both — correct but the second recomputes.
+  /** Releases the cached histogram once the first action consuming
+    * `out` completes — see [[CacheRelease]] (shared with the LSH
+    * pipeline's shingle barriers) for the full release/self-expiry
+    * contract.
     */
-  private[operators] val MaxUnmatchedExecutions = 64
-
-  private def unpersistAfterUse(cached: DataFrame, out: DataFrame): DataFrame = {
-    val spark = out.sparkSession
-    val target = out.queryExecution.analyzed
-    val listener = new QueryExecutionListener {
-      private val released = new AtomicBoolean(false)
-      private val unmatched = new java.util.concurrent.atomic.AtomicInteger(0)
-      private def maybeRelease(qe: QueryExecution): Unit = {
-        val hit =
-          try qe.analyzed.exists(_.sameResult(target))
-          catch { case _: Exception => false }
-        val expired = !hit &&
-          unmatched.incrementAndGet() >= MaxUnmatchedExecutions
-        if ((hit || expired) && released.compareAndSet(false, true)) {
-          cached.unpersist(blocking = false)
-          spark.listenerManager.unregister(this)
-        }
-      }
-      override def onSuccess(funcName: String, qe: QueryExecution,
-                             durationNs: Long): Unit = maybeRelease(qe)
-      override def onFailure(funcName: String, qe: QueryExecution,
-                             exception: Exception): Unit = maybeRelease(qe)
-    }
-    spark.listenerManager.register(listener)
-    out
-  }
+  private def unpersistAfterUse(cached: DataFrame, out: DataFrame): DataFrame =
+    CacheRelease.afterUse(Seq(cached), out)
 
   /** A2: wide→long unpivot via `stack` (one pass, no per-column scans).
     * Emits the metric as its int INDEX in `metricCols` — callers map it

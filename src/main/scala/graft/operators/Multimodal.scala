@@ -162,8 +162,17 @@ object Multimodal {
     val nWin = greatest(
       floor((n - lit(chunkBytes)).cast("double") / stride).cast("int") + 1,
       lit(1))
-    array_distinct(transform(sequence(lit(0), nWin - 1),
-      i => TextStats.hash60(hex(bytes.substr(i * stride + 1, lit(chunkBytes))), mode)))
+    // when (n - chunkBytes) is not a stride multiple, the strided grid
+    // stops short of the payload end — add one tail window anchored at
+    // n - chunkBytes so a tail-only edit still changes the shingle set
+    // (no-op for aligned lengths and for payloads under one chunk)
+    val lastGridStart = (nWin - 1) * stride
+    val tailStart = greatest(n - chunkBytes, lit(0))
+    val starts = transform(sequence(lit(0), nWin - 1), i => i * stride)
+    val allStarts = when(tailStart > lastGridStart,
+      concat(starts, array(tailStart))).otherwise(starts)
+    array_distinct(transform(allStarts,
+      s => TextStats.hash60(hex(bytes.substr(s + 1, lit(chunkBytes))), mode)))
   }
 
   /** Frame-sample fan-out for video rows: one output row per sampled

@@ -150,13 +150,16 @@ object Scrub {
     }
   }
 
-  /** Host part of a URL: the authority between `scheme://` and the
-    * first `/`, `:`, `?` or `#`. Empty string when the URL doesn't
-    * parse (no scheme) — callers treat unparseable as "not blocked"
-    * or pre-filter, their policy.
+  /** Host part of a URL, LOWERCASED: the authority between
+    * `scheme://` and the first `/`, `:`, `?` or `#`. Hostnames are
+    * case-insensitive (RFC 3986 §3.2.2) and raw crawl URLs arrive
+    * mixed-case, so the host is normalized here — otherwise a
+    * `Ads.Example.com` row would slip past a lowercase blocklist.
+    * Empty string when the URL doesn't parse (no scheme) — callers
+    * treat unparseable as "not blocked" or pre-filter, their policy.
     */
   def hostOf(url: Column): Column =
-    regexp_extract(url, "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+    lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1))
 
   /** Dot-suffix chain of a host: `cdn.src3.example.com` →
     * [`cdn.src3.example.com`, `src3.example.com`, `example.com`, `com`].
@@ -171,10 +174,12 @@ object Scrub {
   }
 
   /** Drop rows whose URL host matches the domain blocklist (exact host
-    * or any-subdomain match). `blocklist` is a single-column DataFrame
-    * of domains; `idCol` is the row identity used to subtract matched
-    * rows (anti-join on "ANY suffix hits" needs a per-row key — a
-    * per-suffix anti-join would only drop the matching suffix twin).
+    * or any-subdomain match, case-insensitive on the host side — see
+    * [[hostOf]]). `blocklist` is a single-column DataFrame of
+    * LOWERCASE domains; `idCol` is the row identity used to subtract
+    * matched rows (anti-join on "ANY suffix hits" needs a per-row key
+    * — a per-suffix anti-join would only drop the matching suffix
+    * twin).
     *
     * Plan shape: corpus → project (id, suffix-chain) → explode →
     * broadcast LEFT-SEMI against the blocklist (map-side, yields the

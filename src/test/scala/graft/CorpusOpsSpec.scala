@@ -115,7 +115,9 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
       (2L, "https://cdn.ads.example.com/y"),      // subdomain block
       (3L, "https://example.com/z"),              // parent NOT blocked
       (4L, "https://goodsite.org/a?q=1"),         // clean
-      (5L, "https://notads.example.com/b")        // 'notads' != 'ads' label
+      (5L, "https://notads.example.com/b"),       // 'notads' != 'ads' label
+      (6L, "HTTPS://Ads.Example.COM/mixed"),      // hosts are case-insensitive
+      (7L, "https://CDN.ADS.EXAMPLE.COM/up")      // ...in any label
     ).toDF("doc_id", "url")
     val block = Seq("ads.example.com").toDF("domain")
     val kept = Scrub.domainFilter(df, "url", "doc_id", block)
@@ -257,6 +259,15 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
       .select(Multimodal.byteChunkHashes(col("bytes"), 8, 4).as("sh"))
       .as[Seq[Long]].head()
     assert(short.size == 1)
+    // stride-unaligned length: the tail window covers the final bytes,
+    // so an edit past the last grid window still changes the set
+    val u1 = Array.tabulate[Byte](34)(_.toByte)
+    val u2 = u1.clone(); u2(33) = 99
+    val tails = Seq((1L, u1), (2L, u2)).toDF("id", "bytes")
+      .select(col("id"), Multimodal.byteChunkHashes(col("bytes"), 8, 4).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(tails(1L) != tails(2L), "tail-only edit must change the shingle set")
+    assert((tails(1L) intersect tails(2L)).size == tails(1L).size - 1)
   }
 
   test("byteChunkHashes: hash engines differ in values, agree in structure") {
