@@ -538,6 +538,35 @@ object QueriesCorpus {
        | min(doc_id) AS keep_id
        |FROM c GROUP BY canon ORDER BY keep_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q67 unigram log-prob quality (the CCNet perplexity filter's cheap
+  // stand-in): vocabulary = top-100 corpus tokens (count desc, token asc
+  // — deterministic cutoff), per-token log10 of the add-one-smoothed
+  // probability rounded to 6 decimals BEFORE averaging, OOV tokens take
+  // the smoothed floor. The corpus text never shuffles: one (token,
+  // count) aggregation, TakeOrdered top-V, broadcast join back.
+  private val VocabSize = 100
+
+  def q67UnigramLogprob(s: SparkSession, d: String): DataFrame =
+    TextStats.unigramLogProbScores(
+        documents(s, d).select("doc_id", "text"), "doc_id", "text", VocabSize)
+      .orderBy("doc_id")
+
+  val q67Sql: String =
+    s"""WITH toks AS (
+       | SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
+       | FROM documents),
+       |counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+       |total AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM counts),
+       |vocab AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT $VocabSize),
+       |scored AS (
+       | SELECT t.doc_id,
+       |  round(log10((coalesce(v.c, 0) + 1.0) / (total.n + $VocabSize + 1.0)), 6)
+       |    AS logp
+       | FROM toks t LEFT JOIN vocab v USING (tok), total)
+       |SELECT doc_id, count(*) AS n_tokens, round(avg(logp), 6) AS avg_logp
+       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_decontaminate" -> (q55Decontaminate _),
     "q56_repetition" -> (q56Repetition _),
@@ -549,6 +578,7 @@ object QueriesCorpus {
     "q63_decontaminate_multik" -> (q63MultikDecontaminate _),
     "q64_line_rules" -> (q64LineRules _),
     "q65_url_canonicalize" -> (q65UrlCanonicalize _),
+    "q67_unigram_logprob" -> (q67UnigramLogprob _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -562,5 +592,6 @@ object QueriesCorpus {
     "q63_decontaminate_multik" -> q63Sql,
     "q64_line_rules" -> q64Sql,
     "q65_url_canonicalize" -> q65Sql,
+    "q67_unigram_logprob" -> q67Sql,
   )
 }

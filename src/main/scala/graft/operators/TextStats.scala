@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the large-scale training-data pipeline tier
@@ -211,6 +211,46 @@ object TextStats {
       "punct_ratio" -> punctRatio,
       "stopword_ratio" -> stopRatio,
       "quality" -> score)
+  }
+
+  /** Unigram log-probability quality score — the cheap stand-in for the
+    * KenLM/CCNet perplexity filter: vocabulary = the corpus's `vocabSize`
+    * most frequent tokens (ties broken by token, so the cutoff is
+    * deterministic in any engine), per-token score =
+    * `log10((c + 1) / (N + vocabSize + 1))` with out-of-vocabulary
+    * tokens taking the smoothed floor (c = 0), per-document score = the
+    * mean over its tokens. More negative = less natural relative to the
+    * corpus. Each per-token log is rounded to 6 decimals BEFORE
+    * averaging so engines disagree on nothing but the final mean's
+    * last-ulp (absorbed by the caller's output rounding).
+    *
+    * Scale shape: one token-frequency aggregation (shuffles (token,
+    * count) pairs, partial-agg'd map-side), a TakeOrdered top-V, then
+    * the corpus re-scores via a BROADCAST left join on the tiny vocab
+    * and one per-doc mean — the corpus text never shuffles; only
+    * (id, token-log) pairs move into the final aggregation.
+    *
+    * Emits (idCol, n_tokens, avg_logp); zero-token docs are excluded
+    * (no tokens to average).
+    */
+  def unigramLogProbScores(df: DataFrame, idCol: String, textCol: String,
+                           vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, "vocabSize must be >= 1")
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+    val counts = toks.groupBy("__tok").agg(count(lit(1)).as("__c"))
+    val total = counts.agg(sum("__c").as("__n"))
+    val vocab = counts
+      .orderBy(col("__c").desc, col("__tok").asc)
+      .limit(vocabSize)
+    toks
+      .join(broadcast(vocab), Seq("__tok"), "left")
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        round(log10((coalesce(col("__c"), lit(0L)) + 1.0) /
+          (col("__n") + vocabSize + 1.0)), 6).as("__logp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg("__logp"), 6).as("avg_logp"))
   }
 
   /** Marker lexicons for the rule-based language-ID heuristic. Scores are

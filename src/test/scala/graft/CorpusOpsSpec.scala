@@ -217,6 +217,23 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("unigramLogProbScores: common text scores higher than rare text; OOV floors") {
+    // 'the cat sat' tokens dominate; doc 3 is all-OOV relative to top-2 vocab
+    val df = Seq(
+      (1L, "the cat the cat the cat"),
+      (2L, "the cat sat here"),
+      (3L, "zq xv qj kw")
+    ).toDF("doc_id", "text")
+    val out = TextStats.unigramLogProbScores(df, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 6 && out(2L)._1 == 4 && out(3L)._1 == 4)
+    // doc 1 uses only vocab tokens -> best score; doc 3 only OOV -> worst
+    assert(out(1L)._2 > out(2L)._2 && out(2L)._2 > out(3L)._2, out.toString)
+    // all-OOV doc: every token takes the identical smoothed floor —
+    // N = 14 corpus tokens, V = 2: round6(log10(1/(14+2+1))) = -1.230449
+    assert(math.abs(out(3L)._2 - (-1.230449)) < 1e-9, out(3L).toString)
+  }
+
   test("packingOffsets: bucketed prefix sum equals the naive cumsum; spans correct") {
     // ids deliberately sparse/unsorted-ish across 4 buckets (width 8)
     val docs = Seq((1L, 100L), (2L, 300L), (9L, 200L), (10L, 50L),
