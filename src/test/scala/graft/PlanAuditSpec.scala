@@ -171,6 +171,23 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(p.contains("partial_count"), "source rollups must partial-aggregate")
   }
 
+  test("q67: top-V vocab is TakeOrdered and broadcasts; corpus text never shuffles") {
+    val p = plan("q67_unigram_logprob")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-V vocabulary selection must not global-sort")
+    assert(p.contains("BroadcastHashJoin"),
+      "the tiny vocabulary must broadcast onto the exploded corpus")
+    assert(p.contains("partial_avg") || p.contains("partial_sum"),
+      "per-doc mean must partial-aggregate map-side")
+    // the vocab-count branch legitimately shuffles (token, count) pairs
+    // (partial-agg'd, tiny); what must NOT shuffle is the exploded
+    // corpus — an exchange keyed on __tok carrying doc_id would be the
+    // (id, token) rows missing the broadcast (same contract as q55)
+    for (l <- p.linesIterator if l.contains("Exchange hashpartitioning(__tok"))
+      assert(!l.contains("doc_id"),
+        s"corpus (id, token) rows must meet the broadcast map-side: $l")
+  }
+
   test("q66: packing prefix sum is range-bucketed — corpus never single-partitions") {
     val p = plan("q66_sequence_packing")
     // the corpus-side running sum must window by bucket...
