@@ -5,16 +5,19 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{Curation, Dedup, Scrub, TextStats}
 
-/** Corpus-hygiene query batch (training-data pipeline tier, round 4):
-  * test-set decontamination, within-document repetition, source-balanced
-  * resampling, and cross-corpus boilerplate-segment dedup — the four
-  * cleanup passes a web-scale corpus runs between raw crawl and
-  * training, each oracle-checked cell-exact against DuckDB.
+/** Corpus-hygiene query batch (training-data pipeline tier, rounds
+  * 4–5): test-set decontamination (single- and multi-width),
+  * within-document repetition, source-balanced resampling and its
+  * temperature generalization, cross-corpus boilerplate-segment dedup,
+  * PII scrubbing, domain-blocklist filtering, C4-style line rules, URL
+  * canonicalization, and unigram log-prob quality — the cleanup passes
+  * a web-scale corpus runs between raw crawl and training, each
+  * oracle-checked cell-exact against DuckDB.
   *
   * Fixtures follow the QueriesDedup pattern: the driver corpus is 100%
   * distinct word-salad, so each query deterministically injects its own
   * known positives (contaminated implants, doubled documents, shared
-  * footers) in both engines.
+  * footers, synthetic PII, messy URLs) in both engines.
   */
 object QueriesCorpus {
   import Tables._
