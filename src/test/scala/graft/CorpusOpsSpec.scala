@@ -258,6 +258,32 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
     assert(out(1).getAs[Long]("n_windows") == 2)
   }
 
+  test("canonicalizeUrl is idempotent over randomized messy URLs") {
+    // deterministic pseudo-random URL zoo: every combination axis the
+    // canonicalizer touches (scheme/host case, default + explicit port,
+    // tracking params in all positions, fragment, trailing slash)
+    val rnd = new scala.util.Random(42)
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+    val urls = (1 to 200).map { i =>
+      val scheme = pick(Seq("http", "HTTP", "https", "HTTPS", "HtTpS"))
+      val host = pick(Seq("example.com", "Sub.Example.COM", "a.b.c.d.io", "X9.org"))
+      val port = pick(Seq("", ":80", ":443", ":8080"))
+      val path = pick(Seq("", "/", s"/p$i", s"/A/b$i/", "/x/y/z"))
+      val query = pick(Seq("", "?id=1", "?utm_source=a", "?utm_a=1&utm_b=2",
+        s"?id=$i&ref=x", "?ref=x&id=2", "?gclid=g&fbclid=f&keep=1"))
+      val frag = pick(Seq("", "#top", "#a/b?c"))
+      s"$scheme://$host$port$path$query$frag"
+    }
+    val out = urls.toDF("url")
+      .select(Scrub.canonicalizeUrl(col("url")).as("c1"))
+      .select(col("c1"), Scrub.canonicalizeUrl(col("c1")).as("c2"))
+      .collect()
+    out.zip(urls).foreach { case (r, in) =>
+      assert(r.getString(0) == r.getString(1),
+        s"not a fixed point for $in: ${r.getString(0)} -> ${r.getString(1)}")
+    }
+  }
+
   test("byteChunkHashes: tail edit shares all but the affected windows") {
     import graft.operators.Multimodal
     // 32-byte payloads, chunk 8 stride 4 -> 7 windows
