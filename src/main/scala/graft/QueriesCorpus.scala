@@ -339,20 +339,27 @@ object QueriesCorpus {
     Seq("src3.example.com", "src7.example.com", "src12.example.com")
 
   // cdn modulus 7 is coprime to the source assignment's modulus, so
-  // blocked domains occur under BOTH exact-host and cdn-subdomain forms
-  private def urled(s: SparkSession, d: String): DataFrame =
+  // blocked domains occur under BOTH exact-host and cdn-subdomain forms;
+  // modulus 9 uppercases scheme+host so the oracle exercises the
+  // case-insensitive host contract too (hosts are case-insensitive)
+  private def urled(s: SparkSession, d: String): DataFrame = {
+    val raw = concat(lit("https://"),
+      when(col("doc_id") % 7 === 0, lit("cdn.")).otherwise(lit("")),
+      col("source"), lit(".example.com/doc/"))
     documents(s, d).select(col("doc_id"),
-      concat(lit("https://"),
-        when(col("doc_id") % 7 === 0, lit("cdn.")).otherwise(lit("")),
-        col("source"), lit(".example.com/doc/"),
+      concat(when(col("doc_id") % 9 === 0, upper(raw)).otherwise(raw),
         col("doc_id").cast("string")).as("url"))
+  }
 
   // no line may START with `||` (re-embedded inside q60Sql's stripMargin)
   private val urledSql =
     """SELECT doc_id,
-      | 'https://' || CASE WHEN doc_id % 7 = 0 THEN 'cdn.' ELSE '' END ||
-      |  source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
-      |FROM documents""".stripMargin
+      | CASE WHEN doc_id % 9 = 0 THEN upper(raw) ELSE raw END ||
+      |  CAST(doc_id AS VARCHAR) AS url
+      |FROM (SELECT doc_id,
+      |  'https://' || CASE WHEN doc_id % 7 = 0 THEN 'cdn.' ELSE '' END ||
+      |   source || '.example.com/doc/' AS raw
+      | FROM documents)""".stripMargin
 
   def q60DomainFilter(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -368,7 +375,8 @@ object QueriesCorpus {
     s"""WITH u AS ($urledSql),
        |h AS (
        | SELECT doc_id,
-       |  regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host
+       |  lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+       |    AS host
        | FROM u),
        |b(domain) AS (VALUES $vals),
        |kept AS (
@@ -557,8 +565,10 @@ object QueriesCorpus {
 
   val q67Sql: String =
     s"""WITH toks AS (
-       | SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
-       | FROM documents),
+       | SELECT doc_id, tok FROM (
+       |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
+       |  FROM documents)
+       | WHERE tok <> ''),
        |counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
        |total AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM counts),
        |vocab AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT $VocabSize),

@@ -144,16 +144,27 @@ object Curation {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__bkt").orderBy(idCol)
       .rowsBetween(Long.MinValue, 0)
+    // cache barrier AFTER the windowed cumsum: the bucket-offset branch
+    // and the final join both consume it, and without the barrier the
+    // scan + tokenization + bucket shuffle + window execute twice (AQE
+    // does not stage-reuse across the two window consumers — verified).
+    // The cached row is (id, tokens, bkt, cum) = four longs; the corpus
+    // TEXT is long gone, so at 100 TB this is ~32 B/doc — and it is
+    // released deterministically once the first action over the result
+    // completes ([[CacheRelease]], same contract as the extents
+    // histogram). bucket total = MAX of the running sum (no second
+    // aggregation over the raw input).
     val withCum = df
       .withColumn("__bkt", expr(s"`$idCol` div $bucketWidth"))
       .withColumn("__cum_in_bkt", sum(tokenCol).over(w))
+      .cache()
     val bktSums = withCum.groupBy("__bkt")
-      .agg(sum(tokenCol).as("__bkt_sum"))
+      .agg(max("__cum_in_bkt").as("__bkt_sum"))
     val wOff = org.apache.spark.sql.expressions.Window
       .orderBy("__bkt").rowsBetween(Long.MinValue, -1)
     val offsets = bktSums.select(col("__bkt"),
       coalesce(sum("__bkt_sum").over(wOff), lit(0L)).as("__off"))
-    withCum.join(broadcast(offsets), "__bkt")
+    val out = withCum.join(broadcast(offsets), "__bkt")
       .withColumn("cum_end", (col("__off") + col("__cum_in_bkt")).cast("long"))
       .withColumn("first_window",
         expr(s"(cum_end - `$tokenCol`) div $windowSize"))
@@ -161,6 +172,7 @@ object Curation {
       .withColumn("n_windows",
         (col("last_window") - col("first_window") + 1).cast("long"))
       .drop("__bkt", "__cum_in_bkt", "__off")
+    CacheRelease.afterUse(Seq(withCum), out)
   }
 
   /** Fixed-width histogram of a numeric column: bucket i covers

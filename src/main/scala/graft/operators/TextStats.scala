@@ -236,7 +236,11 @@ object TextStats {
   def unigramLogProbScores(df: DataFrame, idCol: String, textCol: String,
                            vocabSize: Int): DataFrame = {
     require(vocabSize >= 1, "vocabSize must be >= 1")
+    // split-of-empty yields one EMPTY token: dropping it both excludes
+    // empty/whitespace-only docs (no rows -> no output group, honoring
+    // the zero-token contract) and keeps "" out of the vocabulary
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .filter(length(col("__tok")) > 0)
     val counts = toks.groupBy("__tok").agg(count(lit(1)).as("__c"))
     val total = counts.agg(sum("__c").as("__n"))
     val vocab = counts

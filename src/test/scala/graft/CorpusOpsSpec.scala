@@ -222,10 +222,13 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
     val df = Seq(
       (1L, "the cat the cat the cat"),
       (2L, "the cat sat here"),
-      (3L, "zq xv qj kw")
+      (3L, "zq xv qj kw"),
+      (4L, ""),      // empty and whitespace-only docs are EXCLUDED,
+      (5L, "   ")    // not scored as one empty token
     ).toDF("doc_id", "text")
     val out = TextStats.unigramLogProbScores(df, "doc_id", "text", 2)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
     assert(out(1L)._1 == 6 && out(2L)._1 == 4 && out(3L)._1 == 4)
     // doc 1 uses only vocab tokens -> best score; doc 3 only OOV -> worst
     assert(out(1L)._2 > out(2L)._2 && out(2L)._2 > out(3L)._2, out.toString)

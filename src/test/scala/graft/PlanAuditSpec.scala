@@ -180,12 +180,12 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(p.contains("partial_avg") || p.contains("partial_sum"),
       "per-doc mean must partial-aggregate map-side")
     // the vocab-count branch legitimately shuffles (token, count) pairs
-    // (partial-agg'd, tiny); what must NOT shuffle is the exploded
-    // corpus — an exchange keyed on __tok carrying doc_id would be the
-    // (id, token) rows missing the broadcast (same contract as q55)
-    for (l <- p.linesIterator if l.contains("Exchange hashpartitioning(__tok"))
-      assert(!l.contains("doc_id"),
-        s"corpus (id, token) rows must meet the broadcast map-side: $l")
+    // (partial-agg'd, tiny); the exploded corpus must meet the vocab in
+    // a BROADCAST join — a shuffle join here would move every (id,
+    // token) row. (Exchange lines print only partitioning keys, so the
+    // reliable guard is banning shuffle-join operators outright.)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus side must never shuffle into the vocab join:\n$p")
   }
 
   test("q66: packing prefix sum is range-bucketed — corpus never single-partitions") {
@@ -198,7 +198,19 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert("Exchange SinglePartition".r.findAllIn(p).size <= 1, p)
     assert(p.contains("BroadcastHashJoin"),
       "bucket offsets must broadcast back onto the corpus")
-    assert(p.contains("partial_sum"), "bucket totals must partial-aggregate")
+  }
+
+  test("q66: both prefix-sum consumers share ONE cached tokenized frame") {
+    // the bucket-offset branch and the final join both read the cached
+    // post-window frame (four longs per row), so the corpus scan +
+    // tokenization + bucket shuffle + window run once — without the
+    // barrier they execute twice (AQE does not stage-reuse across the
+    // two window consumers; verified empirically)
+    try {
+      val p = plan("q66_sequence_packing")
+      assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+        s"both consumers must read the cache:\n$p")
+    } finally spark.catalog.clearCache()
   }
 
   test("q63: multi-k decontamination scans each corpus once for ALL widths") {
