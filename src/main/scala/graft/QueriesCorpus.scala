@@ -574,10 +574,12 @@ object QueriesCorpus {
        |vocab AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT $VocabSize),
        |scored AS (
        | SELECT t.doc_id,
-       |  round(log10((coalesce(v.c, 0) + 1.0) / (total.n + $VocabSize + 1.0)), 6)
-       |    AS logp
+       |  CAST(round(log10((coalesce(v.c, 0) + 1.0)
+       |    / (total.n + $VocabSize + 1.0)) * 1000000) AS BIGINT) AS lp_micro
        | FROM toks t LEFT JOIN vocab v USING (tok), total)
-       |SELECT doc_id, count(*) AS n_tokens, round(avg(logp), 6) AS avg_logp
+       |SELECT doc_id, count(*) AS n_tokens,
+       | round(CAST(sum(lp_micro) AS BIGINT) / (count(*) * 1000000.0), 6)
+       |   AS avg_logp
        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

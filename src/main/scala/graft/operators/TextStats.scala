@@ -220,9 +220,11 @@ object TextStats {
     * `log10((c + 1) / (N + vocabSize + 1))` with out-of-vocabulary
     * tokens taking the smoothed floor (c = 0), per-document score = the
     * mean over its tokens. More negative = less natural relative to the
-    * corpus. Each per-token log is rounded to 6 decimals BEFORE
-    * averaging so engines disagree on nothing but the final mean's
-    * last-ulp (absorbed by the caller's output rounding).
+    * corpus. Cross-engine exactness: each per-token log is rounded to an
+    * INTEGER count of millionths, the per-doc total is a LONG sum
+    * (order-independent — a double `avg()` summed in partition order
+    * diverged from the oracle in the 6th decimal at sf0.1), and the
+    * single final division is one correctly-rounded double op.
     *
     * Scale shape: one token-frequency aggregation (shuffles (token,
     * count) pairs, partial-agg'd map-side), a TakeOrdered top-V, then
@@ -251,10 +253,12 @@ object TextStats {
       .crossJoin(broadcast(total))
       .select(col(idCol),
         round(log10((coalesce(col("__c"), lit(0L)) + 1.0) /
-          (col("__n") + vocabSize + 1.0)), 6).as("__logp"))
+          (col("__n") + vocabSize + 1.0)) * 1000000.0).cast("long")
+          .as("__lp_micro"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"),
-        round(avg("__logp"), 6).as("avg_logp"))
+        round(sum("__lp_micro") / (count(lit(1)) * 1000000.0), 6)
+          .as("avg_logp"))
   }
 
   /** Marker lexicons for the rule-based language-ID heuristic. Scores are
