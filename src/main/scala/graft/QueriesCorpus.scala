@@ -22,7 +22,7 @@ import graft.operators.{Curation, Dedup, Scrub, TextStats}
 object QueriesCorpus {
   import Tables._
 
-  private val normSql = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+  private val normSql = TextStats.normalizeSql("text")
   private val hash60Sql =
     (c: String) => s"CAST(('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15)) AS BIGINT)"
 
@@ -31,7 +31,7 @@ object QueriesCorpus {
     * truncated gram — same as the Spark native expression).
     */
   private def shinglesSql(t: String, k: Int): String = {
-    val norm = s"regexp_replace(trim(lower($t)), '\\s+', ' ', 'g')"
+    val norm = TextStats.normalizeSql(t)
     s"""list_distinct(list_transform(
        |  range(1, greatest(len(string_split($norm, ' ')) - ${k - 1}, 1) + 1),
        |  i -> array_to_string((string_split($norm, ' '))[i:i+${k - 1}], ' ')))""".stripMargin
@@ -249,7 +249,7 @@ object QueriesCorpus {
       .orderBy("doc_id")
 
   val q58Sql: String = {
-    val segNorm = "regexp_replace(trim(lower(seg)), '\\s+', ' ', 'g')"
+    val segNorm = TextStats.normalizeSql("seg")
     s"""WITH pages AS ($pagesSql),
        |segs AS (
        | SELECT doc_id, md5($segNorm) AS dig

@@ -92,7 +92,7 @@ object QueriesCuration {
   }
 
   val q47Sql: String = {
-    val normSql = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+    val normSql = graft.operators.TextStats.normalizeSql("text")
     val stop = graft.operators.TextStats.stopwords
       .map(w => s"'$w'").mkString("[", ", ", "]")
     s"""WITH survivors AS (
@@ -140,7 +140,7 @@ object QueriesCuration {
   }
 
   val q66Sql: String = {
-    val normSql = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+    val normSql = graft.operators.TextStats.normalizeSql("text")
     s"""WITH t AS (
        | SELECT doc_id,
        |  CAST(len(regexp_extract_all($normSql, '\\S+')) AS BIGINT) AS n_tokens

@@ -51,7 +51,7 @@ object QueriesDedup {
       |       text || ' extra tail noise appended here' AS text, source
       |FROM documents WHERE doc_id % 7 = 0""".stripMargin
 
-  private val normSql = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+  private val normSql = graft.operators.TextStats.normalizeSql("text")
 
   /** DuckDB twin of [[Dedup.wordShingles]] (k=3). */
   private val shinglesSql =

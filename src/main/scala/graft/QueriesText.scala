@@ -17,7 +17,7 @@ object QueriesText {
   /** DuckDB expression for the normalized text — must mirror
     * [[TextStats.normalize]] exactly.
     */
-  private val normSql = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+  private val normSql = graft.operators.TextStats.normalizeSql("text")
 
   // ---------------------------------------------------------------------
   // Token counting: whitespace tokens + BPE-ish sub-tokens.

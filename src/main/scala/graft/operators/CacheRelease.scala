@@ -25,10 +25,20 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * live listener walking `sameResult` over every subsequent query's
   * analyzed plan forever. Expiring is safe in both states: an
   * un-executed persist() materialized nothing, and a later execution
-  * of the plan merely recomputes. Caveat (accepted): two concurrent
-  * calls over sameResult inputs share cache entries, so the first
-  * completed action releases them for both — correct but the second
-  * recomputes.
+  * of the plan merely recomputes.
+  *
+  * Accepted caveats (all correct-but-recompute, never wrong results):
+  *  - two concurrent calls over sameResult inputs share cache entries,
+  *    so the first completed action releases them for both;
+  *  - an expiring stale listener unpersists the shared entry even if a
+  *    LATER identical call is mid-action on it (the alternative —
+  *    expiry without unpersist — permanently leaks the CacheManager
+  *    entry, which any later identical plan would silently materialize
+  *    and retain forever: the worse failure mode);
+  *  - release fires after the FIRST action, so a caller running
+  *    multiple actions over the returned frame recomputes from the
+  *    second action on — multi-action consumers should persist the
+  *    (small) RESULT themselves.
   */
 private[graft] object CacheRelease {
 

@@ -150,9 +150,11 @@ object Dedup {
     * CollapseProject would inline the whole shingle pipeline into EVERY
     * downstream expression (observed 10x at sf0.1). At cluster scale
     * the same barrier is a checkpoint/persisted table. Both barriers
-    * are released deterministically once the first action over the
+    * are released deterministically once the FIRST action over the
     * returned plan completes ([[CacheRelease]]) — a long-lived session
-    * does not accumulate two cached corpora per call.
+    * does not accumulate two cached corpora per call; a caller running
+    * several actions over the returned (small) pair frame should
+    * persist that result itself rather than re-trigger the pipeline.
     */
   def lshNearDupPairs(shingled: DataFrame, idCol: String, shCol: String,
                       numHashes: Int, bands: Int, rowsPerBand: Int,

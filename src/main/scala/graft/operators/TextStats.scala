@@ -50,6 +50,13 @@ object TextStats {
   def normalize(text: Column): Column =
     regexp_replace(trim(lower(text)), "\\s+", " ")
 
+  /** SQL twin of [[normalize]] over expression `e` — the ONE rendering
+    * every oracle query embeds (previously copied per query file, where
+    * a normalization change could silently drift one oracle).
+    */
+  def normalizeSql(e: String): String =
+    s"regexp_replace(trim(lower($e)), '\\s+', ' ', 'g')"
+
   /** Whitespace tokens of the normalized form. */
   def tokens(text: Column): Column = split(normalize(text), " ")
 

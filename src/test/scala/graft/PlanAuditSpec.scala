@@ -189,15 +189,20 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
   }
 
   test("q66: packing prefix sum is range-bucketed — corpus never single-partitions") {
-    val p = plan("q66_sequence_packing")
-    // the corpus-side running sum must window by bucket...
-    assert("hashpartitioning\\(__bkt".r.findFirstIn(p).isDefined,
-      s"corpus cumsum must partition by bucket:\n$p")
-    // ...and the only single-partition pass carries per-bucket sums
-    // (one tiny row per bucket), never corpus rows
-    assert("Exchange SinglePartition".r.findAllIn(p).size <= 1, p)
-    assert(p.contains("BroadcastHashJoin"),
-      "bucket offsets must broadcast back onto the corpus")
+    // building the plan registers packingOffsets' cache entry (plus its
+    // release listener) in the shared session — clear it so later tests'
+    // plan strings don't silently gain InMemoryTableScans
+    try {
+      val p = plan("q66_sequence_packing")
+      // the corpus-side running sum must window by bucket...
+      assert("hashpartitioning\\(__bkt".r.findFirstIn(p).isDefined,
+        s"corpus cumsum must partition by bucket:\n$p")
+      // ...and the only single-partition pass carries per-bucket sums
+      // (one tiny row per bucket), never corpus rows
+      assert("Exchange SinglePartition".r.findAllIn(p).size <= 1, p)
+      assert(p.contains("BroadcastHashJoin"),
+        "bucket offsets must broadcast back onto the corpus")
+    } finally spark.catalog.clearCache()
   }
 
   test("q66: both prefix-sum consumers share ONE cached tokenized frame") {
