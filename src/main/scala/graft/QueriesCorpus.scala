@@ -582,6 +582,37 @@ object QueriesCorpus {
        |   AS avg_logp
        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q68 document chunking (RAG/indexing): 32-token windows every 24
+  // tokens (8-token overlap), last window truncating at the document
+  // end. Pure explode fan-out; chunk text md5-pinned cell-exact.
+  private val ChunkTokens = 32
+  private val ChunkOverlap = 8
+
+  def q68ChunkDocs(s: SparkSession, d: String): DataFrame =
+    TextStats.chunkDocuments(documents(s, d).select("doc_id", "text"),
+        "doc_id", "text", ChunkTokens, ChunkOverlap)
+      .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+        md5(col("chunk_text").cast("binary")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val q68Sql: String = {
+    val stride = ChunkTokens - ChunkOverlap
+    s"""WITH t AS (
+       | SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+       |c AS (
+       | SELECT doc_id, toks,
+       |  unnest(range(0, (len(toks) - 1) // $stride + 1)) AS chunk_idx
+       | FROM t)
+       |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       | CAST(least($ChunkTokens, len(toks) - chunk_idx * $stride) AS BIGINT)
+       |   AS n_chunk_tokens,
+       | md5(array_to_string(
+       |   toks[chunk_idx * $stride + 1 : chunk_idx * $stride + $ChunkTokens],
+       |   ' ')) AS chunk_md5
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_decontaminate" -> (q55Decontaminate _),
     "q56_repetition" -> (q56Repetition _),
@@ -594,6 +625,7 @@ object QueriesCorpus {
     "q64_line_rules" -> (q64LineRules _),
     "q65_url_canonicalize" -> (q65UrlCanonicalize _),
     "q67_unigram_logprob" -> (q67UnigramLogprob _),
+    "q68_chunk_docs" -> (q68ChunkDocs _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -608,5 +640,6 @@ object QueriesCorpus {
     "q64_line_rules" -> q64Sql,
     "q65_url_canonicalize" -> q65Sql,
     "q67_unigram_logprob" -> q67Sql,
+    "q68_chunk_docs" -> q68Sql,
   )
 }

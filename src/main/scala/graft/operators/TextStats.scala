@@ -268,6 +268,34 @@ object TextStats {
           .as("avg_logp"))
   }
 
+  /** Overlapping token-window chunks of a document (the RAG/indexing
+    * chunker): windows of `chunkTokens` tokens starting every
+    * `chunkTokens − overlap` tokens, the last window truncating at the
+    * document end; documents shorter than one window yield one chunk.
+    * Returns (chunk_idx, chunk_text, n_chunk_tokens) rows via ONE
+    * `explode` — a pure fan-out projection, no shuffle, no UDF. Unlike
+    * the dedup tier the chunk TEXT is the deliverable here, so string
+    * materialization is inherent, not a hash-tier miss.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens >= 1 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got chunk=$chunkTokens overlap=$overlap")
+    val stride = chunkTokens - overlap
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    // windows anchor at 1 + i*stride while the anchor is a real token
+    val nChunks = floor((n - 1).cast("double") / stride).cast("int") + 1
+    df.select(col(idCol), toks.as("__toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        concat_ws(" ",
+          slice(col("__toks"), col("chunk_idx") * stride + 1, lit(chunkTokens)))
+          .as("chunk_text"),
+        least(lit(chunkTokens), size(col("__toks")) - col("chunk_idx") * stride)
+          .cast("long").as("n_chunk_tokens"))
+  }
+
   /** Marker lexicons for the rule-based language-ID heuristic. Scores are
     * marker-token hits per language; prediction is the argmax with a
     * fixed tie-break order (en, de, es, fr, zh). CJK detection would add

@@ -237,6 +237,23 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(out(3L)._2 - (-1.230449)) < 1e-9, out(3L).toString)
   }
 
+  test("chunkDocuments: overlap, truncation, and short-doc behavior") {
+    val words = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
+    val df = Seq((1L, words), (2L, "just three tokens")).toDF("doc_id", "text")
+    // chunk 4, overlap 1 -> stride 3: anchors 1,4,7,10
+    val out = TextStats.chunkDocuments(df, "doc_id", "text", 4, 1)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val doc1 = out.filter(_.getLong(0) == 1L)
+    assert(doc1.length == 4)
+    assert(doc1(0).getString(2) == "w1 w2 w3 w4")
+    assert(doc1(1).getString(2) == "w4 w5 w6 w7") // 1-token overlap
+    assert(doc1(3).getString(2) == "w10" && doc1(3).getLong(3) == 1) // truncated tail
+    // shorter than one window: a single whole-doc chunk
+    val doc2 = out.filter(_.getLong(0) == 2L)
+    assert(doc2.length == 1 && doc2(0).getString(2) == "just three tokens")
+    assert(doc2(0).getLong(3) == 3)
+  }
+
   test("packingOffsets: bucketed prefix sum equals the naive cumsum; spans correct") {
     // ids deliberately sparse/unsorted-ish across 4 buckets (width 8)
     val docs = Seq((1L, 100L), (2L, 300L), (9L, 200L), (10L, 50L),
