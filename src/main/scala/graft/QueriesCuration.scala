@@ -86,7 +86,12 @@ object QueriesCuration {
       .withColumn("split", Curation.splitAssign(col("doc_id"), 80))
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"),
-        round(avg("quality"), 6).as("avg_quality"),
+        // quality is 6-decimal-quantized, so a double avg() lands on
+        // exact .5 rounding boundaries whose direction depends on the
+        // partition-order float sum (the q67 divergence class): sum
+        // exact integer millionths instead, one final division
+        round(sum(round(col("quality") * 1000000.0).cast("long"))
+          / (count(lit(1)) * 1000000.0), 6).as("avg_quality"),
         sum("n_chars").cast("long").as("total_chars"))
       .orderBy("split", "lang")
   }
@@ -111,7 +116,9 @@ object QueriesCuration {
        |gated AS (SELECT * FROM quality WHERE quality >= 0.3)
        |SELECT CASE WHEN ${hash60Sql("doc_id")} % 100 < 80
        |  THEN 'train' ELSE 'eval' END AS split, lang,
-       | count(*) AS n_docs, round(avg(quality), 6) AS avg_quality,
+       | count(*) AS n_docs,
+       | round(CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS BIGINT)
+       |   / (count(*) * 1000000.0), 6) AS avg_quality,
        | CAST(sum(n_chars) AS BIGINT) AS total_chars
        |FROM gated GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
   }
