@@ -68,7 +68,12 @@ object Bench {
         (0 until nPasses).map(p => samples(p)(name)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$raw,"estimator":"min over $nPasses suite-separated passes (untimed warm-up pass first)","sf":"$sfDir"}""")
+    // Raw per-pass samples go to STDERR: embedding them in the stdout
+    // line pushed it past the driver's tail capture (BENCH_r04/r05
+    // "parsed": null). stdout carries ONLY the compact one-line JSON,
+    // printed last, so the driver's parser always sees a full object.
+    System.err.println(s"""{"samples":$raw,"estimator":"min over $nPasses suite-separated passes (untimed warm-up pass first)"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bpe, TextStats}
+
+/** BPE tokenizer query (training-data pipeline tier, round 6): learn a
+  * merge table from the corpus, encode the corpus with it, and pin the
+  * exact segmentation cell-wise against the DuckDB oracle.
+  *
+  * Oracle protocol: the ORACLE DOES NOT RE-LEARN. The learned merge
+  * table is written as a parquet fixture keyed by corpus size
+  * (`.../bpe_merges/<nDocs>/` — concurrent scale factors never clobber
+  * each other; the oracle selects its corpus's table by matching
+  * `corpus_docs` to `count(*)` of the documents it sees). The oracle
+  * then APPLIES the fixture with a recursive CTE: each distinct word
+  * starts as its character symbols at rank 1; each step merges the
+  * LEFTMOST occurrence of the current rank's pair, advancing to the
+  * next rank when the pair is absent — exhaustive-in-rank-order
+  * application, provably equivalent to the priority algorithm the
+  * native [[graft.functions.BpeEncodeExpr]] encoder runs (a merge's
+  * pair can only be created by lower-rank merges; BpeSpec pins it).
+  * Per-doc md5 over the space-joined token stream makes the check
+  * segmentation-exact, not just count-exact.
+  */
+object QueriesBpe {
+  import Tables._
+
+  private val normSql = TextStats.normalizeSql("text")
+
+  private[graft] val NumMerges = 24
+  private val FixtureDir = "/tmp/graft_fixtures/bpe_merges"
+
+  def q69BpeTokenize(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select("doc_id", "text")
+    val merges = Bpe.learnMerges(Bpe.wordCounts(docs, "text"), NumMerges)
+    // fixture for the oracle's SQL twin (tiny: one row per merge)
+    val nDocs = docs.count()
+    import s.implicits._
+    merges.map(m => (m.rank, m.left, m.right, nDocs))
+      .toDF("merge_rank", "ml", "mr", "corpus_docs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$FixtureDir/$nDocs")
+    docs
+      .select(col("doc_id"), TextStats.normalize(col("text")).as("__norm"))
+      .filter(length(col("__norm")) > 0)
+      .select(col("doc_id"),
+        (regexp_count(col("__norm"), lit(" ")) + 1).cast("long")
+          .as("n_tokens"),
+        Bpe.encode(col("__norm"), merges).as("__bpe"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("__bpe")).cast("long").as("n_bpe_tokens"),
+        md5(concat_ws(" ", col("__bpe")).cast("binary")).as("bpe_md5"))
+      .orderBy("doc_id")
+  }
+
+  val q69Sql: String =
+    s"""WITH RECURSIVE
+       |m AS (
+       | SELECT merge_rank, ml, mr
+       | FROM read_parquet('$FixtureDir/*/*.parquet')
+       | WHERE corpus_docs = (SELECT count(*) FROM documents)),
+       |t AS (
+       | SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents
+       | WHERE length($normSql) > 0),
+       |words AS (
+       | SELECT DISTINCT word
+       | FROM (SELECT unnest(toks) AS word FROM t) WHERE word <> ''),
+       |base AS (
+       | SELECT word,
+       |  list_transform(range(1, length(word) + 1),
+       |    i -> substr(word, i, 1)) AS syms,
+       |  1 AS r
+       | FROM words),
+       |enc AS (
+       | SELECT word, syms, r FROM base
+       | UNION ALL
+       | SELECT word,
+       |  CASE WHEN p IS NULL THEN syms
+       |       ELSE syms[1:p-1] || [syms[p] || syms[p+1]] || syms[p+2:len(syms)]
+       |  END AS syms,
+       |  CASE WHEN p IS NULL THEN r + 1 ELSE r END AS r
+       | FROM (
+       |  SELECT e.word, e.syms, e.r,
+       |   nullif(list_position(list_transform(range(1, len(e.syms)),
+       |     i -> e.syms[i] = m.ml AND e.syms[i+1] = m.mr), true), 0) AS p
+       |  FROM enc e JOIN m ON m.merge_rank = e.r) s),
+       |encw AS (
+       | SELECT word, syms FROM enc
+       | WHERE r = (SELECT coalesce(max(merge_rank), 0) + 1 FROM m)),
+       |docw AS (
+       | SELECT doc_id, u.i AS pos, toks[u.i] AS word
+       | FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+       | WHERE toks[u.i] <> '')
+       |SELECT d.doc_id,
+       | count(*) AS n_tokens,
+       | CAST(sum(len(e.syms)) AS BIGINT) AS n_bpe_tokens,
+       | md5(string_agg(array_to_string(e.syms, ' '), ' ' ORDER BY d.pos))
+       |   AS bpe_md5
+       |FROM docw d JOIN encw e USING (word)
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_bpe_tokenize" -> (q69BpeTokenize _))
+
+  val oracle: Map[String, String] = Map(
+    "q69_bpe_tokenize" -> q69Sql)
+}

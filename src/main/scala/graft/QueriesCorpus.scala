@@ -518,7 +518,7 @@ object QueriesCorpus {
     documents(s, d).select(col("doc_id"), explode(array(
       concat(lit("HTTPS://CDN."), upper(col("source")),
         lit(".EXAMPLE.COM:443/doc/"), id,
-        lit("/?utm_source=rss&ref=home#frag")),
+        lit("/?UTM_Source=rss&ref=home#frag")),
       concat(lit("https://cdn."), col("source"),
         lit(".example.com:443/doc/"), id, lit("#section2"))))
       .as("url"))
@@ -528,7 +528,7 @@ object QueriesCorpus {
   private val messyUrlsSql =
     """SELECT doc_id, unnest([
       |  'HTTPS://CDN.' || upper(source) || '.EXAMPLE.COM:443/doc/' ||
-      |    CAST(doc_id AS VARCHAR) || '/?utm_source=rss&ref=home#frag',
+      |    CAST(doc_id AS VARCHAR) || '/?UTM_Source=rss&ref=home#frag',
       |  'https://cdn.' || source || '.example.com:443/doc/' ||
       |    CAST(doc_id AS VARCHAR) || '#section2']) AS url
       |FROM documents""".stripMargin
@@ -583,6 +583,56 @@ object QueriesCorpus {
        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q70 bigram LM quality (q67's CCNet step-up): each token scored by
+  // its add-one-smoothed conditional probability given the previous
+  // token when the (capped, broadcast) bigram table supports it,
+  // backing off to q67's unigram formula otherwise. Same
+  // integer-millionth exactness contract; the corpus text never
+  // shuffles (pair frame = one zip-with-shifted-self projection).
+  private val BigramSize = 200
+
+  def q70BigramLogprob(s: SparkSession, d: String): DataFrame =
+    TextStats.bigramLogProbScores(
+        documents(s, d).select("doc_id", "text"), "doc_id", "text",
+        VocabSize, BigramSize)
+      .orderBy("doc_id")
+
+  val q70Sql: String =
+    s"""WITH t AS (
+       | SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents
+       | WHERE length($normSql) > 0),
+       |pairs AS (
+       | SELECT doc_id, toks[u.i] AS cur,
+       |  CASE WHEN u.i > 1 THEN toks[u.i - 1] END AS prev
+       | FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+       |uni AS (SELECT cur AS tok, count(*) AS c FROM pairs GROUP BY 1),
+       |total AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+       |vocab AS (SELECT tok, c FROM uni ORDER BY c DESC, tok LIMIT $VocabSize),
+       |big AS (
+       | SELECT prev, cur, count(*) AS cb FROM pairs
+       | WHERE prev IS NOT NULL GROUP BY 1, 2
+       | ORDER BY cb DESC, prev, cur LIMIT $BigramSize),
+       |scored AS (
+       | SELECT p.doc_id,
+       |  CASE WHEN b.cb IS NOT NULL AND vp.c IS NOT NULL
+       |   THEN CAST(round(log10((b.cb + 1.0) / (vp.c + $VocabSize + 1.0))
+       |     * 1000000) AS BIGINT)
+       |   ELSE CAST(round(log10((coalesce(vc.c, 0) + 1.0)
+       |     / (total.n + $VocabSize + 1.0)) * 1000000) AS BIGINT)
+       |  END AS lp,
+       |  CASE WHEN b.cb IS NOT NULL AND vp.c IS NOT NULL
+       |   THEN 1 ELSE 0 END AS hit
+       | FROM pairs p
+       | LEFT JOIN vocab vc ON vc.tok = p.cur
+       | LEFT JOIN vocab vp ON vp.tok = p.prev
+       | LEFT JOIN big b ON b.prev = p.prev AND b.cur = p.cur, total)
+       |SELECT doc_id, count(*) AS n_tokens,
+       | CAST(sum(hit) AS BIGINT) AS n_bigram_hits,
+       | round(CAST(sum(lp) AS BIGINT) / (count(*) * 1000000.0), 6)
+       |   AS avg_logp_bi
+       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q68 document chunking (RAG/indexing): 32-token windows every 24
   // tokens (8-token overlap), last window truncating at the document
   // end. Pure explode fan-out; chunk text md5-pinned cell-exact.
@@ -602,7 +652,9 @@ object QueriesCorpus {
        | SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
        |c AS (
        | SELECT doc_id, toks,
-       |  unnest(range(0, (len(toks) - 1) // $stride + 1)) AS chunk_idx
+       |  unnest(range(0, greatest(
+       |    CAST(ceil(CAST(len(toks) - $ChunkTokens AS DOUBLE) / $stride)
+       |      AS BIGINT) + 1, 1))) AS chunk_idx
        | FROM t)
        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
        | CAST(least($ChunkTokens, len(toks) - chunk_idx * $stride) AS BIGINT)
@@ -626,6 +678,7 @@ object QueriesCorpus {
     "q65_url_canonicalize" -> (q65UrlCanonicalize _),
     "q67_unigram_logprob" -> (q67UnigramLogprob _),
     "q68_chunk_docs" -> (q68ChunkDocs _),
+    "q70_bigram_logprob" -> (q70BigramLogprob _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -641,5 +694,6 @@ object QueriesCorpus {
     "q65_url_canonicalize" -> q65Sql,
     "q67_unigram_logprob" -> q67Sql,
     "q68_chunk_docs" -> q68Sql,
+    "q70_bigram_logprob" -> q70Sql,
   )
 }

@@ -13,7 +13,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.all ++ QueriesRel.all ++ QueriesText.all ++ QueriesDedup.all ++
       QueriesSim.all ++ QueriesMm.all ++ QueriesTile.all ++
-      QueriesStream.all ++ QueriesCuration.all ++ QueriesCorpus.all
+      QueriesStream.all ++ QueriesCuration.all ++ QueriesCorpus.all ++
+      QueriesBpe.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -22,5 +23,5 @@ object SparkEntry {
     Queries.oracle ++ QueriesRel.oracle ++ QueriesText.oracle ++
       QueriesDedup.oracle ++ QueriesSim.oracle ++ QueriesMm.oracle ++
       QueriesTile.oracle ++ QueriesStream.oracle ++ QueriesCuration.oracle ++
-      QueriesCorpus.oracle
+      QueriesCorpus.oracle ++ QueriesBpe.oracle
 }

@@ -42,11 +42,25 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 private[graft] object CacheRelease {
 
-  private[operators] val MaxUnmatchedExecutions = 64
+  /** Expiry is (count AND age): a busy shared session completes many
+    * UNRELATED queries (other operators' internal actions, concurrent
+    * callers) between a registration and its first consuming action, so
+    * a small count alone can expire the barrier before the caller ever
+    * runs — silently reintroducing the N× recompute the cache exists to
+    * prevent (observed with the previous count-only threshold of 64).
+    * Requiring a minimum AGE as well means a burst of unrelated
+    * completions can never expire a just-registered listener; the count
+    * floor keeps an idle session (few queries, long gaps) from holding
+    * the cache forever. Both are generous: expiry is a leak backstop
+    * for abandoned plans, not a lifecycle mechanism.
+    */
+  private[operators] val MaxUnmatchedExecutions = 4096
+  private[operators] val MinLingerNanos = 10L * 60 * 1000 * 1000 * 1000
 
   def afterUse(cached: Seq[DataFrame], out: DataFrame): DataFrame = {
     val spark = out.sparkSession
     val target = out.queryExecution.analyzed
+    val registeredAt = System.nanoTime()
     val listener = new QueryExecutionListener {
       private val released = new AtomicBoolean(false)
       private val unmatched = new AtomicInteger(0)
@@ -55,7 +69,8 @@ private[graft] object CacheRelease {
           try qe.analyzed.exists(_.sameResult(target))
           catch { case _: Exception => false }
         val expired = !hit &&
-          unmatched.incrementAndGet() >= MaxUnmatchedExecutions
+          unmatched.incrementAndGet() >= MaxUnmatchedExecutions &&
+          System.nanoTime() - registeredAt >= MinLingerNanos
         if ((hit || expired) && released.compareAndSet(false, true)) {
           cached.foreach(_.unpersist(blocking = false))
           spark.listenerManager.unregister(this)

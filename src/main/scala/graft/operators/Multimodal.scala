@@ -98,24 +98,47 @@ object Multimodal {
     * `targetBytes` of payload (bytes-aware sizing; row-count sizing is
     * wrong for media).
     *
-    * Total payload size is ESTIMATED from a deterministic row sample
-    * (`sampleFraction`, seed-pinned): partition sizing needs the right
-    * order of magnitude, not an exact byte count, and the previous
-    * exact `sum(length(bytes))` was a full eager scan of the payload
-    * column — at 100 TB, exactly the pass this operator exists to
-    * avoid. An empty sample (tiny table) falls back to the exact sum,
-    * where a full scan is by definition cheap.
+    * Total payload size is ESTIMATED, cheapest source first — partition
+    * sizing needs the right order of magnitude, not an exact byte
+    * count:
+    *  1. file-level metadata when the table is file-backed (sum of
+    *     input file lengths from the filesystem — a driver-side
+    *     metadata listing, ZERO data I/O). Compressed whole-row bytes
+    *     under-estimate raw payload bytes somewhat, but on a media
+    *     table the payload column dominates the file and media codecs
+    *     rarely re-compress, so the magnitude is right.
+    *  2. a deterministic row sample (`sampleFraction`, seed-pinned)
+    *     when there is no file backing (views, in-memory frames). Note
+    *     this still READS the payload column — `sample()` filters rows
+    *     after the columnar scan, which cannot prune pages for a row
+    *     sample — it only saves deserialization/compute, and a small
+    *     sample has high variance; the metadata path above exists
+    *     because of exactly that.
+    *  3. the exact sum when the sample comes back empty (tiny table,
+    *     where a full scan is by definition cheap).
     */
   def repartitionByPayload(media: DataFrame, byteCol: String,
                            targetBytes: Long,
                            sampleFraction: Double = 0.01): DataFrame = {
-    val sampled = media.sample(withReplacement = false, sampleFraction, seed = 42)
-      .select(sum(length(col(byteCol)))).head()
-    val total =
+    val fileBytes: Option[Long] = {
+      val files = try media.inputFiles catch { case _: Exception => Array.empty[String] }
+      if (files.isEmpty) None
+      else {
+        val conf = media.sparkSession.sessionState.newHadoopConf()
+        Some(files.iterator.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(conf).getFileStatus(p).getLen
+        }.sum)
+      }
+    }
+    val total = fileBytes.getOrElse {
+      val sampled = media.sample(withReplacement = false, sampleFraction, seed = 42)
+        .select(sum(length(col(byteCol)))).head()
       if (sampled.isNullAt(0)) { // empty sample: table is tiny, scan it
         val full = media.select(sum(length(col(byteCol)))).head()
         if (full.isNullAt(0)) 0L else full.getLong(0)
       } else math.round(sampled.getLong(0) / sampleFraction)
+    }
     val parts = math.max(1, (total / targetBytes).toInt)
     media.repartition(parts, col("media_id"))
   }

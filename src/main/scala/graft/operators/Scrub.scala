@@ -107,10 +107,13 @@ object Scrub {
   private val UrlCanonSteps: Seq[(String, String, String)] = Seq(
     // drop fragment
     ("#.*$", "", ""),
-    // drop "&tracker=..." (every non-first tracking param)
-    ("&(?:utm_[a-z]+|fbclid|gclid|ref)=[^&#]*", "", ""),
+    // drop "&tracker=..." (every non-first tracking param); tracker
+    // NAMES are case-insensitive ((?i:...) — inline-group form is
+    // RE2-compatible) because query case is otherwise significant and
+    // preserved: '?UTM_Source=x' must collapse like '?utm_source=x'
+    ("&(?i:utm_[a-z]+|fbclid|gclid|ref)=[^&#]*", "", ""),
     // drop a LEADING "?tracker=...&" promoting the next param to first
-    ("\\?(?:utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&?", "?", "?"),
+    ("\\?(?i:utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&?", "?", "?"),
     // a query reduced to a bare "?" disappears
     ("\\?$", "", ""),
     // explicit default ports
@@ -183,24 +186,37 @@ object Scrub {
     *
     * Plan shape: corpus → project (id, suffix-chain) → explode →
     * broadcast LEFT-SEMI against the blocklist (map-side, yields the
-    * tiny set of blocked ids) → broadcast LEFT-ANTI of the corpus
-    * against those ids (map-side again). Two passes over the corpus
-    * scan, zero corpus shuffles — at 100 TB the only data movement is
-    * the blocked-id set, bounded by the corpus's blocklist hit rate.
+    * set of blocked ids) → LEFT-ANTI of the corpus against those ids.
+    * The anti-join side is SIZE-GATED at runtime (the `fewGroups`
+    * precedent in [[Extents.extentsBy]], but automatic): the blocked-id
+    * set is persisted and counted once — at or under
+    * `maxBroadcastIds` it BROADCASTS and the subtraction stays
+    * map-side (zero corpus shuffles, the common blocklist-prunes-a-
+    * minority case); above it (a blocklist matching a large corpus
+    * fraction, where a forced broadcast would overflow executor
+    * memory) the subtraction flips to a shuffle anti-join — slower,
+    * bounded everywhere. The persisted set is released by
+    * [[CacheRelease]] after the first consuming action.
     */
   def domainFilter(df: DataFrame, urlCol: String, idCol: String,
-                   blocklist: DataFrame): DataFrame = {
+                   blocklist: DataFrame,
+                   maxBroadcastIds: Long = 2000000L): DataFrame = {
     val blocked = blocklist.toDF("__dom")
     val blockedIds = df
       .select(col(idCol),
         explode(hostSuffixChain(hostOf(col(urlCol)))).as("__dom"))
       .join(broadcast(blocked), Seq("__dom"), "left_semi")
       .select(idCol).distinct()
-    // blocked ids ≪ corpus whenever the blocklist prunes a minority of
-    // traffic; broadcast keeps the subtraction map-side. A corpus where
-    // MOST rows are blocked should flip this to a shuffle anti-join —
-    // at that point the kept side is the small one and a plain
-    // broadcast of blockedIds would not fit.
-    df.join(broadcast(blockedIds), Seq(idCol), "left_anti")
+      .persist()
+    // one eager pass over the corpus scan computes the set for BOTH the
+    // gate count and the anti-join (persist barrier; MEMORY_AND_DISK, so
+    // an over-threshold set spills rather than OOMs)
+    val nBlocked = blockedIds.count()
+    val kept =
+      if (nBlocked <= maxBroadcastIds)
+        df.join(broadcast(blockedIds), Seq(idCol), "left_anti")
+      else
+        df.join(blockedIds.hint("shuffle_merge"), Seq(idCol), "left_anti")
+    CacheRelease.afterUse(Seq(blockedIds), kept)
   }
 }

@@ -237,7 +237,12 @@ object TextStats {
     * count) pairs, partial-agg'd map-side), a TakeOrdered top-V, then
     * the corpus re-scores via a BROADCAST left join on the tiny vocab
     * and one per-doc mean — the corpus text never shuffles; only
-    * (id, token-log) pairs move into the final aggregation.
+    * (id, token-log) pairs move into the final aggregation. The
+    * exploded (id, token) frame is PERSISTED across its two consumers
+    * (the vocabulary count and the re-score — [[CacheRelease]]d after
+    * the first action), so the corpus is tokenized ONCE: at 100 TB the
+    * tokenizing projection is the single most expensive per-row pass,
+    * and the un-persisted plan ran it twice.
     *
     * Emits (idCol, n_tokens, avg_logp); zero-token docs are excluded
     * (no tokens to average).
@@ -250,12 +255,13 @@ object TextStats {
     // the zero-token contract) and keeps "" out of the vocabulary
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
       .filter(length(col("__tok")) > 0)
+      .persist()
     val counts = toks.groupBy("__tok").agg(count(lit(1)).as("__c"))
     val total = counts.agg(sum("__c").as("__n"))
     val vocab = counts
       .orderBy(col("__c").desc, col("__tok").asc)
       .limit(vocabSize)
-    toks
+    val out = toks
       .join(broadcast(vocab), Seq("__tok"), "left")
       .crossJoin(broadcast(total))
       .select(col(idCol),
@@ -266,6 +272,88 @@ object TextStats {
       .agg(count(lit(1)).as("n_tokens"),
         round(sum("__lp_micro") / (count(lit(1)) * 1000000.0), 6)
           .as("avg_logp"))
+    CacheRelease.afterUse(Seq(toks), out)
+  }
+
+  /** Bigram language-model quality score with back-off to the unigram
+    * floor — q67's CCNet step-up: where [[unigramLogProbScores]] scores
+    * each token in isolation, this scores each token GIVEN its
+    * predecessor when the corpus supports it, so coherent word ORDER
+    * (not just common words) raises the score:
+    *
+    *  - position 1, an out-of-table bigram, or a predecessor outside
+    *    the unigram vocabulary → the unigram score of the token
+    *    (q67's exact formula: `log10((c + 1) / (N + V + 1))`, OOV at
+    *    the smoothed floor);
+    *  - otherwise → `log10((cb + 1) / (c_prev + V + 1))` — add-one-
+    *    smoothed conditional probability of the token given its
+    *    predecessor (`cb` = corpus count of the bigram, `c_prev` =
+    *    unigram count of the predecessor).
+    *
+    * Tables are capped deterministically (vocab: top `vocabSize` by
+    * count desc / token asc; bigrams: top `bigramSize` by count desc /
+    * prev asc / cur asc) and BROADCAST. Same integer-millionth
+    * exactness contract as q67: per-position log rounded to a micro
+    * integer, LONG sum, one final division.
+    *
+    * Scale shape: the (id, cur, prev) pair frame is built by ONE
+    * zip-with-shifted-self projection (no window function, no
+    * self-join — the corpus never shuffles) and PERSISTED across its
+    * two consumers (count tables and re-score; [[CacheRelease]]d).
+    * Only (token, count) / (prev, cur, count) pairs shuffle, both
+    * partial-agg'd map-side.
+    *
+    * Emits (idCol, n_tokens, n_bigram_hits, avg_logp_bi); zero-token
+    * docs are excluded.
+    */
+  def bigramLogProbScores(df: DataFrame, idCol: String, textCol: String,
+                          vocabSize: Int, bigramSize: Int): DataFrame = {
+    require(vocabSize >= 1 && bigramSize >= 1,
+      "vocabSize and bigramSize must be >= 1")
+    val toksCol = tokens(col(textCol))
+    val staged = df
+      .select(col(idCol), toksCol.as("__toks"))
+      // split-of-empty yields one empty token: drop those docs entirely
+      // (the zero-token contract, same as unigramLogProbScores)
+      .filter(size(col("__toks")) > 0 &&
+        length(element_at(col("__toks"), 1)) > 0)
+    val pairs = staged
+      .select(col(idCol), explode(zip_with(col("__toks"),
+        concat(array(lit(null).cast("string")),
+          slice(col("__toks"), lit(1), size(col("__toks")) - 1)),
+        (cur, prev) => struct(cur.as("cur"), prev.as("prev")))).as("__p"))
+      .select(col(idCol), col("__p.cur").as("__cur"), col("__p.prev").as("__prev"))
+      .persist()
+    val uni = pairs.groupBy("__cur").agg(count(lit(1)).as("__c"))
+    val total = uni.agg(sum("__c").as("__n"))
+    val vocab = uni.orderBy(col("__c").desc, col("__cur").asc).limit(vocabSize)
+    val vocabC = vocab.select(col("__cur"), col("__c").as("__ccur"))
+    val vocabP = vocab.select(col("__cur").as("__prev"), col("__c").as("__cprev"))
+    val bigrams = pairs.filter(col("__prev").isNotNull)
+      .groupBy("__prev", "__cur").agg(count(lit(1)).as("__cb"))
+      .orderBy(col("__cb").desc, col("__prev").asc, col("__cur").asc)
+      .limit(bigramSize)
+    val hit = col("__cb").isNotNull && col("__cprev").isNotNull
+    val lpBigram =
+      log10((col("__cb") + 1.0) / (col("__cprev") + vocabSize + 1.0))
+    val lpUnigram =
+      log10((coalesce(col("__ccur"), lit(0L)) + 1.0) /
+        (col("__n") + vocabSize + 1.0))
+    val out = pairs
+      .join(broadcast(vocabC), Seq("__cur"), "left")
+      .join(broadcast(vocabP), Seq("__prev"), "left")
+      .join(broadcast(bigrams), Seq("__prev", "__cur"), "left")
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        round(when(hit, lpBigram).otherwise(lpUnigram) * 1000000.0)
+          .cast("long").as("__lp_micro"),
+        when(hit, 1L).otherwise(0L).as("__hit"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("__hit").as("n_bigram_hits"),
+        round(sum("__lp_micro") / (count(lit(1)) * 1000000.0), 6)
+          .as("avg_logp_bi"))
+    CacheRelease.afterUse(Seq(pairs), out)
   }
 
   /** Overlapping token-window chunks of a document (the RAG/indexing
@@ -284,8 +372,17 @@ object TextStats {
     val stride = chunkTokens - overlap
     val toks = tokens(col(textCol))
     val n = size(toks)
-    // windows anchor at 1 + i*stride while the anchor is a real token
-    val nChunks = floor((n - 1).cast("double") / stride).cast("int") + 1
+    // the last window is the FIRST one reaching the document end — an
+    // anchor-based count (`while the anchor is a real token`) emits a
+    // final chunk fully contained in the previous one whenever the last
+    // anchor lands inside the prior window's coverage (~1/3 of doc
+    // lengths at chunk=32/stride=24), pure duplicate content in a RAG
+    // index. ceil on doubles: exact for any realistic doc length and
+    // the one formulation whose negative-input behavior (short docs)
+    // agrees across engines (integer `//` rounds toward -inf in DuckDB
+    // but toward 0 in Spark).
+    val nChunks = greatest(
+      ceil((n - chunkTokens).cast("double") / stride).cast("int") + 1, lit(1))
     df.select(col(idCol), toks.as("__toks"),
         explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
       .select(col(idCol), col("chunk_idx"),

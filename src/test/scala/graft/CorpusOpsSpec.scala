@@ -202,6 +202,10 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
       "https://h.io/a?id=7&utm_campaign=y&gclid=z" -> "https://h.io/a?id=7",
       "https://h.io/a?utm_a=1&utm_b=2" -> "https://h.io/a",
       "https://h.io/a?ref=t&ref=u&id=1" -> "https://h.io/a?id=1",
+      // tracker NAMES are case-insensitive even though query case is
+      // otherwise preserved ('?UTM_Source=x' must collapse too)
+      "https://h.io/a?UTM_Source=x&Id=7" -> "https://h.io/a?Id=7",
+      "https://h.io/a?id=7&Ref=Home" -> "https://h.io/a?id=7",
       // fragment always drops; trailing slash on non-root path drops
       "https://h.io/a/b/#sec" -> "https://h.io/a/b",
       "https://h.io/a/?id=1#x" -> "https://h.io/a?id=1",
@@ -237,17 +241,59 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(out(3L)._2 - (-1.230449)) < 1e-9, out(3L).toString)
   }
 
+  test("bigramLogProbScores ranks coherent word order above scrambled; unigram cannot") {
+    // docs 1 and 2 hold the SAME token multiset {a x3, b x3} — unigram
+    // scoring is order-blind so it MUST tie them; doc 1 follows the
+    // corpus's dominant a-b alternation, doc 2 clumps, so the bigram
+    // model must rank 1 above 2
+    val df = Seq(
+      (1L, "a b a b a b"),
+      (2L, "b b b a a a"),
+      (3L, "a b a b a b"), // reinforce the alternating structure
+      (4L, "a b a b a b"),
+      (5L, "a b a b a b")).toDF("doc_id", "text")
+    val uni = TextStats.unigramLogProbScores(df, "doc_id", "text", 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uni(1L) == uni(2L), s"unigram is order-blind: $uni")
+    val bi = TextStats.bigramLogProbScores(df, "doc_id", "text", 10, 50)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(bi(1L)._3 > bi(2L)._3,
+      s"bigram must prefer the coherent order: $bi")
+    // doc 1: position 1 backs off, every later position is a table hit
+    assert(bi(1L)._1 == 6 && bi(1L)._2 == 5, bi(1L).toString)
+  }
+
+  test("domainFilter: broadcast and shuffle anti-join paths agree") {
+    val urls = (1L to 40L).map { i =>
+      val host = if (i % 4 == 0) "ads.bad.com"
+      else if (i % 4 == 1) "bad.com"
+      else s"ok$i.example.org"
+      (i, s"https://$host/p/$i")
+    }.toDF("doc_id", "url")
+    val block = Seq("bad.com").toDF("domain")
+    def kept(maxBroadcast: Long) =
+      Scrub.domainFilter(urls, "url", "doc_id", block, maxBroadcast)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    val viaBroadcast = kept(Long.MaxValue)
+    val viaShuffle = kept(0L) // gate forces the shuffle anti-join
+    assert(viaBroadcast == viaShuffle)
+    assert(viaBroadcast == (1L to 40L).filterNot(i => i % 4 == 0 || i % 4 == 1))
+  }
+
   test("chunkDocuments: overlap, truncation, and short-doc behavior") {
     val words = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
     val df = Seq((1L, words), (2L, "just three tokens")).toDF("doc_id", "text")
-    // chunk 4, overlap 1 -> stride 3: anchors 1,4,7,10
+    // chunk 4, overlap 1 -> stride 3: anchors 1,4,7 — the last window is
+    // the FIRST that reaches the end; an anchor at 10 would emit [10..10],
+    // fully contained in [7..10] (the redundant-tail bug)
     val out = TextStats.chunkDocuments(df, "doc_id", "text", 4, 1)
       .orderBy("doc_id", "chunk_idx").collect()
     val doc1 = out.filter(_.getLong(0) == 1L)
-    assert(doc1.length == 4)
+    assert(doc1.length == 3)
     assert(doc1(0).getString(2) == "w1 w2 w3 w4")
     assert(doc1(1).getString(2) == "w4 w5 w6 w7") // 1-token overlap
-    assert(doc1(3).getString(2) == "w10" && doc1(3).getLong(3) == 1) // truncated tail
+    assert(doc1(2).getString(2) == "w7 w8 w9 w10" && doc1(2).getLong(3) == 4)
     // shorter than one window: a single whole-doc chunk
     val doc2 = out.filter(_.getLong(0) == 2L)
     assert(doc2.length == 1 && doc2(0).getString(2) == "just three tokens")
