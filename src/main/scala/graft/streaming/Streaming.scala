@@ -141,4 +141,128 @@ object Streaming {
         graft.operators.TextStats.textDigest(col(textCol), mode))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("text_md5")
+
+  case class BucketHit(band: Int, bucket: String, id: Long, ts: Timestamp)
+  case class AnchorState(minId: Long, lastSeenMs: Long)
+  case class PairOut(a: Long, b: Long, band: Int, bucket: String)
+
+  /** One state step of the streaming near-dup: state per (band, bucket)
+    * is ONE anchor id (the minimum seen inside the horizon) — bounded
+    * to two longs per active bucket, never a member list. A hit equal
+    * to the anchor emits nothing (re-delivery of the anchor is
+    * absorbed); a larger id emits its pair against the anchor; a
+    * SMALLER id becomes the new anchor and emits against the old one.
+    * The timed-out branch evicts the anchor — without eviction the
+    * store grows with every bucket ever seen (the 100 TB blow-up, same
+    * argument as [[sessionStep]]). Exposed for `TestGroupState` unit
+    * testing like [[sessionStep]].
+    */
+  def nearDupStep(horizonMs: Long, armTimeout: Boolean)(
+      key: (Int, String), it: Iterator[BucketHit],
+      state: GroupState[AnchorState]): Iterator[PairOut] = {
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val hits = it.toSeq.sortBy(h => (h.ts.getTime, h.id))
+      var cur = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer.empty[PairOut]
+      var maxTs = Long.MinValue
+      for (h <- hits) {
+        maxTs = math.max(maxTs, h.ts.getTime)
+        cur match {
+          case None =>
+            cur = Some(AnchorState(h.id, h.ts.getTime))
+          case Some(s) if h.id == s.minId =>
+            cur = Some(s.copy(lastSeenMs = math.max(s.lastSeenMs, h.ts.getTime)))
+          case Some(s) =>
+            out += PairOut(math.min(s.minId, h.id), math.max(s.minId, h.id),
+              key._1, key._2)
+            cur = Some(AnchorState(math.min(s.minId, h.id),
+              math.max(s.lastSeenMs, h.ts.getTime)))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        if (armTimeout) state.setTimeoutTimestamp(maxTs + horizonMs)
+      }
+      out.iterator
+    }
+  }
+
+  /** Streaming near-dup candidate pairs — the §2.9 face of the batch
+    * MinHash+LSH tier (q23, [[graft.operators.Dedup.lshNearDupPairs]]):
+    * each arriving document is shingled, MinHash-signed, and banded
+    * MAP-SIDE (the same native expressions as the batch path — no
+    * state touched yet), then its (band, bucket) hits run through
+    * [[nearDupStep]]'s anchor state. Emitted pairs are LSH CANDIDATES
+    * (the batch path's pre-Jaccard stage); a deployment verifies
+    * exact similarity downstream where both texts are at hand.
+    *
+    * Anchor-star semantics: each bucket emits pairs against its
+    * running minimum id, not the full clique — state stays O(1) per
+    * bucket where a clique would need the member list. When ids
+    * arrive in ascending order this equals the batch anchor-star
+    * ([[bucketAnchorPairsBatch]], the StreamingSpec twin check);
+    * out-of-order arrival still pairs every member to SOME anchor.
+    * Re-deliveries may duplicate a pair row (consumers `distinct()`
+    * the tiny pair stream; the anchor itself is absorbed statefully).
+    *
+    * `timeout`: event-time eviction after `watermark` of bucket
+    * inactivity in production; tests pass `NoTimeout` so
+    * `processAllAvailable` settles deterministically (the
+    * [[sessionize]] pattern).
+    */
+  def nearDupPairsStream(docs: DataFrame, textCol: String, idCol: String,
+                         tsCol: String, watermark: String,
+                         k: Int, numHashes: Int, bands: Int, rowsPerBand: Int,
+                         mode: graft.operators.TextStats.HashMode =
+                           graft.operators.TextStats.HashMode.EngineXx,
+                         timeout: GroupStateTimeout =
+                           GroupStateTimeout.EventTimeTimeout()): Dataset[PairOut] = {
+    import docs.sparkSession.implicits._
+    import graft.operators.Dedup
+    val horizonMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(watermark))
+    val horizon = horizonMs.days * 86400000L + horizonMs.microseconds / 1000L
+    val arm = timeout == GroupStateTimeout.EventTimeTimeout()
+    val shingled = docs
+      .withColumn("sh", Dedup.hashedWordShingles(textCol, k, mode))
+    val withSig = Dedup.minhashSignature(col("sh"), numHashes)
+      .foldLeft(shingled) { case (df, (n, c)) => df.withColumn(n, c) }
+      .withColumn("buckets", Dedup.lshBuckets(bands, rowsPerBand, mode))
+    val hits = withSig
+      .withWatermark(tsCol, watermark)
+      .select(explode(col("buckets")).as("bb"), col(idCol).as("id"),
+        col(tsCol).as("ts"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
+        col("id"), col("ts"))
+      .as[BucketHit]
+    hits.groupByKey(h => (h.band, h.bucket))
+      .flatMapGroupsWithState[AnchorState, PairOut](
+        OutputMode.Append(), timeout)(nearDupStep(horizon, arm))
+  }
+
+  /** Batch twin of [[nearDupPairsStream]]'s anchor-star: every bucket
+    * member pairs against the bucket's minimum id — the contract the
+    * StreamingSpec re-delivery test checks the stream against.
+    */
+  def bucketAnchorPairsBatch(docs: DataFrame, textCol: String, idCol: String,
+                             k: Int, numHashes: Int, bands: Int, rowsPerBand: Int,
+                             mode: graft.operators.TextStats.HashMode =
+                               graft.operators.TextStats.HashMode.EngineXx): DataFrame = {
+    import graft.operators.Dedup
+    val shingled = docs
+      .withColumn("sh", Dedup.hashedWordShingles(textCol, k, mode))
+    val withSig = Dedup.minhashSignature(col("sh"), numHashes)
+      .foldLeft(shingled) { case (df, (n, c)) => df.withColumn(n, c) }
+      .withColumn("buckets", Dedup.lshBuckets(bands, rowsPerBand, mode))
+    val hits = withSig
+      .select(explode(col("buckets")).as("bb"), col(idCol).as("id"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"), col("id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    hits.withColumn("__min", min("id").over(w))
+      .filter(col("id") =!= col("__min"))
+      .select(col("__min").as("a"), col("id").as("b"),
+        col("band"), col("bucket"))
+      .distinct()
+  }
 }

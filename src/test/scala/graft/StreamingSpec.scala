@@ -103,6 +103,57 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(state.isRemoved, "idle user's state must be evicted")
   }
 
+  test("nearDupPairsStream matches the batch anchor-star; re-delivery adds nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    def doc(id: Long, text: String, offSec: Int) =
+      StreamingSpec.Doc(id, text, new java.sql.Timestamp(t0 + offSec * 1000L))
+    // 1, 2, 4 share the same text (all bands collide); 3 is unrelated
+    val d1 = doc(1, "a b c d e f g h", 0)
+    val d2 = doc(2, "a b c d e f g h", 1)
+    val d3 = doc(3, "totally different words live here", 2)
+    val d4 = doc(4, "a b c d e f g h", 60)
+    val stream = MemoryStream[StreamingSpec.Doc]
+    val q = Streaming.nearDupPairsStream(stream.toDF(), "text", "doc_id", "ts",
+        watermark = "10 minutes", k = 2, numHashes = 4, bands = 2, rowsPerBand = 2,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(d1, d2, d3)
+      q.processAllAvailable()
+      // second micro-batch: a new member of the cluster + re-delivery of
+      // the ANCHOR (absorbed statefully — must emit nothing new for it)
+      stream.addData(d4, d1)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("neardup_out")
+      .select("a", "b").distinct().as[(Long, Long)].collect().toSet
+    assert(streamed == Set((1L, 2L), (1L, 4L)), streamed.toString)
+    // ids arrived in ascending order, so the stream must equal the batch
+    // anchor-star over the same four docs
+    val batch = Streaming.bucketAnchorPairsBatch(
+        Seq(d1, d2, d3, d4).toDF(), "text", "doc_id",
+        k = 2, numHashes = 4, bands = 2, rowsPerBand = 2)
+      .select("a", "b").distinct().as[(Long, Long)].collect().toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+  }
+
+  test("nearDupStep timeout branch evicts the bucket anchor") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    val state = TestGroupState.create[Streaming.AnchorState](
+      optionalState = org.apache.spark.api.java.Optional.of(
+        Streaming.AnchorState(7L, 1000L)),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout(),
+      batchProcessingTimeMs = 10000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(9000L),
+      hasTimedOut = true)
+    val out = Streaming.nearDupStep(horizonMs = 1000L, armTimeout = true)(
+      (0, "bkt"), Iterator.empty, state).toSeq
+    assert(out.isEmpty)
+    assert(state.isRemoved, "idle bucket's anchor must be evicted")
+  }
+
   test("sessionize (flatMapGroupsWithState) matches the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
