@@ -3,11 +3,14 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, TextStats}
+import graft.operators.{Bpe, Curation, TextStats}
 
-/** BPE tokenizer query (training-data pipeline tier, round 6): learn a
-  * merge table from the corpus, encode the corpus with it, and pin the
-  * exact segmentation cell-wise against the DuckDB oracle.
+/** BPE tokenizer queries (training-data pipeline tier, round 6): learn a
+  * merge table from the corpus, encode the corpus with it (q69), and
+  * feed the REAL token counts into sequence packing (q71 — the
+  * integration the regex stand-in `TextStats.bpeTokenCount` was holding
+  * the seat for: a training pipeline budgets and packs by tokenizer
+  * tokens, not whitespace tokens).
   *
   * Oracle protocol: the ORACLE DOES NOT RE-LEARN. The learned merge
   * table is written as a parquet fixture keyed by corpus size
@@ -21,7 +24,7 @@ import graft.operators.{Bpe, TextStats}
   * application, provably equivalent to the priority algorithm the
   * native [[graft.functions.BpeEncodeExpr]] encoder runs (a merge's
   * pair can only be created by lower-rank merges; BpeSpec pins it).
-  * Per-doc md5 over the space-joined token stream makes the check
+  * Per-doc md5 over the space-joined token stream makes q69
   * segmentation-exact, not just count-exact.
   */
 object QueriesBpe {
@@ -31,17 +34,28 @@ object QueriesBpe {
 
   private[graft] val NumMerges = 24
   private val FixtureDir = "/tmp/graft_fixtures/bpe_merges"
+  private val PackWindow = 512 // q66's window, now in BPE tokens
+  private val PackBucket = 64L
 
-  def q69BpeTokenize(s: SparkSession, d: String): DataFrame = {
+  /** Learn the merge table and (re-)write the oracle fixture — shared
+    * by q69 and q71 so either query is self-sufficient under Verify
+    * (learning is deterministic: same corpus → byte-identical table →
+    * idempotent fixture overwrite).
+    */
+  private def learnAndFixture(s: SparkSession, d: String): Seq[Bpe.Merge] = {
     val docs = documents(s, d).select("doc_id", "text")
     val merges = Bpe.learnMerges(Bpe.wordCounts(docs, "text"), NumMerges)
-    // fixture for the oracle's SQL twin (tiny: one row per merge)
     val nDocs = docs.count()
     import s.implicits._
     merges.map(m => (m.rank, m.left, m.right, nDocs))
       .toDF("merge_rank", "ml", "mr", "corpus_docs")
       .coalesce(1).write.mode("overwrite").parquet(s"$FixtureDir/$nDocs")
-    docs
+    merges
+  }
+
+  def q69BpeTokenize(s: SparkSession, d: String): DataFrame = {
+    val merges = learnAndFixture(s, d)
+    documents(s, d)
       .select(col("doc_id"), TextStats.normalize(col("text")).as("__norm"))
       .filter(length(col("__norm")) > 0)
       .select(col("doc_id"),
@@ -54,9 +68,33 @@ object QueriesBpe {
       .orderBy("doc_id")
   }
 
-  val q69Sql: String =
-    s"""WITH RECURSIVE
-       |m AS (
+  /** q66's packing bookkeeping driven by REAL tokenizer counts: learn
+    * (or reuse) the merge table, count each document's BPE tokens with
+    * the native encoder (map-side — the corpus never shuffles; the
+    * range-bucketed prefix sum moves only per-bucket totals), then the
+    * same window-span arithmetic.
+    */
+  def q71BpePacking(s: SparkSession, d: String): DataFrame = {
+    val merges = learnAndFixture(s, d)
+    val counted = documents(s, d)
+      .select(col("doc_id"), TextStats.normalize(col("text")).as("__norm"))
+      .filter(length(col("__norm")) > 0)
+      .select(col("doc_id"),
+        size(Bpe.encode(col("__norm"), merges)).cast("long").as("n_bpe"))
+      .filter(col("n_bpe") > 0)
+    Curation.packingOffsets(counted, "doc_id", "n_bpe", PackWindow, PackBucket)
+      .select("doc_id", "n_bpe", "cum_end",
+        "first_window", "last_window", "n_windows")
+      .orderBy("doc_id")
+  }
+
+  /** The shared CTE block: fixture merge table → per-word recursive
+    * encode (`encw`) → per-(doc, position) words (`docw`). Both oracle
+    * twins append their own tails, so the application semantics cannot
+    * drift between them.
+    */
+  private val bpeCtes: String =
+    s"""m AS (
        | SELECT merge_rank, ml, mr
        | FROM read_parquet('$FixtureDir/*/*.parquet')
        | WHERE corpus_docs = (SELECT count(*) FROM documents)),
@@ -91,7 +129,11 @@ object QueriesBpe {
        |docw AS (
        | SELECT doc_id, u.i AS pos, toks[u.i] AS word
        | FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
-       | WHERE toks[u.i] <> '')
+       | WHERE toks[u.i] <> '')""".stripMargin
+
+  val q69Sql: String =
+    s"""WITH RECURSIVE
+       |$bpeCtes
        |SELECT d.doc_id,
        | count(*) AS n_tokens,
        | CAST(sum(len(e.syms)) AS BIGINT) AS n_bpe_tokens,
@@ -100,9 +142,31 @@ object QueriesBpe {
        |FROM docw d JOIN encw e USING (word)
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
+  val q71Sql: String =
+    s"""WITH RECURSIVE
+       |$bpeCtes,
+       |nb AS (
+       | SELECT d.doc_id, CAST(sum(len(e.syms)) AS BIGINT) AS n_bpe
+       | FROM docw d JOIN encw e USING (word)
+       | GROUP BY d.doc_id),
+       |c AS (
+       | SELECT doc_id, n_bpe,
+       |  CAST(sum(n_bpe) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_end
+       | FROM nb WHERE n_bpe > 0)
+       |SELECT doc_id, n_bpe, cum_end,
+       | (cum_end - n_bpe) // $PackWindow AS first_window,
+       | (cum_end - 1) // $PackWindow AS last_window,
+       | ((cum_end - 1) // $PackWindow - (cum_end - n_bpe) // $PackWindow + 1)
+       |   AS n_windows
+       |FROM c ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q69_bpe_tokenize" -> (q69BpeTokenize _))
+    "q69_bpe_tokenize" -> (q69BpeTokenize _),
+    "q71_bpe_packing" -> (q71BpePacking _))
 
   val oracle: Map[String, String] = Map(
-    "q69_bpe_tokenize" -> q69Sql)
+    "q69_bpe_tokenize" -> q69Sql,
+    "q71_bpe_packing" -> q71Sql)
 }

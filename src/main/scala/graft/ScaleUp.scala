@@ -26,6 +26,9 @@ object ScaleUp {
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      // events.parquet stores INT64 TIMESTAMP(NANOS): copy it through as
+      // raw longs (Tables.events converts at read time either way)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

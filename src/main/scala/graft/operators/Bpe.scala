@@ -69,11 +69,19 @@ object Bpe {
   /** Learn up to `numMerges` merges from a (word, cnt) table. Stops
     * early when the best remaining pair's weighted count drops below
     * `minPairCount` (a pair seen once is noise, not structure).
+    *
+    * `checkpointEvery` bounds plan depth: between checkpoints each
+    * round nests one more `aggregate` fold over the symbol column, so
+    * the barrier fires every few rounds instead of every round (a
+    * checkpoint is one eager job — on a small vocabulary the job
+    * overhead, not the fold, dominates the round).
     */
   def learnMerges(words: DataFrame, numMerges: Int,
                   maxVocab: Int = 65536,
-                  minPairCount: Long = 2L): Seq[Merge] = {
+                  minPairCount: Long = 2L,
+                  checkpointEvery: Int = 4): Seq[Merge] = {
     require(numMerges >= 0, "numMerges must be >= 0")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     var syms = words
       .orderBy(col("cnt").desc, col("word").asc).limit(maxVocab)
       .select(col("cnt"),
@@ -99,9 +107,8 @@ object Bpe {
       } else {
         val (l, rt) = (best(0).getAs[String]("l"), best(0).getAs[String]("r"))
         out += Merge(r, l, rt)
-        syms = syms
-          .withColumn("syms", applyMerge(col("syms"), l, rt))
-          .localCheckpoint()
+        syms = syms.withColumn("syms", applyMerge(col("syms"), l, rt))
+        if (r % checkpointEvery == 0) syms = syms.localCheckpoint()
         r += 1
       }
     }

@@ -186,6 +186,32 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     // reliable guard is banning shuffle-join operators outright.)
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"the corpus side must never shuffle into the vocab join:\n$p")
+    // single-tokenization contract: the exploded (id, token) frame is
+    // persisted, so EVERY consumer reads the cache and the documents
+    // parquet is scanned only inside the cached plan — the un-persisted
+    // plan tokenized the corpus once per consumer, 2x the most
+    // expensive per-row projection at scale. The tree print repeats the
+    // cached plan (with its one FileScan) under each InMemoryTableScan,
+    // so "every parquet scan is a cache-internal one" shows up as the
+    // two counts being EQUAL; a consumer bypassing the cache would add
+    // an unmatched FileScan.
+    val cacheScans = "InMemoryTableScan".r.findAllIn(p).size
+    assert(cacheScans >= 2,
+      "the exploded token frame must be persisted across its consumers")
+    assert("FileScan parquet".r.findAllIn(p).size == cacheScans,
+      s"documents must only be scanned inside the cached token frame:\n$p")
+  }
+
+  test("q70: bigram + vocab tables broadcast; corpus pair frame persisted") {
+    val p = plan("q70_bigram_logprob")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"vocab (x2 roles) and bigram table must all broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus side must never shuffle into the score joins:\n$p")
+    val cacheScans = "InMemoryTableScan".r.findAllIn(p).size
+    assert(cacheScans >= 2 &&
+      "FileScan parquet".r.findAllIn(p).size == cacheScans,
+      s"the pair frame must persist; documents scanned only inside it:\n$p")
   }
 
   test("q66: packing prefix sum is range-bucketed — corpus never single-partitions") {
