@@ -665,6 +665,67 @@ object QueriesCorpus {
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q72 exact-substring overlap (Lee et al. 2022 exact-substring dedup
+  // stats): longest verbatim common token run per overlapping doc pair,
+  // via positional gram hashes + diagonal gaps-and-islands — where
+  // q25/q55 detect THAT documents overlap, this measures HOW MUCH.
+  // Injected positives: every 10th doc gets a twin embedding a verbatim
+  // span of 12 + doc_id % 7 tokens (varying lengths pin the run
+  // arithmetic, not just pair detection).
+  private val SpanK = 5
+  private val MinRun = 10
+
+  private def spanCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select("doc_id", "text")
+    val toks = TextStats.tokens(col("text"))
+    docs.unionByName(
+      documents(s, d).filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 600000).as("doc_id"),
+          concat(lit("zzq wwy "),
+            concat_ws(" ", slice(toks, lit(5), lit(12) + col("doc_id") % 7)),
+            lit(" qqz")).as("text")))
+  }
+
+  // no line may START with `||` (re-embedded inside q72Sql's stripMargin)
+  private val spanCorpusSql =
+    s"""SELECT doc_id, text FROM documents
+       |UNION ALL
+       |SELECT doc_id + 600000 AS doc_id,
+       | 'zzq wwy ' ||
+       |  array_to_string((string_split($normSql, ' '))[5:16 + doc_id % 7], ' ') ||
+       |  ' qqz' AS text
+       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  def q72CommonSpans(s: SparkSession, d: String): DataFrame =
+    Dedup.longestCommonRuns(spanCorpus(s, d), "text", "doc_id",
+        SpanK, MinRun)
+      .orderBy("a", "b")
+
+  val q72Sql: String = {
+    val gramHash = s"CAST(('0x' || substr(md5(array_to_string(" +
+      s"toks[u.i:u.i + ${SpanK - 1}], ' ')), 1, 15)) AS BIGINT)"
+    s"""WITH corpus AS ($spanCorpusSql),
+       |t AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM corpus),
+       |g AS (
+       | SELECT doc_id AS id, u.i AS i, $gramHash AS h
+       | FROM t, unnest(range(1, greatest(len(toks) - ${SpanK - 1}, 1) + 1))
+       |   AS u(i)),
+       |m AS (
+       | SELECT x.id AS a, y.id AS b, y.i - x.i AS d, x.i AS i
+       | FROM g x JOIN g y USING (h) WHERE x.id < y.id),
+       |isl AS (
+       | SELECT a, b, d, i,
+       |  i - row_number() OVER (PARTITION BY a, b, d ORDER BY i) AS grp
+       | FROM m),
+       |runs AS (
+       | SELECT a, b, count(*) + ${SpanK - 1} AS run
+       | FROM isl GROUP BY a, b, d, grp)
+       |SELECT a, b, CAST(max(run) AS BIGINT) AS longest_run
+       |FROM runs GROUP BY a, b HAVING max(run) >= $MinRun
+       |ORDER BY a, b""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_decontaminate" -> (q55Decontaminate _),
     "q56_repetition" -> (q56Repetition _),
@@ -679,6 +740,7 @@ object QueriesCorpus {
     "q67_unigram_logprob" -> (q67UnigramLogprob _),
     "q68_chunk_docs" -> (q68ChunkDocs _),
     "q70_bigram_logprob" -> (q70BigramLogprob _),
+    "q72_common_spans" -> (q72CommonSpans _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -695,5 +757,6 @@ object QueriesCorpus {
     "q67_unigram_logprob" -> q67Sql,
     "q68_chunk_docs" -> q68Sql,
     "q70_bigram_logprob" -> q70Sql,
+    "q72_common_spans" -> q72Sql,
   )
 }

@@ -122,4 +122,12 @@ object WordShingleHashExpr {
   def tokenHashes(norm: Column, engineXx: Boolean): Column =
     GraftBridge.column(WordShingleHashExpr(
       GraftBridge.expression(norm), 1, engineXx, distinct = false))
+
+  /** ORDERED k-gram window hashes (duplicates kept, index = starting
+    * token) — the positional form the exact-substring overlap tier
+    * keys on ([[graft.operators.Dedup.longestCommonRuns]]).
+    */
+  def orderedShingles(norm: Column, k: Int, engineXx: Boolean): Column =
+    GraftBridge.column(WordShingleHashExpr(
+      GraftBridge.expression(norm), k, engineXx, distinct = false))
 }

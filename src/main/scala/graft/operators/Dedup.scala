@@ -377,4 +377,69 @@ object Dedup {
     und.unpersist()
     labels.withColumn("keep", col("id") === col("cluster"))
   }
+
+  /** Exact-substring overlap statistics (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * primitive): for every document pair sharing at least one word
+    * k-gram, the length in TOKENS of their LONGEST verbatim common run
+    * — where the k-gram tier (q25/q55) detects that documents overlap,
+    * this measures HOW MUCH, the signal exact-substring dedup cuts on.
+    * Emits (a, b, longest_run) for pairs at/above `minRun` tokens.
+    *
+    * Algorithm — positional gram hashes + diagonal islands, all
+    * relational (no suffix array, no per-pair alignment loop):
+    *   1. each doc → ORDERED k-gram hash array (one zero-allocation
+    *      [[graft.functions.WordShingleHashExpr]] pass, distinct=false
+    *      so position i = gram starting at token i), posexploded to
+    *      (id, i, h);
+    *   2. equi-join on h across documents (a < b) → matched positions
+    *      (i, j); a shared verbatim run of m grams lies on one DIAGONAL
+    *      d = j − i as m consecutive i values;
+    *   3. gaps-and-islands per (a, b, d): grp = i − row_number() over i
+    *      — consecutive i's share a grp — then count per island;
+    *      longest run in tokens = max island size + k − 1.
+    *
+    * Scale shape: the only shuffle is the gram-hash equi-join (the
+    * exact-substring analogue of the LSH bucket join) plus one window
+    * over (pair, diagonal) partitions — both keyed, never all-pairs.
+    * Skew lives in high-document-frequency grams (boilerplate): the
+    * opt-in `maxDf` cap drops grams appearing in more than `maxDf`
+    * documents before the join (the standard df-prune; a dropped gram
+    * can only split a run through a region every one of >maxDf docs
+    * shares — callers choose the recall trade, mirrored in any oracle
+    * twin, same contract as [[lshCandidatePairs]]'s maxBucket).
+    */
+  def longestCommonRuns(df: DataFrame, textCol: String, idCol: String,
+                        k: Int, minRun: Int,
+                        maxDf: Int = Int.MaxValue,
+                        mode: HashMode = HashMode.OracleMd5): DataFrame = {
+    require(minRun >= k, s"minRun ($minRun) must be >= k ($k)")
+    val grams = df
+      .select(col(idCol).as("id"),
+        posexplode(graft.functions.WordShingleHashExpr.orderedShingles(
+          normalize(col(textCol)), k, mode == HashMode.EngineXx))
+          .as(Seq("i", "h")))
+    val pruned =
+      if (maxDf == Int.MaxValue) grams
+      else {
+        val hot = grams.select("h", "id").distinct()
+          .groupBy("h").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDf)
+          .select("h")
+        grams.join(broadcast(hot), Seq("h"), "left_anti")
+      }
+    val matched = pruned.as("x").join(pruned.as("y"), "h")
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        (col("y.i") - col("x.i")).as("d"), col("x.i").as("i"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a", "b", "d").orderBy("i")
+    matched
+      .withColumn("grp", col("i") - row_number().over(w))
+      .groupBy("a", "b", "d", "grp")
+      .agg((count(lit(1)) + (k - 1)).as("run"))
+      .groupBy("a", "b")
+      .agg(max("run").as("longest_run"))
+      .filter(col("longest_run") >= minRun)
+  }
 }

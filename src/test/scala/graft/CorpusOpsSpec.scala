@@ -241,6 +241,30 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(out(3L)._2 - (-1.230449)) < 1e-9, out(3L).toString)
   }
 
+  test("longestCommonRuns: exact run lengths via diagonal islands; df prune gates") {
+    val df = Seq(
+      (1L, "p q r s t u v w x y"),
+      // shares the verbatim 6-token run "p q r s t u" at a shifted
+      // position, plus a 2-token tail ("x y") too short for any k=3 gram
+      (2L, "zz p q r s t u kk x y"),
+      (3L, "totally different words entirely here")).toDF("doc_id", "text")
+    val out = Dedup.longestCommonRuns(df, "text", "doc_id", k = 3, minRun = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // 6 shared tokens = 4 consecutive 3-grams on one diagonal -> 4+2 = 6
+    assert(out == Map((1L, 2L) -> 6L), out.toString)
+    // two separate shared runs must NOT merge: longest is the larger one
+    val df2 = Seq(
+      (1L, "a b c d e junk1 junk2 f g h i j"),
+      (2L, "a b c d e other words f g h i j")).toDF("doc_id", "text")
+    val out2 = Dedup.longestCommonRuns(df2, "text", "doc_id", k = 3, minRun = 3)
+      .collect().map(r => r.getLong(2)).toSeq
+    assert(out2 == Seq(5L), s"two 5-token runs on different diagonals: $out2")
+    // maxDf prune: every (1,2) gram has df 2 > 1 -> no pairs survive
+    val pruned = Dedup.longestCommonRuns(df, "text", "doc_id", k = 3,
+      minRun = 5, maxDf = 1)
+    assert(pruned.count() == 0)
+  }
+
   test("bigramLogProbScores ranks coherent word order above scrambled; unigram cannot") {
     // docs 1 and 2 hold the SAME token multiset {a x3, b x3} — unigram
     // scoring is order-blind so it MUST tie them; doc 1 follows the
