@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization for the embedding-similarity tier: compress
+  * each d-dim vector to `m` small integer codes by splitting it into
+  * `m` contiguous subspaces and k-means-quantizing each subspace
+  * independently — the standard ANN memory/compute trade (an IVF-PQ
+  * index stores 8 bytes instead of 256 floats per vector; candidate
+  * distances come from per-subspace lookup tables).
+  *
+  * Spark-first design notes (100 TB scale):
+  *  - LEARNING runs over (vector, subspace) pairs: ONE broadcast join +
+  *    argmin + per-(sub, centroid, pos) mean aggregation per Lloyd
+  *    iteration, all m subspaces in the same pass — the vectors never
+  *    shuffle; only (sub, cid, pos, sum, n) cells (m·K·subDim rows)
+  *    reach the driver each round. Same per-round collect shape as
+  *    [[Similarity.kmeans]] (standard for Lloyd on Spark).
+  *  - ENCODING is a broadcast join against the m·K codebook rows +
+  *    a per-(vector, sub) argmin + conditional-aggregation pivot to
+  *    code columns — map-side except one hash agg keyed by vec id.
+  *  - determinism: init = the subvectors of the first K vectors in id
+  *    order; distances are computed in DOUBLE over the float inputs,
+  *    ROUNDED to 6 decimals, ties broken by centroid id (the
+  *    [[Similarity]] house pattern) — so an external engine (the
+  *    DuckDB oracle) reproduces code assignment from the same codebook
+  *    fixture bit-for-bit, the BPE merge-table protocol (q69) applied
+  *    to vectors.
+  */
+object Pq {
+
+  /** Squared L2 distance between a float-array column and a
+    * double-array column, accumulated in index order in double.
+    */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y
+      d * d
+    }), lit(0.0), (acc, x) => acc + x)
+
+  /** (id, sub, subvec) exploded view: subspace s = elements
+    * [s·subDim+1, (s+1)·subDim] (1-based slice).
+    */
+  def subvectors(vectors: DataFrame, idCol: String, vecCol: String,
+                 m: Int, subDim: Int): DataFrame =
+    vectors.select(col(idCol),
+        explode(array((0 until m).map { s =>
+          struct(lit(s).as("sub"),
+            slice(col(vecCol), s * subDim + 1, subDim).as("subvec"))
+        }: _*)).as("sv"))
+      .select(col(idCol), col("sv.sub").as("sub"), col("sv.subvec").as("subvec"))
+
+  /** Learn per-subspace codebooks: `m` subspaces × `k` centroids,
+    * `iters` Lloyd rounds. Returns (sub, cid, cvec: array<double>)
+    * rows, driver-side (m·k rows — the broadcast-by-construction
+    * artifact a deployment persists like any model table).
+    */
+  def learnCodebooks(vectors: DataFrame, idCol: String, vecCol: String,
+                     m: Int, k: Int, iters: Int): Seq[(Int, Int, Array[Double])] = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val dim = vectors.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    val subv = subvectors(vectors, idCol, vecCol, m, subDim)
+    // deterministic init: subvectors of the first k vectors in id order
+    var codebook: Seq[(Int, Int, Array[Double])] = vectors
+      .orderBy(idCol).limit(k)
+      .select(col(vecCol)).as[Array[Float]].collect()
+      .zipWithIndex.flatMap { case (v, cid) =>
+        (0 until m).map(s =>
+          (s, cid, v.slice(s * subDim, (s + 1) * subDim).map(_.toDouble)))
+      }.toSeq
+    for (_ <- 0 until iters) {
+      val cbDf = codebook.toDF("sub", "cid", "cvec")
+      val assigned = assign(subv, cbDf, idCol)
+      val cells = assigned
+        .select(col("sub"), col("cid"), posexplode(col("subvec")).as(Seq("pos", "x")))
+        .groupBy("sub", "cid", "pos")
+        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byKey = cells.groupBy(r => (r.getInt(0), r.getInt(1)))
+      codebook = codebook.map { case (s, cid, old) =>
+        (s, cid, byKey.get((s, cid)).map { rows =>
+          val v = old.clone()
+          rows.foreach(r => v(r.getInt(2)) = r.getDouble(3) / r.getLong(4))
+          v
+        }.getOrElse(old)) // empty cluster keeps its centroid
+      }
+    }
+    codebook
+  }
+
+  /** Per-(id, sub) nearest-centroid assignment over an exploded
+    * subvector frame: broadcast codebook join, double L2² rounded to 6
+    * decimals, ties broken by centroid id.
+    */
+  private def assign(subv: DataFrame, cbDf: DataFrame, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol, "sub").orderBy(col("__d2"), col("cid"))
+    subv.join(broadcast(cbDf), "sub")
+      .withColumn("__d2", round(l2sq(col("subvec"), col("cvec")), 6))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("cvec", "__rn")
+  }
+
+  /** Encode every vector to its `m` code columns `c0..c{m-1}` against a
+    * learned codebook. One broadcast join + argmin + pivot.
+    */
+  def encode(vectors: DataFrame, idCol: String, vecCol: String,
+             codebook: Seq[(Int, Int, Array[Double])]): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val m = codebook.map(_._1).max + 1
+    val subDim = codebook.head._3.length
+    val cbDf = codebook.toDF("sub", "cid", "cvec")
+    val coded = assign(subvectors(vectors, idCol, vecCol, m, subDim), cbDf, idCol)
+    val codeCols = (0 until m).map(s =>
+      max(when(col("sub") === s, col("cid"))).cast("int").as(s"c$s"))
+    coded.groupBy(idCol).agg(codeCols.head, codeCols.tail: _*)
+  }
+}
