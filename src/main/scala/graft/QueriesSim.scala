@@ -264,7 +264,63 @@ object QueriesSim {
        |ORDER BY qid, rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q73 product quantization: 64-dim vectors → 8 codes (8 subspaces ×
+  // 16 centroids), the ANN memory/compute compression step. Learning
+  // is Spark-side Lloyd (deterministic init + round-6 tie-broken
+  // assignment); the oracle does NOT re-learn — it applies the
+  // codebook parquet fixture (the q69 merge-table protocol for
+  // vectors). Distances fold left in double in BOTH engines
+  // (aggregate() vs list_reduce — identical addition order, so the
+  // rounded d² is bit-equal), ties broken by centroid id.
+  private val PqM = 8
+  private val PqSubDim = 8 // 64 / PqM
+  private val PqK = 16
+  private val PqIters = 3
+  private val PqFixtureDir = "/tmp/graft_fixtures/pq_codebooks"
+
+  def q73PqEncode(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).select("vec_id", "embedding")
+    val cb = graft.operators.Pq.learnCodebooks(
+      emb, "vec_id", "embedding", PqM, PqK, PqIters)
+    val n = emb.count()
+    import s.implicits._
+    cb.map { case (sub, cid, v) => (sub, cid, v, n) }
+      .toDF("sub", "cid", "cvec", "corpus_vecs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$PqFixtureDir/$n")
+    graft.operators.Pq.encode(emb, "vec_id", "embedding", cb)
+      .orderBy("vec_id")
+  }
+
+  val q73Sql: String = {
+    val codes = (0 until PqM)
+      .map(s0 => s"MAX(CASE WHEN sub = $s0 THEN cid END) AS c$s0")
+      .mkString(",\n ")
+    s"""WITH cb AS (
+       | SELECT sub, cid, cvec FROM read_parquet('$PqFixtureDir/*/*.parquet')
+       | WHERE corpus_vecs = (SELECT count(*) FROM embeddings)),
+       |sv AS (
+       | SELECT vec_id, u.s AS sub,
+       |  embedding[u.s * $PqSubDim + 1 : u.s * $PqSubDim + $PqSubDim] AS subvec
+       | FROM embeddings, unnest(range(0, $PqM)) AS u(s)),
+       |scored AS (
+       | SELECT vec_id, sub, cid,
+       |  round(list_reduce(list_transform(range(1, ${PqSubDim + 1}),
+       |    j -> (CAST(subvec[j] AS DOUBLE) - cvec[j])
+       |       * (CAST(subvec[j] AS DOUBLE) - cvec[j])),
+       |    (a, b) -> a + b), 6) AS d2
+       | FROM sv JOIN cb USING (sub)),
+       |best AS (
+       | SELECT vec_id, sub, cid,
+       |  row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+       | FROM scored)
+       |SELECT vec_id,
+       | $codes
+       |FROM best WHERE rn = 1
+       |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_pq_encode" -> (q73PqEncode _),
     "q26_cosine_topk" -> (q26CosineTopk _),
     "q27_lsh_ann" -> (q27LshAnn _),
     "q28_embed_neardup" -> (q28EmbedNeardup _),
@@ -273,6 +329,7 @@ object QueriesSim {
   )
 
   val oracle: Map[String, String] = Map(
+    "q73_pq_encode" -> q73Sql,
     "q26_cosine_topk" -> q26Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_embed_neardup" -> q28Sql,

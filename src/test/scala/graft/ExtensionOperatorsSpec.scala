@@ -119,6 +119,33 @@ class ExtensionOperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(b.toSet.size == 3 && b(0) == 3L)
   }
 
+  test("PQ: codebooks deterministic; encode separates blobs per subspace") {
+    import graft.operators.Pq
+    val rnd = new scala.util.Random(7)
+    // dim 8, m=2 subspaces of 4: first subspace has two blobs (by
+    // parity), second subspace has two different blobs (by i < 20)
+    val rows = (0 until 40).map { i =>
+      val a = if (i % 2 == 0) Array(1f, 0f, 0f, 0f) else Array(0f, 1f, 0f, 0f)
+      val b = if (i < 20) Array(0f, 0f, 1f, 0f) else Array(0f, 0f, 0f, 1f)
+      (i.toLong, (a ++ b).map(x => x + rnd.nextFloat() * 0.05f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cb1 = Pq.learnCodebooks(df, "vec_id", "embedding", m = 2, k = 2, iters = 3)
+    val cb2 = Pq.learnCodebooks(df, "vec_id", "embedding", m = 2, k = 2, iters = 3)
+    assert(cb1.map { case (s, c, v) => (s, c, v.toSeq) } ==
+      cb2.map { case (s, c, v) => (s, c, v.toSeq) }, "learning must be deterministic")
+    val codes = Pq.encode(df, "vec_id", "embedding", cb1)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(codes.size == 40)
+    // subspace 0 code must track parity; subspace 1 code must track i<20
+    val parity0 = (0 until 40).filter(_ % 2 == 0).map(i => codes(i.toLong)._1).toSet
+    val parity1 = (0 until 40).filter(_ % 2 == 1).map(i => codes(i.toLong)._1).toSet
+    assert(parity0.size == 1 && parity1.size == 1 && parity0 != parity1)
+    val low = (0 until 20).map(i => codes(i.toLong)._2).toSet
+    val high = (20 until 40).map(i => codes(i.toLong)._2).toSet
+    assert(low.size == 1 && high.size == 1 && low != high)
+  }
+
   test("kmeans separates two obvious clusters and assigns all points") {
     val rnd = new scala.util.Random(5)
     // two tight blobs around orthogonal axes in 4d
