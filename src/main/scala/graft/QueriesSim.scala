@@ -278,7 +278,12 @@ object QueriesSim {
   private val PqIters = 3
   private val PqFixtureDir = "/tmp/graft_fixtures/pq_codebooks"
 
-  def q73PqEncode(s: SparkSession, d: String): DataFrame = {
+  /** Learn the PQ codebook and (re-)write its oracle fixture — shared
+    * by q73/q74 so either query is self-sufficient under Verify
+    * (learning is deterministic, so the overwrite is idempotent).
+    */
+  private def pqCodebook(s: SparkSession, d: String)
+      : Seq[(Int, Int, Array[Double])] = {
     val emb = embeddings(s, d).select("vec_id", "embedding")
     val cb = graft.operators.Pq.learnCodebooks(
       emb, "vec_id", "embedding", PqM, PqK, PqIters)
@@ -287,7 +292,13 @@ object QueriesSim {
     cb.map { case (sub, cid, v) => (sub, cid, v, n) }
       .toDF("sub", "cid", "cvec", "corpus_vecs")
       .coalesce(1).write.mode("overwrite").parquet(s"$PqFixtureDir/$n")
-    graft.operators.Pq.encode(emb, "vec_id", "embedding", cb)
+    cb
+  }
+
+  def q73PqEncode(s: SparkSession, d: String): DataFrame = {
+    val cb = pqCodebook(s, d)
+    graft.operators.Pq.encode(embeddings(s, d).select("vec_id", "embedding"),
+        "vec_id", "embedding", cb)
       .orderBy("vec_id")
   }
 
@@ -319,8 +330,66 @@ object QueriesSim {
        |GROUP BY vec_id ORDER BY vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q74 ADC top-k: the PQ search path — exact query subvectors against
+  // the quantized corpus via per-query lookup tables (broadcast onto
+  // the corpus's code rows); per-(query, id) sums ride as integer
+  // micro-distances so the aggregation is order-independent in any
+  // engine. Queries = every 50th vector.
+  private val AdcK = 5
+
+  def q74AdcTopk(s: SparkSession, d: String): DataFrame = {
+    val cb = pqCodebook(s, d)
+    val emb = embeddings(s, d).select("vec_id", "embedding")
+    graft.operators.Pq.adcTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", cb, AdcK)
+      .orderBy("qid", "rank")
+  }
+
+  val q74Sql: String =
+    s"""WITH cb AS (
+       | SELECT sub, cid, cvec FROM read_parquet('$PqFixtureDir/*/*.parquet')
+       | WHERE corpus_vecs = (SELECT count(*) FROM embeddings)),
+       |sv AS (
+       | SELECT vec_id, u.s AS sub,
+       |  embedding[u.s * $PqSubDim + 1 : u.s * $PqSubDim + $PqSubDim] AS subvec
+       | FROM embeddings, unnest(range(0, $PqM)) AS u(s)),
+       |scored AS (
+       | SELECT vec_id, sub, cid,
+       |  round(list_reduce(list_transform(range(1, ${PqSubDim + 1}),
+       |    j -> (CAST(subvec[j] AS DOUBLE) - cvec[j])
+       |       * (CAST(subvec[j] AS DOUBLE) - cvec[j])),
+       |    (a, b) -> a + b), 6) AS d2
+       | FROM sv JOIN cb USING (sub)),
+       |codes AS (
+       | SELECT vec_id AS id, sub, cid FROM (
+       |  SELECT vec_id, sub, cid,
+       |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+       |  FROM scored) WHERE rn = 1),
+       |lut AS (
+       | SELECT q.vec_id AS qid, q.sub, cb.cid,
+       |  CAST(round(list_reduce(list_transform(range(1, ${PqSubDim + 1}),
+       |    j -> (CAST(q.subvec[j] AS DOUBLE) - cb.cvec[j])
+       |       * (CAST(q.subvec[j] AS DOUBLE) - cb.cvec[j])),
+       |    (a, b) -> a + b) * 1000000) AS BIGINT) AS qd2_micro
+       | FROM (SELECT * FROM sv WHERE vec_id % 50 = 0) q
+       | JOIN cb ON cb.sub = q.sub),
+       |adc AS (
+       | SELECT l.qid, c.id, CAST(sum(l.qd2_micro) AS BIGINT) AS adc_micro
+       | FROM codes c JOIN lut l ON l.sub = c.sub AND l.cid = c.cid
+       | GROUP BY 1, 2),
+       |ranked AS (
+       | SELECT qid, id, adc_micro,
+       |  row_number() OVER (PARTITION BY qid ORDER BY adc_micro, id) AS rank
+       | FROM adc)
+       |SELECT qid, CAST(rank AS INT) AS rank, id,
+       | round(adc_micro / 1000000.0, 6) AS adc
+       |FROM ranked WHERE rank <= $AdcK
+       |ORDER BY qid, rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_pq_encode" -> (q73PqEncode _),
+    "q74_adc_topk" -> (q74AdcTopk _),
     "q26_cosine_topk" -> (q26CosineTopk _),
     "q27_lsh_ann" -> (q27LshAnn _),
     "q28_embed_neardup" -> (q28EmbedNeardup _),
@@ -330,6 +399,7 @@ object QueriesSim {
 
   val oracle: Map[String, String] = Map(
     "q73_pq_encode" -> q73Sql,
+    "q74_adc_topk" -> q74Sql,
     "q26_cosine_topk" -> q26Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_embed_neardup" -> q28Sql,

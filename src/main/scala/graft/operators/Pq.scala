@@ -121,4 +121,53 @@ object Pq {
       max(when(col("sub") === s, col("cid"))).cast("int").as(s"c$s"))
     coded.groupBy(idCol).agg(codeCols.head, codeCols.tail: _*)
   }
+
+  /** Asymmetric-distance top-k search: exact query subvectors against
+    * the QUANTIZED corpus — `adc(q, x) = Σ_s d²(q_s, centroid(code_s(x)))`,
+    * the standard PQ query path (one m·K lookup table per query, then
+    * one table lookup per corpus code instead of a d-dim distance).
+    *
+    * Plan shape: the per-query lookup tables (queries × codebook —
+    * tiny) BROADCAST onto the corpus's (id, sub, cid) code rows; the
+    * per-(query, id) sum aggregates MAP-SIDE as integer MICRO distances
+    * (each rounded d² × 10⁶ as a long — float sums in partition order
+    * diverge across engines, the q67 lesson), then one shuffle keyed
+    * (query, id) and a WindowGroupLimit top-k. The corpus contributes
+    * codes, never vectors. At 100 TB a deployment prunes candidates
+    * with IVF first (q36) so the per-query scan touches one probe list,
+    * not the corpus — composition left to the caller, same contract as
+    * ivfProbe.
+    *
+    * Emits (qid, rank, id, adc) — adc rounded back to 6 decimals; ties
+    * broken by id.
+    */
+  def adcTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, codebook: Seq[(Int, Int, Array[Double])],
+              k: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val m = codebook.map(_._1).max + 1
+    val subDim = codebook.head._3.length
+    val cbDf = codebook.toDF("sub", "cid", "cvec")
+    val codes = assign(subvectors(vectors, idCol, vecCol, m, subDim), cbDf, idCol)
+      .select(col(idCol).as("id"), col("sub"), col("cid"))
+    val lut = subvectors(queries, idCol, vecCol, m, subDim)
+      .withColumnRenamed(idCol, "qid")
+      .join(broadcast(cbDf), "sub")
+      .select(col("qid"), col("sub"), col("cid"),
+        // round the SCALED value straight to a long (the q67 pattern):
+        // round-to-6-then-multiply leaves x.99999... doubles that a
+        // truncating cast pushes off by one, differently per engine
+        round(l2sq(col("subvec"), col("cvec")) * 1000000.0)
+          .cast("long").as("__qd2_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("__adc_micro"), col("id"))
+    codes.join(broadcast(lut), Seq("sub", "cid"))
+      .groupBy("qid", "id")
+      .agg(sum("__qd2_micro").as("__adc_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"),
+        round(col("__adc_micro") / 1000000.0, 6).as("adc"))
+  }
 }

@@ -146,6 +146,26 @@ class ExtensionOperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(low.size == 1 && high.size == 1 && low != high)
   }
 
+  test("PQ ADC top-k returns same-blob neighbors") {
+    import graft.operators.Pq
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)
+      else Array(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f)
+      (i.toLong, base.map(x => x + rnd.nextFloat() * 0.05f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cb = Pq.learnCodebooks(df, "vec_id", "embedding", m = 2, k = 2, iters = 3)
+    val out = Pq.adcTopK(df, df.filter($"vec_id" < 2), "vec_id", "embedding",
+        cb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.length == 10) // 2 queries x top-5
+    // every returned neighbor shares the query's blob (parity)
+    out.foreach { case (qid, _, nid) =>
+      assert(nid % 2 == qid % 2, s"query $qid got cross-blob neighbor $nid")
+    }
+  }
+
   test("kmeans separates two obvious clusters and assigns all points") {
     val rnd = new scala.util.Random(5)
     // two tight blobs around orthogonal axes in 4d
