@@ -255,6 +255,46 @@ object QueriesText {
        |ORDER BY doc_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q75 BM25 retrieval: corpus scored against a fixed seed-term set
+  // (the seed-similarity curation pattern), top-20 by (score desc, id).
+  // Per-term double scores are bit-equal across engines (all inputs
+  // exact integers + one exact-ratio avgdl, identical expression
+  // rendering), then micro-integer summed — order-independent.
+  private val Bm25Terms = Seq("table", "query", "join", "spark")
+  private val Bm25TopK = 20
+
+  def q75Bm25(s: SparkSession, d: String): DataFrame =
+    TextStats.bm25Scores(documents(s, d).select("doc_id", "text"),
+        "doc_id", "text", Bm25Terms)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
+
+  val q75Sql: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (
+       | SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+       |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM t),
+       |st AS (
+       | SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+       | FROM d),
+       |h AS (SELECT doc_id, dl, unnest(toks) AS tok FROM d),
+       |tf AS (
+       | SELECT doc_id, dl, tok, count(*) AS tf FROM h
+       | WHERE tok IN ($terms) GROUP BY 1, 2, 3),
+       |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+       |sc AS (
+       | SELECT tf.doc_id,
+       |  CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+       |    * ((tf * (1.2 + 1.0))
+       |       / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)))
+       |    * 1000000) AS BIGINT) AS s
+       | FROM tf JOIN dfq USING (tok), st)
+       |SELECT doc_id, count(*) AS n_hits,
+       | round(CAST(sum(s) AS BIGINT) / 1000000.0, 6) AS score
+       |FROM sc GROUP BY doc_id
+       |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_token_stats" -> (q18TokenStats _),
     "q19_quality_score" -> (q19QualityScore _),
@@ -265,6 +305,7 @@ object QueriesText {
     // (driver records rows-only): DuckDB cannot reproduce xxhash64
     "q53_fingerprint_xx" -> (q53FingerprintXx _),
     "q54_rolling_fingerprint" -> (q54RollingFingerprint _),
+    "q75_bm25" -> (q75Bm25 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -274,5 +315,6 @@ object QueriesText {
     "q21_fingerprint" -> q21Sql,
     "q42_tfidf" -> q42Sql,
     "q54_rolling_fingerprint" -> q54Sql,
+    "q75_bm25" -> q75Sql,
   )
 }

@@ -356,6 +356,54 @@ object TextStats {
     CacheRelease.afterUse(Seq(pairs), out)
   }
 
+  /** BM25 relevance of every document against a fixed query-term set —
+    * the standard retrieval scorer (Lucene formulation), and the
+    * curation pattern behind seed-similarity filtering: score the
+    * corpus against high-quality seed terms, keep the top slice.
+    *
+    * `score(d) = Σ_{t ∈ q ∩ d} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`
+    * with `idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)`.
+    *
+    * Exactness contract: every input to the per-term double expression
+    * is an exact integer (tf, df, dl, N) or the exact ratio avgdl
+    * (long sum / long count), and the expression tree is rendered
+    * identically in the SQL twin — so per-term scores are bit-equal;
+    * they are then rounded to INTEGER millionths and summed as longs
+    * (order-independent — the q67 lesson), one final division.
+    *
+    * Scale shape: one explode filtered to the (tiny) query lexicon —
+    * the corpus text never shuffles; only (id, term, tf) rows for
+    * MATCHING terms move. df and avgdl are broadcast scalars/rows.
+    *
+    * Emits (idCol, n_hits, score) for documents matching ≥1 term.
+    */
+  def bm25Scores(df: DataFrame, idCol: String, textCol: String,
+                 queryTerms: Seq[String],
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val qArr = array(queryTerms.map(lit): _*)
+    val docs = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"), size(col("__toks")).cast("long").as("__dl"))
+    val stats = docs.agg(count(lit(1)).as("__n"),
+      (sum("__dl").cast("double") / count(lit(1))).as("__avgdl"))
+    val hits = docs
+      .select(col(idCol), col("__dl"), explode(col("__toks")).as("__t"))
+      .filter(array_contains(qArr, col("__t")))
+    val tf = hits.groupBy(col(idCol), col("__dl"), col("__t"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val idf = log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0)
+    val sat = (col("__tf") * (k1 + 1.0)) /
+      (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl")))
+    tf.join(broadcast(dfreq), "__t")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        round(idf * sat * 1000000.0).cast("long").as("__s_micro"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits"),
+        round(sum("__s_micro") / 1000000.0, 6).as("score"))
+  }
+
   /** Overlapping token-window chunks of a document (the RAG/indexing
     * chunker): windows of `chunkTokens` tokens starting every
     * `chunkTokens − overlap` tokens, the last window truncating at the

@@ -241,6 +241,22 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(out(3L)._2 - (-1.230449)) < 1e-9, out(3L).toString)
   }
 
+  test("bm25Scores: tf raises, length normalizes, no-hit docs absent") {
+    val df = Seq(
+      (1L, "spark spark spark filler filler filler"),      // tf 3, dl 6
+      (2L, "spark filler filler filler filler filler"),    // tf 1, dl 6
+      // same tf as doc 2 but twice the length: normalization must
+      // score it below doc 2
+      (3L, "spark " + Seq.fill(11)("filler").mkString(" ")),
+      (4L, "nothing relevant here at all")).toDF("doc_id", "text")
+    val out = TextStats.bm25Scores(df, "doc_id", "text", Seq("spark"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "no-hit docs must be absent")
+    assert(out(1L)._2 > out(2L)._2, "higher tf must raise the score")
+    assert(out(2L)._2 > out(3L)._2, "longer doc at equal tf must score lower")
+    assert(out.values.forall(_._1 == 1L), "one matching term per doc")
+  }
+
   test("longestCommonRuns: exact run lengths via diagonal islands; df prune gates") {
     val df = Seq(
       (1L, "p q r s t u v w x y"),
