@@ -241,6 +241,31 @@ object Streaming {
         OutputMode.Append(), timeout)(nearDupStep(horizon, arm))
   }
 
+  /** Streaming test-set decontamination — the §2.9 face of
+    * [[graft.operators.Dedup.contaminatedIds]]: drop arriving documents
+    * sharing any word k-gram with the (static, tiny) benchmark set.
+    * The eval side collapses to a driver-side distinct hash set ONCE
+    * and ships as a literal — the q55 asymmetry taken to its stateless
+    * conclusion: the filter is a pure map-side projection
+    * (`arrays_overlap` over the native one-pass shingle hashes), no
+    * state store, no watermark, trivially valid under `readStream`.
+    * Re-learning a GROWING eval set means restarting the stream with a
+    * new literal — the right trade for a set that changes per release,
+    * not per record.
+    */
+  def decontaminateStream(docs: DataFrame, textCol: String, evalDocs: DataFrame,
+                          k: Int,
+                          mode: graft.operators.TextStats.HashMode =
+                            graft.operators.TextStats.HashMode.EngineXx): DataFrame = {
+    import graft.operators.Dedup
+    val evalHashes = evalDocs
+      .select(explode(Dedup.hashedWordShingles(textCol, k, mode)).as("h"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val evalArr = array(evalHashes.map(lit): _*)
+    docs.filter(!arrays_overlap(
+      Dedup.hashedWordShingles(textCol, k, mode), evalArr))
+  }
+
   /** Batch twin of [[nearDupPairsStream]]'s anchor-star: every bucket
     * member pairs against the bucket's minimum id — the contract the
     * StreamingSpec re-delivery test checks the stream against.

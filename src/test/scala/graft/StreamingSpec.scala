@@ -139,6 +139,32 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(streamed == batch, s"stream $streamed vs batch $batch")
   }
 
+  test("decontaminateStream drops contaminated docs under readStream; batch twin agrees") {
+    implicit val sqlCtx = spark.sqlContext
+    val evalDocs = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val t0 = 1700000000000L
+    def doc(id: Long, text: String, offSec: Int) =
+      StreamingSpec.Doc(id, text, new java.sql.Timestamp(t0 + offSec * 1000L))
+    val d1 = doc(1, "prefix quick brown fox jumps over inner suffix", 0) // 5-gram hit
+    val d2 = doc(2, "quick brown fox only three shared", 1)              // no 5-gram
+    val d3 = doc(3, "completely unrelated text entirely", 2)
+    val stream = MemoryStream[StreamingSpec.Doc]
+    stream.addData(d1, d2, d3)
+    val q = Streaming.decontaminateStream(stream.toDF(), "text", evalDocs, k = 5)
+      .writeStream.format("memory").queryName("decon_out")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.table("decon_out").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L), kept.toString)
+    // batch twin flags exactly the complement
+    val flagged = graft.operators.Dedup.contaminatedIds(
+        Seq(d1, d2, d3).toDF(), evalDocs, "text", "doc_id", k = 5,
+        mode = graft.operators.TextStats.HashMode.EngineXx)
+      .as[Long].collect().toSet
+    assert(flagged == Set(1L))
+  }
+
   test("nearDupStep timeout branch evicts the bucket anchor") {
     import org.apache.spark.sql.streaming.TestGroupState
     val state = TestGroupState.create[Streaming.AnchorState](
