@@ -37,21 +37,26 @@ object QueriesBpe {
   private val PackWindow = 512 // q66's window, now in BPE tokens
   private val PackBucket = 64L
 
-  /** Learn the merge table and (re-)write the oracle fixture — shared
-    * by q69 and q71 so either query is self-sufficient under Verify
+  /** Learn the merge table and write the oracle fixture — shared by
+    * q69 and q71 so either query is self-sufficient under Verify
     * (learning is deterministic: same corpus → byte-identical table →
-    * idempotent fixture overwrite).
+    * idempotent fixture overwrite). Registered in
+    * [[graft.operators.ArtifactCache]]: the merge table is an
+    * immutable function of (corpus, NumMerges), so within one JVM it
+    * is learned once and every consumer pays only the apply cost —
+    * the persisted-model-registry pattern a deployment uses.
     */
-  private def learnAndFixture(s: SparkSession, d: String): Seq[Bpe.Merge] = {
-    val docs = documents(s, d).select("doc_id", "text")
-    val merges = Bpe.learnMerges(Bpe.wordCounts(docs, "text"), NumMerges)
-    val nDocs = docs.count()
-    import s.implicits._
-    merges.map(m => (m.rank, m.left, m.right, nDocs))
-      .toDF("merge_rank", "ml", "mr", "corpus_docs")
-      .coalesce(1).write.mode("overwrite").parquet(s"$FixtureDir/$nDocs")
-    merges
-  }
+  private def learnAndFixture(s: SparkSession, d: String): Seq[Bpe.Merge] =
+    graft.operators.ArtifactCache.getOrLearn(s"bpe:$d:$NumMerges") {
+      val docs = documents(s, d).select("doc_id", "text")
+      val merges = Bpe.learnMerges(Bpe.wordCounts(docs, "text"), NumMerges)
+      val nDocs = docs.count()
+      import s.implicits._
+      merges.map(m => (m.rank, m.left, m.right, nDocs))
+        .toDF("merge_rank", "ml", "mr", "corpus_docs")
+        .coalesce(1).write.mode("overwrite").parquet(s"$FixtureDir/$nDocs")
+      merges
+    }
 
   def q69BpeTokenize(s: SparkSession, d: String): DataFrame = {
     val merges = learnAndFixture(s, d)

@@ -278,22 +278,26 @@ object QueriesSim {
   private val PqIters = 3
   private val PqFixtureDir = "/tmp/graft_fixtures/pq_codebooks"
 
-  /** Learn the PQ codebook and (re-)write its oracle fixture — shared
-    * by q73/q74 so either query is self-sufficient under Verify
+  /** Learn the PQ codebook and write its oracle fixture — shared by
+    * q73/q74 so either query is self-sufficient under Verify
     * (learning is deterministic, so the overwrite is idempotent).
+    * Registered in [[graft.operators.ArtifactCache]]: the codebook is
+    * an immutable function of (corpus, m, K, iters) — learned once per
+    * JVM, the persisted-model-registry pattern.
     */
   private def pqCodebook(s: SparkSession, d: String)
-      : Seq[(Int, Int, Array[Double])] = {
-    val emb = embeddings(s, d).select("vec_id", "embedding")
-    val cb = graft.operators.Pq.learnCodebooks(
-      emb, "vec_id", "embedding", PqM, PqK, PqIters)
-    val n = emb.count()
-    import s.implicits._
-    cb.map { case (sub, cid, v) => (sub, cid, v, n) }
-      .toDF("sub", "cid", "cvec", "corpus_vecs")
-      .coalesce(1).write.mode("overwrite").parquet(s"$PqFixtureDir/$n")
-    cb
-  }
+      : Seq[(Int, Int, Array[Double])] =
+    graft.operators.ArtifactCache.getOrLearn(s"pq:$d:$PqM:$PqK:$PqIters") {
+      val emb = embeddings(s, d).select("vec_id", "embedding")
+      val cb = graft.operators.Pq.learnCodebooks(
+        emb, "vec_id", "embedding", PqM, PqK, PqIters)
+      val n = emb.count()
+      import s.implicits._
+      cb.map { case (sub, cid, v) => (sub, cid, v, n) }
+        .toDF("sub", "cid", "cvec", "corpus_vecs")
+        .coalesce(1).write.mode("overwrite").parquet(s"$PqFixtureDir/$n")
+      cb
+    }
 
   def q73PqEncode(s: SparkSession, d: String): DataFrame = {
     val cb = pqCodebook(s, d)
