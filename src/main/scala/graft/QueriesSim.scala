@@ -391,9 +391,103 @@ object QueriesSim {
        |FROM ranked WHERE rank <= $AdcK
        |ORDER BY qid, rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q76 ANN recall audit: |ADC top-10 ∩ exact-L2 top-10| per query —
+  // the approximation-quality metric a production ANN pipeline tracks
+  // ("measure, don't guess" applied to the PQ path itself). Both
+  // sides are deterministic (rounded distances, id tie-breaks), so
+  // the overlap count is cell-exact across engines.
+  private val RecallK = 10
+
+  def q76AnnRecall(s: SparkSession, d: String): DataFrame = {
+    val cb = pqCodebook(s, d)
+    val emb = embeddings(s, d).select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val adc = graft.operators.Pq.adcTopK(emb, queries,
+        "vec_id", "embedding", cb, RecallK)
+      .select(col("qid"), col("id"))
+    // exact side: brute-force L2 (the q26 broadcast shape), rounded 6,
+    // id tie-break — 40 queries x corpus at sf0.1, trivially bounded
+    val q2 = queries.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val d2 = aggregate(zip_with(col("embedding"), col("qvec"), (x, y) => {
+      val dd = x.cast("double") - y.cast("double")
+      dd * dd
+    }), lit(0.0), (acc, x) => acc + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("__d2"), col("vec_id"))
+    val exact = emb.crossJoin(broadcast(q2))
+      .withColumn("__d2", round(d2, 6))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= RecallK)
+      .select(col("qid"), col("vec_id").as("id"))
+    val overlap = adc.join(exact, Seq("qid", "id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("__n"))
+    queries.select(col("vec_id").as("qid"))
+      .join(overlap, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("__n"), lit(0L)).as("n_overlap"))
+      .orderBy("qid")
+  }
+
+  val q76Sql: String = {
+    val dim = 64
+    s"""WITH cb AS (
+       | SELECT sub, cid, cvec FROM read_parquet('$PqFixtureDir/*/*.parquet')
+       | WHERE corpus_vecs = (SELECT count(*) FROM embeddings)),
+       |sv AS (
+       | SELECT vec_id, u.s AS sub,
+       |  embedding[u.s * $PqSubDim + 1 : u.s * $PqSubDim + $PqSubDim] AS subvec
+       | FROM embeddings, unnest(range(0, $PqM)) AS u(s)),
+       |scored AS (
+       | SELECT vec_id, sub, cid,
+       |  round(list_reduce(list_transform(range(1, ${PqSubDim + 1}),
+       |    j -> (CAST(subvec[j] AS DOUBLE) - cvec[j])
+       |       * (CAST(subvec[j] AS DOUBLE) - cvec[j])),
+       |    (a, b) -> a + b), 6) AS d2
+       | FROM sv JOIN cb USING (sub)),
+       |codes AS (
+       | SELECT vec_id AS id, sub, cid FROM (
+       |  SELECT vec_id, sub, cid,
+       |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+       |  FROM scored) WHERE rn = 1),
+       |lut AS (
+       | SELECT q.vec_id AS qid, q.sub, cb.cid,
+       |  CAST(round(list_reduce(list_transform(range(1, ${PqSubDim + 1}),
+       |    j -> (CAST(q.subvec[j] AS DOUBLE) - cb.cvec[j])
+       |       * (CAST(q.subvec[j] AS DOUBLE) - cb.cvec[j])),
+       |    (a, b) -> a + b) * 1000000) AS BIGINT) AS qd2_micro
+       | FROM (SELECT * FROM sv WHERE vec_id % 50 = 0) q
+       | JOIN cb ON cb.sub = q.sub),
+       |adct AS (
+       | SELECT qid, id FROM (
+       |  SELECT l.qid, c.id,
+       |   row_number() OVER (PARTITION BY l.qid
+       |     ORDER BY sum(l.qd2_micro), c.id) AS rank
+       |  FROM codes c JOIN lut l ON l.sub = c.sub AND l.cid = c.cid
+       |  GROUP BY l.qid, c.id) WHERE rank <= $RecallK),
+       |ex AS (
+       | SELECT q.vec_id AS qid, e.vec_id AS id,
+       |  round(list_reduce(list_transform(range(1, ${dim + 1}),
+       |    j -> (CAST(q.embedding[j] AS DOUBLE) - CAST(e.embedding[j] AS DOUBLE))
+       |       * (CAST(q.embedding[j] AS DOUBLE) - CAST(e.embedding[j] AS DOUBLE))),
+       |    (a, b) -> a + b), 6) AS d2
+       | FROM (SELECT * FROM embeddings WHERE vec_id % 50 = 0) q, embeddings e),
+       |ext AS (
+       | SELECT qid, id FROM (
+       |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY d2, id) AS rn
+       |  FROM ex) WHERE rn <= $RecallK),
+       |o AS (
+       | SELECT a.qid, count(*) AS n FROM adct a JOIN ext USING (qid, id)
+       | GROUP BY 1)
+       |SELECT q.vec_id AS qid, coalesce(o.n, 0) AS n_overlap
+       |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0) q
+       |LEFT JOIN o ON o.qid = q.vec_id
+       |ORDER BY qid""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_pq_encode" -> (q73PqEncode _),
     "q74_adc_topk" -> (q74AdcTopk _),
+    "q76_ann_recall" -> (q76AnnRecall _),
     "q26_cosine_topk" -> (q26CosineTopk _),
     "q27_lsh_ann" -> (q27LshAnn _),
     "q28_embed_neardup" -> (q28EmbedNeardup _),
@@ -404,6 +498,7 @@ object QueriesSim {
   val oracle: Map[String, String] = Map(
     "q73_pq_encode" -> q73Sql,
     "q74_adc_topk" -> q74Sql,
+    "q76_ann_recall" -> q76Sql,
     "q26_cosine_topk" -> q26Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_embed_neardup" -> q28Sql,
