@@ -396,13 +396,18 @@ object QueriesSim {
   // the approximation-quality metric a production ANN pipeline tracks
   // ("measure, don't guess" applied to the PQ path itself). Both
   // sides are deterministic (rounded distances, id tie-breaks), so
-  // the overlap count is cell-exact across engines.
+  // the overlap count is cell-exact across engines. The probe panel
+  // is a FIXED id range (% 50 under 1000), not a corpus-scaling
+  // fraction: an audit's exact side is brute force by definition, so
+  // its query set must stay bounded as the corpus grows — with the
+  // %-only filter the exact pairs grew quadratically under scale-up
+  // (measured 18× wall at 10×; bounded panel: exact side linear).
   private val RecallK = 10
 
   def q76AnnRecall(s: SparkSession, d: String): DataFrame = {
     val cb = pqCodebook(s, d)
     val emb = embeddings(s, d).select("vec_id", "embedding")
-    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val queries = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1000)
     val adc = graft.operators.Pq.adcTopK(emb, queries,
         "vec_id", "embedding", cb, RecallK)
       .select(col("qid"), col("id"))
@@ -455,7 +460,7 @@ object QueriesSim {
        |    j -> (CAST(q.subvec[j] AS DOUBLE) - cb.cvec[j])
        |       * (CAST(q.subvec[j] AS DOUBLE) - cb.cvec[j])),
        |    (a, b) -> a + b) * 1000000) AS BIGINT) AS qd2_micro
-       | FROM (SELECT * FROM sv WHERE vec_id % 50 = 0) q
+       | FROM (SELECT * FROM sv WHERE vec_id % 50 = 0 AND vec_id < 1000) q
        | JOIN cb ON cb.sub = q.sub),
        |adct AS (
        | SELECT qid, id FROM (
@@ -470,7 +475,7 @@ object QueriesSim {
        |    j -> (CAST(q.embedding[j] AS DOUBLE) - CAST(e.embedding[j] AS DOUBLE))
        |       * (CAST(q.embedding[j] AS DOUBLE) - CAST(e.embedding[j] AS DOUBLE))),
        |    (a, b) -> a + b), 6) AS d2
-       | FROM (SELECT * FROM embeddings WHERE vec_id % 50 = 0) q, embeddings e),
+       | FROM (SELECT * FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 1000) q, embeddings e),
        |ext AS (
        | SELECT qid, id FROM (
        |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY d2, id) AS rn
@@ -479,7 +484,7 @@ object QueriesSim {
        | SELECT a.qid, count(*) AS n FROM adct a JOIN ext USING (qid, id)
        | GROUP BY 1)
        |SELECT q.vec_id AS qid, coalesce(o.n, 0) AS n_overlap
-       |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0) q
+       |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 1000) q
        |LEFT JOIN o ON o.qid = q.vec_id
        |ORDER BY qid""".stripMargin
   }
