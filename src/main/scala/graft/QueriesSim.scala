@@ -489,10 +489,115 @@ object QueriesSim {
        |ORDER BY qid""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q77 IVF-PQ: the Faiss-style composed index, and the proof of the
+  // §6.1 claim that a deployment "composes IVF pruning in front of
+  // ADC" — coarse quantizer prunes to the query's top-2 probe lists
+  // (q36's machinery), then ADC ranks ONLY candidates inside those
+  // lists against the quantized codes (q73/q74's machinery). The ADC
+  // scan cost per query drops from |corpus| to |probed lists|; at a
+  // 1000-list deployment that is the ~500× difference between an
+  // index and a scan. Bounded probe panel (the q76 lesson).
+  private val IvfPqK = 3
+
+  def q77IvfPqTopk(s: SparkSession, d: String): DataFrame = {
+    val cb = pqCodebook(s, d)
+    val emb = embeddings(s, d).select("vec_id", "embedding")
+    val centroids = emb.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").as("cid"), col("embedding"))
+    val assigned = Similarity.ivfAssign(emb, centroids, "vec_id", "embedding")
+      .select(col("vec_id").as("nid"), col("cid"))
+    val queries = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1000)
+    val probes = Similarity.ivfProbe(queries, centroids,
+        "vec_id", "embedding", IvfProbes)
+      .select(col("qid"), col("cid"))
+    val cands = probes.join(assigned, "cid")
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid")
+    val codes = graft.operators.Pq.codeRows(emb, "vec_id", "embedding", cb)
+    val lut = graft.operators.Pq.queryLut(queries, "vec_id", "embedding", cb)
+    val w = Window.partitionBy("qid").orderBy(col("__adc_micro"), col("nid"))
+    cands
+      .join(codes.withColumnRenamed("id", "nid"), "nid")
+      .join(broadcast(lut), Seq("qid", "sub", "cid"))
+      .groupBy("qid", "nid")
+      .agg(sum("__qd2_micro").as("__adc_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= IvfPqK)
+      .select(col("qid"), col("rank"), col("nid"),
+        round(col("__adc_micro") / 1000000.0, 6).as("adc"))
+      .orderBy("qid", "rank")
+  }
+
+  val q77Sql: String =
+    s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+       |cent AS (
+       | SELECT vec_id AS ccid, embedding AS ccvec FROM emb
+       | WHERE vec_id < $IvfK),
+       |assigned AS (
+       | SELECT vec_id AS nid, ccid FROM (
+       |  SELECT e.vec_id, c.ccid,
+       |   row_number() OVER (PARTITION BY e.vec_id
+       |     ORDER BY round(${cosSql("e.embedding", "c.ccvec")}, 6) DESC, c.ccid) AS r
+       |  FROM emb e CROSS JOIN cent c) t WHERE r = 1),
+       |probes AS (
+       | SELECT qid, ccid FROM (
+       |  SELECT e.vec_id AS qid, c.ccid,
+       |   row_number() OVER (PARTITION BY e.vec_id
+       |     ORDER BY round(${cosSql("e.embedding", "c.ccvec")}, 6) DESC, c.ccid) AS r
+       |  FROM emb e CROSS JOIN cent c
+       |  WHERE e.vec_id % 50 = 0 AND e.vec_id < 1000) t
+       | WHERE r <= $IvfProbes),
+       |cands AS (
+       | SELECT p.qid, a.nid FROM probes p JOIN assigned a USING (ccid)
+       | WHERE p.qid != a.nid),
+       |cb AS (
+       | SELECT sub, cid, cvec FROM read_parquet('$PqFixtureDir/*/*.parquet')
+       | WHERE corpus_vecs = (SELECT count(*) FROM embeddings)),
+       |sv AS (
+       | SELECT vec_id, u.s AS sub,
+       |  embedding[u.s * $PqSubDim + 1 : u.s * $PqSubDim + $PqSubDim] AS subvec
+       | FROM embeddings, unnest(range(0, $PqM)) AS u(s)),
+       |scored AS (
+       | SELECT vec_id, sub, cid,
+       |  round(list_reduce(list_transform(range(1, ${PqSubDim + 1}),
+       |    j -> (CAST(subvec[j] AS DOUBLE) - cvec[j])
+       |       * (CAST(subvec[j] AS DOUBLE) - cvec[j])),
+       |    (a, b) -> a + b), 6) AS d2
+       | FROM sv JOIN cb USING (sub)),
+       |codes AS (
+       | SELECT vec_id AS nid, sub, cid FROM (
+       |  SELECT vec_id, sub, cid,
+       |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+       |  FROM scored) WHERE rn = 1),
+       |lut AS (
+       | SELECT q.vec_id AS qid, q.sub, cb.cid,
+       |  CAST(round(list_reduce(list_transform(range(1, ${PqSubDim + 1}),
+       |    j -> (CAST(q.subvec[j] AS DOUBLE) - cb.cvec[j])
+       |       * (CAST(q.subvec[j] AS DOUBLE) - cb.cvec[j])),
+       |    (a, b) -> a + b) * 1000000) AS BIGINT) AS qd2_micro
+       | FROM (SELECT * FROM sv WHERE vec_id % 50 = 0 AND vec_id < 1000) q
+       | JOIN cb ON cb.sub = q.sub),
+       |adc AS (
+       | SELECT x.qid, x.nid, CAST(sum(l.qd2_micro) AS BIGINT) AS adc_micro
+       | FROM cands x
+       | JOIN codes c ON c.nid = x.nid
+       | JOIN lut l ON l.qid = x.qid AND l.sub = c.sub AND l.cid = c.cid
+       | GROUP BY 1, 2),
+       |ranked AS (
+       | SELECT qid, nid, adc_micro,
+       |  row_number() OVER (PARTITION BY qid ORDER BY adc_micro, nid) AS rank
+       | FROM adc)
+       |SELECT qid, CAST(rank AS INT) AS rank, nid,
+       | round(adc_micro / 1000000.0, 6) AS adc
+       |FROM ranked WHERE rank <= $IvfPqK
+       |ORDER BY qid, rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_pq_encode" -> (q73PqEncode _),
     "q74_adc_topk" -> (q74AdcTopk _),
     "q76_ann_recall" -> (q76AnnRecall _),
+    "q77_ivfpq_topk" -> (q77IvfPqTopk _),
     "q26_cosine_topk" -> (q26CosineTopk _),
     "q27_lsh_ann" -> (q27LshAnn _),
     "q28_embed_neardup" -> (q28EmbedNeardup _),
@@ -504,6 +609,7 @@ object QueriesSim {
     "q73_pq_encode" -> q73Sql,
     "q74_adc_topk" -> q74Sql,
     "q76_ann_recall" -> q76Sql,
+    "q77_ivfpq_topk" -> q77Sql,
     "q26_cosine_topk" -> q26Sql,
     "q27_lsh_ann" -> q27Sql,
     "q28_embed_neardup" -> q28Sql,

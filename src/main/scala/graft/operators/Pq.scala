@@ -141,25 +141,46 @@ object Pq {
     * Emits (qid, rank, id, adc) — adc rounded back to 6 decimals; ties
     * broken by id.
     */
-  def adcTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, codebook: Seq[(Int, Int, Array[Double])],
-              k: Int): DataFrame = {
+  /** (id, sub, cid) code rows for every vector — the quantized corpus
+    * representation the ADC paths join against.
+    */
+  def codeRows(vectors: DataFrame, idCol: String, vecCol: String,
+               codebook: Seq[(Int, Int, Array[Double])]): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val m = codebook.map(_._1).max + 1
     val subDim = codebook.head._3.length
     val cbDf = codebook.toDF("sub", "cid", "cvec")
-    val codes = assign(subvectors(vectors, idCol, vecCol, m, subDim), cbDf, idCol)
+    assign(subvectors(vectors, idCol, vecCol, m, subDim), cbDf, idCol)
       .select(col(idCol).as("id"), col("sub"), col("cid"))
-    val lut = subvectors(queries, idCol, vecCol, m, subDim)
+  }
+
+  /** Per-query ADC lookup table: (qid, sub, cid, __qd2_micro) — the
+    * exact query subvector's distance to every centroid, as an integer
+    * micro value (rounded SCALED, the q67 pattern: round-to-6 then
+    * multiply leaves x.99999… doubles that a truncating cast pushes
+    * off by one, differently per engine).
+    */
+  def queryLut(queries: DataFrame, idCol: String, vecCol: String,
+               codebook: Seq[(Int, Int, Array[Double])]): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val m = codebook.map(_._1).max + 1
+    val subDim = codebook.head._3.length
+    val cbDf = codebook.toDF("sub", "cid", "cvec")
+    subvectors(queries, idCol, vecCol, m, subDim)
       .withColumnRenamed(idCol, "qid")
       .join(broadcast(cbDf), "sub")
       .select(col("qid"), col("sub"), col("cid"),
-        // round the SCALED value straight to a long (the q67 pattern):
-        // round-to-6-then-multiply leaves x.99999... doubles that a
-        // truncating cast pushes off by one, differently per engine
         round(l2sq(col("subvec"), col("cvec")) * 1000000.0)
           .cast("long").as("__qd2_micro"))
+  }
+
+  def adcTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, codebook: Seq[(Int, Int, Array[Double])],
+              k: Int): DataFrame = {
+    val codes = codeRows(vectors, idCol, vecCol, codebook)
+    val lut = queryLut(queries, idCol, vecCol, codebook)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("__adc_micro"), col("id"))
     codes.join(broadcast(lut), Seq("sub", "cid"))
