@@ -191,6 +191,62 @@ object QueriesText {
        |FROM h ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q78 true winnowing (Schleimer et al. 2003, the MOSS fingerprint):
+  // slide a w-window over the q54 rolling-hash sequence and keep each
+  // window's MINIMUM — guarantees any shared substring of length
+  // >= w + k - 1 contributes at least one matching fingerprint, while
+  // storing ~1/w of the hashes (q21's min/max sketch keeps 2 per doc;
+  // this keeps a robust local set). Selection = distinct window minima
+  // (position-blind set form); all codegen'd array HOFs over the SAME
+  // rolling-hash expression q54 verifies, so the oracle only adds the
+  // windowed-min/list algebra. Docs shorter than one hash window take
+  // the global minimum (slice truncation, mirrored in SQL).
+  private val WinW = 4
+
+  def q78Winnowing(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), TextStats.normalize(col("text")).as("norm"))
+      .filter(length(col("norm")) >= RhK)
+      .select(col("doc_id"),
+        graft.functions.RollingHashExpr.rollingHashes(col("norm"), RhK)
+          .as("rh"))
+      .select(col("doc_id"), col("rh"),
+        array_sort(array_distinct(transform(
+          sequence(lit(1), greatest(size(col("rh")) - (WinW - 1), lit(1))),
+          i => array_min(slice(col("rh"), i, lit(WinW)))))).as("fps"))
+      .select(col("doc_id"),
+        size(col("rh")).cast("long").as("n_windows"),
+        size(col("fps")).cast("long").as("n_fingerprints"),
+        md5(concat_ws(",", col("fps")).cast("binary")).as("fps_md5"))
+      .orderBy("doc_id")
+
+  val q78Sql: String = {
+    val B = graft.functions.RollingHashExpr.Base
+    val M = graft.functions.RollingHashExpr.Mod
+    val pows = (0 until RhK).scanLeft(1L)((p, _) => p * B % M)
+    val terms = (0 until RhK).map { j =>
+      s"CAST(ascii(substr(norm, i + $j, 1)) AS BIGINT) * ${pows(RhK - 1 - j)}"
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, $normSql AS norm FROM documents),
+       |h AS (
+       | SELECT doc_id,
+       |  list_transform(range(1, len(norm) - ${RhK - 2}),
+       |    i -> ($terms) % $M) AS rh
+       | FROM t WHERE len(norm) >= $RhK),
+       |w AS (
+       | SELECT doc_id, rh,
+       |  list_sort(list_distinct(list_transform(
+       |    range(1, greatest(len(rh) - ${WinW - 1}, 1) + 1),
+       |    i -> list_min(rh[i:i + ${WinW - 1}])))) AS fps
+       | FROM h)
+       |SELECT doc_id,
+       | CAST(len(rh) AS BIGINT) AS n_windows,
+       | CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       | md5(array_to_string(fps, ',')) AS fps_md5
+       |FROM w ORDER BY doc_id""".stripMargin
+  }
+
   /** Deployment-hash twin of q21 ([[graft.operators.TextStats.HashMode]]
     * EngineXx): the ~300 per-doc digests run through xxhash64 instead of
     * md5 — NOT oracle-checkable by design (no xxhash64 in DuckDB); it
@@ -306,6 +362,7 @@ object QueriesText {
     "q53_fingerprint_xx" -> (q53FingerprintXx _),
     "q54_rolling_fingerprint" -> (q54RollingFingerprint _),
     "q75_bm25" -> (q75Bm25 _),
+    "q78_winnowing" -> (q78Winnowing _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -316,5 +373,6 @@ object QueriesText {
     "q42_tfidf" -> q42Sql,
     "q54_rolling_fingerprint" -> q54Sql,
     "q75_bm25" -> q75Sql,
+    "q78_winnowing" -> q78Sql,
   )
 }

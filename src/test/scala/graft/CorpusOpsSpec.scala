@@ -241,6 +241,28 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(out(3L)._2 - (-1.230449)) < 1e-9, out(3L).toString)
   }
 
+  test("winnowing guarantee: docs sharing >= w+k-1 chars share a fingerprint") {
+    // the Schleimer et al. guarantee: a shared substring of length
+    // >= w + k - 1 (= 11 at k=8, w=4) spans at least one full window
+    // of k-gram hashes in BOTH docs, so the window minimum matches
+    val (k, w) = (8, 4)
+    def fps(text: String): Set[Long] = {
+      val df = Seq(Tuple1(text)).toDF("text")
+      df.select(graft.functions.RollingHashExpr.rollingHashes(
+          TextStats.normalize(col("text")), k).as("rh"))
+        .select(array_distinct(transform(
+          sequence(lit(1), greatest(size(col("rh")) - (w - 1), lit(1))),
+          i => array_min(slice(col("rh"), i, lit(w))))).as("f"))
+        .as[Seq[Long]].head().toSet
+    }
+    val shared = "the shared substring lives here"
+    val a = fps(s"aaaa qqq $shared zz ww")
+    val b = fps(s"bbbb kkk pp $shared yy xx")
+    assert((a & b).nonEmpty, "long shared substring must share a fingerprint")
+    val c = fps("completely different content with nothing in common at all")
+    assert((a & c).isEmpty, "unrelated docs must not share fingerprints")
+  }
+
   test("bm25Scores: tf raises, length normalizes, no-hit docs absent") {
     val df = Seq(
       (1L, "spark spark spark filler filler filler"),      // tf 3, dl 6
