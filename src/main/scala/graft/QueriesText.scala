@@ -212,9 +212,12 @@ object QueriesText {
         graft.functions.RollingHashExpr.rollingHashes(col("norm"), RhK)
           .as("rh"))
       .select(col("doc_id"), col("rh"),
-        array_sort(array_distinct(transform(
-          sequence(lit(1), greatest(size(col("rh")) - (WinW - 1), lit(1))),
-          i => array_min(slice(col("rh"), i, lit(WinW)))))).as("fps"))
+        // native O(n) monotonic-deque sliding min — the HOF form
+        // (transform + array_min(slice)) allocates a w-slice per
+        // window; spec-verified element-identical
+        array_sort(array_distinct(
+          graft.functions.SlidingMinExpr.slidingMin(col("rh"), WinW)))
+          .as("fps"))
       .select(col("doc_id"),
         size(col("rh")).cast("long").as("n_windows"),
         size(col("fps")).cast("long").as("n_fingerprints"),

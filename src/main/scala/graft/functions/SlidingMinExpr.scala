@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native Catalyst expression: minimum of every `w`-wide sliding window
+  * over a long array, in ONE O(n) pass (monotonic-deque algorithm).
+  *
+  * Replaces `transform(sequence(1, n-w+1), i -> array_min(slice(a, i, w)))`
+  * — which allocates a w-element slice array PER WINDOW and scans it
+  * (O(n·w) time, O(n·w) allocation; measured ~4× the whole q78
+  * projection at sf0.1). The deque holds indices of candidate minima:
+  * each element enters and leaves at most once.
+  *
+  * Arrays shorter than `w` yield one element (the global minimum) —
+  * the same clamp as the slice-truncation formulation and the SQL
+  * twin. Output order is window order (index = window start).
+  */
+case class SlidingMinExpr(child: Expression, w: Int) extends UnaryExpression {
+
+  require(w >= 1, s"window width must be >= 1, got $w")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"sliding_min expects array<bigint>, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    SlidingMinExpr.compute(a.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SlidingMinExpr.compute($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): SlidingMinExpr =
+    copy(child = newChild)
+}
+
+object SlidingMinExpr {
+
+  def compute(arr: ArrayData, w: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
+    val count = math.max(n - w + 1, 1)
+    val out = new Array[Long](count)
+    // deque of indices with increasing values; head = current window min
+    val deque = new Array[Int](n)
+    var head = 0
+    var tail = 0 // exclusive
+    var i = 0
+    while (i < n) {
+      val v = arr.getLong(i)
+      while (tail > head && arr.getLong(deque(tail - 1)) >= v) tail -= 1
+      deque(tail) = i
+      tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) out(i - w + 1) = arr.getLong(deque(head))
+      i += 1
+    }
+    // short array: emit the single global minimum
+    if (n < w) out(0) = arr.getLong(deque(head))
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Column-API entry. */
+  def slidingMin(arr: Column, w: Int): Column =
+    GraftBridge.column(SlidingMinExpr(GraftBridge.expression(arr), w))
+}

@@ -241,6 +241,27 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(out(3L)._2 - (-1.230449)) < 1e-9, out(3L).toString)
   }
 
+  test("SlidingMinExpr == transform/array_min/slice on random arrays incl. short ones") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 60).map { i =>
+      val n = 1 + rnd.nextInt(20)
+      (i.toLong, Seq.fill(n)(rnd.nextLong() & 0x7fffffffffffffffL))
+    }
+    for (w <- Seq(1, 3, 4, 7)) {
+      val out = rows.toDF("id", "a")
+        .select(col("id"),
+          graft.functions.SlidingMinExpr.slidingMin(col("a"), w).as("native"),
+          transform(
+            sequence(lit(1), greatest(size(col("a")) - (w - 1), lit(1))),
+            i => array_min(slice(col("a"), i, lit(w)))).as("hof"))
+        .collect()
+      out.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"w=$w id=${r.getLong(0)}: ${r.getSeq[Long](1)} vs ${r.getSeq[Long](2)}")
+      }
+    }
+  }
+
   test("winnowing guarantee: docs sharing >= w+k-1 chars share a fingerprint") {
     // the Schleimer et al. guarantee: a shared substring of length
     // >= w + k - 1 (= 11 at k=8, w=4) spans at least one full window
