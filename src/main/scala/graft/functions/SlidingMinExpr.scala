@@ -27,9 +27,12 @@ case class SlidingMinExpr(child: Expression, w: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
-      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      // nullable elements rejected: compute() reads with getLong, which
+      // would silently turn a null slot into 0 and corrupt window minima.
+      // Producers (RollingHashExpr) emit containsNull = false.
+      case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
       case t => TypeCheckResult.TypeCheckFailure(
-        s"sliding_min expects array<bigint>, got ${t.simpleString}")
+        s"sliding_min expects array<bigint> with non-null elements, got ${t.simpleString}")
     }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

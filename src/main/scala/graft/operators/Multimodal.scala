@@ -120,8 +120,24 @@ object Multimodal {
   def repartitionByPayload(media: DataFrame, byteCol: String,
                            targetBytes: Long,
                            sampleFraction: Double = 0.01): DataFrame = {
+    // The metadata shortcut is only valid for a BARE scan: inputFiles
+    // reflects the backing table regardless of filters/projections, so
+    // a filtered frame (say 1% of rows kept) would be sized to the
+    // whole table. Anything but a leaf (modulo aliases) falls through
+    // to the row sample, which sees the filtered rows.
+    val bareScan = {
+      import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+      def unwrap(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+          : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = p match {
+        case SubqueryAlias(_, c) => unwrap(c)
+        case other => other
+      }
+      unwrap(media.queryExecution.analyzed).children.isEmpty
+    }
     val fileBytes: Option[Long] = {
-      val files = try media.inputFiles catch { case _: Exception => Array.empty[String] }
+      val files =
+        if (!bareScan) Array.empty[String]
+        else try media.inputFiles catch { case _: Exception => Array.empty[String] }
       if (files.isEmpty) None
       else {
         val conf = media.sparkSession.sessionState.newHadoopConf()

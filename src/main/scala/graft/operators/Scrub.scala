@@ -184,39 +184,59 @@ object Scrub {
     * — a per-suffix anti-join would only drop the matching suffix
     * twin).
     *
-    * Plan shape: corpus → project (id, suffix-chain) → explode →
-    * broadcast LEFT-SEMI against the blocklist (map-side, yields the
-    * set of blocked ids) → LEFT-ANTI of the corpus against those ids.
-    * The anti-join side is SIZE-GATED at runtime (the `fewGroups`
-    * precedent in [[Extents.extentsBy]], but automatic): the blocked-id
-    * set is persisted and counted once — at or under
-    * `maxBroadcastIds` it BROADCASTS and the subtraction stays
-    * map-side (zero corpus shuffles, the common blocklist-prunes-a-
-    * minority case); above it (a blocklist matching a large corpus
-    * fraction, where a forced broadcast would overflow executor
-    * memory) the subtraction flips to a shuffle anti-join — slower,
-    * bounded everywhere. The persisted set is released by
-    * [[CacheRelease]] after the first consuming action.
+    * Plan shape, chosen by the size of the BLOCKLIST (a planner-side
+    * `count()` of the tiny domain table — ~free, unlike a pass over
+    * the corpus):
+    *
+    *  - at or under `maxInlineDomains` (the overwhelmingly common
+    *    case — real blocklists are thousands of domains), the domains
+    *    collect to the driver and the filter is a PURE MAP-SIDE
+    *    projection: `NOT exists(suffix-chain, d -> d IN <set>)`
+    *    (Catalyst rewrites the literal IN to a hash-set `InSet`).
+    *    ONE corpus scan, zero joins, zero extra jobs — the blocked-id
+    *    set is never materialized, so there is nothing to size-gate.
+    *  - above it, the join formulation: corpus → project (id,
+    *    suffix-chain) → explode → broadcast LEFT-SEMI against the
+    *    blocklist (yields the blocked ids) → LEFT-ANTI of the corpus
+    *    against those ids, with the anti-join side SIZE-GATED at
+    *    runtime (persist + count once — at or under `maxBroadcastIds`
+    *    it BROADCASTS and the subtraction stays map-side; above it,
+    *    where a forced broadcast would overflow executor memory, it
+    *    flips to a shuffle anti-join — slower, bounded everywhere).
+    *    The persisted set is released by [[CacheRelease]] after the
+    *    first consuming action.
+    *
+    * Both paths assume `idCol` is a per-row identity (unique): the
+    * inline path drops a row on ITS OWN url, the join path drops by
+    * id — identical under uniqueness.
     */
   def domainFilter(df: DataFrame, urlCol: String, idCol: String,
                    blocklist: DataFrame,
-                   maxBroadcastIds: Long = 2000000L): DataFrame = {
+                   maxBroadcastIds: Long = 2000000L,
+                   maxInlineDomains: Long = 65536L): DataFrame = {
     val blocked = blocklist.toDF("__dom")
-    val blockedIds = df
-      .select(col(idCol),
-        explode(hostSuffixChain(hostOf(col(urlCol)))).as("__dom"))
-      .join(broadcast(blocked), Seq("__dom"), "left_semi")
-      .select(idCol).distinct()
-      .persist()
-    // one eager pass over the corpus scan computes the set for BOTH the
-    // gate count and the anti-join (persist barrier; MEMORY_AND_DISK, so
-    // an over-threshold set spills rather than OOMs)
-    val nBlocked = blockedIds.count()
-    val kept =
-      if (nBlocked <= maxBroadcastIds)
-        df.join(broadcast(blockedIds), Seq(idCol), "left_anti")
-      else
-        df.join(blockedIds.hint("shuffle_merge"), Seq(idCol), "left_anti")
-    CacheRelease.afterUse(Seq(blockedIds), kept)
+    if (blocked.count() <= maxInlineDomains) {
+      val doms = blocked.collect().map(_.getString(0)).toIndexedSeq
+      if (doms.isEmpty) df
+      else df.filter(!exists(hostSuffixChain(hostOf(col(urlCol))),
+        d => d.isin(doms: _*)))
+    } else {
+      val blockedIds = df
+        .select(col(idCol),
+          explode(hostSuffixChain(hostOf(col(urlCol)))).as("__dom"))
+        .join(broadcast(blocked), Seq("__dom"), "left_semi")
+        .select(idCol).distinct()
+        .persist()
+      // one eager pass over the corpus scan computes the set for BOTH the
+      // gate count and the anti-join (persist barrier; MEMORY_AND_DISK, so
+      // an over-threshold set spills rather than OOMs)
+      val nBlocked = blockedIds.count()
+      val kept =
+        if (nBlocked <= maxBroadcastIds)
+          df.join(broadcast(blockedIds), Seq(idCol), "left_anti")
+        else
+          df.join(blockedIds.hint("shuffle_merge"), Seq(idCol), "left_anti")
+      CacheRelease.afterUse(Seq(blockedIds), kept)
+    }
   }
 }

@@ -220,8 +220,19 @@ object Streaming {
                            GroupStateTimeout.EventTimeTimeout()): Dataset[PairOut] = {
     import docs.sparkSession.implicits._
     import graft.operators.Dedup
+    // Only event-time eviction (or none, for deterministic tests) is
+    // supported: nearDupStep arms event-time timeouts off the watermark,
+    // so a ProcessingTimeTimeout would silently never evict (the
+    // unbounded-store blow-up nearDupStep's doc warns about).
+    require(timeout == GroupStateTimeout.EventTimeTimeout()
+      || timeout == GroupStateTimeout.NoTimeout(),
+      s"nearDupPairsStream supports EventTimeTimeout or NoTimeout, got $timeout")
     val horizonMs = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(watermark))
+    // months are calendar-relative (28-31 days) and cannot convert to a
+    // fixed millisecond horizon — reject rather than silently drop them
+    require(horizonMs.months == 0,
+      s"watermark interval must not carry a months component, got '$watermark'")
     val horizon = horizonMs.days * 86400000L + horizonMs.microseconds / 1000L
     val arm = timeout == GroupStateTimeout.EventTimeTimeout()
     val shingled = docs
@@ -261,7 +272,7 @@ object Streaming {
     val evalHashes = evalDocs
       .select(explode(Dedup.hashedWordShingles(textCol, k, mode)).as("h"))
       .distinct().collect().map(_.getLong(0)).sorted
-    val evalArr = array(evalHashes.map(lit): _*)
+    val evalArr = array(evalHashes.toIndexedSeq.map(lit): _*)
     docs.filter(!arrays_overlap(
       Dedup.hashedWordShingles(textCol, k, mode), evalArr))
   }

@@ -347,7 +347,7 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
     assert(bi(1L)._1 == 6 && bi(1L)._2 == 5, bi(1L).toString)
   }
 
-  test("domainFilter: broadcast and shuffle anti-join paths agree") {
+  test("domainFilter: inline, broadcast, and shuffle anti-join paths agree") {
     val urls = (1L to 40L).map { i =>
       val host = if (i % 4 == 0) "ads.bad.com"
       else if (i % 4 == 1) "bad.com"
@@ -355,13 +355,15 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
       (i, s"https://$host/p/$i")
     }.toDF("doc_id", "url")
     val block = Seq("bad.com").toDF("domain")
-    def kept(maxBroadcast: Long) =
-      Scrub.domainFilter(urls, "url", "doc_id", block, maxBroadcast)
+    def kept(maxBroadcast: Long, maxInline: Long) =
+      Scrub.domainFilter(urls, "url", "doc_id", block, maxBroadcast, maxInline)
         .select("doc_id").as[Long].collect().sorted.toSeq
-    val viaBroadcast = kept(Long.MaxValue)
-    val viaShuffle = kept(0L) // gate forces the shuffle anti-join
+    val viaInline = kept(Long.MaxValue, Long.MaxValue)
+    val viaBroadcast = kept(Long.MaxValue, 0L) // inline gate forces the join path
+    val viaShuffle = kept(0L, 0L) // id gate then forces the shuffle anti-join
+    assert(viaInline == viaBroadcast)
     assert(viaBroadcast == viaShuffle)
-    assert(viaBroadcast == (1L to 40L).filterNot(i => i % 4 == 0 || i % 4 == 1))
+    assert(viaInline == (1L to 40L).filterNot(i => i % 4 == 0 || i % 4 == 1))
   }
 
   test("chunkDocuments: overlap, truncation, and short-doc behavior") {
