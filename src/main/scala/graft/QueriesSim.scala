@@ -413,24 +413,7 @@ object QueriesSim {
       .select(col("qid"), col("id"))
     // exact side: brute-force L2 (the q26 broadcast shape), rounded 6,
     // id tie-break — 40 queries x corpus at sf0.1, trivially bounded
-    val q2 = queries.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val d2 = aggregate(zip_with(col("embedding"), col("qvec"), (x, y) => {
-      val dd = x.cast("double") - y.cast("double")
-      dd * dd
-    }), lit(0.0), (acc, x) => acc + x)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("__d2"), col("vec_id"))
-    val exact = emb.crossJoin(broadcast(q2))
-      .withColumn("__d2", round(d2, 6))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= RecallK)
-      .select(col("qid"), col("vec_id").as("id"))
-    val overlap = adc.join(exact, Seq("qid", "id"), "left_semi")
-      .groupBy("qid").agg(count(lit(1)).as("__n"))
-    queries.select(col("vec_id").as("qid"))
-      .join(overlap, Seq("qid"), "left")
-      .select(col("qid"), coalesce(col("__n"), lit(0L)).as("n_overlap"))
-      .orderBy("qid")
+    recallOverlap(adc, queries, emb)
   }
 
   val q76Sql: String = {
@@ -593,7 +576,382 @@ object QueriesSim {
        |FROM ranked WHERE rank <= $IvfPqK
        |ORDER BY qid, rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q79 ADC + exact re-rank (Faiss "refine"): the q76 audit exists to
+  // trigger exactly this stage — ADC's quantized top-50 shortlist is
+  // re-ranked with EXACT L2 fetched by id equi-join (per-query exact
+  // work = |shortlist|, never |corpus|). Bounded probe panel (the q76
+  // lesson).
+  private val RefineShortlist = 50
+
+  def q79AdcRefine(s: SparkSession, d: String): DataFrame = {
+    val cb = pqCodebook(s, d)
+    val emb = embeddings(s, d).select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1000)
+    graft.operators.Pq.adcRefineTopK(emb, queries,
+        "vec_id", "embedding", cb, RefineShortlist, AdcK)
+      .orderBy("qid", "rank")
+  }
+
+  /** Shared oracle CTE prefix for the raw-PQ ADC paths: codebook
+    * fixture → subvectors → code rows → per-query LUT over `panel`.
+    */
+  private def adcCtes(panelWhere: String): String =
+    s"""cb AS (
+       | SELECT sub, cid, cvec FROM read_parquet('$PqFixtureDir/*/*.parquet')
+       | WHERE corpus_vecs = (SELECT count(*) FROM embeddings)),
+       |sv AS (
+       | SELECT vec_id, u.s AS sub,
+       |  embedding[u.s * $PqSubDim + 1 : u.s * $PqSubDim + $PqSubDim] AS subvec
+       | FROM embeddings, unnest(range(0, $PqM)) AS u(s)),
+       |scored AS (
+       | SELECT vec_id, sub, cid,
+       |  round(list_reduce(list_transform(range(1, ${PqSubDim + 1}),
+       |    j -> (CAST(subvec[j] AS DOUBLE) - cvec[j])
+       |       * (CAST(subvec[j] AS DOUBLE) - cvec[j])),
+       |    (a, b) -> a + b), 6) AS d2
+       | FROM sv JOIN cb USING (sub)),
+       |codes AS (
+       | SELECT vec_id AS id, sub, cid FROM (
+       |  SELECT vec_id, sub, cid,
+       |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+       |  FROM scored) WHERE rn = 1),
+       |lut AS (
+       | SELECT q.vec_id AS qid, q.sub, cb.cid,
+       |  CAST(round(list_reduce(list_transform(range(1, ${PqSubDim + 1}),
+       |    j -> (CAST(q.subvec[j] AS DOUBLE) - cb.cvec[j])
+       |       * (CAST(q.subvec[j] AS DOUBLE) - cb.cvec[j])),
+       |    (a, b) -> a + b) * 1000000) AS BIGINT) AS qd2_micro
+       | FROM (SELECT * FROM sv WHERE $panelWhere) q
+       | JOIN cb ON cb.sub = q.sub),
+       |adc AS (
+       | SELECT l.qid, c.id, CAST(sum(l.qd2_micro) AS BIGINT) AS adc_micro
+       | FROM codes c JOIN lut l ON l.sub = c.sub AND l.cid = c.cid
+       | GROUP BY 1, 2)""".stripMargin
+
+  private val BoundedPanel = "vec_id % 50 = 0 AND vec_id < 1000"
+
+  /** Exact L2² between two embedding rows, rounded 6 — left fold in
+    * index order, both sides cast to double (mirrors Pq.l2sqExact).
+    */
+  private def l2Sql(a: String, b: String): String =
+    s"""round(list_reduce(list_transform(range(1, 65),
+       |    j -> (CAST($a[j] AS DOUBLE) - CAST($b[j] AS DOUBLE))
+       |       * (CAST($a[j] AS DOUBLE) - CAST($b[j] AS DOUBLE))),
+       |    (a, b) -> a + b), 6)""".stripMargin
+
+  val q79Sql: String =
+    s"""WITH ${adcCtes(BoundedPanel)},
+       |shortl AS (
+       | SELECT qid, id FROM (
+       |  SELECT qid, id,
+       |   row_number() OVER (PARTITION BY qid ORDER BY adc_micro, id) AS rank
+       |  FROM adc) WHERE rank <= $RefineShortlist),
+       |ex AS (
+       | SELECT s.qid, s.id, ${l2Sql("ne.embedding", "qe.embedding")} AS l2
+       | FROM shortl s
+       | JOIN embeddings ne ON ne.vec_id = s.id
+       | JOIN embeddings qe ON qe.vec_id = s.qid),
+       |rr AS (
+       | SELECT qid, id, l2,
+       |  row_number() OVER (PARTITION BY qid ORDER BY l2, id) AS rank
+       | FROM ex)
+       |SELECT qid, CAST(rank AS INT) AS rank, id, l2
+       |FROM rr WHERE rank <= $AdcK
+       |ORDER BY qid, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q81 refined-recall audit: q76 re-run THROUGH the refine stage —
+  // |refined top-10 ∩ exact top-10| per query. The q76/q81 delta is the
+  // measured value of the refine stage (q76 read ≈0.35@10 at K=16; the
+  // refined path recovers every exact neighbor the ADC top-50 contains).
+  def q81RefineRecall(s: SparkSession, d: String): DataFrame = {
+    val cb = pqCodebook(s, d)
+    val emb = embeddings(s, d).select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1000)
+    val refined = graft.operators.Pq.adcRefineTopK(emb, queries,
+        "vec_id", "embedding", cb, RefineShortlist, RecallK)
+      .select(col("qid"), col("id"))
+    recallOverlap(refined, queries, emb)
+  }
+
+  /** Overlap-with-exact-top-k audit body shared by q76/q81/q83: the
+    * approximate (qid, id) set semi-joined against brute-force L2
+    * top-`RecallK`, counted per query over the full panel (0 for
+    * queries the approximate side missed entirely).
+    */
+  private def recallOverlap(approx: DataFrame, queries: DataFrame,
+                            emb: DataFrame): DataFrame = {
+    val q2 = queries.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("__d2"), col("vec_id"))
+    val exact = emb.crossJoin(broadcast(q2))
+      .withColumn("__d2",
+        round(graft.operators.Pq.l2sqExact(col("embedding"), col("qvec")), 6))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= RecallK)
+      .select(col("qid"), col("vec_id").as("id"))
+    val overlap = approx.join(exact, Seq("qid", "id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("__n"))
+    queries.select(col("vec_id").as("qid"))
+      .join(overlap, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("__n"), lit(0L)).as("n_overlap"))
+      .orderBy("qid")
+  }
+
+  /** Exact-top-k + overlap oracle tail shared by q81/q83: expects an
+    * `apx(qid, id)` CTE in scope.
+    */
+  private val recallTailSql: String =
+    s"""ex AS (
+       | SELECT q.vec_id AS qid, e.vec_id AS id,
+       |  ${l2Sql("q.embedding", "e.embedding")} AS d2
+       | FROM (SELECT * FROM embeddings WHERE $BoundedPanel) q, embeddings e),
+       |ext AS (
+       | SELECT qid, id FROM (
+       |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY d2, id) AS rn
+       |  FROM ex) WHERE rn <= $RecallK),
+       |o AS (
+       | SELECT a.qid, count(*) AS n FROM apx a JOIN ext USING (qid, id)
+       | GROUP BY 1)
+       |SELECT q.vec_id AS qid, coalesce(o.n, 0) AS n_overlap
+       |FROM (SELECT vec_id FROM embeddings WHERE $BoundedPanel) q
+       |LEFT JOIN o ON o.qid = q.vec_id
+       |ORDER BY qid""".stripMargin
+
+  val q81Sql: String =
+    s"""WITH ${adcCtes(BoundedPanel)},
+       |shortl AS (
+       | SELECT qid, id FROM (
+       |  SELECT qid, id,
+       |   row_number() OVER (PARTITION BY qid ORDER BY adc_micro, id) AS rank
+       |  FROM adc) WHERE rank <= $RefineShortlist),
+       |rex AS (
+       | SELECT s.qid, s.id, ${l2Sql("ne.embedding", "qe.embedding")} AS l2
+       | FROM shortl s
+       | JOIN embeddings ne ON ne.vec_id = s.id
+       | JOIN embeddings qe ON qe.vec_id = s.qid),
+       |apx AS (
+       | SELECT qid, id FROM (
+       |  SELECT qid, id,
+       |   row_number() OVER (PARTITION BY qid ORDER BY l2, id) AS rank
+       |  FROM rex) WHERE rank <= $RecallK),
+       |$recallTailSql""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q82 residual IVF-PQ: true Faiss IVFADC — the PQ codebooks quantize
+  // the RESIDUAL (vector − assigned coarse centroid), which is centered
+  // near zero and therefore finer-grained at the same K than raw
+  // vectors (q73/q77). The coarse quantizer is L2 LLOYD (Pq.
+  // coarseQuantizer — m=1 learnCodebooks), NOT the q36 cosine-to-seed
+  // scheme: measured on this corpus, cosine-to-seed residuals carry
+  // 1.62× the raw variance (recall@10 DROPPED to 0.18) while Lloyd
+  // residuals carry 0.93× (recall 0.35 → 0.38 at unchanged K). The
+  // query's distance table is computed per PROBED LIST on the query's
+  // residual against that list's centroid (queryLutBy keyed
+  // (qid, ccid)); candidate codes live in exactly one list, so the
+  // (qid, ccid, sub, cid) LUT join stays an equi-join.
+  private val PqResidFixtureDir = "/tmp/graft_fixtures/pq_residual_codebooks"
+  private val PqCoarseFixtureDir = "/tmp/graft_fixtures/pq_residual_coarse"
+
+  /** L2 Lloyd coarse quantizer + oracle fixture (the pqCodebook
+    * protocol; m=1 rows stored as (cid, cvec)).
+    */
+  private def pqResidualCoarse(s: SparkSession, d: String)
+      : Seq[(Int, Int, Array[Double])] =
+    graft.operators.ArtifactCache.getOrLearn(
+        s"pqcoarse:$d:$IvfK:$PqIters") {
+      val emb = embeddings(s, d).select("vec_id", "embedding")
+      val coarse = graft.operators.Pq.coarseQuantizer(
+        emb, "vec_id", "embedding", IvfK, PqIters)
+      val n = emb.count()
+      import s.implicits._
+      coarse.map { case (_, cid, v) => (cid, v, n) }
+        .toDF("cid", "cvec", "corpus_vecs")
+        .coalesce(1).write.mode("overwrite").parquet(s"$PqCoarseFixtureDir/$n")
+      coarse
+    }
+
+  /** Residual PQ codebook + oracle fixture (the pqCodebook protocol
+    * applied to the residual frame; keyed by the coarse knobs too).
+    */
+  private def pqResidualCodebook(s: SparkSession, d: String)
+      : Seq[(Int, Int, Array[Double])] =
+    graft.operators.ArtifactCache.getOrLearn(
+        s"pqresid:$d:$PqM:$PqK:$PqIters:$IvfK") {
+      val emb = embeddings(s, d).select("vec_id", "embedding")
+      val resid = graft.operators.Pq.residuals(emb, pqResidualCoarse(s, d),
+        "vec_id", "embedding")
+      val cb = graft.operators.Pq.learnCodebooks(
+        resid, "vec_id", "rvec", PqM, PqK, PqIters)
+      val n = emb.count()
+      import s.implicits._
+      cb.map { case (sub, cid, v) => (sub, cid, v, n) }
+        .toDF("sub", "cid", "cvec", "corpus_vecs")
+        .coalesce(1).write.mode("overwrite").parquet(s"$PqResidFixtureDir/$n")
+      cb
+    }
+
+  /** Residual IVFADC top-k over the lists each query probes; `nProbe`
+    * = IvfK turns probe pruning OFF (the q83 audit's full-corpus
+    * variant — isolates quantization quality from probe misses).
+    * `excludeSelf` = false for the audit: the exact side and q76's ADC
+    * both KEEP the query itself (trivially its own nearest neighbor),
+    * so a serving-style self-filter would cost every query one overlap
+    * and skew the comparison.
+    */
+  private def residualIvfAdc(s: SparkSession, d: String, nProbe: Int,
+                             k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val coarse = pqResidualCoarse(s, d)
+    val cbR = pqResidualCodebook(s, d)
+    val emb = embeddings(s, d).select("vec_id", "embedding")
+    val resid = graft.operators.Pq.residuals(emb, coarse,
+      "vec_id", "embedding")
+    val codes = graft.operators.Pq.codeRows(resid, "vec_id", "rvec", cbR)
+      .withColumnRenamed("id", "nid")
+    val assigned = resid.select(col("vec_id").as("nid"), col("ccid"))
+    val queries = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1000)
+    val probes = graft.operators.Pq.coarseProbe(queries, coarse,
+      "vec_id", "embedding", nProbe)
+    val lut = graft.operators.Pq.queryLutBy(probes, Seq("qid", "ccid"),
+      "qrvec", cbR)
+    val candsAll = probes.select(col("qid"), col("ccid"))
+      .join(assigned, "ccid")
+    val cands =
+      if (excludeSelf) candsAll.filter(col("qid") =!= col("nid")) else candsAll
+    val w = Window.partitionBy("qid").orderBy(col("__adc_micro"), col("nid"))
+    cands
+      .join(codes, "nid")
+      .join(broadcast(lut), Seq("qid", "ccid", "sub", "cid"))
+      .groupBy("qid", "nid")
+      .agg(sum("__qd2_micro").as("__adc_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"),
+        round(col("__adc_micro") / 1000000.0, 6).as("adc"))
+  }
+
+  def q82IvfPqResidual(s: SparkSession, d: String): DataFrame =
+    residualIvfAdc(s, d, IvfProbes, IvfPqK).orderBy("qid", "rank")
+
+  /** Shared oracle CTEs for the residual IVFADC paths: coarse
+    * assignment → residual frame → residual codes → per-(query, list)
+    * LUT over the probed lists (`nProbe`).
+    */
+  private def residualCtes(nProbe: Int, excludeSelf: Boolean = true): String =
+    s"""emb AS (SELECT vec_id, embedding FROM embeddings),
+       |cent AS (
+       | SELECT cid AS ccid, cvec AS ccvec
+       | FROM read_parquet('$PqCoarseFixtureDir/*/*.parquet')
+       | WHERE corpus_vecs = (SELECT count(*) FROM embeddings)),
+       |assigned AS (
+       | SELECT vec_id AS nid, ccid FROM (
+       |  SELECT e.vec_id, c.ccid,
+       |   row_number() OVER (PARTITION BY e.vec_id
+       |     ORDER BY ${l2Sql("e.embedding", "c.ccvec")}, c.ccid) AS r
+       |  FROM emb e CROSS JOIN cent c) t WHERE r = 1),
+       |resid AS (
+       | SELECT a.nid AS vec_id, a.ccid,
+       |  list_transform(range(1, 65),
+       |    j -> CAST(e.embedding[j] AS DOUBLE) - CAST(c.ccvec[j] AS DOUBLE)) AS rvec
+       | FROM assigned a
+       | JOIN emb e ON e.vec_id = a.nid
+       | JOIN cent c USING (ccid)),
+       |cb AS (
+       | SELECT sub, cid, cvec FROM read_parquet('$PqResidFixtureDir/*/*.parquet')
+       | WHERE corpus_vecs = (SELECT count(*) FROM embeddings)),
+       |sv AS (
+       | SELECT vec_id, u.s AS sub,
+       |  rvec[u.s * $PqSubDim + 1 : u.s * $PqSubDim + $PqSubDim] AS subvec
+       | FROM resid, unnest(range(0, $PqM)) AS u(s)),
+       |scored AS (
+       | SELECT vec_id, sub, cid,
+       |  round(list_reduce(list_transform(range(1, ${PqSubDim + 1}),
+       |    j -> (subvec[j] - cvec[j]) * (subvec[j] - cvec[j])),
+       |    (a, b) -> a + b), 6) AS d2
+       | FROM sv JOIN cb USING (sub)),
+       |codes AS (
+       | SELECT vec_id AS nid, sub, cid FROM (
+       |  SELECT vec_id, sub, cid,
+       |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+       |  FROM scored) WHERE rn = 1),
+       |probes AS (
+       | SELECT qid, ccid FROM (
+       |  SELECT e.vec_id AS qid, c.ccid,
+       |   row_number() OVER (PARTITION BY e.vec_id
+       |     ORDER BY ${l2Sql("e.embedding", "c.ccvec")}, c.ccid) AS r
+       |  FROM emb e CROSS JOIN cent c
+       |  WHERE e.vec_id % 50 = 0 AND e.vec_id < 1000) t
+       | WHERE r <= $nProbe),
+       |qresid AS (
+       | SELECT p.qid, p.ccid,
+       |  list_transform(range(1, 65),
+       |    j -> CAST(e.embedding[j] AS DOUBLE) - CAST(c.ccvec[j] AS DOUBLE)) AS qrvec
+       | FROM probes p
+       | JOIN emb e ON e.vec_id = p.qid
+       | JOIN cent c USING (ccid)),
+       |qsv AS (
+       | SELECT qid, ccid, u.s AS sub,
+       |  qrvec[u.s * $PqSubDim + 1 : u.s * $PqSubDim + $PqSubDim] AS subvec
+       | FROM qresid, unnest(range(0, $PqM)) AS u(s)),
+       |lut AS (
+       | SELECT q.qid, q.ccid, q.sub, cb.cid,
+       |  CAST(round(list_reduce(list_transform(range(1, ${PqSubDim + 1}),
+       |    j -> (q.subvec[j] - cb.cvec[j]) * (q.subvec[j] - cb.cvec[j])),
+       |    (a, b) -> a + b) * 1000000) AS BIGINT) AS qd2_micro
+       | FROM qsv q JOIN cb ON cb.sub = q.sub),
+       |cands AS (
+       | SELECT p.qid, p.ccid, a.nid
+       | FROM probes p JOIN assigned a USING (ccid)
+       | ${if (excludeSelf) "WHERE p.qid != a.nid" else ""}),
+       |radc AS (
+       | SELECT x.qid, x.nid, CAST(sum(l.qd2_micro) AS BIGINT) AS adc_micro
+       | FROM cands x
+       | JOIN codes c ON c.nid = x.nid
+       | JOIN lut l ON l.qid = x.qid AND l.ccid = x.ccid
+       |            AND l.sub = c.sub AND l.cid = c.cid
+       | GROUP BY 1, 2)""".stripMargin
+
+  val q82Sql: String =
+    s"""WITH ${residualCtes(IvfProbes)},
+       |ranked AS (
+       | SELECT qid, nid, adc_micro,
+       |  row_number() OVER (PARTITION BY qid ORDER BY adc_micro, nid) AS rank
+       | FROM radc)
+       |SELECT qid, CAST(rank AS INT) AS rank, nid,
+       | round(adc_micro / 1000000.0, 6) AS adc
+       |FROM ranked WHERE rank <= $IvfPqK
+       |ORDER BY qid, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q83 residual-recall audit: residual ADC with probe pruning OFF
+  // (nProbe = IvfK — every list probed, so candidates = full corpus)
+  // against exact top-10 — the q76 measurement at unchanged K with only
+  // the quantization target changed from raw vectors to residuals.
+  // The q76/q83 delta is the measured value of residual encoding.
+  def q83ResidualRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1000)
+    val approx = residualIvfAdc(s, d, nProbe = IvfK, k = RecallK,
+        excludeSelf = false)
+      .select(col("qid"), col("nid").as("id"))
+    recallOverlap(approx, queries, emb)
+  }
+
+  val q83Sql: String =
+    s"""WITH ${residualCtes(IvfK, excludeSelf = false)},
+       |apx AS (
+       | SELECT qid, nid AS id FROM (
+       |  SELECT qid, nid,
+       |   row_number() OVER (PARTITION BY qid ORDER BY adc_micro, nid) AS rank
+       |  FROM radc) WHERE rank <= $RecallK),
+       |$recallTailSql""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_adc_refine" -> (q79AdcRefine _),
+    "q81_refine_recall" -> (q81RefineRecall _),
+    "q82_ivfpq_residual" -> (q82IvfPqResidual _),
+    "q83_residual_recall" -> (q83ResidualRecall _),
     "q73_pq_encode" -> (q73PqEncode _),
     "q74_adc_topk" -> (q74AdcTopk _),
     "q76_ann_recall" -> (q76AnnRecall _),
@@ -606,6 +964,10 @@ object QueriesSim {
   )
 
   val oracle: Map[String, String] = Map(
+    "q79_adc_refine" -> q79Sql,
+    "q81_refine_recall" -> q81Sql,
+    "q82_ivfpq_residual" -> q82Sql,
+    "q83_residual_recall" -> q83Sql,
     "q73_pq_encode" -> q73Sql,
     "q74_adc_topk" -> q74Sql,
     "q76_ann_recall" -> q76Sql,

@@ -166,6 +166,81 @@ class ExtensionOperatorsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("PQ refine: exact re-rank of the ADC shortlist equals brute-force L2 top-k") {
+    import graft.operators.Pq
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)
+      else Array(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f)
+      (i.toLong, base.map(x => x + rnd.nextFloat() * 0.05f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cb = Pq.learnCodebooks(df, "vec_id", "embedding", m = 2, k = 2, iters = 3)
+    val queries = df.filter($"vec_id" < 2)
+    // shortlist = whole corpus -> the refine stage IS brute-force exact:
+    // its top-k must equal the direct exact ranking (rounded, id ties)
+    val refined = Pq.adcRefineTopK(df, queries, "vec_id", "embedding",
+        cb, shortlist = 40, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = {
+      val q2 = queries.select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy($"__l2", $"vec_id")
+      df.crossJoin(broadcast(q2))
+        .withColumn("__l2", round(Pq.l2sqExact($"embedding", $"qvec"), 6))
+        .withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+          r.getAs[Long]("vec_id"))).toSet
+    }
+    assert(refined == exact, "full-shortlist refine must equal exact top-k")
+    // and a real (small) shortlist stays inside the ADC shortlist
+    val short = Pq.adcTopK(df, queries, "vec_id", "embedding", cb, k = 10)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refined10 = Pq.adcRefineTopK(df, queries, "vec_id", "embedding",
+        cb, shortlist = 10, k = 5)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(refined10.subsetOf(short), "refine must only re-rank the shortlist")
+  }
+
+  test("PQ residuals: rvec + assigned centroid reconstructs the vector; coarseProbe orders by L2") {
+    import graft.operators.Pq
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(1f, 0f, 0f, 0f) else Array(0f, 1f, 0f, 0f)
+      (i.toLong, base.map(x => x + rnd.nextFloat() * 0.05f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val coarse = Pq.coarseQuantizer(df, "vec_id", "embedding", k = 2, iters = 3)
+    assert(coarse.map(_._1).toSet == Set(0), "coarse quantizer is one subspace")
+    val centById = coarse.map { case (_, cid, v) => cid -> v }.toMap
+    val resid = Pq.residuals(df, coarse, "vec_id", "embedding").collect()
+    assert(resid.length == 40)
+    val vecs = rows.toMap
+    resid.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val c = centById(r.getAs[Int]("ccid"))
+      val rv = r.getSeq[Double](r.fieldIndex("rvec"))
+      rv.indices.foreach { j =>
+        assert(math.abs(rv(j) + c(j) - vecs(id)(j)) < 1e-9,
+          s"residual + centroid must reconstruct vector $id at $j")
+      }
+      // blobs sit on distinct axes, so assignment tracks parity
+    }
+    val byParity = resid.groupBy(_.getAs[Long]("vec_id") % 2)
+      .map { case (p, rs) => p -> rs.map(_.getAs[Int]("ccid")).toSet }
+    assert(byParity.values.forall(_.size == 1) &&
+      byParity(0L) != byParity(1L), "coarse lists must separate the blobs")
+    // probes: nProbe=2 of 2 lists -> each query probes both, nearest first
+    val probes = Pq.coarseProbe(df.filter($"vec_id" < 2), coarse,
+        "vec_id", "embedding", nProbe = 2)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("ccid")))
+    assert(probes.length == 4)
+    // the query's own blob list must be among its probes (sanity)
+    Seq(0L, 1L).foreach { q =>
+      assert(probes.count(_._1 == q) == 2)
+    }
+  }
+
   test("kmeans separates two obvious clusters and assigns all points") {
     val rnd = new scala.util.Random(5)
     // two tight blobs around orthogonal axes in 4d
