@@ -726,7 +726,62 @@ object QueriesCorpus {
        |ORDER BY a, b""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q80 exact-substring CUT (the dedup ACTION behind q72's stats): every
+  // >= MinRun-token verbatim common run is removed from the higher-id
+  // doc of its pair (keep-lowest policy — a span three docs share
+  // survives only in the lowest), overlapping spans unioned before the
+  // cut. Output is md5-pinned cleaned normalized text + tokens removed,
+  // one row per doc (untouched docs hash their normalized text).
+  def q80CutSpans(s: SparkSession, d: String): DataFrame =
+    Dedup.cutCommonRuns(spanCorpus(s, d), "text", "doc_id", SpanK, MinRun)
+      .select(col("id").as("doc_id"), col("n_removed"), col("clean_md5"))
+      .orderBy("doc_id")
+
+  val q80Sql: String = {
+    val gramHash = s"CAST(('0x' || substr(md5(array_to_string(" +
+      s"toks[u.i:u.i + ${SpanK - 1}], ' ')), 1, 15)) AS BIGINT)"
+    s"""WITH corpus AS ($spanCorpusSql),
+       |t AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM corpus),
+       |g AS (
+       | SELECT doc_id AS id, u.i AS i, $gramHash AS h
+       | FROM t, unnest(range(1, greatest(len(toks) - ${SpanK - 1}, 1) + 1))
+       |   AS u(i)),
+       |m AS (
+       | SELECT x.id AS a, y.id AS b, y.i - x.i AS d, x.i AS i
+       | FROM g x JOIN g y USING (h) WHERE x.id < y.id),
+       |isl AS (
+       | SELECT a, b, d, i,
+       |  i - row_number() OVER (PARTITION BY a, b, d ORDER BY i) AS grp
+       | FROM m),
+       |spans AS (
+       | SELECT b AS id, CAST(min(i) + d AS BIGINT) AS s,
+       |  CAST(min(i) + d + count(*) + ${SpanK - 2} AS BIGINT) AS e
+       | FROM isl GROUP BY a, b, d, grp
+       | HAVING count(*) + ${SpanK - 1} >= $MinRun),
+       |cut AS (
+       | SELECT DISTINCT id, u.tpos FROM spans, unnest(range(s, e + 1))
+       |   AS u(tpos)),
+       |tok AS (
+       | SELECT doc_id AS id, CAST(u.tpos AS BIGINT) AS tpos, toks[u.tpos] AS tok
+       | FROM t, unnest(range(1, len(toks) + 1)) AS u(tpos)),
+       |kept AS (
+       | SELECT k2.id, k2.tpos, k2.tok FROM tok k2
+       | LEFT JOIN cut c ON c.id = k2.id AND c.tpos = k2.tpos
+       | WHERE c.tpos IS NULL),
+       |agg AS (
+       | SELECT id, count(*) AS n_kept,
+       |  string_agg(tok, ' ' ORDER BY tpos) AS clean
+       | FROM kept GROUP BY id)
+       |SELECT t.doc_id,
+       | CAST(len(t.toks) - coalesce(a2.n_kept, 0) AS BIGINT) AS n_removed,
+       | md5(coalesce(a2.clean, '')) AS clean_md5
+       |FROM t LEFT JOIN agg a2 ON a2.id = t.doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_cut_spans" -> (q80CutSpans _),
     "q55_decontaminate" -> (q55Decontaminate _),
     "q56_repetition" -> (q56Repetition _),
     "q57_source_balance" -> (q57SourceBalance _),
@@ -744,6 +799,7 @@ object QueriesCorpus {
   )
 
   val oracle: Map[String, String] = Map(
+    "q80_cut_spans" -> q80Sql,
     "q55_decontaminate" -> q55Sql,
     "q56_repetition" -> q56Sql,
     "q57_source_balance" -> q57Sql,

@@ -414,6 +414,24 @@ object Dedup {
                         maxDf: Int = Int.MaxValue,
                         mode: HashMode = HashMode.OracleMd5): DataFrame = {
     require(minRun >= k, s"minRun ($minRun) must be >= k ($k)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a", "b", "d").orderBy("i")
+    matchedDiagonals(df, textCol, idCol, k, maxDf, mode)
+      .withColumn("grp", col("i") - row_number().over(w))
+      .groupBy("a", "b", "d", "grp")
+      .agg((count(lit(1)) + (k - 1)).as("run"))
+      .groupBy("a", "b")
+      .agg(max("run").as("longest_run"))
+      .filter(col("longest_run") >= minRun)
+  }
+
+  /** The shared positional-gram match frame behind [[longestCommonRuns]]
+    * and [[cutCommonRuns]]: (a, b, d, i) rows with a < b, diagonal
+    * d = pos(b) − pos(a), i = 0-based gram start in a.
+    */
+  private def matchedDiagonals(df: DataFrame, textCol: String, idCol: String,
+                               k: Int, maxDf: Int,
+                               mode: HashMode): DataFrame = {
     val grams = df
       .select(col(idCol).as("id"),
         posexplode(graft.functions.WordShingleHashExpr.orderedShingles(
@@ -428,18 +446,69 @@ object Dedup {
           .select("h")
         grams.join(broadcast(hot), Seq("h"), "left_anti")
       }
-    val matched = pruned.as("x").join(pruned.as("y"), "h")
+    pruned.as("x").join(pruned.as("y"), "h")
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         (col("y.i") - col("x.i")).as("d"), col("x.i").as("i"))
+  }
+
+  /** Exact-substring dedup ACTION (the cut step of Lee et al. 2022's
+    * pipeline, where [[longestCommonRuns]] is the measurement): every
+    * verbatim common run of at least `minRun` tokens is REMOVED from
+    * the HIGHER-id document of each pair (the lower id keeps its copy —
+    * the deterministic keep-one policy; a span shared by three docs
+    * survives only in the lowest). Overlapping spans from different
+    * partners union before the cut, so no token is double-counted.
+    *
+    * Token-index surgery, relational all the way:
+    *   1. the [[matchedDiagonals]] islands yield cut SPANS in b's
+    *      1-based token coordinates [i0+d+1, i0+d+cnt+k−1];
+    *   2. spans explode to (id, tpos) cut positions, `distinct`
+    *      (the union of overlapping spans);
+    *   3. the normalized token frame anti-joins the cut positions and
+    *      reassembles per doc in token order.
+    * Both shuffles ((id, tpos) anti-join, per-id rebuild) are keyed by
+    * document — corpus-scale but bounded and skew-free; nothing is
+    * ever all-pairs.
+    *
+    * Emits one row per input doc: (id, n_removed, clean_md5) — the md5
+    * of the cleaned NORMALIZED text (docs with nothing cut hash their
+    * normalized text unchanged; a fully-cut doc hashes "").
+    */
+  def cutCommonRuns(df: DataFrame, textCol: String, idCol: String,
+                    k: Int, minRun: Int,
+                    maxDf: Int = Int.MaxValue,
+                    mode: HashMode = HashMode.OracleMd5): DataFrame = {
+    require(minRun >= k, s"minRun ($minRun) must be >= k ($k)")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("a", "b", "d").orderBy("i")
-    matched
+    val spans = matchedDiagonals(df, textCol, idCol, k, maxDf, mode)
       .withColumn("grp", col("i") - row_number().over(w))
       .groupBy("a", "b", "d", "grp")
-      .agg((count(lit(1)) + (k - 1)).as("run"))
-      .groupBy("a", "b")
-      .agg(max("run").as("longest_run"))
-      .filter(col("longest_run") >= minRun)
+      .agg(min("i").as("i0"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") + lit(k - 1) >= minRun)
+      .select(col("b").as("id"),
+        (col("i0") + col("d") + 1).cast("long").as("s"),
+        (col("i0") + col("d") + col("cnt") + lit(k - 1)).cast("long").as("e"))
+    val cut = spans
+      .select(col("id"), explode(sequence(col("s"), col("e"))).as("tpos"))
+      .distinct()
+    val toks = df
+      .select(col(idCol).as("id"),
+        posexplode(TextStats.tokens(col(textCol))).as(Seq("p", "tok")))
+      .select(col("id"), (col("p") + 1).cast("long").as("tpos"), col("tok"))
+    val rebuilt = toks.join(cut, Seq("id", "tpos"), "left_anti")
+      .groupBy("id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("tpos"), col("tok")))),
+            x => x.getField("tok")), " ").as("__clean"),
+        count(lit(1)).as("__n_kept"))
+    df.select(col(idCol).as("id"),
+        size(TextStats.tokens(col(textCol))).cast("long").as("__n_tokens"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        (col("__n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+        md5(coalesce(col("__clean"), lit(""))).as("clean_md5"))
   }
 }

@@ -324,6 +324,41 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
     assert(pruned.count() == 0)
   }
 
+  test("cutCommonRuns: cuts from higher id only, unions overlaps, keeps lowest of three") {
+    def md5s(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // three docs share the 6-token span "p q r s t u": doc 1 keeps it,
+    // docs 2 and 3 lose it (3 also pairs with 2 — same span, unioned)
+    val df = Seq(
+      (1L, "p q r s t u v w x y"),
+      (2L, "zz p q r s t u kk mm nn"),
+      (3L, "aa bb p q r s t u cc dd"),
+      (4L, "totally different words entirely here")).toDF("doc_id", "text")
+    val out = Dedup.cutCommonRuns(df, "text", "doc_id", k = 3, minRun = 5)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L) == (0L, md5s("p q r s t u v w x y")), "lowest id untouched")
+    assert(out(2L) == (6L, md5s("zz kk mm nn")), out(2L).toString)
+    assert(out(3L) == (6L, md5s("aa bb cc dd")), out(3L).toString)
+    assert(out(4L) == (0L, md5s("totally different words entirely here")))
+    // overlapping spans union, not double-cut: doc 6 shares overlapping
+    // runs with 5 covering tokens 1..8 once each
+    val df2 = Seq(
+      (5L, "a b c d e f g h tail1 tail2"),
+      (6L, "a b c d e f g h other words")).toDF("doc_id", "text")
+    val out2 = Dedup.cutCommonRuns(df2, "text", "doc_id", k = 3, minRun = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out2(5L)._1 == 0L)
+    assert(out2(6L) == (8L, md5s("other words")), out2(6L).toString)
+    // a doc that is ENTIRELY a shared span hashes the empty string
+    val df3 = Seq(
+      (7L, "s1 s2 s3 s4 s5 s6 extra"),
+      (8L, "s1 s2 s3 s4 s5 s6")).toDF("doc_id", "text")
+    val out3 = Dedup.cutCommonRuns(df3, "text", "doc_id", k = 3, minRun = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out3(8L) == (6L, md5s("")), out3(8L).toString)
+  }
+
   test("bigramLogProbScores ranks coherent word order above scrambled; unigram cannot") {
     // docs 1 and 2 hold the SAME token multiset {a x3, b x3} — unigram
     // scoring is order-blind so it MUST tie them; doc 1 follows the

@@ -155,13 +155,17 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
         s"segment text must be digested map-side and dropped before any shuffle: $l")
   }
 
-  test("q60: blocklist and blocked-id set broadcast; the corpus never shuffle-joins") {
+  test("q60: small blocklist inlines to a pure map-side filter — no join, no shuffle") {
     val p = plan("q60_domain_filter")
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
-      s"blocklist semi-join AND blocked-id anti-join must both broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-      s"the corpus side must never shuffle into a join:\n$p")
-    assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
+    // the inline InSet path: the blocked-id set is never materialized,
+    // so the filter is a pure projection directly over the scan and no
+    // join of any kind appears; the only exchanges belong to the
+    // query's downstream kept-host rollup (hash agg + output sort)
+    assert(!p.contains("Join"), s"inline path must not join at all:\n$p")
+    assert(p.contains("Filter NOT exists"),
+      s"corpus must be filtered map-side over the suffix chain:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"only the downstream rollup may shuffle:\n$p")
   }
 
   test("q62: temperature thresholds broadcast; corpus filtered map-side") {
