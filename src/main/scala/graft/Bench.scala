@@ -42,6 +42,17 @@ object Bench {
     queries.foreach { case (name, _) =>
       run(name); spark.catalog.clearCache()
     }
+    // Learning-path record: the warm-up pass is where ArtifactCache
+    // learns (or registry-loads) the BPE/PQ artifacts, so their wall
+    // cost lands here, outside the per-query serving timings. One
+    // stderr line per round keeps learning regressions trackable.
+    def timesJson(m: Map[String, Double]): String =
+      m.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+    System.err.println(
+      s"""{"learning":${timesJson(graft.operators.ArtifactCache.learnTimes)},""" +
+      s""""registry_loads":${timesJson(graft.operators.ArtifactCache.loadTimes)}}""")
     // Two timed passes over the WHOLE suite, min per query ACROSS
     // passes. Back-to-back samples of one query share any transient
     // machine-contention window (observed: 10 untouched queries

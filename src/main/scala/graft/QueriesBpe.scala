@@ -47,7 +47,18 @@ object QueriesBpe {
     * the persisted-model-registry pattern a deployment uses.
     */
   private def learnAndFixture(s: SparkSession, d: String): Seq[Bpe.Merge] =
-    graft.operators.ArtifactCache.getOrLearn(s"bpe:$d:$NumMerges") {
+    graft.operators.ArtifactCache.getOrLoadOrLearn(s"bpe:$d:$NumMerges") {
+      // registry READ path: a persisted merge table for this corpus
+      // size serves the encoder with zero learning jobs (rank order is
+      // the table's semantics — restore it exactly)
+      val nDocs = documents(s, d).count()
+      graft.operators.ArtifactCache.parquetFixture(s, s"$FixtureDir/$nDocs")
+        .map(_.where(col("corpus_docs") === nDocs)
+          .orderBy("merge_rank").collect().toSeq
+          .map(r => Bpe.Merge(r.getAs[Int]("merge_rank"),
+            r.getAs[String]("ml"), r.getAs[String]("mr"))))
+        .filter(_.nonEmpty) // empty frame = torn/foreign dir: re-learn
+    } {
       val docs = documents(s, d).select("doc_id", "text")
       val merges = Bpe.learnMerges(Bpe.wordCounts(docs, "text"), NumMerges)
       val nDocs = docs.count()

@@ -285,9 +285,33 @@ object QueriesSim {
     * an immutable function of (corpus, m, K, iters) — learned once per
     * JVM, the persisted-model-registry pattern.
     */
+  /** Registry READ path shared by the three PQ fixtures: rebuild the
+    * (sub, cid, cvec) rows from a persisted codebook keyed by this
+    * corpus's size. Row order is semantically irrelevant to every
+    * consumer (they key by (sub, cid)); sorted for determinism.
+    */
+  private def loadCodebook(s: SparkSession, dir: String, n: Long,
+                           subCol: Option[String])
+      : Option[Seq[(Int, Int, Array[Double])]] =
+    graft.operators.ArtifactCache.parquetFixture(s, s"$dir/$n")
+      .map { df =>
+        df.where(col("corpus_vecs") === n)
+          .select(subCol.map(col).getOrElse(lit(0)).as("sub"),
+            col("cid"), col("cvec"))
+          .collect().toSeq
+          .map(r => (r.getInt(0), r.getInt(1),
+            r.getSeq[Double](2).toArray))
+          .sortBy(t => (t._1, t._2))
+      }
+      .filter(_.nonEmpty) // empty frame = torn/foreign dir: re-learn
+
   private def pqCodebook(s: SparkSession, d: String)
       : Seq[(Int, Int, Array[Double])] =
-    graft.operators.ArtifactCache.getOrLearn(s"pq:$d:$PqM:$PqK:$PqIters") {
+    graft.operators.ArtifactCache.getOrLoadOrLearn(
+        s"pq:$d:$PqM:$PqK:$PqIters") {
+      val n = embeddings(s, d).count()
+      loadCodebook(s, PqFixtureDir, n, Some("sub"))
+    } {
       val emb = embeddings(s, d).select("vec_id", "embedding")
       val cb = graft.operators.Pq.learnCodebooks(
         emb, "vec_id", "embedding", PqM, PqK, PqIters)
@@ -759,8 +783,11 @@ object QueriesSim {
     */
   private def pqResidualCoarse(s: SparkSession, d: String)
       : Seq[(Int, Int, Array[Double])] =
-    graft.operators.ArtifactCache.getOrLearn(
+    graft.operators.ArtifactCache.getOrLoadOrLearn(
         s"pqcoarse:$d:$IvfK:$PqIters") {
+      val n = embeddings(s, d).count()
+      loadCodebook(s, PqCoarseFixtureDir, n, subCol = None)
+    } {
       val emb = embeddings(s, d).select("vec_id", "embedding")
       val coarse = graft.operators.Pq.coarseQuantizer(
         emb, "vec_id", "embedding", IvfK, PqIters)
@@ -777,8 +804,11 @@ object QueriesSim {
     */
   private def pqResidualCodebook(s: SparkSession, d: String)
       : Seq[(Int, Int, Array[Double])] =
-    graft.operators.ArtifactCache.getOrLearn(
+    graft.operators.ArtifactCache.getOrLoadOrLearn(
         s"pqresid:$d:$PqM:$PqK:$PqIters:$IvfK") {
+      val n = embeddings(s, d).count()
+      loadCodebook(s, PqResidFixtureDir, n, Some("sub"))
+    } {
       val emb = embeddings(s, d).select("vec_id", "embedding")
       val resid = graft.operators.Pq.residuals(emb, pqResidualCoarse(s, d),
         "vec_id", "embedding")

@@ -28,6 +28,14 @@ private[graft] object ArtifactCache {
 
   private val cache = TrieMap.empty[String, AnyRef]
 
+  private val learns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  // per-key wall seconds of learn bodies / fixture loads actually run
+  // in this JVM — the bench harness reports them so rounds can track
+  // learning-path regressions separately from serving cost
+  private val learnWall = TrieMap.empty[String, Double]
+  private val loadWall = TrieMap.empty[String, Double]
+
   /** Return the cached artifact for `key`, learning it (and running
     * any side effects inside `learn`, e.g. the oracle fixture write)
     * exactly once per key per JVM. Concurrent first callers may race
@@ -35,7 +43,53 @@ private[graft] object ArtifactCache {
     * last write wins with identical content.
     */
   def getOrLearn[A <: AnyRef](key: String)(learn: => A): A =
-    cache.getOrElseUpdate(key, learn).asInstanceOf[A]
+    getOrLoadOrLearn(key)(None)(learn)
+
+  /** The full registry protocol: memory hit → persisted-fixture LOAD →
+    * learn. `load` is the cross-JVM read path — when a prior run
+    * (this JVM or another) already persisted the artifact, loading it
+    * skips every learning job (a cold single-query driver run stops
+    * paying the train loop). Safe because artifacts are DETERMINISTIC
+    * functions of (corpus, hyperparameters): load ≡ learn, which the
+    * registry spec pins by comparing both paths' values.
+    */
+  def getOrLoadOrLearn[A <: AnyRef](key: String)(load: => Option[A])
+                                   (learn: => A): A =
+    cache.getOrElseUpdate(key, {
+      val t0 = System.nanoTime()
+      load match {
+        case Some(v) =>
+          loadWall(key) = (System.nanoTime() - t0) / 1e9
+          v
+        case None =>
+          learns.incrementAndGet()
+          val t1 = System.nanoTime()
+          val v = learn
+          learnWall(key) = (System.nanoTime() - t1) / 1e9
+          v
+      }
+    }).asInstanceOf[A]
+
+  /** Parquet fixture read half: Some(frame) when `path` exists. The
+    * caller turns rows back into its artifact type (and re-validates
+    * any corpus-size column it stored).
+    */
+  def parquetFixture(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Option[org.apache.spark.sql.DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val exists = p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    if (exists) Some(spark.read.parquet(path)) else None
+  }
+
+  /** How many times a `learn` body actually executed in this JVM —
+    * the registry spec's observable (a fixture-served call must not
+    * move it).
+    */
+  private[graft] def learnCount: Int = learns.get()
+
+  /** Wall seconds per artifact actually learned / loaded this JVM. */
+  private[graft] def learnTimes: Map[String, Double] = learnWall.toMap
+  private[graft] def loadTimes: Map[String, Double] = loadWall.toMap
 
   /** Test hook. */
   private[graft] def clear(): Unit = cache.clear()

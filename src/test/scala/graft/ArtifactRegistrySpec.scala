@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ArtifactCache
+
+/** The persisted-model-registry contract: learned artifacts (BPE merge
+  * table, PQ codebooks) written as parquet fixtures must SERVE a
+  * cold-cache consumer — the cross-JVM read path — with zero learning
+  * jobs, and the loaded artifact must drive results identical to the
+  * learned one (learning is deterministic, so load ≡ learn).
+  */
+class ArtifactRegistrySpec extends AnyFunSuite with SharedSpark {
+
+  test("fixture-present cold cache serves q69/q73 without learning; load == learn") {
+    val d = "/root/testdata/sf0.001"
+    // pass 1: learns (or loads a prior round's fixture) and guarantees
+    // the fixtures exist on disk for this corpus size
+    val r69a = SparkEntry.queries("q69_bpe_tokenize")(spark, d).collect()
+    val r73a = SparkEntry.queries("q73_pq_encode")(spark, d).collect()
+    // simulate a fresh JVM: in-memory cache emptied, fixtures persist
+    ArtifactCache.clear()
+    val learnsBefore = ArtifactCache.learnCount
+    val r69b = SparkEntry.queries("q69_bpe_tokenize")(spark, d).collect()
+    val r73b = SparkEntry.queries("q73_pq_encode")(spark, d).collect()
+    assert(ArtifactCache.learnCount == learnsBefore,
+      "a fixture-served cold call must not run any learn body")
+    assert(r69a.toSeq == r69b.toSeq, "BPE load path must equal learn path")
+    assert(r73a.toSeq == r73b.toSeq, "PQ load path must equal learn path")
+  }
+
+  test("residual coarse + codebook fixtures serve q83 cold too") {
+    val d = "/root/testdata/sf0.001"
+    val a = SparkEntry.queries("q83_residual_recall")(spark, d).collect()
+    ArtifactCache.clear()
+    val learnsBefore = ArtifactCache.learnCount
+    val b = SparkEntry.queries("q83_residual_recall")(spark, d).collect()
+    assert(ArtifactCache.learnCount == learnsBefore,
+      "coarse + residual codebooks must both load from their fixtures")
+    assert(a.toSeq == b.toSeq)
+  }
+}
