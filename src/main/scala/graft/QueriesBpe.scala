@@ -51,9 +51,13 @@ object QueriesBpe {
       // registry READ path: a persisted merge table for this corpus
       // size serves the encoder with zero learning jobs (rank order is
       // the table's semantics — restore it exactly)
+      // corpus_dir check: two scale factors can share a doc count with
+      // different content — a same-count foreign fixture must re-learn
+      // (the learn overwrites it, so the count-keyed oracle stays right)
       val nDocs = documents(s, d).count()
       graft.operators.ArtifactCache.parquetFixture(s, s"$FixtureDir/$nDocs")
-        .map(_.where(col("corpus_docs") === nDocs)
+        .filter(_.columns.contains("corpus_dir")) // pre-provenance: re-learn
+        .map(_.where(col("corpus_docs") === nDocs && col("corpus_dir") === d)
           .orderBy("merge_rank").collect().toSeq
           .map(r => Bpe.Merge(r.getAs[Int]("merge_rank"),
             r.getAs[String]("ml"), r.getAs[String]("mr"))))
@@ -63,8 +67,8 @@ object QueriesBpe {
       val merges = Bpe.learnMerges(Bpe.wordCounts(docs, "text"), NumMerges)
       val nDocs = docs.count()
       import s.implicits._
-      merges.map(m => (m.rank, m.left, m.right, nDocs))
-        .toDF("merge_rank", "ml", "mr", "corpus_docs")
+      merges.map(m => (m.rank, m.left, m.right, nDocs, d))
+        .toDF("merge_rank", "ml", "mr", "corpus_docs", "corpus_dir")
         .coalesce(1).write.mode("overwrite").parquet(s"$FixtureDir/$nDocs")
       merges
     }

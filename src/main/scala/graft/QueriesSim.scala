@@ -290,12 +290,22 @@ object QueriesSim {
     * corpus's size. Row order is semantically irrelevant to every
     * consumer (they key by (sub, cid)); sorted for determinism.
     */
-  private def loadCodebook(s: SparkSession, dir: String, n: Long,
+  /** Registry READ path shared by the three PQ fixtures. Besides the
+    * corpus-size key the loader checks the stored `corpus_dir`: two
+    * scale factors can share a row COUNT with different content (the
+    * sf0.001/sf0.01 embeddings both hold 500 vectors), and a
+    * same-count foreign fixture must re-learn, not serve — the learn
+    * then overwrites the fixture, so the oracle (which can only filter
+    * by count) always reads the codebook of the corpus just verified.
+    */
+  private def loadCodebook(s: SparkSession, dir: String, n: Long, d: String,
                            subCol: Option[String])
       : Option[Seq[(Int, Int, Array[Double])]] =
     graft.operators.ArtifactCache.parquetFixture(s, s"$dir/$n")
+      // a fixture without the provenance column predates it: re-learn
+      .filter(_.columns.contains("corpus_dir"))
       .map { df =>
-        df.where(col("corpus_vecs") === n)
+        df.where(col("corpus_vecs") === n && col("corpus_dir") === d)
           .select(subCol.map(col).getOrElse(lit(0)).as("sub"),
             col("cid"), col("cvec"))
           .collect().toSeq
@@ -310,15 +320,15 @@ object QueriesSim {
     graft.operators.ArtifactCache.getOrLoadOrLearn(
         s"pq:$d:$PqM:$PqK:$PqIters") {
       val n = embeddings(s, d).count()
-      loadCodebook(s, PqFixtureDir, n, Some("sub"))
+      loadCodebook(s, PqFixtureDir, n, d, Some("sub"))
     } {
       val emb = embeddings(s, d).select("vec_id", "embedding")
       val cb = graft.operators.Pq.learnCodebooks(
         emb, "vec_id", "embedding", PqM, PqK, PqIters)
       val n = emb.count()
       import s.implicits._
-      cb.map { case (sub, cid, v) => (sub, cid, v, n) }
-        .toDF("sub", "cid", "cvec", "corpus_vecs")
+      cb.map { case (sub, cid, v) => (sub, cid, v, n, d) }
+        .toDF("sub", "cid", "cvec", "corpus_vecs", "corpus_dir")
         .coalesce(1).write.mode("overwrite").parquet(s"$PqFixtureDir/$n")
       cb
     }
@@ -767,10 +777,13 @@ object QueriesSim {
   // the RESIDUAL (vector − assigned coarse centroid), which is centered
   // near zero and therefore finer-grained at the same K than raw
   // vectors (q73/q77). The coarse quantizer is L2 LLOYD (Pq.
-  // coarseQuantizer — m=1 learnCodebooks), NOT the q36 cosine-to-seed
-  // scheme: measured on this corpus, cosine-to-seed residuals carry
-  // 1.62× the raw variance (recall@10 DROPPED to 0.18) while Lloyd
-  // residuals carry 0.93× (recall 0.35 → 0.38 at unchanged K). The
+  // coarseQuantizer — m=1 learnCodebooks) with the DERIVED 4·√n list
+  // count (Pq.coarseListCount), NOT the q36 cosine-to-seed scheme:
+  // measured on this corpus, cosine-to-seed residuals carry 1.62× the
+  // raw variance (recall@10 DROPPED to 0.18), 8 Lloyd lists barely
+  // break even, and the 4√n rule reads 0.45 vs 0.35 raw at 500
+  // vectors, 0.35 vs 0.25 at 2 000 — at unchanged K (the q76/q83
+  // audit pair measures exactly this delta). The
   // query's distance table is computed per PROBED LIST on the query's
   // residual against that list's centroid (queryLutBy keyed
   // (qid, ccid)); candidate codes live in exactly one list, so the
@@ -779,22 +792,32 @@ object QueriesSim {
   private val PqCoarseFixtureDir = "/tmp/graft_fixtures/pq_residual_coarse"
 
   /** L2 Lloyd coarse quantizer + oracle fixture (the pqCodebook
-    * protocol; m=1 rows stored as (cid, cvec)).
+    * protocol; m=1 rows stored as (cid, cvec)). The list count is
+    * DERIVED from the measured corpus size ([[graft.operators.Pq
+    * .coarseListCount]] — the √n Faiss rule; 16 lists at 500 vectors,
+    * 64 at 5 000), which the oracle never needs as a literal: its
+    * `cent` CTE reads the fixture, so list count is whatever the
+    * fixture holds. Ten Lloyd rounds — the coarse quantizer is the
+    * learning path's cheapest artifact and the one whose quality
+    * gates residual recall.
     */
+  private val CoarseIters = 10
+
   private def pqResidualCoarse(s: SparkSession, d: String)
       : Seq[(Int, Int, Array[Double])] =
     graft.operators.ArtifactCache.getOrLoadOrLearn(
-        s"pqcoarse:$d:$IvfK:$PqIters") {
+        s"pqcoarse:$d:derived:$CoarseIters") {
       val n = embeddings(s, d).count()
-      loadCodebook(s, PqCoarseFixtureDir, n, subCol = None)
+      loadCodebook(s, PqCoarseFixtureDir, n, d, subCol = None)
     } {
       val emb = embeddings(s, d).select("vec_id", "embedding")
-      val coarse = graft.operators.Pq.coarseQuantizer(
-        emb, "vec_id", "embedding", IvfK, PqIters)
       val n = emb.count()
+      val coarse = graft.operators.Pq.coarseQuantizer(
+        emb, "vec_id", "embedding",
+        graft.operators.Pq.coarseListCount(n), CoarseIters)
       import s.implicits._
-      coarse.map { case (_, cid, v) => (cid, v, n) }
-        .toDF("cid", "cvec", "corpus_vecs")
+      coarse.map { case (_, cid, v) => (cid, v, n, d) }
+        .toDF("cid", "cvec", "corpus_vecs", "corpus_dir")
         .coalesce(1).write.mode("overwrite").parquet(s"$PqCoarseFixtureDir/$n")
       coarse
     }
@@ -805,9 +828,9 @@ object QueriesSim {
   private def pqResidualCodebook(s: SparkSession, d: String)
       : Seq[(Int, Int, Array[Double])] =
     graft.operators.ArtifactCache.getOrLoadOrLearn(
-        s"pqresid:$d:$PqM:$PqK:$PqIters:$IvfK") {
+        s"pqresid:$d:$PqM:$PqK:$PqIters:derived") {
       val n = embeddings(s, d).count()
-      loadCodebook(s, PqResidFixtureDir, n, Some("sub"))
+      loadCodebook(s, PqResidFixtureDir, n, d, Some("sub"))
     } {
       val emb = embeddings(s, d).select("vec_id", "embedding")
       val resid = graft.operators.Pq.residuals(emb, pqResidualCoarse(s, d),
@@ -816,8 +839,8 @@ object QueriesSim {
         resid, "vec_id", "rvec", PqM, PqK, PqIters)
       val n = emb.count()
       import s.implicits._
-      cb.map { case (sub, cid, v) => (sub, cid, v, n) }
-        .toDF("sub", "cid", "cvec", "corpus_vecs")
+      cb.map { case (sub, cid, v) => (sub, cid, v, n, d) }
+        .toDF("sub", "cid", "cvec", "corpus_vecs", "corpus_dir")
         .coalesce(1).write.mode("overwrite").parquet(s"$PqResidFixtureDir/$n")
       cb
     }
@@ -868,7 +891,7 @@ object QueriesSim {
     * assignment → residual frame → residual codes → per-(query, list)
     * LUT over the probed lists (`nProbe`).
     */
-  private def residualCtes(nProbe: Int, excludeSelf: Boolean = true): String =
+  private def residualCtes(nProbeSql: String, excludeSelf: Boolean = true): String =
     s"""emb AS (SELECT vec_id, embedding FROM embeddings),
        |cent AS (
        | SELECT cid AS ccid, cvec AS ccvec
@@ -912,7 +935,7 @@ object QueriesSim {
        |     ORDER BY ${l2Sql("e.embedding", "c.ccvec")}, c.ccid) AS r
        |  FROM emb e CROSS JOIN cent c
        |  WHERE e.vec_id % 50 = 0 AND e.vec_id < 1000) t
-       | WHERE r <= $nProbe),
+       | WHERE r <= $nProbeSql),
        |qresid AS (
        | SELECT p.qid, p.ccid,
        |  list_transform(range(1, 65),
@@ -943,7 +966,7 @@ object QueriesSim {
        | GROUP BY 1, 2)""".stripMargin
 
   val q82Sql: String =
-    s"""WITH ${residualCtes(IvfProbes)},
+    s"""WITH ${residualCtes(IvfProbes.toString)},
        |ranked AS (
        | SELECT qid, nid, adc_micro,
        |  row_number() OVER (PARTITION BY qid ORDER BY adc_micro, nid) AS rank
@@ -962,14 +985,15 @@ object QueriesSim {
   def q83ResidualRecall(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d).select("vec_id", "embedding")
     val queries = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1000)
-    val approx = residualIvfAdc(s, d, nProbe = IvfK, k = RecallK,
+    val approx = residualIvfAdc(s, d, nProbe = Int.MaxValue, k = RecallK,
         excludeSelf = false)
       .select(col("qid"), col("nid").as("id"))
     recallOverlap(approx, queries, emb)
   }
 
   val q83Sql: String =
-    s"""WITH ${residualCtes(IvfK, excludeSelf = false)},
+    s"""WITH ${residualCtes("(SELECT count(*) FROM cent)",
+         excludeSelf = false)},
        |apx AS (
        | SELECT qid, nid AS id FROM (
        |  SELECT qid, nid,
