@@ -845,17 +845,21 @@ object QueriesSim {
       cb
     }
 
-  /** Residual IVFADC top-k over the lists each query probes; `nProbe`
-    * = IvfK turns probe pruning OFF (the q83 audit's full-corpus
-    * variant — isolates quantization quality from probe misses).
-    * `excludeSelf` = false for the audit: the exact side and q76's ADC
-    * both KEEP the query itself (trivially its own nearest neighbor),
-    * so a serving-style self-filter would cost every query one overlap
-    * and skew the comparison.
+  /** Residual IVFADC top-k over the lists each query probes. Probe
+    * count is the derived rule ([[graft.operators.Pq.probeCount]] —
+    * lists/16, floor 2); `probeAll` turns probe pruning OFF (the q83
+    * audit's full-corpus variant — isolates quantization quality from
+    * probe misses). `excludeSelf` = false for the audit: the exact
+    * side and q76's ADC both KEEP the query itself (trivially its own
+    * nearest neighbor), so a serving-style self-filter would cost
+    * every query one overlap and skew the comparison.
     */
-  private def residualIvfAdc(s: SparkSession, d: String, nProbe: Int,
+  private def residualIvfAdc(s: SparkSession, d: String, probeAll: Boolean,
                              k: Int, excludeSelf: Boolean = true): DataFrame = {
     val coarse = pqResidualCoarse(s, d)
+    val nProbe =
+      if (probeAll) Int.MaxValue
+      else graft.operators.Pq.probeCount(coarse.size)
     val cbR = pqResidualCodebook(s, d)
     val emb = embeddings(s, d).select("vec_id", "embedding")
     val resid = graft.operators.Pq.residuals(emb, coarse,
@@ -885,7 +889,7 @@ object QueriesSim {
   }
 
   def q82IvfPqResidual(s: SparkSession, d: String): DataFrame =
-    residualIvfAdc(s, d, IvfProbes, IvfPqK).orderBy("qid", "rank")
+    residualIvfAdc(s, d, probeAll = false, k = IvfPqK).orderBy("qid", "rank")
 
   /** Shared oracle CTEs for the residual IVFADC paths: coarse
     * assignment → residual frame → residual codes → per-(query, list)
@@ -965,8 +969,13 @@ object QueriesSim {
        |            AND l.sub = c.sub AND l.cid = c.cid
        | GROUP BY 1, 2)""".stripMargin
 
+  /** The derived probe rule in oracle form — probes relative to the
+    * fixture's list count, so no literal needs re-deriving per scale.
+    */
+  private val DerivedProbeSql = "(SELECT greatest(2, count(*) // 16) FROM cent)"
+
   val q82Sql: String =
-    s"""WITH ${residualCtes(IvfProbes.toString)},
+    s"""WITH ${residualCtes(DerivedProbeSql)},
        |ranked AS (
        | SELECT qid, nid, adc_micro,
        |  row_number() OVER (PARTITION BY qid ORDER BY adc_micro, nid) AS rank
@@ -985,7 +994,7 @@ object QueriesSim {
   def q83ResidualRecall(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d).select("vec_id", "embedding")
     val queries = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1000)
-    val approx = residualIvfAdc(s, d, nProbe = Int.MaxValue, k = RecallK,
+    val approx = residualIvfAdc(s, d, probeAll = true, k = RecallK,
         excludeSelf = false)
       .select(col("qid"), col("nid").as("id"))
     recallOverlap(approx, queries, emb)
@@ -1001,7 +1010,46 @@ object QueriesSim {
        |  FROM radc) WHERE rank <= $RecallK),
        |$recallTailSql""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q84 IVFADC + refine: the COMPLETE Faiss-style serving pipeline in
+  // one query — derived-count coarse probe (prunes the corpus to a
+  // constant fraction), residual ADC over the probed lists (quantized
+  // shortlist of RefineShortlist), exact-L2 re-rank of the shortlist
+  // (Pq.refineTopK). Per-query cost: probed-list codes + shortlist
+  // exact distances — never a corpus scan of vectors. Every stage is
+  // the audited one (q83 quantization, q81 refine, q76 baseline).
+  def q84IvfPqRefine(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1000)
+    val short = residualIvfAdc(s, d, probeAll = false, k = RefineShortlist)
+      .select(col("qid"), col("nid").as("id"))
+    graft.operators.Pq.refineTopK(short, emb, queries,
+        "vec_id", "embedding", AdcK)
+      .orderBy("qid", "rank")
+  }
+
+  val q84Sql: String =
+    s"""WITH ${residualCtes(DerivedProbeSql)},
+       |shortl AS (
+       | SELECT qid, nid AS id FROM (
+       |  SELECT qid, nid,
+       |   row_number() OVER (PARTITION BY qid ORDER BY adc_micro, nid) AS r
+       |  FROM radc) WHERE r <= $RefineShortlist),
+       |rex AS (
+       | SELECT s.qid, s.id, ${l2Sql("ne.embedding", "qe.embedding")} AS l2
+       | FROM shortl s
+       | JOIN embeddings ne ON ne.vec_id = s.id
+       | JOIN embeddings qe ON qe.vec_id = s.qid),
+       |rr AS (
+       | SELECT qid, id, l2,
+       |  row_number() OVER (PARTITION BY qid ORDER BY l2, id) AS rank
+       | FROM rex)
+       |SELECT qid, CAST(rank AS INT) AS rank, id, l2
+       |FROM rr WHERE rank <= $AdcK
+       |ORDER BY qid, rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_ivfpq_refine" -> (q84IvfPqRefine _),
     "q79_adc_refine" -> (q79AdcRefine _),
     "q81_refine_recall" -> (q81RefineRecall _),
     "q82_ivfpq_residual" -> (q82IvfPqResidual _),
@@ -1018,6 +1066,7 @@ object QueriesSim {
   )
 
   val oracle: Map[String, String] = Map(
+    "q84_ivfpq_refine" -> q84Sql,
     "q79_adc_refine" -> q79Sql,
     "q81_refine_recall" -> q81Sql,
     "q82_ivfpq_residual" -> q82Sql,

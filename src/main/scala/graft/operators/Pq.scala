@@ -246,6 +246,18 @@ object Pq {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     val short = adcTopK(vectors, queries, idCol, vecCol, codebook, shortlist)
       .select(col("qid"), col("id"))
+    refineTopK(short, vectors, queries, idCol, vecCol, k)
+  }
+
+  /** The refine stage alone: exact-L2 re-rank of ANY (qid, id)
+    * shortlist frame against the original vectors — composes behind
+    * [[adcTopK]] (→ [[adcRefineTopK]]) or a residual IVFADC shortlist
+    * (the full Faiss IVFADC+refine serving pipeline). Touches
+    * |shortlist| vector rows via an id equi-join, never the corpus.
+    * Emits (qid, rank, id, l2).
+    */
+  def refineTopK(short: DataFrame, vectors: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("__l2"), col("id"))
     short
@@ -257,6 +269,13 @@ object Pq {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id"), col("__l2").as("l2"))
   }
+
+  /** Probe-count scale rule: lists/16, floored at 2 — tracks the list
+    * count (itself 4√n via [[coarseListCount]]) so probed coverage
+    * stays a roughly constant corpus fraction as the index grows,
+    * the standard nprobe discipline.
+    */
+  def probeCount(lists: Int): Int = math.max(2, lists / 16)
 
   /** L2 Lloyd coarse quantizer for IVF-PQ — [[learnCodebooks]] with a
     * SINGLE subspace spanning the full dimension (m = 1): k full-width
