@@ -531,7 +531,7 @@ object QueriesSim {
     val cands = probes.join(assigned, "cid")
       .filter(col("qid") =!= col("nid"))
       .select("qid", "nid")
-    val codes = graft.operators.Pq.codeRows(emb, "vec_id", "embedding", cb)
+    val codes = graft.operators.Pq.codeRowsMapSide(emb, "vec_id", "embedding", cb)
     val lut = graft.operators.Pq.queryLut(queries, "vec_id", "embedding", cb)
     val w = Window.partitionBy("qid").orderBy(col("__adc_micro"), col("nid"))
     cands
@@ -845,6 +845,44 @@ object QueriesSim {
       cb
     }
 
+  /** The persisted residual-PQ INDEX TABLE: (id, ccid, sub, cid) code
+    * rows for the whole corpus. Index BUILD (coarse assignment — n·k
+    * distance evals, the expensive half) runs once and lands in the
+    * registry as parquet; SERVING is then a scan of the code table,
+    * the Faiss index-on-disk shape. Re-deriving assignment per query
+    * measured 11.6× wall at a 10× corpus (n · 4√n lists grows n^1.5);
+    * the code table scan is linear.
+    */
+  private val PqCodesFixtureDir = "/tmp/graft_fixtures/pq_residual_codes"
+
+  private def pqResidualCodes(s: SparkSession, d: String): DataFrame = {
+    val path = graft.operators.ArtifactCache.getOrLoadOrLearn(
+        s"pqcodesidx:$d") {
+      val n = embeddings(s, d).count()
+      val p = s"$PqCodesFixtureDir/$n"
+      graft.operators.ArtifactCache.parquetFixture(s, p)
+        .filter(_.columns.contains("corpus_dir"))
+        .filter(_.where(col("corpus_vecs") === n && col("corpus_dir") === d)
+          .limit(1).count() == 1)
+        .map(_ => p)
+    } {
+      val emb = embeddings(s, d).select("vec_id", "embedding")
+      val n = emb.count()
+      val resid = graft.operators.Pq.residuals(emb, pqResidualCoarse(s, d),
+        "vec_id", "embedding")
+      val p = s"$PqCodesFixtureDir/$n"
+      // assignment + residual + encode compose into ONE shuffle-free
+      // projection over the corpus scan — the index build is map-only
+      resid.select(col("vec_id").as("id"), col("ccid"),
+          posexplode(graft.operators.Pq.encodeCodes(col("rvec"),
+            pqResidualCodebook(s, d))).as(Seq("sub", "cid")),
+          lit(n).as("corpus_vecs"), lit(d).as("corpus_dir"))
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    s.read.parquet(path).where(col("corpus_dir") === d)
+  }
+
   /** Residual IVFADC top-k over the lists each query probes. Probe
     * count is the derived rule ([[graft.operators.Pq.probeCount]] —
     * lists/16, floor 2); `probeAll` turns probe pruning OFF (the q83
@@ -862,11 +900,10 @@ object QueriesSim {
       else graft.operators.Pq.probeCount(coarse.size)
     val cbR = pqResidualCodebook(s, d)
     val emb = embeddings(s, d).select("vec_id", "embedding")
-    val resid = graft.operators.Pq.residuals(emb, coarse,
-      "vec_id", "embedding")
-    val codes = graft.operators.Pq.codeRows(resid, "vec_id", "rvec", cbR)
-      .withColumnRenamed("id", "nid")
-    val assigned = resid.select(col("vec_id").as("nid"), col("ccid"))
+    val codesT = pqResidualCodes(s, d)
+    val codes = codesT.select(col("id").as("nid"), col("sub"), col("cid"))
+    val assigned = codesT.where(col("sub") === 0)
+      .select(col("id").as("nid"), col("ccid"))
     val queries = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1000)
     val probes = graft.operators.Pq.coarseProbe(queries, coarse,
       "vec_id", "embedding", nProbe)

@@ -134,15 +134,10 @@ object Pq {
     */
   def encode(vectors: DataFrame, idCol: String, vecCol: String,
              codebook: Seq[(Int, Int, Array[Double])]): DataFrame = {
-    val spark = vectors.sparkSession
-    import spark.implicits._
     val m = codebook.map(_._1).max + 1
-    val subDim = codebook.head._3.length
-    val cbDf = codebook.toDF("sub", "cid", "cvec")
-    val coded = assign(subvectors(vectors, idCol, vecCol, m, subDim), cbDf, idCol)
-    val codeCols = (0 until m).map(s =>
-      max(when(col("sub") === s, col("cid"))).cast("int").as(s"c$s"))
-    coded.groupBy(idCol).agg(codeCols.head, codeCols.tail: _*)
+    val codes = encodeCodes(col(vecCol), codebook)
+    val codeCols = (0 until m).map(s => element_at(codes, s + 1).as(s"c$s"))
+    vectors.select(col(idCol) +: codeCols: _*)
   }
 
   /** Asymmetric-distance top-k search: exact query subvectors against
@@ -178,6 +173,53 @@ object Pq {
       .select(col(idCol).as("id"), col("sub"), col("cid"))
   }
 
+  /** Nearest-centroid id of a (sub)vector column against a LITERAL
+    * centroid table (index == cid, the [[learnCodebooks]] id
+    * discipline): distances via a `transform` lambda over the centroid
+    * array, argmin via `array_sort` on (d2, cid) structs — struct
+    * ordering compares field by field, so the sort key is exactly the
+    * window path's ORDER BY (round-6 double L2², centroid-id
+    * tie-break). A pure projection: expression size is O(1) in K (the
+    * centroids travel as one literal array, not K unrolled terms).
+    */
+  private def nearestCidMapSide(subvec: Column,
+                                cents: Seq[Array[Double]]): Column = {
+    val centsLit = typedLit(cents.map(_.toSeq))
+    val scored = transform(centsLit, (cvec, i) =>
+      struct(round(l2sq(subvec, cvec), 6).as("d2"), i.cast("int").as("cid")))
+    element_at(array_sort(scored), 1).getField("cid")
+  }
+
+  /** All `m` code assignments of a vector column as one `array<int>`
+    * (element s = subspace s's centroid id) — a single shuffle-free
+    * projection. Bit-identical to the [[codeRows]] join+window path
+    * (PqSpec pins it): same round-6 double distances, same cid
+    * tie-break, just taken with [[nearestCidMapSide]]'s literal-array
+    * argmin instead of an explode → broadcast-join → window plan.
+    */
+  def encodeCodes(vecCol: Column,
+                  codebook: Seq[(Int, Int, Array[Double])]): Column = {
+    val m = codebook.map(_._1).max + 1
+    val subDim = codebook.head._3.length
+    array((0 until m).map { s =>
+      val cents = codebook.filter(_._1 == s).sortBy(_._2).map(_._3)
+      nearestCidMapSide(slice(vecCol, s * subDim + 1, subDim), cents)
+    }: _*)
+  }
+
+  /** (id, sub, cid) code rows via [[encodeCodes]] — the serving-path
+    * encoder: NO shuffle at all (the window path shuffles every
+    * (vector, sub) row for its per-id argmin; this is a projection + a
+    * generator, so at 100 TB encoding is a map-only pass over the
+    * corpus). Also the STREAMING-compatible face: window functions are
+    * unsupported on streaming frames, projections are
+    * ([[graft.streaming.Streaming]]'s encode path uses exactly this).
+    */
+  def codeRowsMapSide(vectors: DataFrame, idCol: String, vecCol: String,
+                      codebook: Seq[(Int, Int, Array[Double])]): DataFrame =
+    vectors.select(col(idCol).as("id"),
+        posexplode(encodeCodes(col(vecCol), codebook)).as(Seq("sub", "cid")))
+
   /** Per-query ADC lookup table: (qid, sub, cid, __qd2_micro) — the
     * exact query subvector's distance to every centroid, as an integer
     * micro value (rounded SCALED, the q67 pattern: round-to-6 then
@@ -211,7 +253,7 @@ object Pq {
   def adcTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, codebook: Seq[(Int, Int, Array[Double])],
               k: Int): DataFrame = {
-    val codes = codeRows(vectors, idCol, vecCol, codebook)
+    val codes = codeRowsMapSide(vectors, idCol, vecCol, codebook)
     val lut = queryLut(queries, idCol, vecCol, codebook)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("__adc_micro"), col("id"))
@@ -288,8 +330,16 @@ object Pq {
     * contract.
     */
   def coarseQuantizer(vectors: DataFrame, idCol: String, vecCol: String,
-                      k: Int, iters: Int): Seq[(Int, Int, Array[Double])] =
-    learnCodebooks(vectors, idCol, vecCol, m = 1, k = k, iters = iters)
+                      k: Int, iters: Int): Seq[(Int, Int, Array[Double])] = {
+    // Faiss's training discipline: Lloyd converges on a bounded sample
+    // (~dozens of points per centroid), so cap the training set at 16·k
+    // id-ordered vectors — the build cost stays k·(16k)·d per round
+    // instead of k·n·d, which at the 4√n list rule would otherwise grow
+    // n^1.5. Deterministic (id-ordered prefix), and invisible to the
+    // oracle: it reads the centroid fixture, never re-trains.
+    val train = vectors.orderBy(idCol).limit(16 * k)
+    learnCodebooks(train, idCol, vecCol, m = 1, k = k, iters = iters)
+  }
 
   /** The coarse-list scale rule, as code (the [[Similarity.lshKnobs]]
     * discipline applied to IVF): the power of two nearest 4·√n — the
@@ -321,20 +371,20 @@ object Pq {
     * centroid, in double — what the PQ codebooks quantize in true
     * Faiss-style IVFADC (residuals are centered near zero, so K
     * centroids per subspace resolve finer detail at the same K).
-    * Assignment reuses [[codeRows]] over the m=1 coarse codebook
-    * (round-6 L2, centroid-id tie-break — oracle-reproducible).
+    * Assignment is [[encodeCodes]] over the m=1 coarse codebook
+    * (round-6 L2, centroid-id tie-break — oracle-reproducible), and
+    * the subtraction indexes a literal centroid array — the whole
+    * frame is ONE shuffle-free projection.
     *
-    * Output: (idCol, ccid, rvec: array<double>) — one row per vector,
-    * map-side except the per-id argmin.
+    * Output: (idCol, ccid, rvec: array<double>) — one row per vector.
     */
   def residuals(vectors: DataFrame, coarse: Seq[(Int, Int, Array[Double])],
                 idCol: String, vecCol: String): DataFrame = {
-    val assigned = codeRows(vectors, idCol, vecCol, coarse)
-      .select(col("id").as(idCol), col("cid").as("ccid"))
-    vectors.join(assigned, idCol)
-      .join(broadcast(coarseCentDf(vectors, coarse)), "ccid")
+    val centsLit = typedLit(coarse.sortBy(_._2).map(_._3.toSeq))
+    vectors
+      .withColumn("ccid", element_at(encodeCodes(col(vecCol), coarse), 1))
       .select(col(idCol), col("ccid"),
-        zip_with(col(vecCol), col("__cvec"),
+        zip_with(col(vecCol), element_at(centsLit, col("ccid") + 1),
           (x, y) => x.cast("double") - y).as("rvec"))
   }
 

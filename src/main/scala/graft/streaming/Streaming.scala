@@ -301,4 +301,21 @@ object Streaming {
         col("band"), col("bucket"))
       .distinct()
   }
+
+  /** Streaming face of the PQ index-UPDATE path: encode arriving
+    * vectors to (id, sub, cid) code rows against an immutable registry
+    * codebook. A deployment's ANN index ingests this way — the index
+    * BUILD (q82's persisted code table) and the continuous append for
+    * new corpus rows are the same expression, because
+    * [[graft.operators.Pq.encodeCodes]] is a pure projection: window
+    * functions are unsupported on streaming frames, projections are
+    * (that constraint is why the map-side encoder exists). Stateless —
+    * no watermark, no state store; each micro-batch encodes
+    * independently and appends, and codebooks never change under an
+    * index version (re-training is a new index, the model-registry
+    * discipline).
+    */
+  def pqEncodeStream(vectors: DataFrame, idCol: String, vecCol: String,
+                     codebook: Seq[(Int, Int, Array[Double])]): DataFrame =
+    graft.operators.Pq.codeRowsMapSide(vectors, idCol, vecCol, codebook)
 }

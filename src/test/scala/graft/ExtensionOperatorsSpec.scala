@@ -146,6 +146,32 @@ class ExtensionOperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(low.size == 1 && high.size == 1 && low != high)
   }
 
+  test("PQ map-side encoder is bit-identical to the join+window path") {
+    import graft.operators.Pq
+    val rnd = new scala.util.Random(23)
+    // fully random vectors (no blob structure): every centroid boundary
+    // and tie discipline is exercised, not just easy separations
+    val rows = (0 until 120).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2f - 1f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val cb = Pq.learnCodebooks(df, "vec_id", "embedding", m = 2, k = 4, iters = 2)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getInt(2))
+    val windowed = Pq.codeRows(df, "vec_id", "embedding", cb).collect().map(key)
+    val mapSide = Pq.codeRowsMapSide(df, "vec_id", "embedding", cb)
+      .collect().map(key)
+    assert(mapSide.toSet == windowed.toSet, "map-side codes must equal window path")
+    assert(mapSide.length == 240) // 120 vectors x m=2
+    // and the m=1 coarse face used by residuals() agrees too
+    val coarse = Pq.coarseQuantizer(df, "vec_id", "embedding", k = 3, iters = 2)
+    val wCoarse = Pq.codeRows(df, "vec_id", "embedding", coarse)
+      .select("id", "cid").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val rCoarse = Pq.residuals(df, coarse, "vec_id", "embedding")
+      .select("vec_id", "ccid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(rCoarse == wCoarse, "residuals' map-side coarse assignment must match")
+  }
+
   test("PQ ADC top-k returns same-blob neighbors") {
     import graft.operators.Pq
     val rnd = new scala.util.Random(11)

@@ -180,6 +180,33 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(state.isRemoved, "idle bucket's anchor must be evicted")
   }
 
+  test("pqEncodeStream code rows match the batch index build across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(29)
+    val rows = (0 until 30).map(i =>
+      StreamingSpec.Vec(i.toLong, Seq.fill(8)(rnd.nextFloat() * 2f - 1f)))
+    val batchDf = rows.toDF()
+    val cb = graft.operators.Pq.learnCodebooks(
+      batchDf, "vec_id", "embedding", m = 2, k = 2, iters = 2)
+    val stream = MemoryStream[StreamingSpec.Vec]
+    val q = Streaming.pqEncodeStream(stream.toDF(), "vec_id", "embedding", cb)
+      .writeStream.format("memory").queryName("pq_codes_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(rows.take(15): _*)
+      q.processAllAvailable()
+      stream.addData(rows.drop(15): _*) // late corpus rows append codes
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getInt(1), r.getInt(2))
+    val streamed = spark.table("pq_codes_out").collect().map(key)
+    val batch = graft.operators.Pq.codeRows(batchDf, "vec_id", "embedding", cb)
+      .collect().map(key)
+    assert(streamed.length == 60, "30 vectors x m=2 code rows")
+    assert(streamed.toSet == batch.toSet,
+      "streamed codes must equal the batch window-path index build")
+  }
+
   test("sessionize (flatMapGroupsWithState) matches the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
@@ -206,4 +233,5 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
 
 object StreamingSpec {
   case class Doc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+  case class Vec(vec_id: Long, embedding: Seq[Float])
 }
