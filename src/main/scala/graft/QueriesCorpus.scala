@@ -780,7 +780,48 @@ object QueriesCorpus {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q85 DSIR importance weights (Xie et al. 2023): score raw docs by the
+  // hashed-unigram log-likelihood ratio between a TARGET distribution and
+  // the raw-corpus distribution — the data-selection pass that upsamples
+  // target-like documents. Target here = the English subset (the fixture
+  // corpus's stand-in for "the trusted in-domain seed set"); 1024 hash
+  // buckets; selected = ratio > 0 (more target-like than corpus-average).
+  private val DsirBuckets = 1024
+
+  def q85DsirWeights(s: SparkSession, d: String): DataFrame =
+    Curation.dsirWeights(documents(s, d).select("doc_id", "text", "lang"),
+        "doc_id", "text", col("lang") === "en", DsirBuckets)
+      .orderBy("doc_id")
+
+  val q85Sql: String =
+    s"""WITH toks AS (
+       | SELECT doc_id, tgt, ${hash60Sql("tok")} % $DsirBuckets AS b
+       | FROM (
+       |  SELECT doc_id, lang = 'en' AS tgt,
+       |   unnest(string_split($normSql, ' ')) AS tok
+       |  FROM documents)
+       | WHERE tok <> ''),
+       |bc AS (
+       | SELECT b, count(*) AS cr, count(*) FILTER (WHERE tgt) AS ct
+       | FROM toks GROUP BY b),
+       |tot AS (
+       | SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt
+       | FROM bc),
+       |w AS (
+       | SELECT b, CAST(round((log10((ct + 1.0) / (nt + $DsirBuckets))
+       |   - log10((cr + 1.0) / (nr + $DsirBuckets))) * 1000000) AS BIGINT)
+       |   AS lw
+       | FROM bc, tot),
+       |scored AS (SELECT t.doc_id, w.lw FROM toks t JOIN w USING (b))
+       |SELECT doc_id, count(*) AS n_tokens,
+       | round(CAST(sum(lw) AS BIGINT) / 1000000.0, 6) AS logw,
+       | round(CAST(sum(lw) AS BIGINT) / (count(*) * 1000000.0), 6) AS avg_logw,
+       | (CAST(sum(lw) AS BIGINT) > 0) AS selected
+       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_dsir_weights" -> (q85DsirWeights _),
     "q80_cut_spans" -> (q80CutSpans _),
     "q55_decontaminate" -> (q55Decontaminate _),
     "q56_repetition" -> (q56Repetition _),
@@ -799,6 +840,7 @@ object QueriesCorpus {
   )
 
   val oracle: Map[String, String] = Map(
+    "q85_dsir_weights" -> q85Sql,
     "q80_cut_spans" -> q80Sql,
     "q55_decontaminate" -> q55Sql,
     "q56_repetition" -> q56Sql,

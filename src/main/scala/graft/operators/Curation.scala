@@ -175,6 +175,69 @@ object Curation {
     CacheRelease.afterUse(Seq(withCum), out)
   }
 
+  /** Hashed-unigram importance weights for data selection — the DSIR
+    * shape (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): score every raw document by how much more
+    * likely its tokens are under a TARGET distribution (a trusted
+    * high-quality subset — Wikipedia-like sources, an in-domain seed
+    * set) than under the raw-corpus distribution, using hashed n-gram
+    * bucket counts as the tractable stand-in for a vocabulary model.
+    * Per document: `logw = Σ_tok log10(p_target(b(tok)) /
+    * p_raw(b(tok)))` with `b` = 60-bit md5 hash mod `buckets`
+    * ([[hashBucket]] — engine-reproducible) and both distributions
+    * add-one smoothed over the bucket space (the q67 discipline).
+    * Positive ⇒ the doc reads more target-like than corpus-average;
+    * DSIR resamples proportionally to exp(logw) — the deterministic
+    * `selected = logw > 0` flag is the rank-free decision face.
+    *
+    * Scale shape (100 TB):
+    *  - ONE corpus token scan feeds both distributions (target counts
+    *    ride as a conditional aggregate of the same groupBy — the
+    *    target subset is identified by a per-row predicate, not a
+    *    second scan) and is persisted for the scoring pass (q67's
+    *    single-scan pattern, released by [[CacheRelease]]).
+    *  - the learned object is `buckets` rows — broadcast; the per-token
+    *    scoring work is an integer lookup + long sum (all log10 happens
+    *    once per BUCKET on the tiny weight frame, never per token —
+    *    micro-integer weights make the per-doc sum order-independent,
+    *    exact in any engine).
+    *  - nothing corpus-sized shuffles except the (bucket-keyed) token
+    *    count aggregation and the per-doc sum, both map-side-combined
+    *    hash aggs.
+    *
+    * Emits (idCol, n_tokens, logw, avg_logw, selected); zero-token
+    * docs are excluded (nothing to score — the q67 contract).
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, buckets: Int): DataFrame = {
+    require(buckets >= 2, "buckets must be >= 2")
+    val toks = df.select(col(idCol), isTarget.as("__tgt"),
+        explode(TextStats.tokens(col(textCol))).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .select(col(idCol), col("__tgt"),
+        hashBucket(col("__tok"), buckets).as("__b"))
+      .persist()
+    val bucketCounts = toks.groupBy("__b")
+      .agg(count(lit(1)).as("__cr"),
+        count(when(col("__tgt"), lit(1))).as("__ct"))
+    val totals = bucketCounts.agg(sum("__cr").as("__nr"), sum("__ct").as("__nt"))
+    val weights = bucketCounts.crossJoin(broadcast(totals))
+      .select(col("__b"),
+        round((log10((col("__ct") + 1.0) / (col("__nt") + buckets)) -
+          log10((col("__cr") + 1.0) / (col("__nr") + buckets))) * 1000000.0)
+          .cast("long").as("__lw_micro"))
+    val out = toks
+      .join(broadcast(weights), Seq("__b"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum("__lw_micro").as("__sum_micro"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("__sum_micro") / 1000000.0, 6).as("logw"),
+        round(col("__sum_micro") / (col("n_tokens") * 1000000.0), 6)
+          .as("avg_logw"),
+        (col("__sum_micro") > 0L).as("selected"))
+    CacheRelease.afterUse(Seq(toks), out)
+  }
+
   /** Fixed-width histogram of a numeric column: bucket i covers
     * [lo + i*w, lo + (i+1)*w); values at/above hi clamp to the last
     * bucket, below lo to the first.

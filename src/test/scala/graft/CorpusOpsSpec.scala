@@ -401,6 +401,39 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
     assert(viaInline == (1L to 40L).filterNot(i => i % 4 == 0 || i % 4 == 1))
   }
 
+  test("dsirWeights: target-vocab docs score positive, off-target negative") {
+    // two disjoint vocabularies: target docs speak "alpha beta gamma",
+    // non-target docs speak "zeta eta theta"; one mixed doc and one
+    // empty doc pin the boundary behavior
+    val df = Seq(
+      (1L, "alpha beta gamma alpha beta", true),
+      (2L, "beta gamma alpha gamma", true),
+      (3L, "zeta eta theta zeta eta theta", false),
+      (4L, "theta eta zeta", false),
+      (5L, "alpha beta zeta eta", false), // mixed, not in target set
+      (6L, "", false)
+    ).toDF("doc_id", "text", "tgt")
+    // buckets << corpus tokens is the DSIR operating regime: with
+    // buckets >> tokens, add-one smoothing compresses every ratio
+    // toward (ct+1)/(cr+1) <= 1 (target is a SUBSET of raw) and the
+    // sign stops tracking target-likeness
+    val out = Curation.dsirWeights(df, "doc_id", "text", col("tgt"), 16)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(4))).toMap
+    assert(!out.contains(6L), "empty doc must be excluded")
+    // target-vocab tokens are relatively MORE frequent under the target
+    // distribution; off-target tokens appear 0 times there
+    assert(out(1L)._3 && out(1L)._2 > 0, s"pure target doc: ${out(1L)}")
+    assert(out(2L)._3, s"pure target doc: ${out(2L)}")
+    assert(!out(3L)._3 && out(3L)._2 < 0, s"pure off-target doc: ${out(3L)}")
+    assert(!out(4L)._3, s"pure off-target doc: ${out(4L)}")
+    // the mixed doc sits between the pure docs on avg_logw
+    val avg = (id: Long) => out(id)._2 / out(id)._1
+    assert(avg(5L) > avg(3L) && avg(5L) < avg(1L),
+      s"mixed doc must rank between pure docs: ${avg(3L)} ${avg(5L)} ${avg(1L)}")
+    assert(out(1L)._1 == 5L, "n_tokens counts tokens, not distinct tokens")
+  }
+
   test("chunkDocuments: overlap, truncation, and short-doc behavior") {
     val words = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
     val df = Seq((1L, words), (2L, "just three tokens")).toDF("doc_id", "text")
