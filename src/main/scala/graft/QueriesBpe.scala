@@ -182,11 +182,52 @@ object QueriesBpe {
        |   AS n_windows
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q87 tokenizer fertility audit: per-doc BPE-tokens-per-word and
+  // chars-per-BPE-token — the standard tokenizer-quality observables
+  // (a fertility spike on a language slice means the vocabulary
+  // under-serves it; token budgets and packing density both key off
+  // it). Same learned merge table and map-side encoder as q69; the
+  // whole query is one corpus scan, no shuffle beyond the final sort.
+  def q87TokenFertility(s: SparkSession, d: String): DataFrame = {
+    val merges = learnAndFixture(s, d)
+    documents(s, d)
+      .select(col("doc_id"), TextStats.normalize(col("text")).as("__norm"))
+      .filter(length(col("__norm")) > 0)
+      .select(col("doc_id"),
+        (regexp_count(col("__norm"), lit(" ")) + 1).cast("long")
+          .as("n_words"),
+        length(translate(col("__norm"), " ", "")).cast("long")
+          .as("n_chars"),
+        size(Bpe.encode(col("__norm"), merges)).cast("long").as("n_bpe"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_bpe"),
+        round(col("n_bpe") / col("n_words"), 6).as("fertility"),
+        round(col("n_chars") / col("n_bpe"), 6).as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  val q87Sql: String =
+    s"""WITH RECURSIVE
+       |$bpeCtes,
+       |ft AS (
+       | SELECT d.doc_id,
+       |  count(*) AS n_words,
+       |  CAST(sum(length(d.word)) AS BIGINT) AS n_chars,
+       |  CAST(sum(len(e.syms)) AS BIGINT) AS n_bpe
+       | FROM docw d JOIN encw e USING (word)
+       | GROUP BY d.doc_id)
+       |SELECT doc_id, n_words, n_chars, n_bpe,
+       | round(n_bpe / CAST(n_words AS DOUBLE), 6) AS fertility,
+       | round(n_chars / CAST(n_bpe AS DOUBLE), 6) AS chars_per_token
+       |FROM ft ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_bpe_tokenize" -> (q69BpeTokenize _),
-    "q71_bpe_packing" -> (q71BpePacking _))
+    "q71_bpe_packing" -> (q71BpePacking _),
+    "q87_token_fertility" -> (q87TokenFertility _))
 
   val oracle: Map[String, String] = Map(
     "q69_bpe_tokenize" -> q69Sql,
-    "q71_bpe_packing" -> q71Sql)
+    "q71_bpe_packing" -> q71Sql,
+    "q87_token_fertility" -> q87Sql)
 }

@@ -132,7 +132,13 @@ object QueriesSim {
   // hides the pair from the other three), verify cos >= 0.99.
   // Recall < 1 still possible by design — identically reproduced by the
   // oracle.
-  def q28EmbedNeardup(s: SparkSession, d: String): DataFrame = {
+  /** The shared near-dup fixture corpus (q28 / q86): every third base
+    * vector re-appears at id+10000 with a ±0.01 per-dimension nudge —
+    * injected near-duplicates whose cosine to their source stays ≥0.99,
+    * so both candidate-generation strategies (LSH bands, SemDeDup
+    * clusters) have ground-truth pairs to find.
+    */
+  private def neardupCorpus(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     val perturbed = emb.filter(col("vec_id") % 3 === 0)
       .select((col("vec_id") + 10000).as("vec_id"),
@@ -140,7 +146,20 @@ object QueriesSim {
           (x, i) => (x.cast("double")
             + when(i % 2 === 0, 0.01).otherwise(-0.01)).cast("float"))
           .as("embedding"))
-    val corpus = emb.select("vec_id", "embedding").unionByName(perturbed)
+    emb.select("vec_id", "embedding").unionByName(perturbed)
+  }
+
+  private val neardupCorpusSql: String =
+    s"""SELECT vec_id, embedding FROM embeddings
+       | UNION ALL
+       | SELECT vec_id + 10000 AS vec_id,
+       |  list_transform(range(0, 64),
+       |    i -> CAST(CAST(embedding[i + 1] AS DOUBLE)
+       |         + (CASE WHEN i % 2 = 0 THEN 0.01 ELSE -0.01 END) AS FLOAT)) AS embedding
+       | FROM embeddings WHERE vec_id % 3 = 0""".stripMargin
+
+  def q28EmbedNeardup(s: SparkSession, d: String): DataFrame = {
+    val corpus = neardupCorpus(s, d)
     val pairs = Similarity.lshCandidatePairs(corpus, "vec_id", "embedding",
       LshBands, LshBits, LshMaxBucket)
     pairs
@@ -153,14 +172,7 @@ object QueriesSim {
   }
 
   val q28Sql: String =
-    s"""WITH corpus AS (
-       | SELECT vec_id, embedding FROM embeddings
-       | UNION ALL
-       | SELECT vec_id + 10000 AS vec_id,
-       |  list_transform(range(0, 64),
-       |    i -> CAST(CAST(embedding[i + 1] AS DOUBLE)
-       |         + (CASE WHEN i % 2 = 0 THEN 0.01 ELSE -0.01 END) AS FLOAT)) AS embedding
-       | FROM embeddings WHERE vec_id % 3 = 0),
+    s"""WITH corpus AS ($neardupCorpusSql),
        |mem AS (${membershipSql("corpus")}),
        |pairs AS (
        | SELECT DISTINCT q.vec_id AS a, c.vec_id AS b
@@ -1085,7 +1097,48 @@ object QueriesSim {
        |FROM rr WHERE rank <= $AdcK
        |ORDER BY qid, rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q86 SemDeDup (Abbas et al. 2023): semantic near-dup removal through
+  // the PERSISTED coarse quantizer (the q82 registry fixture — the same
+  // k-means clustering serves IVF probes and dedup, the double-duty the
+  // paper's pipeline relies on). Same injected-dup corpus as q28, so the
+  // two candidate-generation strategies (LSH bands there, clusters here)
+  // are directly comparable on identical ground truth. Every vector with
+  // a lower-id same-cluster neighbor at cosine ≥ SemTau is dropped.
+  private val SemTau = 0.95
+
+  def q86SemanticDedup(s: SparkSession, d: String): DataFrame =
+    Similarity.semanticDedup(neardupCorpus(s, d),
+        pqResidualCoarse(s, d).map { case (_, cid, v) => (cid, v) },
+        "vec_id", "embedding", SemTau)
+      .orderBy("vec_id")
+
+  val q86Sql: String =
+    s"""WITH corpus AS ($neardupCorpusSql),
+       |cent AS (
+       | SELECT cid, cvec
+       | FROM read_parquet('$PqCoarseFixtureDir/*/*.parquet')
+       | WHERE corpus_vecs = (SELECT count(*) FROM embeddings)),
+       |assigned AS (
+       | SELECT vec_id, cid FROM (
+       |  SELECT v.vec_id, c.cid,
+       |   row_number() OVER (PARTITION BY v.vec_id
+       |     ORDER BY ${l2Sql("v.embedding", "c.cvec")}, c.cid) AS r
+       |  FROM corpus v CROSS JOIN cent c) t WHERE r = 1),
+       |dropped AS (
+       | SELECT DISTINCT y.vec_id AS b
+       | FROM assigned x
+       | JOIN assigned y USING (cid)
+       | JOIN corpus cx ON cx.vec_id = x.vec_id
+       | JOIN corpus cy ON cy.vec_id = y.vec_id
+       | WHERE x.vec_id < y.vec_id
+       |   AND round(${cosSql("cx.embedding", "cy.embedding")}, 6) >= $SemTau)
+       |SELECT a.vec_id, a.cid, (dr.b IS NULL) AS kept
+       |FROM assigned a LEFT JOIN dropped dr ON dr.b = a.vec_id
+       |ORDER BY vec_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_semantic_dedup" -> (q86SemanticDedup _),
     "q84_ivfpq_refine" -> (q84IvfPqRefine _),
     "q79_adc_refine" -> (q79AdcRefine _),
     "q81_refine_recall" -> (q81RefineRecall _),
@@ -1103,6 +1156,7 @@ object QueriesSim {
   )
 
   val oracle: Map[String, String] = Map(
+    "q86_semantic_dedup" -> q86Sql,
     "q84_ivfpq_refine" -> q84Sql,
     "q79_adc_refine" -> q79Sql,
     "q81_refine_recall" -> q81Sql,

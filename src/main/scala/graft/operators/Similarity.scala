@@ -250,4 +250,49 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication through a
+    * k-means clustering instead of LSH — assign every vector to its
+    * nearest centroid (round-6 L2, centroid-id tie-break — the exact
+    * [[graft.operators.Pq.encodeCodes]] assignment, so a persisted IVF
+    * coarse quantizer doubles as the dedup clustering), then compare
+    * pairs ONLY within a cluster and drop every vector that has a
+    * lower-id neighbor with cosine ≥ `tau` (keep-lowest-id star policy,
+    * order-free and deterministic; connected-component canonicalization
+    * is q50's separate operator).
+    *
+    * Scale notes: assignment is a map-side literal-array argmin — no
+    * join, no shuffle. The pair stage is an equi-join on `cid` — never
+    * an all-pairs product; with the k = 4·√n coarse rule the expected
+    * cluster holds ~√n/4 vectors, so total pair work is ~n^1.5/16 —
+    * the SemDeDup paper's accepted trade (it runs on 100-cluster
+    * splits of web-scale corpora for exactly this reason). A skewed
+    * cluster bounds itself at |cluster|²; cap cluster fan-in upstream
+    * (the lshCandidatePairs maxBucket discipline) if a degenerate
+    * quantizer is possible.
+    *
+    * Emits one row per input vector: (id, cid, kept).
+    */
+  def semanticDedup(corpus: DataFrame, centroids: Seq[(Int, Array[Double])],
+                    idCol: String, vecCol: String, tau: Double,
+                    roundTo: Int = 6): DataFrame = {
+    val coarse = centroids.map { case (cid, v) => (0, cid, v) }
+    val assigned = corpus
+      .withColumn("cid",
+        element_at(Pq.encodeCodes(col(vecCol), coarse), 1))
+      .select(col(idCol), col("cid"), col(vecCol))
+    val a = assigned.select(col("cid"), col(idCol).as("__a"),
+      col(vecCol).as("__avec"))
+    val b = assigned.select(col("cid"), col(idCol).as("__b"),
+      col(vecCol).as("__bvec"))
+    val dropped = a.join(b, "cid")
+      .where(col("__a") < col("__b"))
+      .where(round(cosine(col("__avec"), col("__bvec")), roundTo) >= tau)
+      .select(col("__b").as(idCol)).distinct()
+      .withColumn("__dropped", lit(true))
+    assigned.select(col(idCol), col("cid"))
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cid"),
+        coalesce(!col("__dropped"), lit(true)).as("kept"))
+  }
 }

@@ -288,6 +288,39 @@ class ExtensionOperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(axes == Set(0, 1))
   }
 
+  test("semanticDedup drops higher-id near-dups within a cluster only") {
+    // two orthogonal blobs; 2/3 are exact copies of 0/1 (cos = 1); 4 is
+    // a same-cluster-as-0 vector below tau; 5 sits in the other cluster
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(1f, 0f, 0f, 0f)),       // dup of 0 -> dropped
+      (3L, Array(0f, 1f, 0f, 0f)),       // dup of 1 -> dropped
+      (4L, Array(1f, 0.5f, 0f, 0f)),     // cluster 0, cos(0,4)=0.894 < tau
+      (5L, Array(0.1f, 1f, 0f, 0f)))     // cluster 1, cos(1,5)=0.995 -> dropped
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Seq(0 -> Array(1.0, 0.0, 0.0, 0.0), 1 -> Array(0.0, 1.0, 0.0, 0.0))
+    val out = Similarity.semanticDedup(df, cents, "vec_id", "embedding",
+        tau = 0.95)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("cid"), r.getAs[Boolean]("kept"))).toMap
+    assert(out.size == 6)
+    assert(out(0L)._2 && out(1L)._2 && out(4L)._2, "lowest ids + sub-tau kept")
+    assert(!out(2L)._2 && !out(3L)._2 && !out(5L)._2, "near-dups dropped")
+    assert(out(0L)._1 == out(2L)._1 && out(1L)._1 == out(3L)._1)
+    assert(out(0L)._1 != out(1L)._1, "blobs in distinct clusters")
+    // cross-cluster twins are NOT compared: a copy of 0 shoved into
+    // cluster 1's cell by construction would survive — cluster scoping
+    // is the operator's contract (and its scale trade)
+    val twin = Seq((6L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val scoped = Similarity.semanticDedup(df.unionByName(twin),
+        Seq(0 -> Array(0.0, 1.0, 0.0, 0.0)), // ONE cluster: everything compared
+        "vec_id", "embedding", tau = 0.95)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept"))
+      .toMap
+    assert(!scoped(6L), "single-cluster run compares everything")
+  }
+
   // ---------------------------------------------------------- multimodal
   test("multimodal decode: batching preserves all rows and determinism") {
     val media = spark.range(0, 100).select(
