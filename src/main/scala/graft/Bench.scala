@@ -8,15 +8,23 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.optimizer.windowGroupLimitThreshold", 100000)
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up: JIT + codegen + parquet footer reads land outside the
     // per-query timings (otherwise the first query absorbs ~5 s of
-    // session startup).
-    Tables.names.foreach {
-      case "events" => Tables.events(spark, sfDir).count()
-      case n => Tables.load(spark, sfDir, n).count()
+    // session startup). Each table warms under its OWN catch: a loader
+    // that breaks on drifted testdata must cost only its dependent
+    // queries (which fail visibly in run()), never the whole bench JVM
+    // — in r7 an uncaught events-loader failure here zeroed the round.
+    Tables.names.foreach { n =>
+      try {
+        if (n == "events") Tables.events(spark, sfDir).count()
+        else Tables.load(spark, sfDir, n).count()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up of table $n FAILED: ${e.getMessage}")
+      }
     }
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     val byName = queries.toMap

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's deterministic parquet tables (TESTDATA.md). */
 object Tables {
@@ -11,15 +12,29 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark 4
-    * rejects by default (PARQUET_TYPE_ILLEGAL). Read nanos as long and
-    * convert to a microsecond timestamp (truncating, matching DuckDB's
-    * formatting at ≥1µs granularity).
+  /** Schema-adaptive `events` loader. The driver's testdata has shipped `ts`
+    * two ways across rounds:
+    *   - INT64 TIMESTAMP(NANOS) — Spark 4 rejects it by default
+    *     (PARQUET_TYPE_ILLEGAL); read nanos as long and truncate to micros.
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false) — arrives as
+    *     TIMESTAMP_NTZ; normalize to session-TZ TimestampType (an identity
+    *     on the stored micros under the UTC session zone every entry point
+    *     sets) so windows/as-of/RANGE-frame code sees one timestamp type
+    *     regardless of which testdata generation produced the file.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts arrived as $other; expected INT64 nanos or a timestamp type")
+    }
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
