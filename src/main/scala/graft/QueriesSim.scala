@@ -288,7 +288,7 @@ object QueriesSim {
   private val PqSubDim = 8 // 64 / PqM
   private val PqK = 16
   private val PqIters = 3
-  private val PqFixtureDir = "/tmp/graft_fixtures/pq_codebooks"
+  private val PqFixtureDir = "/tmp/graft_fixtures/pq_codebooks_s16"
 
   /** Learn the PQ codebook and write its oracle fixture — shared by
     * q73/q74 so either query is self-sufficient under Verify
@@ -309,15 +309,21 @@ object QueriesSim {
     * same-count foreign fixture must re-learn, not serve — the learn
     * then overwrites the fixture, so the oracle (which can only filter
     * by count) always reads the codebook of the corpus just verified.
+    * `trainRows` pins the TRAINING discipline (Pq.trainCap sample):
+    * a fixture learned under a different sample budget — or before
+    * bounded-sample training existed — must re-learn, keeping
+    * load ≡ learn exact.
     */
   private def loadCodebook(s: SparkSession, dir: String, n: Long, d: String,
-                           subCol: Option[String])
+                           subCol: Option[String], trainRows: Long)
       : Option[Seq[(Int, Int, Array[Double])]] =
     graft.operators.ArtifactCache.parquetFixture(s, s"$dir/$n")
-      // a fixture without the provenance column predates it: re-learn
-      .filter(_.columns.contains("corpus_dir"))
+      // a fixture without the provenance columns predates them: re-learn
+      .filter(df => df.columns.contains("corpus_dir") &&
+        df.columns.contains("train_rows"))
       .map { df =>
-        df.where(col("corpus_vecs") === n && col("corpus_dir") === d)
+        df.where(col("corpus_vecs") === n && col("corpus_dir") === d &&
+            col("train_rows") === trainRows)
           .select(subCol.map(col).getOrElse(lit(0)).as("sub"),
             col("cid"), col("cvec"))
           .collect().toSeq
@@ -330,17 +336,19 @@ object QueriesSim {
   private def pqCodebook(s: SparkSession, d: String)
       : Seq[(Int, Int, Array[Double])] =
     graft.operators.ArtifactCache.getOrLoadOrLearn(
-        s"pq:$d:$PqM:$PqK:$PqIters") {
+        s"pq:$d:$PqM:$PqK:$PqIters:s${graft.operators.Pq.trainCap(PqK)}") {
       val n = embeddings(s, d).count()
-      loadCodebook(s, PqFixtureDir, n, d, Some("sub"))
+      loadCodebook(s, PqFixtureDir, n, d, Some("sub"),
+        graft.operators.Pq.trainCap(PqK))
     } {
       val emb = embeddings(s, d).select("vec_id", "embedding")
       val cb = graft.operators.Pq.learnCodebooks(
         emb, "vec_id", "embedding", PqM, PqK, PqIters)
       val n = emb.count()
+      val tr = graft.operators.Pq.trainCap(PqK).toLong
       import s.implicits._
-      cb.map { case (sub, cid, v) => (sub, cid, v, n, d) }
-        .toDF("sub", "cid", "cvec", "corpus_vecs", "corpus_dir")
+      cb.map { case (sub, cid, v) => (sub, cid, v, n, d, tr) }
+        .toDF("sub", "cid", "cvec", "corpus_vecs", "corpus_dir", "train_rows")
         .coalesce(1).write.mode("overwrite").parquet(s"$PqFixtureDir/$n")
       cb
     }
@@ -800,8 +808,8 @@ object QueriesSim {
   // residual against that list's centroid (queryLutBy keyed
   // (qid, ccid)); candidate codes live in exactly one list, so the
   // (qid, ccid, sub, cid) LUT join stays an equi-join.
-  private val PqResidFixtureDir = "/tmp/graft_fixtures/pq_residual_codebooks"
-  private val PqCoarseFixtureDir = "/tmp/graft_fixtures/pq_residual_coarse"
+  private val PqResidFixtureDir = "/tmp/graft_fixtures/pq_residual_codebooks_s16"
+  private val PqCoarseFixtureDir = "/tmp/graft_fixtures/pq_residual_coarse_s16"
 
   /** L2 Lloyd coarse quantizer + oracle fixture (the pqCodebook
     * protocol; m=1 rows stored as (cid, cvec)). The list count is
@@ -820,16 +828,18 @@ object QueriesSim {
     graft.operators.ArtifactCache.getOrLoadOrLearn(
         s"pqcoarse:$d:derived:$CoarseIters") {
       val n = embeddings(s, d).count()
-      loadCodebook(s, PqCoarseFixtureDir, n, d, subCol = None)
+      loadCodebook(s, PqCoarseFixtureDir, n, d, subCol = None,
+        graft.operators.Pq.trainCap(graft.operators.Pq.coarseListCount(n)))
     } {
       val emb = embeddings(s, d).select("vec_id", "embedding")
       val n = emb.count()
+      val k = graft.operators.Pq.coarseListCount(n)
       val coarse = graft.operators.Pq.coarseQuantizer(
-        emb, "vec_id", "embedding",
-        graft.operators.Pq.coarseListCount(n), CoarseIters)
+        emb, "vec_id", "embedding", k, CoarseIters)
+      val tr = graft.operators.Pq.trainCap(k).toLong
       import s.implicits._
-      coarse.map { case (_, cid, v) => (cid, v, n, d) }
-        .toDF("cid", "cvec", "corpus_vecs", "corpus_dir")
+      coarse.map { case (_, cid, v) => (cid, v, n, d, tr) }
+        .toDF("cid", "cvec", "corpus_vecs", "corpus_dir", "train_rows")
         .coalesce(1).write.mode("overwrite").parquet(s"$PqCoarseFixtureDir/$n")
       coarse
     }
@@ -840,9 +850,10 @@ object QueriesSim {
   private def pqResidualCodebook(s: SparkSession, d: String)
       : Seq[(Int, Int, Array[Double])] =
     graft.operators.ArtifactCache.getOrLoadOrLearn(
-        s"pqresid:$d:$PqM:$PqK:$PqIters:derived") {
+        s"pqresid:$d:$PqM:$PqK:$PqIters:derived:s${graft.operators.Pq.trainCap(PqK)}") {
       val n = embeddings(s, d).count()
-      loadCodebook(s, PqResidFixtureDir, n, d, Some("sub"))
+      loadCodebook(s, PqResidFixtureDir, n, d, Some("sub"),
+        graft.operators.Pq.trainCap(PqK))
     } {
       val emb = embeddings(s, d).select("vec_id", "embedding")
       val resid = graft.operators.Pq.residuals(emb, pqResidualCoarse(s, d),
@@ -850,9 +861,10 @@ object QueriesSim {
       val cb = graft.operators.Pq.learnCodebooks(
         resid, "vec_id", "rvec", PqM, PqK, PqIters)
       val n = emb.count()
+      val tr = graft.operators.Pq.trainCap(PqK).toLong
       import s.implicits._
-      cb.map { case (sub, cid, v) => (sub, cid, v, n, d) }
-        .toDF("sub", "cid", "cvec", "corpus_vecs", "corpus_dir")
+      cb.map { case (sub, cid, v) => (sub, cid, v, n, d, tr) }
+        .toDF("sub", "cid", "cvec", "corpus_vecs", "corpus_dir", "train_rows")
         .coalesce(1).write.mode("overwrite").parquet(s"$PqResidFixtureDir/$n")
       cb
     }
@@ -865,16 +877,23 @@ object QueriesSim {
     * measured 11.6× wall at a 10× corpus (n · 4√n lists grows n^1.5);
     * the code table scan is linear.
     */
-  private val PqCodesFixtureDir = "/tmp/graft_fixtures/pq_residual_codes"
+  private val PqCodesFixtureDir = "/tmp/graft_fixtures/pq_residual_codes_s16"
 
   private def pqResidualCodes(s: SparkSession, d: String): DataFrame = {
+    // train_rows provenance rides along: a code table built from
+    // codebooks under a DIFFERENT training discipline must rebuild —
+    // stale codes against a re-learned codebook fixture would be an
+    // index/model version skew
+    val tr = graft.operators.Pq.trainCap(PqK).toLong
     val path = graft.operators.ArtifactCache.getOrLoadOrLearn(
-        s"pqcodesidx:$d") {
+        s"pqcodesidx:$d:s$tr") {
       val n = embeddings(s, d).count()
       val p = s"$PqCodesFixtureDir/$n"
       graft.operators.ArtifactCache.parquetFixture(s, p)
-        .filter(_.columns.contains("corpus_dir"))
-        .filter(_.where(col("corpus_vecs") === n && col("corpus_dir") === d)
+        .filter(df => df.columns.contains("corpus_dir") &&
+          df.columns.contains("train_rows"))
+        .filter(_.where(col("corpus_vecs") === n && col("corpus_dir") === d &&
+            col("train_rows") === tr)
           .limit(1).count() == 1)
         .map(_ => p)
     } {
@@ -888,7 +907,8 @@ object QueriesSim {
       resid.select(col("vec_id").as("id"), col("ccid"),
           posexplode(graft.operators.Pq.encodeCodes(col("rvec"),
             pqResidualCodebook(s, d))).as(Seq("sub", "cid")),
-          lit(n).as("corpus_vecs"), lit(d).as("corpus_dir"))
+          lit(n).as("corpus_vecs"), lit(d).as("corpus_dir"),
+          lit(tr).as("train_rows"))
         .write.mode("overwrite").parquet(p)
       p
     }
@@ -1104,13 +1124,17 @@ object QueriesSim {
   // paper's pipeline relies on). Same injected-dup corpus as q28, so the
   // two candidate-generation strategies (LSH bands there, clusters here)
   // are directly comparable on identical ground truth. Every vector with
-  // a lower-id same-cluster neighbor at cosine ≥ SemTau is dropped.
+  // a lower-id same-cluster ANCHOR neighbor (the cluster's SemCap lowest
+  // ids — the bounded-fan-in contract that keeps total pair work linear)
+  // at cosine ≥ SemTau is dropped; the oracle mirrors the capped
+  // semantics exactly, so the hash check covers the cap path itself.
   private val SemTau = 0.95
+  private val SemCap = 64
 
   def q86SemanticDedup(s: SparkSession, d: String): DataFrame =
     Similarity.semanticDedup(neardupCorpus(s, d),
         pqResidualCoarse(s, d).map { case (_, cid, v) => (cid, v) },
-        "vec_id", "embedding", SemTau)
+        "vec_id", "embedding", SemTau, maxCluster = SemCap)
       .orderBy("vec_id")
 
   val q86Sql: String =
@@ -1125,9 +1149,14 @@ object QueriesSim {
        |   row_number() OVER (PARTITION BY v.vec_id
        |     ORDER BY ${l2Sql("v.embedding", "c.cvec")}, c.cid) AS r
        |  FROM corpus v CROSS JOIN cent c) t WHERE r = 1),
+       |anch AS (
+       | SELECT cid, vec_id FROM (
+       |  SELECT cid, vec_id,
+       |   row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS r
+       |  FROM assigned) t WHERE r <= $SemCap),
        |dropped AS (
        | SELECT DISTINCT y.vec_id AS b
-       | FROM assigned x
+       | FROM anch x
        | JOIN assigned y USING (cid)
        | JOIN corpus cx ON cx.vec_id = x.vec_id
        | JOIN corpus cy ON cy.vec_id = y.vec_id

@@ -262,30 +262,48 @@ object Similarity {
     * is q50's separate operator).
     *
     * Scale notes: assignment is a map-side literal-array argmin — no
-    * join, no shuffle. The pair stage is an equi-join on `cid` — never
-    * an all-pairs product; with the k = 4·√n coarse rule the expected
-    * cluster holds ~√n/4 vectors, so total pair work is ~n^1.5/16 —
-    * the SemDeDup paper's accepted trade (it runs on 100-cluster
-    * splits of web-scale corpora for exactly this reason). A skewed
-    * cluster bounds itself at |cluster|²; cap cluster fan-in upstream
-    * (the lshCandidatePairs maxBucket discipline) if a degenerate
-    * quantizer is possible.
+    * join, no shuffle. The pair stage compares each member against its
+    * cluster's ANCHOR set — the lowest `maxCluster` ids (the
+    * lshMembership maxBucket discipline, map-side WindowGroupLimit) —
+    * so per-cluster work is |cluster|·maxCluster and TOTAL work is
+    * O(n·maxCluster), linear however skewed or degenerate the
+    * quantizer. With cap ≥ every cluster size this is exactly the
+    * paper's semantics (every lower id is an anchor); past the cap the
+    * keep-lowest-id policy degrades gracefully — only duplicates whose
+    * sole lower-id twin is itself beyond the anchor set survive, the
+    * same recall trade the LSH bucket cap makes. (Uncapped pair work
+    * with the k = 4·√n coarse rule is ~n^1.5/16 — the paper accepts it
+    * by running on fixed 100-cluster splits; a library operator cannot.)
     *
-    * Emits one row per input vector: (id, cid, kept).
+    * Rounding: `roundTo` governs the cosine-vs-tau comparison; the
+    * centroid ASSIGNMENT is fixed at round-6 L2² inside
+    * [[Pq.encodeCodes]] so one persisted quantizer always clusters
+    * identically across IVF serving and dedup.
+    *
+    * Emits one row per input vector: (id, cid, kept) — `cid` is the
+    * caller-supplied centroid id (ordinals from the argmin are mapped
+    * back through the cid-sorted lookup, so non-contiguous id sets keep
+    * their labels).
     */
   def semanticDedup(corpus: DataFrame, centroids: Seq[(Int, Array[Double])],
                     idCol: String, vecCol: String, tau: Double,
-                    roundTo: Int = 6): DataFrame = {
-    val coarse = centroids.map { case (cid, v) => (0, cid, v) }
+                    roundTo: Int = 6, maxCluster: Int = 256): DataFrame = {
+    require(maxCluster > 0, "maxCluster must be positive")
+    val sorted = centroids.sortBy(_._1)
+    val coarse = sorted.map { case (cid, v) => (0, cid, v) }
+    val cidLookup = typedLit(sorted.map(_._1))
     val assigned = corpus
-      .withColumn("cid",
-        element_at(Pq.encodeCodes(col(vecCol), coarse), 1))
+      .withColumn("cid", element_at(cidLookup,
+        element_at(Pq.encodeCodes(col(vecCol), coarse), 1) + 1))
       .select(col(idCol), col("cid"), col(vecCol))
-    val a = assigned.select(col("cid"), col(idCol).as("__a"),
-      col(vecCol).as("__avec"))
+    val wc = Window.partitionBy("cid").orderBy(col(idCol))
+    val anchors = assigned
+      .withColumn("__rn", row_number().over(wc))
+      .filter(col("__rn") <= maxCluster)
+      .select(col("cid"), col(idCol).as("__a"), col(vecCol).as("__avec"))
     val b = assigned.select(col("cid"), col(idCol).as("__b"),
       col(vecCol).as("__bvec"))
-    val dropped = a.join(b, "cid")
+    val dropped = anchors.join(b, "cid")
       .where(col("__a") < col("__b"))
       .where(round(cosine(col("__avec"), col("__bvec")), roundTo) >= tau)
       .select(col("__b").as(idCol)).distinct()

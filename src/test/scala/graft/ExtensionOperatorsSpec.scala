@@ -321,6 +321,42 @@ class ExtensionOperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(!scoped(6L), "single-cluster run compares everything")
   }
 
+  test("semanticDedup anchor cap bounds pair work; cids keep caller labels") {
+    // one cluster of 4 near-identical vectors (ids 0..3). With the cap at
+    // the cluster size the paper's exact semantics hold: 1,2,3 all drop.
+    // With cap=1 only id 0 anchors — 1,2,3 still drop (each has the
+    // anchor as a lower-id twin); but a vector whose ONLY near-twin sits
+    // beyond the anchor set must survive: 11 dups 10 (both sub-tau vs 0).
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.999f, 0.001f, 0f, 0f)),
+      (2L, Array(0.998f, 0.002f, 0f, 0f)),
+      (3L, Array(0.997f, 0.003f, 0f, 0f)),
+      (10L, Array(0.6f, 0.8f, 0f, 0f)),   // cos(0,10)=0.6 < tau
+      (11L, Array(0.6f, 0.8f, 0f, 0f)))   // exact dup of 10
+    val df = rows.toDF("vec_id", "embedding")
+    // non-contiguous caller cid (7): output labels must be the caller's,
+    // not the argmin ordinal (which would be 0)
+    val cents = Seq(7 -> Array(1.0, 0.0, 0.0, 0.0))
+    val exact = Similarity.semanticDedup(df, cents, "vec_id", "embedding",
+        tau = 0.95, maxCluster = 100)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("cid"), r.getAs[Boolean]("kept"))).toMap
+    assert(exact.values.forall(_._1 == 7), "cid must be the caller's label")
+    assert(exact(0L)._2 && exact(10L)._2, "lowest ids kept")
+    assert(!exact(1L)._2 && !exact(2L)._2 && !exact(3L)._2 && !exact(11L)._2)
+    val capped = Similarity.semanticDedup(df, cents, "vec_id", "embedding",
+        tau = 0.95, maxCluster = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Boolean]("kept")).toMap
+    assert(capped(0L), "the anchor itself is kept")
+    assert(!capped(1L) && !capped(2L) && !capped(3L),
+      "dups of the anchor still drop under the cap")
+    assert(capped(10L) && capped(11L),
+      "a dup pair entirely beyond the anchor set survives — the recall " +
+        "trade the cap buys linear work with")
+  }
+
   // ---------------------------------------------------------- multimodal
   test("multimodal decode: batching preserves all rows and determinism") {
     val media = spark.range(0, 100).select(

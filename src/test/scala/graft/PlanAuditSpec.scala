@@ -283,6 +283,16 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("q86: SemDeDup anchor cap prunes map-side; pair stage is an equi-join") {
+    val p = plan("q86_semantic_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"within-cluster pairs must come from an equi-join on cid:\n$p")
+    // the per-cluster anchor cap (maxCluster) is the linear-work bound;
+    // it must prune before the join, as a WindowGroupLimit
+    assert(p.contains("WindowGroupLimit"),
+      s"anchor cap must plan as WindowGroupLimit:\n$p")
+  }
+
   test("decade-partitioned parquet read prunes partitions (T6 scale path)") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
