@@ -233,4 +233,44 @@ class CoreOperatorsSpec extends AnyFunSuite with SharedSpark {
     val wide = Shape.pivotWide(long, "id", Nil, "yy", Seq("v"), Seq("00"), "ord")
     assert(wide.collect()(0).getString(0) == "01234")
   }
+
+  test("events loader: wall-clock preserved and hour windows align under NTZ") {
+    // the testdata's ts encoding has drifted across rounds (INT64 nanos
+    // → TIMESTAMP_NTZ micros); this pins the loader's contract against
+    // whichever generation is on disk. The risk being guarded: an
+    // instant-vs-naive interpretation shift silently moving a row
+    // across a window/as-of/RANGE boundary.
+    val d = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, d)
+    // one normalized output type, whatever the file stored
+    assert(ev.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // wall-clock identity for a known fixture row (min event_id): the
+    // loaded ts formats to the same second the file stores. For the NTZ
+    // generation date_format over the RAW column is timezone-free — an
+    // independent ground truth for the loader's cast.
+    val raw = spark.read.parquet(s"$d/events.parquet")
+    val rawFmt = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd HH:mm:ss")
+      case _ => date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")
+    }
+    val expected = raw.orderBy("event_id").limit(1)
+      .select(rawFmt.as("f")).head().getString(0)
+    val got = ev.orderBy("event_id").limit(1)
+      .select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("f"))
+      .head().getString(0)
+    assert(got == expected, s"loader shifted the wall clock: $got != $expected")
+    // q06's tumbling window must start at the row's truncated hour and
+    // contain the row — micro-aligned to the epoch hour grid
+    val r = ev.orderBy("event_id").limit(1)
+      .select(unix_micros(col("ts")).as("t"),
+        unix_micros(window(col("ts"), "1 hour").getField("start")).as("ws"),
+        unix_micros(date_trunc("hour", col("ts"))).as("tr"))
+      .head()
+    val (t, ws, tr) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(ws == tr, "window start must equal date_trunc('hour')")
+    assert(ws % 3600000000L == 0, "window start must sit on the hour grid")
+    assert(t >= ws && t < ws + 3600000000L, "row must fall inside its window")
+  }
 }
