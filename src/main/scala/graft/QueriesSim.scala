@@ -717,8 +717,12 @@ object QueriesSim {
   // ---------------------------------------------------------------------
   // q81 refined-recall audit: q76 re-run THROUGH the refine stage —
   // |refined top-10 ∩ exact top-10| per query. The q76/q81 delta is the
-  // measured value of the refine stage (q76 read ≈0.35@10 at K=16; the
-  // refined path recovers every exact neighbor the ADC top-50 contains).
+  // measured value of the refine stage (with r8's bounded-sample-trained
+  // codebooks q76 reads 0.33@10 at K=16 and the refined path 0.69 — vs
+  // ≈0.35/0.75 trained on the full corpus: the Faiss sample discipline
+  // costs ~2-6 recall points for a learn wall flat in corpus size; the
+  // refine stage still recovers every exact neighbor its ADC top-50
+  // shortlist contains).
   def q81RefineRecall(s: SparkSession, d: String): DataFrame = {
     val cb = pqCodebook(s, d)
     val emb = embeddings(s, d).select("vec_id", "embedding")
@@ -803,7 +807,9 @@ object QueriesSim {
   // raw variance (recall@10 DROPPED to 0.18), 8 Lloyd lists barely
   // break even, and the 4√n rule reads 0.45 vs 0.35 raw at 500
   // vectors, 0.35 vs 0.25 at 2 000 — at unchanged K (the q76/q83
-  // audit pair measures exactly this delta). The
+  // audit pair measures exactly this delta; under r8's bounded-sample
+  // training the 500-vector pair reads 0.47 vs 0.33 — the residual
+  // advantage survives the sample discipline). The
   // query's distance table is computed per PROBED LIST on the query's
   // residual against that list's centroid (queryLutBy keyed
   // (qid, ccid)); candidate codes live in exactly one list, so the
@@ -1130,11 +1136,51 @@ object QueriesSim {
   // semantics exactly, so the hash check covers the cap path itself.
   private val SemTau = 0.95
   private val SemCap = 64
+  private val SemClustersDir = "/tmp/graft_fixtures/sem_clusters"
+
+  /** The persisted CLUSTERING TABLE: (vec_id, cid, embedding) for the
+    * dedup corpus — SemDeDup's own deployment shape (the paper computes
+    * the k-means assignment once and sweeps tau over the stored sorted
+    * clusters). Assignment is the n·k·dim cost — the same class as the
+    * IVF index build, and like it (pqResidualCodes, measured 11.6×
+    * wall at 10× when re-derived per run) it runs ONCE into the
+    * registry; serving reads the table and pays only the bounded pair
+    * stage.
+    */
+  private def semClusters(s: SparkSession, d: String): DataFrame = {
+    val tr = graft.operators.Pq.trainCap(PqK).toLong
+    val path = graft.operators.ArtifactCache.getOrLoadOrLearn(
+        s"semclusters:$d:$CoarseIters:s$tr") {
+      val n = neardupCorpus(s, d).count()
+      val p = s"$SemClustersDir/$n"
+      graft.operators.ArtifactCache.parquetFixture(s, p)
+        .filter(df => df.columns.contains("corpus_dir") &&
+          df.columns.contains("train_rows"))
+        .filter(_.where(col("corpus_vecs") === n && col("corpus_dir") === d &&
+            col("train_rows") === tr)
+          .limit(1).count() == 1)
+        .map(_ => p)
+    } {
+      val corpus = neardupCorpus(s, d)
+      val n = corpus.count()
+      val p = s"$SemClustersDir/$n"
+      Similarity.assignClusters(corpus,
+          pqResidualCoarse(s, d).map { case (_, cid, v) => (cid, v) },
+          "vec_id", "embedding")
+        .select(col("vec_id"), col("cid"), col("embedding"),
+          lit(n).as("corpus_vecs"), lit(d).as("corpus_dir"),
+          lit(tr).as("train_rows"))
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    s.read.parquet(path).where(col("corpus_dir") === d)
+      .select("vec_id", "cid", "embedding")
+  }
 
   def q86SemanticDedup(s: SparkSession, d: String): DataFrame =
-    Similarity.semanticDedup(neardupCorpus(s, d),
-        pqResidualCoarse(s, d).map { case (_, cid, v) => (cid, v) },
-        "vec_id", "embedding", SemTau, maxCluster = SemCap)
+    Similarity.semanticDedupAssigned(semClusters(s, d),
+        "vec_id", "embedding", SemTau, maxCluster = SemCap,
+        clusters = pqResidualCoarse(s, d).size)
       .orderBy("vec_id")
 
   val q86Sql: String =
@@ -1166,7 +1212,97 @@ object QueriesSim {
        |FROM assigned a LEFT JOIN dropped dr ON dr.b = a.vec_id
        |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q88/q89 scalar quantization (SQ8) — the other standard Faiss index
+  // family next to PQ: per-dimension (min, max) ranges map each float to
+  // an 8-bit code (4× memory cut, one-aggregation "training", map-side
+  // encode). q88 pins the integer codes (md5 over the code CSV + summary
+  // stats); q89 is the asymmetric serving query — exact queries against
+  // the reconstructed corpus, round-6 L2², broadcast query panel. The
+  // oracle re-derives the ranges itself (exact min/max needs no fixture,
+  // unlike Lloyd-trained codebooks) and re-encodes from the same
+  // arithmetic, so the hash check covers learn + encode + search.
+  private val SqK = 10
+
+  private def sqRanges(s: SparkSession, d: String): graft.operators.Sq.Ranges =
+    graft.operators.ArtifactCache.getOrLearn(s"sq8:$d") {
+      graft.operators.Sq.learnRanges(
+        embeddings(s, d).select("embedding"), "embedding")
+    }
+
+  def q88Sq8Encode(s: SparkSession, d: String): DataFrame = {
+    val r = sqRanges(s, d)
+    embeddings(s, d)
+      .select(col("vec_id"),
+        graft.operators.Sq.encodeCodes(col("embedding"), r).as("codes"))
+      .select(col("vec_id"),
+        md5(concat_ws(",", col("codes").cast("array<string>"))).as("codes_md5"),
+        array_min(col("codes")).as("c_min"),
+        array_max(col("codes")).as("c_max"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c.cast("long")).as("c_sum"))
+      .orderBy("vec_id")
+  }
+
+  private val sqRngCtes: String =
+    s"""rng AS (
+       | SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+       |        max(CAST(embedding[i] AS DOUBLE)) AS mx
+       | FROM embeddings, unnest(range(1, 65)) AS u(i)
+       | GROUP BY i),
+       |rngl AS (
+       | SELECT list(mn ORDER BY i) AS mns,
+       |        list(CASE WHEN mx > mn THEN mx - mn ELSE 1 END ORDER BY i) AS spans
+       | FROM rng),
+       |sqcodes AS (
+       | SELECT vec_id,
+       |  list_transform(range(1, 65), j ->
+       |   CAST(round(((CAST(embedding[j] AS DOUBLE) - mns[j]) / spans[j])
+       |              * CAST(255 AS DOUBLE)) AS INT)) AS codes
+       | FROM embeddings, rngl)""".stripMargin
+
+  val q88Sql: String =
+    s"""WITH $sqRngCtes
+       |SELECT vec_id, md5(array_to_string(codes, ',')) AS codes_md5,
+       | list_min(codes) AS c_min, list_max(codes) AS c_max,
+       | CAST(list_sum(codes) AS BIGINT) AS c_sum
+       |FROM sqcodes ORDER BY vec_id""".stripMargin
+
+  def q89Sq8Adc(s: SparkSession, d: String): DataFrame = {
+    val r = sqRanges(s, d)
+    val emb = embeddings(s, d).select("vec_id", "embedding")
+    val codes = emb.select(col("vec_id"),
+      graft.operators.Sq.encodeCodes(col("embedding"), r).as("codes"))
+    val queries = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1000)
+    graft.operators.Sq.adcTopK(codes, queries,
+        "vec_id", "codes", "vec_id", "embedding", r, SqK)
+      .orderBy("qid", "rank")
+  }
+
+  private def sqReconSql(j: String): String =
+    s"(mns[$j] + ((CAST(c.codes[$j] AS DOUBLE) * spans[$j]) / CAST(255 AS DOUBLE)))"
+
+  val q89Sql: String =
+    s"""WITH $sqRngCtes,
+       |q AS (
+       | SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+       | WHERE vec_id % 50 = 0 AND vec_id < 1000),
+       |dist AS (
+       | SELECT q.qid, c.vec_id AS nid,
+       |  round(list_reduce(list_transform(range(1, 65),
+       |    j -> (CAST(q.qvec[j] AS DOUBLE) - ${sqReconSql("j")})
+       |       * (CAST(q.qvec[j] AS DOUBLE) - ${sqReconSql("j")})),
+       |    (a, b) -> a + b), 6) AS dist
+       | FROM q JOIN sqcodes c ON c.vec_id != q.qid, rngl),
+       |rr AS (
+       | SELECT qid, nid, dist,
+       |  row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
+       | FROM dist)
+       |SELECT qid, CAST(rank AS INT) AS rank, nid AS id, dist
+       |FROM rr WHERE rank <= $SqK ORDER BY qid, rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_sq8_encode" -> (q88Sq8Encode _),
+    "q89_sq8_adc" -> (q89Sq8Adc _),
     "q86_semantic_dedup" -> (q86SemanticDedup _),
     "q84_ivfpq_refine" -> (q84IvfPqRefine _),
     "q79_adc_refine" -> (q79AdcRefine _),
@@ -1185,6 +1321,8 @@ object QueriesSim {
   )
 
   val oracle: Map[String, String] = Map(
+    "q88_sq8_encode" -> q88Sql,
+    "q89_sq8_adc" -> q89Sql,
     "q86_semantic_dedup" -> q86Sql,
     "q84_ivfpq_refine" -> q84Sql,
     "q79_adc_refine" -> q79Sql,

@@ -205,7 +205,10 @@ object Pq {
     val centsLit = typedLit(cents.map(_.toSeq))
     val scored = transform(centsLit, (cvec, i) =>
       struct(round(l2sq(subvec, cvec), 6).as("d2"), i.cast("int").as("cid")))
-    element_at(array_sort(scored), 1).getField("cid")
+    // array_min == first element of array_sort under the same struct
+    // ordering, without sorting: O(K) and no sorted-copy allocation —
+    // assignment is the n·k hot loop of every index build
+    array_min(scored).getField("cid")
   }
 
   /** All `m` code assignments of a vector column as one `array<int>`

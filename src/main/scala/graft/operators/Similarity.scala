@@ -287,20 +287,58 @@ object Similarity {
     */
   def semanticDedup(corpus: DataFrame, centroids: Seq[(Int, Array[Double])],
                     idCol: String, vecCol: String, tau: Double,
-                    roundTo: Int = 6, maxCluster: Int = 256): DataFrame = {
-    require(maxCluster > 0, "maxCluster must be positive")
+                    roundTo: Int = 6, maxCluster: Int = 256): DataFrame =
+    semanticDedupAssigned(
+      assignClusters(corpus, centroids, idCol, vecCol),
+      idCol, vecCol, tau, roundTo, maxCluster, centroids.size)
+
+  /** The assignment half of [[semanticDedup]]: (input columns + cid),
+    * as a shuffle-free projection. n·k·dim work — the SAME one-time
+    * cost class as the IVF index build ([[Pq.codeRowsMapSide]]), and
+    * like it the output is what a deployment PERSISTS: the paper's
+    * pipeline computes the clustering once and sweeps tau over the
+    * stored assignment, never re-assigning per run.
+    */
+  def assignClusters(corpus: DataFrame, centroids: Seq[(Int, Array[Double])],
+                     idCol: String, vecCol: String): DataFrame = {
     val sorted = centroids.sortBy(_._1)
     val coarse = sorted.map { case (cid, v) => (0, cid, v) }
     val cidLookup = typedLit(sorted.map(_._1))
-    val assigned = corpus
+    corpus
       .withColumn("cid", element_at(cidLookup,
         element_at(Pq.encodeCodes(col(vecCol), coarse), 1) + 1))
       .select(col(idCol), col("cid"), col(vecCol))
+  }
+
+  /** The pair half of [[semanticDedup]] over a PRECOMPUTED assignment
+    * (id, cid, vec) — e.g. a persisted clustering table. `clusters`
+    * is the cluster-id count, used only to size the anchor broadcast
+    * decision.
+    */
+  def semanticDedupAssigned(assignedIn: DataFrame, idCol: String,
+                            vecCol: String, tau: Double,
+                            roundTo: Int = 6, maxCluster: Int = 256,
+                            clusters: Int = 256): DataFrame = {
+    require(maxCluster > 0, "maxCluster must be positive")
+    // persist: the assignment feeds three plan branches (anchors,
+    // comparand, final output) — without it each branch re-derives its
+    // input (for an inline assignment, a k·dim argmin per row per
+    // branch)
+    val assigned = assignedIn.persist()
     val wc = Window.partitionBy("cid").orderBy(col(idCol))
-    val anchors = assigned
+    // the anchor frame is deterministically bounded at k·maxCluster
+    // rows. Catalyst cannot see that through the Window, so hint the
+    // broadcast explicitly while the bound is broadcast-sized — the old
+    // un-capped join broadcast its (plain-projection) small side and
+    // losing that to an SMJ cost 4× wall at sf0.1; past the bound
+    // (huge k at extreme corpus scale) fall back to the cid equi-join.
+    val anchors0 = assigned
       .withColumn("__rn", row_number().over(wc))
       .filter(col("__rn") <= maxCluster)
       .select(col("cid"), col(idCol).as("__a"), col(vecCol).as("__avec"))
+    val anchors =
+      if (clusters.toLong * maxCluster <= 1000000L) broadcast(anchors0)
+      else anchors0
     val b = assigned.select(col("cid"), col(idCol).as("__b"),
       col(vecCol).as("__bvec"))
     val dropped = anchors.join(b, "cid")

@@ -357,6 +357,40 @@ class ExtensionOperatorsSpec extends AnyFunSuite with SharedSpark {
         "trade the cap buys linear work with")
   }
 
+  test("SQ8: codes bounded 0..255, extremes pin, degenerate dim safe, ADC separates blobs") {
+    import graft.operators.Sq
+    // two separated blobs with per-id jitter; dim 3 CONSTANT (degenerate)
+    val rows = (0L until 20L).map { i =>
+      val base = if (i % 2 == 0) 1f else 10f
+      (i, Array(base + i * 0.01f, base + 1f + i * 0.01f, base + 2f, 5f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val r = Sq.learnRanges(df, "embedding")
+    assert(r.dim == 4)
+    assert(r.spans(3) == 1.0, "constant dim must clamp span to 1")
+    val codes = df.select($"vec_id",
+      Sq.encodeCodes($"embedding", r).as("codes")).collect()
+      .map(row => row.getLong(0) -> row.getSeq[Int](1)).toMap
+    assert(codes.values.flatten.forall(c => c >= 0 && c <= 255))
+    // per-dim min element encodes to 0, max to 255 (dims 0-2); the
+    // degenerate dim encodes 0 everywhere
+    assert(codes(0L)(0) == 0 && codes(19L)(0) == 255)
+    assert(codes.values.forall(_(3) == 0))
+    // ADC: an even-blob query's top-8 are the other even (same-blob) ids
+    val codesDf = df.select($"vec_id", Sq.encodeCodes($"embedding", r).as("codes"))
+    val out = Sq.adcTopK(codesDf, df.filter($"vec_id" === 0L),
+        "vec_id", "codes", "vec_id", "embedding", r, k = 8)
+      .collect()
+    assert(out.length == 8)
+    assert(out.forall(_.getLong(2) % 2 == 0), "same-blob neighbors first")
+    // reconstruction error bounded by half a step: span/255/2 per dim
+    val recon = df.select($"vec_id",
+        Sq.reconstruct(Sq.encodeCodes($"embedding", r), r).as("rv"))
+      .collect().map(row => row.getLong(0) -> row.getSeq[Double](1)).toMap
+    for ((id, v) <- rows; j <- 0 until 3)
+      assert(math.abs(recon(id)(j) - v(j)) <= r.spans(j) / 255.0 / 2 + 1e-9)
+  }
+
   // ---------------------------------------------------------- multimodal
   test("multimodal decode: batching preserves all rows and determinism") {
     val media = spark.range(0, 100).select(

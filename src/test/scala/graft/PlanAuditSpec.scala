@@ -51,8 +51,17 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
   }
 
   test("top-k windows use WindowGroupLimit (no full per-group sort)") {
-    for (q <- Seq("q15_topk_per_group", "q26_cosine_topk", "q32_tile_density_drop"))
+    for (q <- Seq("q15_topk_per_group", "q26_cosine_topk", "q32_tile_density_drop",
+        "q89_sq8_adc"))
       assert(plan(q).contains("WindowGroupLimit"), s"$q must rank-limit")
+  }
+
+  test("q89: SQ8 serving — query panel broadcasts onto the code table") {
+    val p = plan("q89_sq8_adc")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the query panel must broadcast, never shuffle the code table:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"code table must stream map-side against the broadcast panel:\n$p")
   }
 
   test("q17: attribute join onto features is a broadcast join") {
