@@ -26,8 +26,9 @@ object ScaleUp {
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
-      // events.parquet stores INT64 TIMESTAMP(NANOS): copy it through as
-      // raw longs (Tables.events converts at read time either way)
+      // older testdata generations store events.ts as INT64
+      // TIMESTAMP(NANOS): copy through as raw longs in that case
+      // (Tables.events adapts to whichever type it reads back)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

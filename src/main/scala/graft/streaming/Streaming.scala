@@ -318,4 +318,16 @@ object Streaming {
   def pqEncodeStream(vectors: DataFrame, idCol: String, vecCol: String,
                      codebook: Seq[(Int, Int, Array[Double])]): DataFrame =
     graft.operators.Pq.codeRowsMapSide(vectors, idCol, vecCol, codebook)
+
+  /** Streaming face of the SQ8 index append — [[pqEncodeStream]]'s twin
+    * for the scalar-quantized index: arriving vectors encode to
+    * (id, codes) rows against immutable learned ranges.
+    * [[graft.operators.Sq.encodeCodes]] is a pure projection, so the
+    * same stateless batch ≡ stream contract holds (ranges never change
+    * under an index version; re-learning is a new index).
+    */
+  def sqEncodeStream(vectors: DataFrame, idCol: String, vecCol: String,
+                     ranges: graft.operators.Sq.Ranges): DataFrame =
+    vectors.select(col(idCol).as("id"),
+      graft.operators.Sq.encodeCodes(col(vecCol), ranges).as("codes"))
 }

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -205,6 +206,34 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(streamed.length == 60, "30 vectors x m=2 code rows")
     assert(streamed.toSet == batch.toSet,
       "streamed codes must equal the batch window-path index build")
+  }
+
+  test("sqEncodeStream codes match the batch SQ8 encode across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 30).map(i =>
+      StreamingSpec.Vec(i.toLong, Seq.fill(8)(rnd.nextFloat() * 2f - 1f)))
+    val batchDf = rows.toDF()
+    val r = graft.operators.Sq.learnRanges(batchDf, "embedding")
+    val stream = MemoryStream[StreamingSpec.Vec]
+    val q = Streaming.sqEncodeStream(stream.toDF(), "vec_id", "embedding", r)
+      .writeStream.format("memory").queryName("sq_codes_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(rows.take(10): _*)
+      q.processAllAvailable()
+      stream.addData(rows.drop(10): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(row: org.apache.spark.sql.Row) =
+      (row.getLong(0), row.getSeq[Int](1))
+    val streamed = spark.table("sq_codes_out").collect().map(key)
+    val batch = batchDf.select(col("vec_id").as("id"),
+        graft.operators.Sq.encodeCodes(col("embedding"), r).as("codes"))
+      .collect().map(key)
+    assert(streamed.length == 30)
+    assert(streamed.toSet == batch.toSet,
+      "streamed SQ8 codes must equal the batch encode")
   }
 
   test("sessionize (flatMapGroupsWithState) matches the batch twin") {
