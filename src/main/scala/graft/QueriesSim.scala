@@ -1300,9 +1300,87 @@ object QueriesSim {
        |SELECT qid, CAST(rank AS INT) AS rank, nid AS id, dist
        |FROM rr WHERE rank <= $SqK ORDER BY qid, rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q90 IVF-SQ8: the Faiss IVF-SQ index — coarse probe pruning (the q82
+  // machinery: persisted 4·√n Lloyd quantizer, derived probe count) in
+  // front of SQ8 asymmetric search (q89's scorer) over the probed lists
+  // only. The corpus-side list assignment is READ from the persisted
+  // residual code table (sub=0 rows carry ccid) — the same index build
+  // amortization as q82/q84, zero assignment work at serving. q89 is
+  // this query's brute-force audit baseline (the q74→q77 relationship
+  // for scalar quantization).
+  def q90IvfSqTopk(s: SparkSession, d: String): DataFrame = {
+    val coarse = pqResidualCoarse(s, d)
+    val nProbe = graft.operators.Pq.probeCount(coarse.size)
+    val r = sqRanges(s, d)
+    val emb = embeddings(s, d).select("vec_id", "embedding")
+    val assigned = pqResidualCodes(s, d).where(col("sub") === 0)
+      .select(col("id").as("nid"), col("ccid"))
+    val sqcodes = emb.select(col("vec_id").as("nid"),
+      graft.operators.Sq.encodeCodes(col("embedding"), r).as("codes"))
+    val queries = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1000)
+    val probes = graft.operators.Pq.coarseProbe(queries, coarse,
+      "vec_id", "embedding", nProbe)
+    val cands = probes.select("qid", "ccid").join(assigned, "ccid")
+      .filter(col("qid") =!= col("nid"))
+    val w = Window.partitionBy("qid").orderBy(col("__d"), col("nid"))
+    cands.join(sqcodes, "nid")
+      .join(broadcast(queries.select(col("vec_id").as("qid"),
+        col("embedding").as("qvec"))), "qid")
+      .withColumn("__d", round(graft.operators.Pq.l2sqExact(col("qvec"),
+        graft.operators.Sq.reconstruct(col("codes"), r)), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= SqK)
+      .select(col("qid"), col("rank"), col("nid").as("id"),
+        col("__d").as("dist"))
+      .orderBy("qid", "rank")
+  }
+
+  val q90Sql: String =
+    s"""WITH $sqRngCtes,
+       |emb AS (SELECT vec_id, embedding FROM embeddings),
+       |cent AS (
+       | SELECT cid AS ccid, cvec AS ccvec
+       | FROM read_parquet('$PqCoarseFixtureDir/*/*.parquet')
+       | WHERE corpus_vecs = (SELECT count(*) FROM embeddings)),
+       |assigned AS (
+       | SELECT vec_id AS nid, ccid FROM (
+       |  SELECT e.vec_id, c.ccid,
+       |   row_number() OVER (PARTITION BY e.vec_id
+       |     ORDER BY ${l2Sql("e.embedding", "c.ccvec")}, c.ccid) AS r
+       |  FROM emb e CROSS JOIN cent c) t WHERE r = 1),
+       |probes AS (
+       | SELECT qid, ccid FROM (
+       |  SELECT e.vec_id AS qid, c.ccid,
+       |   row_number() OVER (PARTITION BY e.vec_id
+       |     ORDER BY ${l2Sql("e.embedding", "c.ccvec")}, c.ccid) AS r
+       |  FROM emb e CROSS JOIN cent c
+       |  WHERE e.vec_id % 50 = 0 AND e.vec_id < 1000) t
+       | WHERE r <= $DerivedProbeSql),
+       |cands AS (
+       | SELECT p.qid, a.nid
+       | FROM probes p JOIN assigned a USING (ccid)
+       | WHERE p.qid != a.nid),
+       |dist AS (
+       | SELECT x.qid, x.nid,
+       |  round(list_reduce(list_transform(range(1, 65),
+       |    j -> (CAST(q.embedding[j] AS DOUBLE) - ${sqReconSql("j")})
+       |       * (CAST(q.embedding[j] AS DOUBLE) - ${sqReconSql("j")})),
+       |    (a, b) -> a + b), 6) AS dist
+       | FROM cands x
+       | JOIN sqcodes c ON c.vec_id = x.nid
+       | JOIN emb q ON q.vec_id = x.qid, rngl),
+       |rr AS (
+       | SELECT qid, nid, dist,
+       |  row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
+       | FROM dist)
+       |SELECT qid, CAST(rank AS INT) AS rank, nid AS id, dist
+       |FROM rr WHERE rank <= $SqK ORDER BY qid, rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_sq8_encode" -> (q88Sq8Encode _),
     "q89_sq8_adc" -> (q89Sq8Adc _),
+    "q90_ivfsq_topk" -> (q90IvfSqTopk _),
     "q86_semantic_dedup" -> (q86SemanticDedup _),
     "q84_ivfpq_refine" -> (q84IvfPqRefine _),
     "q79_adc_refine" -> (q79AdcRefine _),
@@ -1323,6 +1401,7 @@ object QueriesSim {
   val oracle: Map[String, String] = Map(
     "q88_sq8_encode" -> q88Sql,
     "q89_sq8_adc" -> q89Sql,
+    "q90_ivfsq_topk" -> q90Sql,
     "q86_semantic_dedup" -> q86Sql,
     "q84_ivfpq_refine" -> q84Sql,
     "q79_adc_refine" -> q79Sql,
