@@ -1309,7 +1309,8 @@ object QueriesSim {
   // amortization as q82/q84, zero assignment work at serving. q89 is
   // this query's brute-force audit baseline (the q74→q77 relationship
   // for scalar quantization).
-  def q90IvfSqTopk(s: SparkSession, d: String): DataFrame = {
+  private def ivfSqTopk(s: SparkSession, d: String, k: Int,
+                        excludeSelf: Boolean): DataFrame = {
     val coarse = pqResidualCoarse(s, d)
     val nProbe = graft.operators.Pq.probeCount(coarse.size)
     val r = sqRanges(s, d)
@@ -1321,8 +1322,9 @@ object QueriesSim {
     val queries = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1000)
     val probes = graft.operators.Pq.coarseProbe(queries, coarse,
       "vec_id", "embedding", nProbe)
-    val cands = probes.select("qid", "ccid").join(assigned, "ccid")
-      .filter(col("qid") =!= col("nid"))
+    val candsAll = probes.select("qid", "ccid").join(assigned, "ccid")
+    val cands =
+      if (excludeSelf) candsAll.filter(col("qid") =!= col("nid")) else candsAll
     val w = Window.partitionBy("qid").orderBy(col("__d"), col("nid"))
     cands.join(sqcodes, "nid")
       .join(broadcast(queries.select(col("vec_id").as("qid"),
@@ -1330,10 +1332,24 @@ object QueriesSim {
       .withColumn("__d", round(graft.operators.Pq.l2sqExact(col("qvec"),
         graft.operators.Sq.reconstruct(col("codes"), r)), 6))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= SqK)
+      .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid").as("id"),
         col("__d").as("dist"))
-      .orderBy("qid", "rank")
+  }
+
+  def q90IvfSqTopk(s: SparkSession, d: String): DataFrame =
+    ivfSqTopk(s, d, SqK, excludeSelf = true).orderBy("qid", "rank")
+
+  // q91 IVF-SQ recall audit: |IVF-SQ top-10 ∩ exact-L2 top-10| per
+  // query — the q83 audit applied to the scalar index; measures
+  // quantization AND probe loss together (self kept, the audit
+  // convention: the exact side trivially contains the query).
+  def q91IvfSqRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1000)
+    recallOverlap(
+      ivfSqTopk(s, d, RecallK, excludeSelf = false).select("qid", "id"),
+      queries, emb)
   }
 
   val q90Sql: String =
@@ -1377,10 +1393,57 @@ object QueriesSim {
        |SELECT qid, CAST(rank AS INT) AS rank, nid AS id, dist
        |FROM rr WHERE rank <= $SqK ORDER BY qid, rank""".stripMargin
 
+  /** q90's CTE chain minus the self-exclusion, ranked to RecallK —
+    * the audit-side approximate set.
+    */
+  private val ivfSqApxCtes: String =
+    s"""$sqRngCtes,
+       |emb AS (SELECT vec_id, embedding FROM embeddings),
+       |cent AS (
+       | SELECT cid AS ccid, cvec AS ccvec
+       | FROM read_parquet('$PqCoarseFixtureDir/*/*.parquet')
+       | WHERE corpus_vecs = (SELECT count(*) FROM embeddings)),
+       |assigned AS (
+       | SELECT vec_id AS nid, ccid FROM (
+       |  SELECT e.vec_id, c.ccid,
+       |   row_number() OVER (PARTITION BY e.vec_id
+       |     ORDER BY ${l2Sql("e.embedding", "c.ccvec")}, c.ccid) AS r
+       |  FROM emb e CROSS JOIN cent c) t WHERE r = 1),
+       |probes AS (
+       | SELECT qid, ccid FROM (
+       |  SELECT e.vec_id AS qid, c.ccid,
+       |   row_number() OVER (PARTITION BY e.vec_id
+       |     ORDER BY ${l2Sql("e.embedding", "c.ccvec")}, c.ccid) AS r
+       |  FROM emb e CROSS JOIN cent c
+       |  WHERE $BoundedPanel) t
+       | WHERE r <= $DerivedProbeSql),
+       |cands AS (
+       | SELECT p.qid, a.nid
+       | FROM probes p JOIN assigned a USING (ccid)),
+       |dist AS (
+       | SELECT x.qid, x.nid,
+       |  round(list_reduce(list_transform(range(1, 65),
+       |    j -> (CAST(q.embedding[j] AS DOUBLE) - ${sqReconSql("j")})
+       |       * (CAST(q.embedding[j] AS DOUBLE) - ${sqReconSql("j")})),
+       |    (a, b) -> a + b), 6) AS dist
+       | FROM cands x
+       | JOIN sqcodes c ON c.vec_id = x.nid
+       | JOIN emb q ON q.vec_id = x.qid, rngl),
+       |apx AS (
+       | SELECT qid, nid AS id FROM (
+       |  SELECT qid, nid,
+       |   row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
+       |  FROM dist) WHERE rank <= $RecallK)""".stripMargin
+
+  val q91Sql: String =
+    s"""WITH $ivfSqApxCtes,
+       |$recallTailSql""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_sq8_encode" -> (q88Sq8Encode _),
     "q89_sq8_adc" -> (q89Sq8Adc _),
     "q90_ivfsq_topk" -> (q90IvfSqTopk _),
+    "q91_ivfsq_recall" -> (q91IvfSqRecall _),
     "q86_semantic_dedup" -> (q86SemanticDedup _),
     "q84_ivfpq_refine" -> (q84IvfPqRefine _),
     "q79_adc_refine" -> (q79AdcRefine _),
@@ -1402,6 +1465,7 @@ object QueriesSim {
     "q88_sq8_encode" -> q88Sql,
     "q89_sq8_adc" -> q89Sql,
     "q90_ivfsq_topk" -> q90Sql,
+    "q91_ivfsq_recall" -> q91Sql,
     "q86_semantic_dedup" -> q86Sql,
     "q84_ivfpq_refine" -> q84Sql,
     "q79_adc_refine" -> q79Sql,
