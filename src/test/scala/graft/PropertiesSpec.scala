@@ -113,3 +113,47 @@ object LshKnobProperties extends Properties("lshKnobs") {
   property("verify-fixture anchor: 500 x 64-dim resolves to 4x8 bits, cap 64") =
     Prop(Similarity.lshKnobs(500, 64) == Similarity.LshKnobs(4, 8, 64))
 }
+
+/** Properties of the SQ8 quantization arithmetic (operators/Sq) — the
+  * scalar mirror of the Column expressions (identical association:
+  * code = round(((x−mn)/span)·255), recon = mn + (code·span)/255;
+  * ExtensionOperatorsSpec covers the Spark wiring itself).
+  */
+object SqProperties extends Properties("sq8") {
+
+  private val rangeGen = for {
+    mn <- Gen.choose(-1000.0, 1000.0)
+    w <- Gen.choose(1e-6, 2000.0)
+  } yield (mn, mn + w)
+
+  private def code(x: Double, mn: Double, span: Double): Long =
+    math.round(((x - mn) / span) * 255.0)
+
+  property("codes stay in [0, 255] for in-range values") =
+    forAll(rangeGen, Gen.choose(0.0, 1.0)) { case ((mn, mx), t) =>
+      val x = mn + (mx - mn) * t
+      val c = code(x, mn, mx - mn)
+      c >= 0 && c <= 255
+    }
+
+  property("range endpoints pin to code 0 and 255") =
+    forAll(rangeGen) { case (mn, mx) =>
+      code(mn, mn, mx - mn) == 0 && code(mx, mn, mx - mn) == 255
+    }
+
+  property("reconstruction error is at most half a quantization step") =
+    forAll(rangeGen, Gen.choose(0.0, 1.0)) { case ((mn, mx), t) =>
+      val span = mx - mn
+      val x = mn + span * t
+      val recon = mn + (code(x, mn, span) * span) / 255.0
+      math.abs(recon - x) <= span / 255.0 / 2.0 + math.ulp(span) * 4
+    }
+
+  property("quantization is monotone: x1 <= x2 gives code(x1) <= code(x2)") =
+    forAll(rangeGen, Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0)) {
+      case ((mn, mx), t1, t2) =>
+        val span = mx - mn
+        val (lo, hi) = if (t1 <= t2) (t1, t2) else (t2, t1)
+        code(mn + span * lo, mn, span) <= code(mn + span * hi, mn, span)
+    }
+}
