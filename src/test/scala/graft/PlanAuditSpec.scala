@@ -64,6 +64,15 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"code table must stream map-side against the broadcast panel:\n$p")
   }
 
+  test("q90/q91: IVF-SQ — equi-join probe pruning, rank-limited, no product") {
+    for (q <- Seq("q90_ivfsq_topk", "q91_ivfsq_recall")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q: probes meet the list assignment on an equi-join, never a product:\n$p")
+      assert(p.contains("WindowGroupLimit"), s"$q top-k must rank-limit map-side")
+    }
+  }
+
   test("q17: attribute join onto features is a broadcast join") {
     assert(plan("q17_tile_attr_join").contains("BroadcastHashJoin"))
   }
