@@ -5,6 +5,7 @@ object OneQ {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.optimizer.windowGroupLimitThreshold", 100000)
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -39,4 +39,16 @@ class ArtifactRegistrySpec extends AnyFunSuite with SharedSpark {
       "coarse + residual codebooks must both load from their fixtures")
     assert(a.toSeq == b.toSeq)
   }
+
+  test("the SemDeDup clustering table serves q86 cold (r8 registry artifact)") {
+    val d = "/root/testdata/sf0.001"
+    // pass 1 builds (or loads) the clustering table fixture
+    val a = SparkEntry.queries("q86_semantic_dedup")(spark, d).collect()
+    ArtifactCache.clear()
+    val learnsBefore = ArtifactCache.learnCount
+    val b = SparkEntry.queries("q86_semantic_dedup")(spark, d).collect()
+    assert(ArtifactCache.learnCount == learnsBefore,
+      "a persisted clustering table must serve q86 with zero assignment learns")
+    assert(a.toSeq == b.toSeq, "table-served dedup must equal the built one")
+  }
 }
