@@ -83,11 +83,6 @@ object Bench {
     val results = queries.map { case (name, _) =>
       name -> (0 until nPasses).map(p => samples(p)(name)).min
     }
-    // Millisecond precision keeps the per-query line compact; full
-    // double-precision per-pass samples still go to stderr below.
-    def ms3(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms3(v) }
-      .mkString("{", ",", "}")
     val raw = queries.map { case (name, _) =>
       s"\"" + name + "\":" +
         (0 until nPasses).map(p => samples(p)(name)).mkString("[", ",", "]")
@@ -95,13 +90,14 @@ object Bench {
     val total = results.map(_._2).sum
     // Raw per-pass samples go to STDERR: embedding them in the stdout
     // line pushed it past the driver's tail capture (BENCH_r04/r05
-    // "parsed": null). Even the compact per-query map alone overflowed
-    // the ~2 KB tail in r06 and truncated the leading total off — so
-    // stdout now ends with a SHORT total-only line the tail always
-    // holds in full; the per-query map rides the line before it.
+    // "parsed": null). The per-query map goes out via BenchFormat —
+    // compact qNN keys, chunked into sub-900-char part lines — so ALL
+    // per-query timings and the final short total line co-exist inside
+    // the driver's ~2 KB stdout tail (in r06–r08 the single map line
+    // overflowed it and only ~72/91 timings were driver-visible).
     System.err.println(s"""{"samples":$raw,"estimator":"min over $nPasses suite-separated passes (untimed warm-up pass first)"}""")
-    println(s"""{"metric":"per_query","unit":"sec","sf":"$sfDir","queries":$qs}""")
-    println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","sf":"$sfDir"}""")
+    BenchFormat.perQueryLines(results, sfDir).foreach(println)
+    println(BenchFormat.totalLine(total, sfDir))
     spark.stop()
   }
 }

@@ -1,0 +1,64 @@
+package graft
+
+/** Renders the bench's stdout lines under the driver's capture
+  * constraint: only the LAST ~2000 characters of stdout survive (the
+  * driver tails the process), so the per-query timing map must fit —
+  * together with the final total line — inside that window, and no
+  * single line may be long enough to push the others out.
+  *
+  * Two levers (BENCH_r04–r08 history: full map on one line = truncated,
+  * "parsed": null):
+  *  - COMPACT KEYS: "q01" not "q01_pricing_summary" — the qNN prefix is
+  *    unique across the catalog (spec-pinned) and joins back to the
+  *    full name via CORRECTNESS_r{N}.json.
+  *  - CHUNKED LINES: the map is split across several part lines, each
+  *    under `maxLine` chars, so every part plus the short total line
+  *    co-exists in the tail.
+  */
+object BenchFormat {
+
+  /** "q01_pricing_summary" → "q01" (names without an underscore pass
+    * through whole).
+    */
+  def compactKey(name: String): String = name.takeWhile(_ != '_')
+
+  def ms3(v: Double): String = f"$v%.3f"
+
+  /** The per-query timing map as 1..n JSON lines, each ≤ `maxLine`
+    * chars. Every line is self-describing ({"metric":"per_query",
+    * "part":"i/n",...}) so the driver can regex-recover all entries
+    * from the tail without needing one parseable super-line.
+    */
+  def perQueryLines(results: Seq[(String, Double)], sf: String,
+                    maxLine: Int = 900): Seq[String] = {
+    val keys = results.map(r => compactKey(r._1))
+    require(keys.distinct.size == keys.size,
+      s"compact bench keys must be unique, got collisions: " +
+        keys.diff(keys.distinct).distinct.mkString(","))
+    val entries = results.map { case (k, v) =>
+      "\"" + compactKey(k) + "\":" + ms3(v)
+    }
+    // the fixed JSON skeleton around the entries; "part":"xx/xx" worst
+    // case is bounded by 5 chars each side
+    val overhead =
+      s"""{"metric":"per_query","part":"99/99","unit":"sec","sf":"$sf","queries":{}}""".length
+    val budget = math.max(maxLine - overhead, 40)
+    val chunks = entries.foldLeft(Vector(Vector.empty[String])) { (acc, e) =>
+      val cur = acc.last
+      val curLen = cur.map(_.length + 1).sum
+      if (cur.nonEmpty && curLen + e.length > budget)
+        acc :+ Vector(e)
+      else acc.init :+ (cur :+ e)
+    }
+    val n = chunks.size
+    chunks.zipWithIndex.map { case (c, i) =>
+      s"""{"metric":"per_query","part":"${i + 1}/$n","unit":"sec","sf":"$sf","queries":{${c.mkString(",")}}}"""
+    }
+  }
+
+  /** The final total-only line — SHORT by construction so the tail
+    * always holds it in full; must stay the last stdout line.
+    */
+  def totalLine(total: Double, sf: String): String =
+    s"""{"metric":"total","value":${ms3(total)},"unit":"sec","sf":"$sf"}"""
+}

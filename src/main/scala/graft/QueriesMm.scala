@@ -13,23 +13,69 @@ object QueriesMm {
   import Tables._
 
   // ---------------------------------------------------------------------
-  // Typed decode path: synthetic media → mapPartitions feature extraction
-  // (STUB codec, real plumbing) → per-kind rollup. Not SQL-expressible
-  // (typed Scala decode) → no oracle entry; the driver records a
-  // rows-only check.
+  // Typed decode path, REAL since r9: synthetic payloads are valid P6
+  // PPM / PPM-stream / RIFF-WAVE containers, and the mapPartitions
+  // decoder genuinely parses them (magic, header fields, chunk walk) —
+  // no stub left in the path. Per-kind rollup over container-derived
+  // stats; every decoded quantity is re-derivable in SQL from
+  // `documents` (the payloads cycle the text's md5 digest), so the
+  // query is fully oracle-checked: a parser that misread a header
+  // field, miscounted frames, or sliced pixels wrong hash-mismatches.
+  // Averages divide ONE integer sum at the end (content_sum/n_content
+  // ride as exact longs) — engine-order-independent, the ADC
+  // micro-distance discipline.
   def q29MultimodalDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val media = Multimodal.syntheticMedia(documents(s, d))
+    val media = Multimodal.syntheticFormatMedia(documents(s, d))
       .as[Multimodal.MediaRow]
-    Multimodal.decodeFeatures(media, targetFrames = 4)
+    Multimodal.decodeMedia(media)
       .groupBy("kind")
       .agg(
         count(lit(1)).as("n_media"),
-        round(avg("mean_byte"), 6).as("avg_byte"),
-        sum("frames_sampled").as("total_frames"),
-        round(avg(element_at(col("feature"), 1)), 6).as("avg_f0"))
+        round(sum("px_w").cast("double") / count(lit(1)), 6).as("avg_w"),
+        round(sum("px_h").cast("double") / count(lit(1)), 6).as("avg_h"),
+        sum("n_frames").cast("bigint").as("total_frames"),
+        max("sample_rate").as("sample_rate"),
+        round(sum("content_sum").cast("double") / sum("n_content"), 6)
+          .as("avg_content_byte"))
       .orderBy("kind")
   }
+
+  val q29Sql: String =
+    """WITH m AS (
+      | SELECT doc_id,
+      |  (['image', 'audio', 'video'])[doc_id % 3 + 1] AS kind,
+      |  n_chars % 8 + 2 AS w, n_chars % 6 + 2 AS h,
+      |  n_chars % 3 + 1 AS f,
+      |  list_transform(range(0, 16),
+      |    i -> CAST('0x' || substr(md5(text), i * 2 + 1, 2) AS INT)) AS db
+      | FROM documents),
+      |c AS (
+      | SELECT kind,
+      |  CASE WHEN kind = 'audio' THEN 0 ELSE w END AS px_w,
+      |  CASE WHEN kind = 'audio' THEN 0 ELSE h END AS px_h,
+      |  CASE kind WHEN 'image' THEN 1 WHEN 'video' THEN f ELSE 0 END AS n_frames,
+      |  CASE WHEN kind = 'audio' THEN 8000 ELSE 0 END AS sample_rate,
+      |  CASE kind WHEN 'audio' THEN 64
+      |            WHEN 'image' THEN w * h * 3
+      |            ELSE f * w * h * 3 END AS n_content,
+      |  -- pixel/sample bytes cycle the 16-byte digest: sum = full
+      |  -- cycles * digest sum + the partial-cycle prefix sum
+      |  CASE kind
+      |   WHEN 'audio' THEN 4 * list_sum(db)
+      |   ELSE (CASE kind WHEN 'image' THEN 1 ELSE f END)
+      |        * ((w * h * 3 // 16) * list_sum(db)
+      |           + coalesce(list_sum(db[1 : w * h * 3 % 16]), 0))
+      |  END AS content_sum
+      | FROM m)
+      |SELECT kind, count(*) AS n_media,
+      | round(CAST(sum(px_w) AS DOUBLE) / count(*), 6) AS avg_w,
+      | round(CAST(sum(px_h) AS DOUBLE) / count(*), 6) AS avg_h,
+      | CAST(sum(n_frames) AS BIGINT) AS total_frames,
+      | max(sample_rate) AS sample_rate,
+      | round(CAST(sum(content_sum) AS DOUBLE) / sum(n_content), 6)
+      |   AS avg_content_byte
+      |FROM c GROUP BY kind ORDER BY kind""".stripMargin
 
   // ---------------------------------------------------------------------
   // Frame-sample fan-out: one row per sampled video frame (every 500 ms),
@@ -161,6 +207,7 @@ object QueriesMm {
   )
 
   val oracle: Map[String, String] = Map(
+    "q29_multimodal_decode" -> q29Sql,
     "q30_frame_sample" -> q30Sql,
     "q61_payload_neardup" -> q61Sql,
   )

@@ -1147,10 +1147,24 @@ object QueriesSim {
     * registry; serving reads the table and pays only the bounded pair
     * stage.
     */
+  /** The clustering table's training-provenance stamp is the COARSE
+    * quantizer's actual budget — trainCap(coarseListCount(n_emb)), the
+    * discipline [[pqResidualCoarse]] itself trains under — NOT the PQ
+    * codebook's trainCap(PqK). The table is a function of the centroid
+    * fixture: if the list-count rule ever changes, the coarse fixture
+    * re-learns, and this stamp must invalidate the clustering table in
+    * the same breath — a stale stamp would serve clusters built from
+    * the OLD centroids while the oracle re-assigns against the new
+    * fixture (a verify mismatch by construction).
+    */
+  private def semClustersTrainRows(s: SparkSession, d: String): Long =
+    graft.operators.Pq.trainCap(
+      graft.operators.Pq.coarseListCount(embeddings(s, d).count())).toLong
+
   private def semClusters(s: SparkSession, d: String): DataFrame = {
-    val tr = graft.operators.Pq.trainCap(PqK).toLong
     val path = graft.operators.ArtifactCache.getOrLoadOrLearn(
-        s"semclusters:$d:$CoarseIters:s$tr") {
+        s"semclusters:$d:$CoarseIters:coarsetrain") {
+      val tr = semClustersTrainRows(s, d)
       val n = neardupCorpus(s, d).count()
       val p = s"$SemClustersDir/$n"
       graft.operators.ArtifactCache.parquetFixture(s, p)
@@ -1161,6 +1175,7 @@ object QueriesSim {
           .limit(1).count() == 1)
         .map(_ => p)
     } {
+      val tr = semClustersTrainRows(s, d)
       val corpus = neardupCorpus(s, d)
       val n = corpus.count()
       val p = s"$SemClustersDir/$n"
@@ -1183,8 +1198,12 @@ object QueriesSim {
         clusters = pqResidualCoarse(s, d).size)
       .orderBy("vec_id")
 
-  val q86Sql: String =
-    s"""WITH corpus AS ($neardupCorpusSql),
+  /** Oracle CTE prefix shared by q86/q95: re-derive the dedup corpus,
+    * read the coarse fixture, assign, and take the SemCap lowest-id
+    * anchors per cluster.
+    */
+  private val semOracleCtes: String =
+    s"""corpus AS ($neardupCorpusSql),
        |cent AS (
        | SELECT cid, cvec
        | FROM read_parquet('$PqCoarseFixtureDir/*/*.parquet')
@@ -1199,7 +1218,10 @@ object QueriesSim {
        | SELECT cid, vec_id FROM (
        |  SELECT cid, vec_id,
        |   row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS r
-       |  FROM assigned) t WHERE r <= $SemCap),
+       |  FROM assigned) t WHERE r <= $SemCap)""".stripMargin
+
+  val q86Sql: String =
+    s"""WITH $semOracleCtes,
        |dropped AS (
        | SELECT DISTINCT y.vec_id AS b
        | FROM anch x
@@ -1213,6 +1235,56 @@ object QueriesSim {
        |ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q95 SemDeDup tau sweep over the STORED clustering table — the
+  // paper's actual deployment loop: the k-means assignment is computed
+  // once (q86's persisted registry table), and the retention/pruning
+  // trade is tuned by sweeping tau over the stored sorted clusters.
+  // The tau-INDEPENDENT pair aggregate (max lower-id-anchor cosine per
+  // member, Similarity.maxAnchorCosine) runs once; each tau row is
+  // then a threshold over that single column. One clustering-table
+  // scan, zero argmin/assignment work (PlanAuditSpec pins the shape).
+  private val SemTaus = Seq(0.95, 0.99)
+
+  def q95SemDedupTauSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val mc = Similarity.maxAnchorCosine(semClusters(s, d),
+      "vec_id", "embedding", maxCluster = SemCap,
+      clusters = pqResidualCoarse(s, d).size)
+    mc.crossJoin(broadcast(SemTaus.toDF("tau")))
+      .groupBy("tau")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("max_anchor_cos").isNull ||
+            col("max_anchor_cos") < col("tau"), 1L).otherwise(0L))
+          .as("n_kept"))
+      .withColumn("n_dropped", col("n_total") - col("n_kept"))
+      .orderBy("tau")
+  }
+
+  val q95Sql: String =
+    s"""WITH $semOracleCtes,
+       |mx AS (
+       | SELECT y.vec_id,
+       |  max(round(${cosSql("cx.embedding", "cy.embedding")}, 6)) AS mc
+       | FROM anch x
+       | JOIN assigned y USING (cid)
+       | JOIN corpus cx ON cx.vec_id = x.vec_id
+       | JOIN corpus cy ON cy.vec_id = y.vec_id
+       | WHERE x.vec_id < y.vec_id
+       | GROUP BY y.vec_id),
+       |base AS (
+       | SELECT a.vec_id, mx.mc FROM assigned a
+       | LEFT JOIN mx ON mx.vec_id = a.vec_id),
+       |taus AS (SELECT unnest([${SemTaus.mkString(", ")}]) AS tau)
+       |SELECT tau, CAST(count(*) AS BIGINT) AS n_total,
+       | CAST(sum(CASE WHEN mc IS NULL OR mc < tau THEN 1 ELSE 0 END)
+       |   AS BIGINT) AS n_kept,
+       | CAST(sum(CASE WHEN mc >= tau THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_dropped
+       |FROM base CROSS JOIN taus
+       |GROUP BY tau ORDER BY tau""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q88/q89 scalar quantization (SQ8) — the other standard Faiss index
   // family next to PQ: per-dimension (min, max) ranges map each float to
   // an 8-bit code (4× memory cut, one-aggregation "training", map-side
@@ -1224,17 +1296,104 @@ object QueriesSim {
   // arithmetic, so the hash check covers learn + encode + search.
   private val SqK = 10
 
+  /** Probe multiplier for the REFINED IVF-SQ serving point (q92/q93).
+    * Measured at sf0.01: SQ8 reconstruction is near-exact, so with the
+    * base probe budget an exact re-rank buys NOTHING (recall 0.56 →
+    * 0.56 — the shortlist already held the best probed candidates in
+    * the right order); the loss is pure PROBE loss, the opposite
+    * regime from PQ where quantization dominates (q79: 0.35 → 0.75
+    * from the same re-rank). The Faiss tuning answer is nprobe: the
+    * refined serving point probes 4× the derived count (≈¼ of the
+    * lists at sf0.01) and re-ranks, trading a bounded extra scan for
+    * the recall headroom the re-rank can then actually realize.
+    */
+  private val SqRefineProbeBoost = 4
+  private val SqBoostedProbeSql =
+    s"(SELECT greatest(2, count(*) // 16) * $SqRefineProbeBoost FROM cent)"
+
+  private val SqRangesFixtureDir = "/tmp/graft_fixtures/sq_ranges"
+  private val SqCodesFixtureDir = "/tmp/graft_fixtures/sq_codes"
+
+  /** SQ8 per-dimension ranges through the registry (the pqCodebook
+    * protocol): one row per dimension (pos, mn, span) + provenance.
+    * `train_rows` = the full corpus size — SQ "training" is the EXACT
+    * min/max aggregation, no sampling; the stamp records that
+    * discipline so a future sampled-ranges variant invalidates the
+    * fixture rather than silently serving stale endpoints.
+    */
   private def sqRanges(s: SparkSession, d: String): graft.operators.Sq.Ranges =
-    graft.operators.ArtifactCache.getOrLearn(s"sq8:$d") {
-      graft.operators.Sq.learnRanges(
+    graft.operators.ArtifactCache.getOrLoadOrLearn(s"sq8:$d") {
+      val n = embeddings(s, d).count()
+      graft.operators.ArtifactCache
+        .parquetFixture(s, s"$SqRangesFixtureDir/$n")
+        .filter(df => df.columns.contains("corpus_dir") &&
+          df.columns.contains("train_rows"))
+        .map { df =>
+          df.where(col("corpus_vecs") === n && col("corpus_dir") === d &&
+              col("train_rows") === n)
+            .select("pos", "mn", "span")
+            .collect().sortBy(_.getInt(0)).toSeq
+        }
+        .filter(_.nonEmpty)
+        .map(rows => graft.operators.Sq.Ranges(
+          rows.map(_.getDouble(1)), rows.map(_.getDouble(2))))
+    } {
+      val r = graft.operators.Sq.learnRanges(
         embeddings(s, d).select("embedding"), "embedding")
+      val n = embeddings(s, d).count()
+      import s.implicits._
+      r.mins.indices.map(i => (i, r.mins(i), r.spans(i), n, d, n))
+        .toDF("pos", "mn", "span", "corpus_vecs", "corpus_dir", "train_rows")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$SqRangesFixtureDir/$n")
+      r
     }
 
+  /** The persisted SQ8 CODE TABLE: (vec_id, codes) for the whole
+    * corpus — the scalar-quantization index artifact, built once into
+    * the registry exactly like [[pqResidualCodes]]. The build is one
+    * shuffle-free encode projection over the corpus scan; SERVING
+    * (q88's pin, q89's ADC, q90's IVF-SQ) then reads the table and
+    * never re-encodes — before r9, q90 re-ran the encode projection
+    * over every corpus row on every serving pass (3.7× wall at a 10×
+    * corpus, the worst serving ratio in the suite, vs the persisted
+    * PQ family's 1.7× band). `train_rows` carries the ranges'
+    * full-corpus provenance so a codes table built under different
+    * range discipline rebuilds with it.
+    */
+  private def sqCodesTable(s: SparkSession, d: String): DataFrame = {
+    val path = graft.operators.ArtifactCache.getOrLoadOrLearn(
+        s"sqcodesidx:$d") {
+      val n = embeddings(s, d).count()
+      val p = s"$SqCodesFixtureDir/$n"
+      graft.operators.ArtifactCache.parquetFixture(s, p)
+        .filter(df => df.columns.contains("corpus_dir") &&
+          df.columns.contains("train_rows"))
+        .filter(_.where(col("corpus_vecs") === n && col("corpus_dir") === d &&
+            col("train_rows") === n)
+          .limit(1).count() == 1)
+        .map(_ => p)
+    } {
+      val r = sqRanges(s, d)
+      val emb = embeddings(s, d).select("vec_id", "embedding")
+      val n = emb.count()
+      val p = s"$SqCodesFixtureDir/$n"
+      emb.select(col("vec_id"),
+          graft.operators.Sq.encodeCodes(col("embedding"), r).as("codes"),
+          lit(n).as("corpus_vecs"), lit(d).as("corpus_dir"),
+          lit(n).as("train_rows"))
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    s.read.parquet(path).where(col("corpus_dir") === d)
+      .select("vec_id", "codes")
+  }
+
   def q88Sq8Encode(s: SparkSession, d: String): DataFrame = {
-    val r = sqRanges(s, d)
-    embeddings(s, d)
-      .select(col("vec_id"),
-        graft.operators.Sq.encodeCodes(col("embedding"), r).as("codes"))
+    // serve from the persisted code table: the hash-match against the
+    // oracle's from-scratch re-encode is then a load ≡ learn proof for
+    // the stored index itself, not just the encode arithmetic
+    sqCodesTable(s, d)
       .select(col("vec_id"),
         md5(concat_ws(",", col("codes").cast("array<string>"))).as("codes_md5"),
         array_min(col("codes")).as("c_min"),
@@ -1256,8 +1415,9 @@ object QueriesSim {
        |sqcodes AS (
        | SELECT vec_id,
        |  list_transform(range(1, 65), j ->
-       |   CAST(round(((CAST(embedding[j] AS DOUBLE) - mns[j]) / spans[j])
-       |              * CAST(255 AS DOUBLE)) AS INT)) AS codes
+       |   least(255, greatest(0,
+       |    CAST(round(((CAST(embedding[j] AS DOUBLE) - mns[j]) / spans[j])
+       |               * CAST(255 AS DOUBLE)) AS INT)))) AS codes
        | FROM embeddings, rngl)""".stripMargin
 
   val q88Sql: String =
@@ -1270,8 +1430,7 @@ object QueriesSim {
   def q89Sq8Adc(s: SparkSession, d: String): DataFrame = {
     val r = sqRanges(s, d)
     val emb = embeddings(s, d).select("vec_id", "embedding")
-    val codes = emb.select(col("vec_id"),
-      graft.operators.Sq.encodeCodes(col("embedding"), r).as("codes"))
+    val codes = sqCodesTable(s, d)
     val queries = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1000)
     graft.operators.Sq.adcTopK(codes, queries,
         "vec_id", "codes", "vec_id", "embedding", r, SqK)
@@ -1304,21 +1463,27 @@ object QueriesSim {
   // q90 IVF-SQ8: the Faiss IVF-SQ index — coarse probe pruning (the q82
   // machinery: persisted 4·√n Lloyd quantizer, derived probe count) in
   // front of SQ8 asymmetric search (q89's scorer) over the probed lists
-  // only. The corpus-side list assignment is READ from the persisted
-  // residual code table (sub=0 rows carry ccid) — the same index build
-  // amortization as q82/q84, zero assignment work at serving. q89 is
-  // this query's brute-force audit baseline (the q74→q77 relationship
-  // for scalar quantization).
+  // only. BOTH corpus-side index halves are READ from the registry:
+  // list assignment from the persisted residual code table (sub=0 rows
+  // carry ccid) and SQ8 codes from the persisted code table — the same
+  // index build amortization as q82/q84, zero assignment AND zero
+  // encode work at serving. q89 is this query's brute-force audit
+  // baseline (the q74→q77 relationship for scalar quantization).
   private def ivfSqTopk(s: SparkSession, d: String, k: Int,
-                        excludeSelf: Boolean): DataFrame = {
+                        excludeSelf: Boolean,
+                        probeBoost: Int = 1): DataFrame = {
     val coarse = pqResidualCoarse(s, d)
-    val nProbe = graft.operators.Pq.probeCount(coarse.size)
+    val nProbe = graft.operators.Pq.probeCount(coarse.size) * probeBoost
     val r = sqRanges(s, d)
     val emb = embeddings(s, d).select("vec_id", "embedding")
     val assigned = pqResidualCodes(s, d).where(col("sub") === 0)
       .select(col("id").as("nid"), col("ccid"))
-    val sqcodes = emb.select(col("vec_id").as("nid"),
-      graft.operators.Sq.encodeCodes(col("embedding"), r).as("codes"))
+    // the corpus-side codes are READ from the persisted SQ8 code table
+    // (the same index amortization as the ccid half above) — zero
+    // encode work at serving; before r9 this line re-encoded the full
+    // corpus per run
+    val sqcodes = sqCodesTable(s, d)
+      .select(col("vec_id").as("nid"), col("codes"))
     val queries = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1000)
     val probes = graft.operators.Pq.coarseProbe(queries, coarse,
       "vec_id", "embedding", nProbe)
@@ -1352,51 +1517,12 @@ object QueriesSim {
       queries, emb)
   }
 
-  val q90Sql: String =
-    s"""WITH $sqRngCtes,
-       |emb AS (SELECT vec_id, embedding FROM embeddings),
-       |cent AS (
-       | SELECT cid AS ccid, cvec AS ccvec
-       | FROM read_parquet('$PqCoarseFixtureDir/*/*.parquet')
-       | WHERE corpus_vecs = (SELECT count(*) FROM embeddings)),
-       |assigned AS (
-       | SELECT vec_id AS nid, ccid FROM (
-       |  SELECT e.vec_id, c.ccid,
-       |   row_number() OVER (PARTITION BY e.vec_id
-       |     ORDER BY ${l2Sql("e.embedding", "c.ccvec")}, c.ccid) AS r
-       |  FROM emb e CROSS JOIN cent c) t WHERE r = 1),
-       |probes AS (
-       | SELECT qid, ccid FROM (
-       |  SELECT e.vec_id AS qid, c.ccid,
-       |   row_number() OVER (PARTITION BY e.vec_id
-       |     ORDER BY ${l2Sql("e.embedding", "c.ccvec")}, c.ccid) AS r
-       |  FROM emb e CROSS JOIN cent c
-       |  WHERE e.vec_id % 50 = 0 AND e.vec_id < 1000) t
-       | WHERE r <= $DerivedProbeSql),
-       |cands AS (
-       | SELECT p.qid, a.nid
-       | FROM probes p JOIN assigned a USING (ccid)
-       | WHERE p.qid != a.nid),
-       |dist AS (
-       | SELECT x.qid, x.nid,
-       |  round(list_reduce(list_transform(range(1, 65),
-       |    j -> (CAST(q.embedding[j] AS DOUBLE) - ${sqReconSql("j")})
-       |       * (CAST(q.embedding[j] AS DOUBLE) - ${sqReconSql("j")})),
-       |    (a, b) -> a + b), 6) AS dist
-       | FROM cands x
-       | JOIN sqcodes c ON c.vec_id = x.nid
-       | JOIN emb q ON q.vec_id = x.qid, rngl),
-       |rr AS (
-       | SELECT qid, nid, dist,
-       |  row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
-       | FROM dist)
-       |SELECT qid, CAST(rank AS INT) AS rank, nid AS id, dist
-       |FROM rr WHERE rank <= $SqK ORDER BY qid, rank""".stripMargin
-
-  /** q90's CTE chain minus the self-exclusion, ranked to RecallK —
-    * the audit-side approximate set.
+  /** q90's serving CTE chain — self-excluded candidates through the
+    * SQ8 asymmetric distances (`dist`) — shared by q90 (rank to SqK,
+    * derived probe count) and q92 (shortlist + exact re-rank at the
+    * boosted probe count).
     */
-  private val ivfSqApxCtes: String =
+  private def ivfSqServeCtes(probeSql: String): String =
     s"""$sqRngCtes,
        |emb AS (SELECT vec_id, embedding FROM embeddings),
        |cent AS (
@@ -1416,7 +1542,55 @@ object QueriesSim {
        |     ORDER BY ${l2Sql("e.embedding", "c.ccvec")}, c.ccid) AS r
        |  FROM emb e CROSS JOIN cent c
        |  WHERE $BoundedPanel) t
-       | WHERE r <= $DerivedProbeSql),
+       | WHERE r <= $probeSql),
+       |cands AS (
+       | SELECT p.qid, a.nid
+       | FROM probes p JOIN assigned a USING (ccid)
+       | WHERE p.qid != a.nid),
+       |dist AS (
+       | SELECT x.qid, x.nid,
+       |  round(list_reduce(list_transform(range(1, 65),
+       |    j -> (CAST(q.embedding[j] AS DOUBLE) - ${sqReconSql("j")})
+       |       * (CAST(q.embedding[j] AS DOUBLE) - ${sqReconSql("j")})),
+       |    (a, b) -> a + b), 6) AS dist
+       | FROM cands x
+       | JOIN sqcodes c ON c.vec_id = x.nid
+       | JOIN emb q ON q.vec_id = x.qid, rngl)""".stripMargin
+
+  val q90Sql: String =
+    s"""WITH ${ivfSqServeCtes(DerivedProbeSql)},
+       |rr AS (
+       | SELECT qid, nid, dist,
+       |  row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
+       | FROM dist)
+       |SELECT qid, CAST(rank AS INT) AS rank, nid AS id, dist
+       |FROM rr WHERE rank <= $SqK ORDER BY qid, rank""".stripMargin
+
+  /** q90's CTE chain minus the self-exclusion, through `dist` — the
+    * audit-side base shared by q91 (rank to RecallK directly) and q93
+    * (shortlist + exact re-rank, then rank to RecallK).
+    */
+  private def ivfSqApxBase(probeSql: String): String =
+    s"""$sqRngCtes,
+       |emb AS (SELECT vec_id, embedding FROM embeddings),
+       |cent AS (
+       | SELECT cid AS ccid, cvec AS ccvec
+       | FROM read_parquet('$PqCoarseFixtureDir/*/*.parquet')
+       | WHERE corpus_vecs = (SELECT count(*) FROM embeddings)),
+       |assigned AS (
+       | SELECT vec_id AS nid, ccid FROM (
+       |  SELECT e.vec_id, c.ccid,
+       |   row_number() OVER (PARTITION BY e.vec_id
+       |     ORDER BY ${l2Sql("e.embedding", "c.ccvec")}, c.ccid) AS r
+       |  FROM emb e CROSS JOIN cent c) t WHERE r = 1),
+       |probes AS (
+       | SELECT qid, ccid FROM (
+       |  SELECT e.vec_id AS qid, c.ccid,
+       |   row_number() OVER (PARTITION BY e.vec_id
+       |     ORDER BY ${l2Sql("e.embedding", "c.ccvec")}, c.ccid) AS r
+       |  FROM emb e CROSS JOIN cent c
+       |  WHERE $BoundedPanel) t
+       | WHERE r <= $probeSql),
        |cands AS (
        | SELECT p.qid, a.nid
        | FROM probes p JOIN assigned a USING (ccid)),
@@ -1428,15 +1602,88 @@ object QueriesSim {
        |    (a, b) -> a + b), 6) AS dist
        | FROM cands x
        | JOIN sqcodes c ON c.vec_id = x.nid
-       | JOIN emb q ON q.vec_id = x.qid, rngl),
+       | JOIN emb q ON q.vec_id = x.qid, rngl)""".stripMargin
+
+  val q91Sql: String =
+    s"""WITH ${ivfSqApxBase(DerivedProbeSql)},
        |apx AS (
        | SELECT qid, nid AS id FROM (
        |  SELECT qid, nid,
        |   row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
-       |  FROM dist) WHERE rank <= $RecallK)""".stripMargin
+       |  FROM dist) WHERE rank <= $RecallK),
+       |$recallTailSql""".stripMargin
 
-  val q91Sql: String =
-    s"""WITH $ivfSqApxCtes,
+  // ---------------------------------------------------------------------
+  // q92 refined IVF-SQ: the q79/q84 refine pattern applied to the
+  // scalar index — IVF-SQ produces a RefineShortlist-deep candidate
+  // shortlist (quantized distances), then an exact-L2 re-rank of the
+  // |shortlist| only (Pq.refineTopK — the machinery is generic over an
+  // id join). Serving cost is the q90 probe scan plus shortlist·1
+  // exact distances; q93 measures what the re-rank buys back of the
+  // quantization loss (q91 read 0.56 at the derived probe budget —
+  // the same gap q79 closed for PQ, 0.35→0.75).
+  def q92IvfSqRefine(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1000)
+    val short = ivfSqTopk(s, d, RefineShortlist, excludeSelf = true,
+        probeBoost = SqRefineProbeBoost)
+      .select(col("qid"), col("id"))
+    graft.operators.Pq.refineTopK(short, emb, queries,
+        "vec_id", "embedding", SqK)
+      .orderBy("qid", "rank")
+  }
+
+  val q92Sql: String =
+    s"""WITH ${ivfSqServeCtes(SqBoostedProbeSql)},
+       |shortl AS (
+       | SELECT qid, nid AS id FROM (
+       |  SELECT qid, nid,
+       |   row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS r
+       |  FROM dist) WHERE r <= $RefineShortlist),
+       |rex AS (
+       | SELECT s.qid, s.id, ${l2Sql("ne.embedding", "qe.embedding")} AS l2
+       | FROM shortl s
+       | JOIN embeddings ne ON ne.vec_id = s.id
+       | JOIN embeddings qe ON qe.vec_id = s.qid),
+       |rr AS (
+       | SELECT qid, id, l2,
+       |  row_number() OVER (PARTITION BY qid ORDER BY l2, id) AS rank
+       | FROM rex)
+       |SELECT qid, CAST(rank AS INT) AS rank, id, l2
+       |FROM rr WHERE rank <= $SqK
+       |ORDER BY qid, rank""".stripMargin
+
+  // q93 refined-IVF-SQ recall audit: the q81 audit for the scalar
+  // index (self kept, the audit convention).
+  def q93IvfSqRefineRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1000)
+    val short = ivfSqTopk(s, d, RefineShortlist, excludeSelf = false,
+        probeBoost = SqRefineProbeBoost)
+      .select(col("qid"), col("id"))
+    val refined = graft.operators.Pq.refineTopK(short, emb, queries,
+        "vec_id", "embedding", RecallK)
+      .select("qid", "id")
+    recallOverlap(refined, queries, emb)
+  }
+
+  val q93Sql: String =
+    s"""WITH ${ivfSqApxBase(SqBoostedProbeSql)},
+       |shortl AS (
+       | SELECT qid, nid AS id FROM (
+       |  SELECT qid, nid,
+       |   row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS r
+       |  FROM dist) WHERE r <= $RefineShortlist),
+       |rex AS (
+       | SELECT s.qid, s.id, ${l2Sql("ne.embedding", "qe.embedding")} AS l2
+       | FROM shortl s
+       | JOIN embeddings ne ON ne.vec_id = s.id
+       | JOIN embeddings qe ON qe.vec_id = s.qid),
+       |apx AS (
+       | SELECT qid, id FROM (
+       |  SELECT qid, id,
+       |   row_number() OVER (PARTITION BY qid ORDER BY l2, id) AS rank
+       |  FROM rex) WHERE rank <= $RecallK),
        |$recallTailSql""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1444,7 +1691,10 @@ object QueriesSim {
     "q89_sq8_adc" -> (q89Sq8Adc _),
     "q90_ivfsq_topk" -> (q90IvfSqTopk _),
     "q91_ivfsq_recall" -> (q91IvfSqRecall _),
+    "q92_ivfsq_refine" -> (q92IvfSqRefine _),
+    "q93_ivfsq_refine_recall" -> (q93IvfSqRefineRecall _),
     "q86_semantic_dedup" -> (q86SemanticDedup _),
+    "q95_semdedup_tau_sweep" -> (q95SemDedupTauSweep _),
     "q84_ivfpq_refine" -> (q84IvfPqRefine _),
     "q79_adc_refine" -> (q79AdcRefine _),
     "q81_refine_recall" -> (q81RefineRecall _),
@@ -1466,7 +1716,10 @@ object QueriesSim {
     "q89_sq8_adc" -> q89Sql,
     "q90_ivfsq_topk" -> q90Sql,
     "q91_ivfsq_recall" -> q91Sql,
+    "q92_ivfsq_refine" -> q92Sql,
+    "q93_ivfsq_refine_recall" -> q93Sql,
     "q86_semantic_dedup" -> q86Sql,
+    "q95_semdedup_tau_sweep" -> q95Sql,
     "q84_ivfpq_refine" -> q84Sql,
     "q79_adc_refine" -> q79Sql,
     "q81_refine_recall" -> q81Sql,

@@ -318,13 +318,38 @@ object Similarity {
   def semanticDedupAssigned(assignedIn: DataFrame, idCol: String,
                             vecCol: String, tau: Double,
                             roundTo: Int = 6, maxCluster: Int = 256,
-                            clusters: Int = 256): DataFrame = {
+                            clusters: Int = 256): DataFrame =
+    maxAnchorCosine(assignedIn, idCol, vecCol, roundTo, maxCluster, clusters)
+      .select(col(idCol), col("cid"),
+        (col("max_anchor_cos").isNull || col("max_anchor_cos") < tau)
+          .as("kept"))
+
+  /** The TAU-INDEPENDENT half of the sweep — per member, the maximum
+    * (rounded) cosine to any lower-id anchor in its cluster, null when
+    * it has none: (id, cid, max_anchor_cos). Every tau threshold is
+    * then a pure filter over this aggregate — the Abbas et al.
+    * deployment loop sweeps tau over the STORED clustering without
+    * re-running assignment or the pair stage per point.
+    *
+    * Plan shape: the pair stage is the same anchor-capped
+    * O(n·maxCluster) equi-join as [[semanticDedupAssigned]]
+    * (max-aggregated instead of thresholded), zero argmin work.
+    */
+  def maxAnchorCosine(assignedIn: DataFrame, idCol: String,
+                      vecCol: String, roundTo: Int = 6,
+                      maxCluster: Int = 256,
+                      clusters: Int = 256): DataFrame = {
     require(maxCluster > 0, "maxCluster must be positive")
-    // persist: the assignment feeds three plan branches (anchors,
-    // comparand, final output) — without it each branch re-derives its
-    // input (for an inline assignment, a k·dim argmin per row per
-    // branch)
-    val assigned = assignedIn.persist()
+    // The assignment feeds three plan branches (anchors, comparand,
+    // final output) — without materialization each branch re-derives
+    // its input (for an inline assignment, a k·dim argmin per row per
+    // branch). localCheckpoint, not persist(): the result is returned
+    // lazily so there is no safe unpersist point inside the operator —
+    // persist() here leaked a cached plan per call for the JVM
+    // lifetime. localCheckpoint materializes eagerly, cuts the lineage,
+    // and its blocks are reclaimed by the ContextCleaner once the
+    // returned frame is unreachable — no caller-side protocol needed.
+    val assigned = assignedIn.localCheckpoint()
     val wc = Window.partitionBy("cid").orderBy(col(idCol))
     // the anchor frame is deterministically bounded at k·maxCluster
     // rows. Catalyst cannot see that through the Window, so hint the
@@ -341,14 +366,13 @@ object Similarity {
       else anchors0
     val b = assigned.select(col("cid"), col(idCol).as("__b"),
       col(vecCol).as("__bvec"))
-    val dropped = anchors.join(b, "cid")
+    val pairMax = anchors.join(b, "cid")
       .where(col("__a") < col("__b"))
-      .where(round(cosine(col("__avec"), col("__bvec")), roundTo) >= tau)
-      .select(col("__b").as(idCol)).distinct()
-      .withColumn("__dropped", lit(true))
+      .groupBy(col("__b"))
+      .agg(max(round(cosine(col("__avec"), col("__bvec")), roundTo))
+        .as("max_anchor_cos"))
+      .select(col("__b").as(idCol), col("max_anchor_cos"))
     assigned.select(col(idCol), col("cid"))
-      .join(dropped, Seq(idCol), "left")
-      .select(col(idCol), col("cid"),
-        coalesce(!col("__dropped"), lit(true)).as("kept"))
+      .join(pairMax, Seq(idCol), "left")
   }
 }

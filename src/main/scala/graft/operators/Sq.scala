@@ -70,9 +70,15 @@ object Sq {
   def encodeCodes(vecCol: Column, r: Ranges): Column = {
     val mins = typedLit(r.mins)
     val spans = typedLit(r.spans)
+    // clamp to the unsigned 8-bit contract (Faiss SQ8 clamps at encode
+    // time): batch-path values are in-range by construction, but the
+    // streaming path encodes NEW vectors against frozen ranges, where
+    // an out-of-range input would otherwise emit codes like -3 or 300
+    // and corrupt any uint8-packed persistence of the codes column
     transform(vecCol, (x, i) =>
-      round((x.cast("double") - element_at(mins, i + 1))
-        / element_at(spans, i + 1) * lit(255.0)).cast("int"))
+      least(lit(255), greatest(lit(0),
+        round((x.cast("double") - element_at(mins, i + 1))
+          / element_at(spans, i + 1) * lit(255.0)).cast("int"))))
   }
 
   /** Reconstructed (dequantized) vector from a codes column:

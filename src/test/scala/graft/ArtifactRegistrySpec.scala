@@ -51,4 +51,20 @@ class ArtifactRegistrySpec extends AnyFunSuite with SharedSpark {
       "a persisted clustering table must serve q86 with zero assignment learns")
     assert(a.toSeq == b.toSeq, "table-served dedup must equal the built one")
   }
+
+  test("the SQ8 ranges + code table serve q88/q90 cold (r9 registry artifacts)") {
+    val d = "/root/testdata/sf0.001"
+    // pass 1 builds (or loads) the ranges fixture and the code table
+    val a88 = SparkEntry.queries("q88_sq8_encode")(spark, d).collect()
+    val a90 = SparkEntry.queries("q90_ivfsq_topk")(spark, d).collect()
+    ArtifactCache.clear()
+    val learnsBefore = ArtifactCache.learnCount
+    val b88 = SparkEntry.queries("q88_sq8_encode")(spark, d).collect()
+    val b90 = SparkEntry.queries("q90_ivfsq_topk")(spark, d).collect()
+    assert(ArtifactCache.learnCount == learnsBefore,
+      "ranges + code table + coarse + residual codes must all load from " +
+        "their fixtures — q90 serving runs zero learn/encode jobs")
+    assert(a88.toSeq == b88.toSeq, "stored codes must equal a re-encode")
+    assert(a90.toSeq == b90.toSeq, "table-served IVF-SQ must equal built")
+  }
 }

@@ -391,26 +391,81 @@ class ExtensionOperatorsSpec extends AnyFunSuite with SharedSpark {
       assert(math.abs(recon(id)(j) - v(j)) <= r.spans(j) / 255.0 / 2 + 1e-9)
   }
 
+  test("SQ8 encode clamps out-of-range inputs to [0, 255]") {
+    import graft.operators.Sq
+    // ranges frozen on [0, 10] per dim; encode vectors that fall OUTSIDE
+    // the learned range — the streaming case (new arrivals vs a frozen
+    // quantizer). Codes must clamp, not run negative / past 255.
+    val r = Sq.Ranges(Seq(0.0, 0.0), Seq(10.0, 10.0))
+    val df = Seq(
+      (0L, Array(-5f, 15f)),   // below min / above max
+      (1L, Array(0f, 10f)),    // exact endpoints
+      (2L, Array(5f, -0.01f))  // tiny underflow
+    ).toDF("vec_id", "embedding")
+    val codes = df.select($"vec_id", Sq.encodeCodes($"embedding", r).as("codes"))
+      .collect().map(row => row.getLong(0) -> row.getSeq[Int](1)).toMap
+    assert(codes(0L) == Seq(0, 255), "out-of-range clamps to the endpoints")
+    assert(codes(1L) == Seq(0, 255), "endpoints unchanged by the clamp")
+    assert(codes(2L)(1) == 0, "fractional underflow clamps to 0")
+  }
+
   // ---------------------------------------------------------- multimodal
-  test("multimodal decode: batching preserves all rows and determinism") {
-    val media = spark.range(0, 100).select(
-        $"id".as("media_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          ($"id" % 3 + 1).cast("int")).as("kind"),
-        $"id".cast("string").cast("binary").as("bytes"),
-        lit(64).as("width"), lit(64).as("height"),
-        (lit(3000) + $"id".cast("int")).as("duration_ms"))
-      .as[Multimodal.MediaRow]
-    val out1 = Multimodal.decodeFeatures(media, targetFrames = 4, batchSize = 7)
-    val out2 = Multimodal.decodeFeatures(media, targetFrames = 4, batchSize = 64)
-    assert(out1.count() == 100)
+  private def fmtMedia(n: Int) = {
+    val docs = spark.range(0, n).select(
+      $"id".as("doc_id"),
+      concat(lit("doc body text number "), $"id".cast("string")).as("text"),
+      ($"id" % 97 + 20).cast("int").as("n_chars"))
+    Multimodal.syntheticFormatMedia(docs).as[Multimodal.MediaRow]
+  }
+
+  test("real decode: PPM/WAV containers parse, batching-invariant") {
+    val media = fmtMedia(99)
+    val out1 = Multimodal.decodeMedia(media, batchSize = 7)
+    val out2 = Multimodal.decodeMedia(media, batchSize = 64)
+    assert(out1.count() == 99)
     // batch size must not affect results
-    assert(out1.orderBy("media_id").collect().map(_.mean_byte).toSeq ==
-      out2.orderBy("media_id").collect().map(_.mean_byte).toSeq)
-    // video rows sample multiple frames, images one
-    val byKind = out1.groupBy("kind").agg(max("frames_sampled")).collect()
-      .map(r => r.getString(0) -> r.getInt(1)).toMap
-    assert(byKind("video") > 1 && byKind("image") == 1)
+    assert(out1.orderBy("media_id").collect().toSeq ==
+      out2.orderBy("media_id").collect().toSeq)
+    val rows = out1.collect().map(r => r.media_id -> r).toMap
+    val src = media.collect().map(m => m.media_id -> m).toMap
+    for ((id, dec) <- rows) {
+      val m = src(id)
+      m.kind match {
+        case "audio" =>
+          assert(dec.sample_rate == Multimodal.WavSampleRate)
+          assert(dec.n_content == Multimodal.WavSamples)
+        case "image" =>
+          // decoded dims come from the CONTAINER header, and match the
+          // builder's metadata by construction
+          assert(dec.px_w == m.width && dec.px_h == m.height)
+          assert(dec.n_frames == 1)
+          assert(dec.n_content == m.width * m.height * 3)
+        case "video" =>
+          assert(dec.px_w == m.width && dec.px_h == m.height)
+          assert(dec.n_frames == m.duration_ms / 1000)
+          assert(dec.n_content == dec.n_frames * m.width * m.height * 3)
+      }
+      assert(dec.content_sum >= 0 &&
+        dec.content_sum <= 255L * dec.n_content)
+    }
+  }
+
+  test("decoders fail loudly on malformed containers; comments parse") {
+    intercept[IllegalArgumentException] { // wrong magic
+      Multimodal.decodePpmFrames("P5\n2 2\n255\nxxxx".getBytes)
+    }
+    intercept[IllegalArgumentException] { // truncated pixel data
+      Multimodal.decodePpmFrames("P6\n4 4\n255\nab".getBytes)
+    }
+    intercept[IllegalArgumentException] { // not a WAVE
+      Multimodal.decodeWav("RIFFxxxxNOPE".getBytes)
+    }
+    // comments + multi-digit fields parse per the PPM spec
+    val px = Array.tabulate(12 * 3)(_.toByte)
+    val ok = Multimodal.decodePpmFrames(
+      "P6\n# a comment\n12 1\n255\n".getBytes ++ px)
+    assert(ok.size == 1 && ok.head._1 == 12 && ok.head._2 == 1 &&
+      ok.head._3.toSeq == px.toSeq)
   }
 
   test("repartitionByPayload sizes partitions from a sample, small tables exactly") {
@@ -429,16 +484,27 @@ class ExtensionOperatorsSpec extends AnyFunSuite with SharedSpark {
       .rdd.getNumPartitions == 1)
   }
 
-  test("resizeStub: aspect-preserving fit, never upscales") {
-    val media = Seq(
-      (1L, "image", Array[Byte](1, 2, 3), 640, 480, 0),
-      (2L, "image", Array[Byte](1), 100, 50, 0))
-      .toDF("media_id", "kind", "bytes", "width", "height", "duration_ms")
-    val out = Multimodal.resizeStub(media, 320, 320)
-      .orderBy("media_id")
-      .select("out_width", "out_height").as[(Int, Int)].collect()
-    assert(out(0) == ((320, 240))) // 640x480 fit into 320 box
-    assert(out(1) == ((100, 50))) // already smaller: untouched
+  test("real PPM resize: aspect-preserving fit, never upscales, re-decodable") {
+    // 8x4 image, distinctive pixels: value = x coordinate
+    val px = Array.tabulate(8 * 4 * 3)(i => ((i / 3) % 8).toByte)
+    val img = Multimodal.encodePpm(8, 4, px)
+    val frames = Multimodal.decodePpmFrames(
+      Multimodal.resizePpmNearest(img, 4, 4))
+    assert(frames.size == 1)
+    val (w, h, opx) = frames.head
+    assert((w, h) == ((4, 2)), "8x4 fits a 4-box as 4x2")
+    // nearest-neighbor: output pixels are a subset of input values
+    assert(opx.forall(b => b >= 0 && b < 8))
+    // already-smaller input passes through byte-identical
+    assert(Multimodal.resizePpmNearest(img, 100, 100).toSeq == img.toSeq)
+    // a 2-frame stream resizes frame-by-frame and stays a valid stream
+    val rs = Multimodal.decodePpmFrames(
+      Multimodal.resizePpmNearest(img ++ img, 4, 4))
+    assert(rs.size == 2 && rs.forall(f => (f._1, f._2) == ((4, 2))))
+    // Dataset-level op re-stamps metadata from the decoded container
+    val resized = Multimodal.resizeMedia(fmtMedia(30), 3, 3).collect()
+    for (m <- resized; if m.kind != "audio")
+      assert(m.width <= 3 && m.height <= 3)
   }
 
   test("writePartitionedParquet: partition pruning on read (scale sink)") {

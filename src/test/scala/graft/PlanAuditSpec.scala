@@ -311,6 +311,22 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"anchor cap must plan as WindowGroupLimit:\n$p")
   }
 
+  test("q95: tau sweep serves from the stored clustering — no re-scan, no argmin") {
+    // q86 materializes the clustering registry table first
+    SparkEntry.queries("q86_semantic_dedup")(spark, d).collect()
+    val p = plan("q95_semdedup_tau_sweep")
+    // serving reads the clustering table ONCE (the eager localCheckpoint
+    // materialization); the final plan must hold no parquet scan at all —
+    // no raw-corpus re-read, no centroid fixture, and therefore no
+    // argmin re-assignment anywhere in the sweep
+    assert(!p.contains("FileScan parquet"),
+      s"tau sweep must not re-scan any parquet (assignment is stored):\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"pair stage must stay the capped cid equi-join:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"anchor cap must prune map-side before the pair join:\n$p")
+  }
+
   test("decade-partitioned parquet read prunes partitions (T6 scale path)") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
