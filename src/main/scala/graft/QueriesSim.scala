@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -757,14 +757,18 @@ object QueriesSim {
       .orderBy("qid")
   }
 
-  /** Exact-top-k + overlap oracle tail shared by q81/q83: expects an
-    * `apx(qid, id)` CTE in scope.
+  /** Exact-top-k + overlap oracle tail shared by q81/q83 (and, with a
+    * corpus predicate, q97): expects an `apx(qid, id)` CTE in scope.
+    * `corpusPredSql` restricts the EXACT side's corpus — the filtered-
+    * search ground truth is the best matches AMONG the rows satisfying
+    * the predicate, not a post-filtered unrestricted top-k.
     */
-  private val recallTailSql: String =
+  private def recallTail(corpusPredSql: String): String =
     s"""ex AS (
        | SELECT q.vec_id AS qid, e.vec_id AS id,
        |  ${l2Sql("q.embedding", "e.embedding")} AS d2
-       | FROM (SELECT * FROM embeddings WHERE $BoundedPanel) q, embeddings e),
+       | FROM (SELECT * FROM embeddings WHERE $BoundedPanel) q,
+       |  (SELECT * FROM embeddings WHERE $corpusPredSql) e),
        |ext AS (
        | SELECT qid, id FROM (
        |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY d2, id) AS rn
@@ -776,6 +780,8 @@ object QueriesSim {
        |FROM (SELECT vec_id FROM embeddings WHERE $BoundedPanel) q
        |LEFT JOIN o ON o.qid = q.vec_id
        |ORDER BY qid""".stripMargin
+
+  private val recallTailSql: String = recallTail("TRUE")
 
   val q81Sql: String =
     s"""WITH ${adcCtes(BoundedPanel)},
@@ -1471,13 +1477,25 @@ object QueriesSim {
   // baseline (the q74→q77 relationship for scalar quantization).
   private def ivfSqTopk(s: SparkSession, d: String, k: Int,
                         excludeSelf: Boolean,
-                        probeBoost: Int = 1): DataFrame = {
+                        probeBoost: Int = 1,
+                        corpusPred: Option[Column] = None): DataFrame = {
     val coarse = pqResidualCoarse(s, d)
     val nProbe = graft.operators.Pq.probeCount(coarse.size) * probeBoost
     val r = sqRanges(s, d)
     val emb = embeddings(s, d).select("vec_id", "embedding")
-    val assigned = pqResidualCodes(s, d).where(col("sub") === 0)
+    val assignedAll = pqResidualCodes(s, d).where(col("sub") === 0)
       .select(col("id").as("nid"), col("ccid"))
+    // PRE-filtering (q96): the metadata predicate prunes the inverted
+    // lists BEFORE the probe fan-out join and before any distance work
+    // — the filtered-vector-search discipline (post-filtering a top-k
+    // both wastes distance evaluations on doomed candidates and can
+    // return < k rows even when k matches exist in the probed lists).
+    // The predicate is sargable (IN over a parquet column) so the keep
+    // set is a pushed-filter scan of two columns, never a corpus pass.
+    val assigned = corpusPred.fold(assignedAll) { p =>
+      val keep = embeddings(s, d).where(p).select(col("vec_id").as("nid"))
+      assignedAll.join(keep, Seq("nid"), "left_semi")
+    }
     // the corpus-side codes are READ from the persisted SQ8 code table
     // (the same index amortization as the ccid half above) — zero
     // encode work at serving; before r9 this line re-encoded the full
@@ -1522,7 +1540,8 @@ object QueriesSim {
     * derived probe count) and q92 (shortlist + exact re-rank at the
     * boosted probe count).
     */
-  private def ivfSqServeCtes(probeSql: String): String =
+  private def ivfSqServeCtes(probeSql: String,
+                             corpusFilterSql: String = "TRUE"): String =
     s"""$sqRngCtes,
        |emb AS (SELECT vec_id, embedding FROM embeddings),
        |cent AS (
@@ -1534,7 +1553,9 @@ object QueriesSim {
        |  SELECT e.vec_id, c.ccid,
        |   row_number() OVER (PARTITION BY e.vec_id
        |     ORDER BY ${l2Sql("e.embedding", "c.ccvec")}, c.ccid) AS r
-       |  FROM emb e CROSS JOIN cent c) t WHERE r = 1),
+       |  FROM emb e CROSS JOIN cent c) t WHERE r = 1
+       |  AND vec_id IN (SELECT vec_id FROM embeddings
+       |                 WHERE $corpusFilterSql)),
        |probes AS (
        | SELECT qid, ccid FROM (
        |  SELECT e.vec_id AS qid, c.ccid,
@@ -1570,7 +1591,8 @@ object QueriesSim {
     * audit-side base shared by q91 (rank to RecallK directly) and q93
     * (shortlist + exact re-rank, then rank to RecallK).
     */
-  private def ivfSqApxBase(probeSql: String): String =
+  private def ivfSqApxBase(probeSql: String,
+                           corpusFilterSql: String = "TRUE"): String =
     s"""$sqRngCtes,
        |emb AS (SELECT vec_id, embedding FROM embeddings),
        |cent AS (
@@ -1582,7 +1604,9 @@ object QueriesSim {
        |  SELECT e.vec_id, c.ccid,
        |   row_number() OVER (PARTITION BY e.vec_id
        |     ORDER BY ${l2Sql("e.embedding", "c.ccvec")}, c.ccid) AS r
-       |  FROM emb e CROSS JOIN cent c) t WHERE r = 1),
+       |  FROM emb e CROSS JOIN cent c) t WHERE r = 1
+       |  AND vec_id IN (SELECT vec_id FROM embeddings
+       |                 WHERE $corpusFilterSql)),
        |probes AS (
        | SELECT qid, ccid FROM (
        |  SELECT e.vec_id AS qid, c.ccid,
@@ -1686,6 +1710,66 @@ object QueriesSim {
        |  FROM rex) WHERE rank <= $RecallK),
        |$recallTailSql""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q96 FILTERED ANN: top-k under a metadata predicate — the serving
+  // shape every production vector store exposes (Milvus/Vespa/pgvector
+  // `WHERE` + ANN). PRE-filtering discipline: the predicate restricts
+  // the inverted lists BEFORE the probe join and before any distance
+  // arithmetic — post-filtering a plain top-k is both wasteful (scores
+  // candidates the predicate will drop) and wrong at the contract
+  // level (returns < k rows when < k of the top-k survive, even though
+  // k predicate-matching rows exist in the probed lists). The
+  // predicate (`label IN (0,2,4,6,8)`, ~half the corpus) is sargable,
+  // so Spark's keep-set scan is a pushed parquet IN filter over two
+  // columns (PlanAuditSpec pins PushedFilters), never a corpus pass.
+  // Serving probes at the q92 boosted budget: filtering empties ~half
+  // of every probed list, so the unboosted budget would surface too
+  // few candidates — the Faiss answer is nprobe, same as the refine
+  // serving point.
+  private val FilteredPredSql = "label IN (0, 2, 4, 6, 8)"
+  private def filteredPred: Column = col("label").isin(0, 2, 4, 6, 8)
+
+  def q96FilteredAnn(s: SparkSession, d: String): DataFrame =
+    ivfSqTopk(s, d, SqK, excludeSelf = true,
+      probeBoost = SqRefineProbeBoost, corpusPred = Some(filteredPred))
+      .orderBy("qid", "rank")
+
+  val q96Sql: String =
+    s"""WITH ${ivfSqServeCtes(SqBoostedProbeSql, FilteredPredSql)},
+       |rr AS (
+       | SELECT qid, nid, dist,
+       |  row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
+       | FROM dist)
+       |SELECT qid, CAST(rank AS INT) AS rank, nid AS id, dist
+       |FROM rr WHERE rank <= $SqK ORDER BY qid, rank""".stripMargin
+
+  // q97 filtered-ANN recall audit: overlap vs the FILTERED exact
+  // ground truth — the best k among rows satisfying the predicate
+  // (not a post-filtered unrestricted top-k, which would under-count
+  // whenever a predicate-failing neighbor crowded out a passing one).
+  // Self kept on both sides per the audit convention; a query whose
+  // own label fails the predicate is simply absent from both.
+  def q97FilteredRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).select("vec_id", "embedding")
+    val kept = embeddings(s, d).where(filteredPred)
+      .select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1000)
+    recallOverlap(
+      ivfSqTopk(s, d, RecallK, excludeSelf = false,
+        probeBoost = SqRefineProbeBoost,
+        corpusPred = Some(filteredPred)).select("qid", "id"),
+      queries, kept)
+  }
+
+  val q97Sql: String =
+    s"""WITH ${ivfSqApxBase(SqBoostedProbeSql, FilteredPredSql)},
+       |apx AS (
+       | SELECT qid, nid AS id FROM (
+       |  SELECT qid, nid,
+       |   row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
+       |  FROM dist) WHERE rank <= $RecallK),
+       |${recallTail(FilteredPredSql)}""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_sq8_encode" -> (q88Sq8Encode _),
     "q89_sq8_adc" -> (q89Sq8Adc _),
@@ -1693,6 +1777,8 @@ object QueriesSim {
     "q91_ivfsq_recall" -> (q91IvfSqRecall _),
     "q92_ivfsq_refine" -> (q92IvfSqRefine _),
     "q93_ivfsq_refine_recall" -> (q93IvfSqRefineRecall _),
+    "q96_filtered_ann" -> (q96FilteredAnn _),
+    "q97_filtered_recall" -> (q97FilteredRecall _),
     "q86_semantic_dedup" -> (q86SemanticDedup _),
     "q95_semdedup_tau_sweep" -> (q95SemDedupTauSweep _),
     "q84_ivfpq_refine" -> (q84IvfPqRefine _),
@@ -1718,6 +1804,8 @@ object QueriesSim {
     "q91_ivfsq_recall" -> q91Sql,
     "q92_ivfsq_refine" -> q92Sql,
     "q93_ivfsq_refine_recall" -> q93Sql,
+    "q96_filtered_ann" -> q96Sql,
+    "q97_filtered_recall" -> q97Sql,
     "q86_semantic_dedup" -> q86Sql,
     "q95_semdedup_tau_sweep" -> q95Sql,
     "q84_ivfpq_refine" -> q84Sql,

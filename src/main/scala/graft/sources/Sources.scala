@@ -112,4 +112,26 @@ object Sources {
     * boundary needed in Spark.
     */
   def featureLines(geo: DataFrame): DataFrame = geo.orderBy("GEOID")
+
+  /** JSONL shard sink — the training-data export format (one JSON
+    * object per line, gzip'd, size-bounded shards a downstream loader
+    * streams without a footer read). `maxRecordsPerShard` bounds shard
+    * size via Spark's own per-file record split, so shard count scales
+    * with data volume while each file stays loader-friendly; no
+    * coalesce(1) anywhere — a 100 TB export writes from every task.
+    */
+  def writeJsonl(df: DataFrame, path: String, gzip: Boolean = true,
+                 maxRecordsPerShard: Long = 100000L): Unit = {
+    val w = df.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerShard)
+    (if (gzip) w.option("compression", "gzip") else w).json(path)
+  }
+
+  /** Read twin of [[writeJsonl]] with an EXPLICIT schema (inference
+    * would re-scan the corpus and guess doc-id types; same discipline
+    * as [[readPartitionedParquet]]). Codec is extension-detected.
+    */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 }

@@ -228,6 +228,31 @@ class ExtensionOperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(refined10.subsetOf(short), "refine must only re-rank the shortlist")
   }
 
+  test("q96/q97 filtered ANN: neighbors satisfy the predicate; recall against the filtered ground truth") {
+    val d = "/root/testdata/sf0.001"
+    val res = SparkEntry.queries("q96_filtered_ann")(spark, d)
+    val lab = spark.read.parquet(s"$d/embeddings.parquet")
+      .select($"vec_id".as("id"), $"label")
+    // the predicate is a CONTRACT on the result set, not a soft ranking
+    // signal: one odd-labeled neighbor means post-filtering leaked in
+    assert(res.join(lab, "id").where(!$"label".isin(0, 2, 4, 6, 8)).count() == 0,
+      "every returned neighbor must satisfy the metadata predicate")
+    // ranks are contiguous from 1 per query — a dried-up probe list may
+    // legitimately return < k rows, but never a gapped ranking
+    val ranks = res.groupBy("qid").agg(min($"rank").as("mn"),
+        max($"rank").as("mx"), count(lit(1)).as("n")).collect()
+    assert(ranks.nonEmpty)
+    assert(ranks.forall(r => r.getAs[Int]("mn") == 1 &&
+      r.getAs[Int]("mx").toLong == r.getAs[Long]("n")))
+    // recall audit: bounded by RecallK and non-trivial on average (the
+    // boosted probe budget exists precisely to keep filtered recall up)
+    val rec = SparkEntry.queries("q97_filtered_recall")(spark, d)
+      .select($"n_overlap").as[Long].collect()
+    assert(rec.forall(n => n >= 0 && n <= 10))
+    assert(rec.sum.toDouble / (rec.length * 10) >= 0.3,
+      s"filtered recall collapsed: ${rec.mkString(",")}")
+  }
+
   test("PQ residuals: rvec + assigned centroid reconstructs the vector; coarseProbe orders by L2") {
     import graft.operators.Pq
     val rnd = new scala.util.Random(17)

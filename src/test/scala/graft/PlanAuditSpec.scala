@@ -64,6 +64,18 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"code table must stream map-side against the broadcast panel:\n$p")
   }
 
+  test("q96: filtered ANN — sargable predicate pushes into the embeddings scan") {
+    val p = plan("q96_filtered_ann")
+    // PRE-filtering: the label IN-list must reach the parquet scan that
+    // feeds the keep-set semi-join — never a post-top-k residual filter
+    assert(p.contains("In(label"),
+      s"label predicate must push into the embeddings parquet scan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"filtered candidates meet the lists on equi-joins only:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      "filtered top-k must still rank-limit map-side")
+  }
+
   test("q90/q91: IVF-SQ — equi-join probe pruning, rank-limited, no product") {
     for (q <- Seq("q90_ivfsq_topk", "q91_ivfsq_recall")) {
       val p = plan(q)

@@ -36,6 +36,26 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
       Seq("01001", "02013"))
   }
 
+  test("JSONL sink: gzip'd shards bounded by maxRecordsPerShard round-trip") {
+    import org.apache.spark.sql.types._
+    val docs = (0L until 10L).map(i => (i, s"doc $i text", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = Files.createTempDirectory("jsonl").toString + "/export"
+    Sources.writeJsonl(docs.repartition(1), out, gzip = true,
+      maxRecordsPerShard = 4)
+    val files = new java.io.File(out).listFiles
+      .filter(_.getName.endsWith(".json.gz"))
+    // 10 records / 4-per-shard cap from one task => 3 shards
+    assert(files.length == 3, files.map(_.getName).mkString(","))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType)))
+    val back = Sources.readJsonl(spark, out, schema)
+    assert(back.count() == 10)
+    assert(back.schema == schema) // explicit schema, no inference drift
+    assert(back.orderBy("doc_id").collect().map(_.getLong(0)).toSeq ==
+      (0L until 10L).toSeq)
+  }
+
   test("GeoJSON scan explodes FeatureCollection into keyed rows (S4/S5)") {
     val gj =
       """{"type": "FeatureCollection", "features": [
