@@ -744,8 +744,8 @@ object QueriesSim {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("__d2"), col("vec_id"))
     val exact = emb.crossJoin(broadcast(q2))
-      .withColumn("__d2",
-        round(graft.operators.Pq.l2sqExact(col("embedding"), col("qvec")), 6))
+      .withColumn("__d2", round(
+        graft.functions.L2SqExpr.l2sqFast(col("embedding"), col("qvec")), 6))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= RecallK)
       .select(col("qid"), col("vec_id").as("id"))
@@ -1512,8 +1512,8 @@ object QueriesSim {
     cands.join(sqcodes, "nid")
       .join(broadcast(queries.select(col("vec_id").as("qid"),
         col("embedding").as("qvec"))), "qid")
-      .withColumn("__d", round(graft.operators.Pq.l2sqExact(col("qvec"),
-        graft.operators.Sq.reconstruct(col("codes"), r)), 6))
+      .withColumn("__d",
+        round(graft.operators.Sq.adcDist(col("qvec"), col("codes"), r), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid").as("id"),

@@ -94,43 +94,63 @@ object Pq {
     */
   def learnCodebooks(vectors: DataFrame, idCol: String, vecCol: String,
                      m: Int, k: Int, iters: Int): Seq[(Int, Int, Array[Double])] = {
-    val spark = vectors.sparkSession
-    import spark.implicits._
     val dim = vectors.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val subDim = dim / m
-    val train = vectors.orderBy(idCol).limit(trainCap(k)).cache()
-    try {
-      val subv = subvectors(train, idCol, vecCol, m, subDim)
-      // deterministic init: subvectors of the first k vectors in id order
-      // (cast to double up front so float corpora and double residual
-      // frames share one code path)
-      var codebook: Seq[(Int, Int, Array[Double])] = train
-        .orderBy(idCol).limit(k)
-        .select(col(vecCol).cast("array<double>")).as[Array[Double]].collect()
-        .zipWithIndex.flatMap { case (v, cid) =>
-          (0 until m).map(s =>
-            (s, cid, v.slice(s * subDim, (s + 1) * subDim)))
-        }.toSeq
-      for (_ <- 0 until iters) {
-        val cbDf = codebook.toDF("sub", "cid", "cvec")
-        val assigned = assign(subv, cbDf, idCol)
-        val cells = assigned
-          .select(col("sub"), col("cid"), posexplode(col("subvec")).as(Seq("pos", "x")))
-          .groupBy("sub", "cid", "pos")
-          .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
-          .collect()
-        val byKey = cells.groupBy(r => (r.getInt(0), r.getInt(1)))
-        codebook = codebook.map { case (s, cid, old) =>
-          (s, cid, byKey.get((s, cid)).map { rows =>
-            val v = old.clone()
-            rows.foreach(r => v(r.getInt(2)) = r.getDouble(3) / r.getLong(4))
-            v
-          }.getOrElse(old)) // empty cluster keeps its centroid
+    // ONE distributed pass: extract the bounded id-ordered sample to the
+    // driver (trainCap(k) vectors ≈ 16·k·dim doubles — a few MB at the
+    // 4·√n coarse rule; the same bounded-artifact class as the ranges /
+    // centroid collects). Lloyd then runs LOCALLY over the sample —
+    // Faiss's own shape: training is a sampled local computation, the
+    // cluster is for encode/serving. The previous formulation re-ran a
+    // broadcast-join + window argmin over sample×k joined rows per
+    // iteration — ~5M interpreted-HOF rows per round at k≈566, which
+    // billed 582 s of wall for the 10×-corpus coarse quantizer where
+    // this local loop costs seconds for identical semantics
+    // (round-6 L2² argmin, cid tie-break, mean update in id order —
+    // now deterministic even across shuffle-partition counts, which
+    // the distributed double sum was not).
+    val sample: Array[Array[Double]] = vectors.orderBy(idCol)
+      .limit(trainCap(k))
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val n = sample.length
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // deterministic init: subvectors of the first k vectors in id order
+    val kEff = math.min(k, n)
+    val cents = Array.tabulate(m, kEff) { (s, cid) =>
+      sample(cid).slice(s * subDim, (s + 1) * subDim)
+    }
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(m, kEff)(new Array[Double](subDim))
+      val counts = Array.fill(m, kEff)(0L)
+      for (v <- sample; s <- 0 until m) {
+        val off = s * subDim
+        var best = 0
+        var bestD = Double.MaxValue
+        var cid = 0
+        while (cid < kEff) {
+          val c = cents(s)(cid)
+          var d2 = 0.0
+          var i = 0
+          while (i < subDim) { val d = v(off + i) - c(i); d2 += d * d; i += 1 }
+          val r = round6(d2)
+          if (r < bestD) { bestD = r; best = cid } // ties keep lowest cid
+          cid += 1
         }
+        val acc = sums(s)(best)
+        var i = 0
+        while (i < subDim) { acc(i) += v(off + i); i += 1 }
+        counts(s)(best) += 1
       }
-      codebook
-    } finally train.unpersist(blocking = false)
+      for (s <- 0 until m; cid <- 0 until kEff if counts(s)(cid) > 0) {
+        val c = counts(s)(cid)
+        cents(s)(cid) = sums(s)(cid).map(_ / c)
+      } // empty cluster keeps its centroid
+    }
+    for (s <- 0 until m; cid <- 0 until kEff)
+      yield (s, cid, cents(s)(cid))
   }
 
   /** Per-(id, sub) nearest-centroid assignment over an exploded
@@ -327,7 +347,8 @@ object Pq {
       .join(vectors.select(col(idCol).as("id"), col(vecCol).as("nvec")), "id")
       .join(broadcast(queries.select(col(idCol).as("qid"),
         col(vecCol).as("qvec"))), "qid")
-      .withColumn("__l2", round(l2sqExact(col("nvec"), col("qvec")), 6))
+      .withColumn("__l2", round(
+        graft.functions.L2SqExpr.l2sqFast(col("nvec"), col("qvec")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id"), col("__l2").as("l2"))

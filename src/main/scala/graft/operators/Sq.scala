@@ -92,6 +92,17 @@ object Sq {
         + c.cast("double") * element_at(spans, i + 1) / lit(255.0))
   }
 
+  /** Fused asymmetric L2² of an exact query column against a codes
+    * column — the serving-path distance, computed by the native
+    * codegen expression [[graft.functions.SqAdcExpr]] (reconstruction
+    * folded into one primitive loop; bit-identical to
+    * `Pq.l2sqExact(qvec, reconstruct(codes, r))`, which remains the
+    * portable baseline the parity spec pins it against). Unrounded;
+    * callers apply the round-6 engine-parity discipline.
+    */
+  def adcDist(qvec: Column, codesCol: Column, r: Ranges): Column =
+    graft.functions.SqAdcExpr.sqAdc(qvec, codesCol, r.mins, r.spans)
+
   /** Asymmetric top-k: exact queries against the SQ8-quantized corpus.
     * `codes` is the persisted index table (id, codes); `queries` is the
     * small side and broadcasts. Distances are round-6 L2² of the query
@@ -106,7 +117,7 @@ object Sq {
       .join(broadcast(queries.select(col(qId).as("qid"),
         col(vecCol).as("qvec"))), col("qid") =!= col(idCol))
       .withColumn("__d",
-        round(Pq.l2sqExact(col("qvec"), reconstruct(col(codesCol), r)), roundTo))
+        round(adcDist(col("qvec"), col(codesCol), r), roundTo))
     val w = Window.partitionBy("qid").orderBy(col("__d"), col(idCol))
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
