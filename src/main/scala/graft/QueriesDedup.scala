@@ -232,6 +232,150 @@ object QueriesDedup {
        |ORDER BY a, b""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Incremental dedup: a NEW BATCH verdicted against the PERSISTED
+  // fingerprint registry of the existing corpus — the ingestion shape
+  // at 100 TB (re-deduping the whole corpus per arriving batch is the
+  // cost the registry exists to avoid). Batch classes: exact copies
+  // (normalization-identical), near copies (5-word tail), novel docs
+  // (reversed text — shares no word shingles with the original).
+  private def batchCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select("doc_id", "text")
+    docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 300000).as("doc_id"),
+        concat(upper(col("text")), lit("  ")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          concat(col("text"), lit(" extra tail noise appended here")).as("text")))
+      .unionByName(docs.filter(col("doc_id") % 11 === 5)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          reverse(col("text")).as("text")))
+  }
+
+  private val batchCorpusSql =
+    """SELECT doc_id + 300000 AS doc_id, upper(text) || '  ' AS text
+      |FROM documents WHERE doc_id % 5 = 0
+      |UNION ALL
+      |SELECT doc_id + 400000 AS doc_id,
+      |       text || ' extra tail noise appended here' AS text
+      |FROM documents WHERE doc_id % 7 = 3
+      |UNION ALL
+      |SELECT doc_id + 500000 AS doc_id, reverse(text) AS text
+      |FROM documents WHERE doc_id % 11 = 5""".stripMargin
+
+  private val FpRegistryDir = "/tmp/graft_fixtures/fp_registry"
+  private val IncTau = 0.5
+
+  /** The corpus fingerprint registry through the artifact cache (the
+    * pqResidualCodes protocol): built ONCE per corpus — digest +
+    * MinHash signature + LSH buckets per doc, fixed-width rows, no
+    * text — persisted as parquet, and every incremental-dedup serving
+    * run READS it. The q98 hash-match against the oracle's
+    * from-scratch re-derivation is the load ≡ learn proof.
+    */
+  private def fpRegistry(s: SparkSession, d: String): DataFrame = {
+    val path = graft.operators.ArtifactCache.getOrLoadOrLearn(
+        s"fpreg:$d:3:$NumHashes:$Bands:$RowsPerBand") {
+      val n = documents(s, d).count()
+      val p = s"$FpRegistryDir/$n"
+      graft.operators.ArtifactCache.parquetFixture(s, p)
+        .filter(df => df.columns.contains("corpus_dir") &&
+          df.columns.contains("corpus_docs"))
+        .filter(_.where(col("corpus_docs") === n && col("corpus_dir") === d)
+          .limit(1).count() == 1)
+        .map(_ => p)
+    } {
+      val docs = documents(s, d).select("doc_id", "text")
+      val n = docs.count()
+      val p = s"$FpRegistryDir/$n"
+      Dedup.fingerprintRegistry(docs, "text", "doc_id",
+          k = 3, NumHashes, Bands, RowsPerBand)
+        .withColumn("corpus_docs", lit(n))
+        .withColumn("corpus_dir", lit(d))
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    s.read.parquet(path).where(col("corpus_dir") === d)
+      .select("doc_id", "text_md5", "sig", "buckets")
+  }
+
+  def q98IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val batchFp = Dedup.fingerprintRegistry(batchCorpus(s, d), "text",
+      "doc_id", k = 3, NumHashes, Bands, RowsPerBand)
+    Dedup.incrementalDedup(batchFp, fpRegistry(s, d), "doc_id",
+        NumHashes, tau = IncTau, maxBucket = MaxBucket)
+      .orderBy("new_id")
+  }
+
+  val q98Sql: String = {
+    val p = Dedup.MinhashP
+    val sigExprs = (0 until NumHashes).map { i =>
+      val (a, b) = Dedup.minhashCoeffs(i)
+      s"list_min(list_transform(sh, h -> ((h % $p) * $a + $b) % $p)) AS sig$i"
+    }.mkString(",\n ")
+    def bandSelects(src: String) = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand)
+        .map(r => s"CAST(sig${b * RowsPerBand + r} AS VARCHAR)").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws(',', $cols)) AS bucket FROM $src"
+    }.mkString("\n UNION ALL ")
+    val agree = (0 until NumHashes)
+      .map(i => s"(CASE WHEN bs.sig$i = rs.sig$i THEN 1 ELSE 0 END)")
+      .mkString("\n  + ")
+    s"""WITH batch AS ($batchCorpusSql),
+       |rsh AS (SELECT doc_id, md5($normSql) AS text_md5,
+       |  list_transform($shinglesSql,
+       |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS sh
+       | FROM documents),
+       |bsh AS (SELECT doc_id, md5($normSql) AS text_md5,
+       |  list_transform($shinglesSql,
+       |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS sh
+       | FROM batch),
+       |rsig AS (SELECT doc_id, text_md5,
+       | $sigExprs
+       | FROM rsh),
+       |bsig AS (SELECT doc_id, text_md5,
+       | $sigExprs
+       | FROM bsh),
+       |rbuckall AS (${bandSelects("rsig")}),
+       |rbuck AS (
+       | SELECT doc_id, band, bucket FROM (
+       |  SELECT doc_id, band, bucket,
+       |   row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn
+       |  FROM rbuckall)
+       | WHERE rn <= $MaxBucket),
+       |bbuck AS (${bandSelects("bsig")}),
+       |cand AS (
+       | SELECT DISTINCT b.doc_id AS new_id, r.doc_id AS reg_id
+       | FROM bbuck b JOIN rbuck r ON b.band = r.band AND b.bucket = r.bucket),
+       |est AS (
+       | SELECT c.new_id, c.reg_id,
+       |  round(($agree) / $NumHashes.0, 6) AS est_jaccard
+       | FROM cand c
+       |  JOIN bsig bs ON bs.doc_id = c.new_id
+       |  JOIN rsig rs ON rs.doc_id = c.reg_id),
+       |best AS (
+       | SELECT new_id, reg_id AS near_of, est_jaccard FROM (
+       |  SELECT new_id, reg_id, est_jaccard,
+       |   row_number() OVER (PARTITION BY new_id
+       |     ORDER BY est_jaccard DESC, reg_id) AS rn
+       |  FROM est WHERE est_jaccard >= $IncTau)
+       | WHERE rn = 1),
+       |ex AS (
+       | SELECT bs.doc_id AS new_id, min(rs.doc_id) AS exact_of
+       | FROM bsig bs JOIN rsig rs ON rs.text_md5 = bs.text_md5
+       | GROUP BY 1)
+       |SELECT b.doc_id AS new_id,
+       | CASE WHEN e.exact_of IS NOT NULL THEN 'exact'
+       |      WHEN n.near_of IS NOT NULL THEN 'near'
+       |      ELSE 'unique' END AS verdict,
+       | coalesce(e.exact_of, n.near_of) AS dup_of,
+       | n.est_jaccard
+       |FROM batch b
+       | LEFT JOIN ex e ON e.new_id = b.doc_id
+       | LEFT JOIN best n ON n.new_id = b.doc_id
+       |ORDER BY new_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_exact_dedup" -> (q22ExactDedup _),
     "q23_minhash_lsh" -> (q23MinhashLsh _),
@@ -240,6 +384,7 @@ object QueriesDedup {
     // deployment-hash twin of q23 — deliberately absent from `oracle`
     // (driver records rows-only): DuckDB cannot reproduce xxhash64
     "q52_dedup_xxhash" -> (q52DedupXxhash _),
+    "q98_incremental_dedup" -> (q98IncrementalDedup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -247,5 +392,6 @@ object QueriesDedup {
     "q23_minhash_lsh" -> q23Sql,
     "q24_simhash" -> q24Sql,
     "q25_ngram_jaccard" -> q25Sql,
+    "q98_incremental_dedup" -> q98Sql,
   )
 }

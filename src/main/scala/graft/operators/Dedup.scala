@@ -180,6 +180,144 @@ object Dedup {
     CacheRelease.afterUse(Seq(base, withBuckets), out)
   }
 
+  /** MinHash signature as ONE array<long> column — the storage form of
+    * [[minhashSignature]] (identical affine family, identical values;
+    * element i = sig{i}). An array column is what a persisted
+    * fingerprint registry stores per document, and what the
+    * signature-agreement estimator zips over.
+    */
+  def minhashSignatureArray(hashedShingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      val (a, b) = minhashCoeffs(i)
+      array_min(transform(hashedShingles,
+        h => (h % MinhashP * a + b) % MinhashP))
+    }: _*)
+
+  /** [[lshBuckets]] over the array-form signature (element_at is
+    * 1-based): same band cut, same bucket hash, so registry rows built
+    * from the array form land in the same buckets as the columnar
+    * pipeline.
+    */
+  def lshBucketsFromSig(sig: Column, bands: Int, rowsPerBand: Int,
+                        mode: HashMode = HashMode.OracleMd5): Column =
+    array((0 until bands).map { b =>
+      val key = concat_ws(",", (0 until rowsPerBand)
+        .map(r => element_at(sig, b * rowsPerBand + r + 1).cast("string")): _*)
+      val bucket = mode match {
+        case HashMode.OracleMd5 => md5(key.cast("binary"))
+        case HashMode.EngineXx => lower(hex(xxhash64(key)))
+      }
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }: _*)
+
+  /** Per-document fingerprint rows — (id, text_md5, sig, buckets) —
+    * the PERSISTED DEDUP REGISTRY of a corpus: the exact-dup digest,
+    * the MinHash signature (array form, ~numHashes·8 bytes), and the
+    * LSH band buckets. This is what an incremental ingestion pipeline
+    * stores per 100 TB corpus document INSTEAD of the document text:
+    * new batches dedup against these fixed-width rows
+    * ([[incrementalDedup]]) without ever re-reading corpus text.
+    * One projection chain per document; the shingle array is staged in
+    * its own Project so the numHashes array_min transforms share one
+    * hashing pass (CollapseProject keeps non-cheap multi-referenced
+    * expressions staged).
+    */
+  def fingerprintRegistry(df: DataFrame, textCol: String, idCol: String,
+                          k: Int, numHashes: Int, bands: Int,
+                          rowsPerBand: Int,
+                          mode: HashMode = HashMode.OracleMd5): DataFrame = {
+    require(numHashes == bands * rowsPerBand,
+      s"numHashes ($numHashes) must equal bands*rowsPerBand (${bands * rowsPerBand})")
+    df.select(col(idCol),
+        TextStats.textDigest(col(textCol), mode).as("text_md5"),
+        hashedWordShingles(textCol, k, mode).as("__sh"))
+      .select(col(idCol), col("text_md5"),
+        minhashSignatureArray(col("__sh"), numHashes).as("sig"))
+      .withColumn("buckets", lshBucketsFromSig(col("sig"), bands, rowsPerBand, mode))
+  }
+
+  /** Incremental dedup: verdict a NEW BATCH of documents against a
+    * persisted corpus [[fingerprintRegistry]] without touching corpus
+    * text — the ingestion shape at 100 TB, where re-deduping the whole
+    * corpus per arriving batch is the cost an index exists to avoid.
+    * Both inputs are fingerprint frames (id, text_md5, sig, buckets).
+    *
+    * Per batch doc: `verdict` ∈ exact | near | unique, `dup_of` = the
+    * surviving registry id (min id on exact-digest match, else the
+    * best near match), `est_jaccard` = the MinHash signature-agreement
+    * estimate of the best near candidate (fraction of agreeing
+    * signature components — the standard estimator; the registry
+    * stores signatures, not shingle sets, so verification is O(H) per
+    * candidate instead of a shingle-array fetch). Near matches must
+    * estimate ≥ `tau`; best = max estimate, then min registry id.
+    *
+    * Scale shape — the registry (corpus-sized) is never shuffled:
+    *  - exact: registry scan filtered MAP-SIDE by the broadcast batch
+    *    digest set; only matching rows reach the min-id aggregate.
+    *  - near: registry bucket explosion filtered map-side by the
+    *    broadcast batch (band, bucket) set (with the
+    *    [[lshCandidatePairs]] `maxBucket` fan-in discipline on the
+    *    registry side, ascending id); candidate count ∝ batch size.
+    *  - the estimate join touches |candidates| registry signature
+    *    rows, the final assembly only batch rows.
+    */
+  def incrementalDedup(batchFp: DataFrame, registry: DataFrame,
+                       idCol: String, numHashes: Int, tau: Double,
+                       maxBucket: Int = Int.MaxValue): DataFrame = {
+    val bfp = batchFp.select(col(idCol).as("new_id"), col("text_md5"),
+      col("sig"), col("buckets")).cache()
+    // exact: broadcast the batch digest set against the registry scan
+    val exact = registry
+      .join(broadcast(bfp.select("text_md5").distinct()), Seq("text_md5"))
+      .groupBy("text_md5").agg(min(col(idCol)).as("exact_of"))
+    // near candidates: registry bucket rows (fan-in capped by ascending
+    // id) filtered by the broadcast batch bucket set
+    val regBuckets = {
+      val exploded = registry
+        .select(col(idCol).as("reg_id"), explode(col("buckets")).as("bb"))
+        .select(col("reg_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      if (maxBucket == Int.MaxValue) exploded
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bucket").orderBy(col("reg_id"))
+        exploded.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= maxBucket).drop("__rn")
+      }
+    }
+    val batchBuckets = bfp
+      .select(col("new_id"), explode(col("buckets")).as("bb"))
+      .select(col("new_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = regBuckets.join(broadcast(batchBuckets), Seq("band", "bucket"))
+      .select("new_id", "reg_id").distinct()
+    // signature-agreement estimate over the candidate pairs only
+    val est = cand
+      .join(registry.select(col(idCol).as("reg_id"), col("sig").as("rsig")), "reg_id")
+      .join(broadcast(bfp.select(col("new_id"), col("sig").as("nsig"))), "new_id")
+      .select(col("new_id"), col("reg_id"),
+        round(aggregate(
+            zip_with(col("nsig"), col("rsig"),
+              (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).cast("double") / numHashes, 6)
+          .as("est_jaccard"))
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy("new_id")
+      .orderBy(col("est_jaccard").desc, col("reg_id"))
+    val bestNear = est.filter(col("est_jaccard") >= tau)
+      .withColumn("__rn", row_number().over(wBest))
+      .filter(col("__rn") === 1)
+      .select(col("new_id"), col("reg_id").as("near_of"), col("est_jaccard"))
+    val out = bfp.select("new_id", "text_md5")
+      .join(broadcast(exact), Seq("text_md5"), "left")
+      .join(broadcast(bestNear), Seq("new_id"), "left")
+      .select(col("new_id"),
+        when(col("exact_of").isNotNull, lit("exact"))
+          .when(col("near_of").isNotNull, lit("near"))
+          .otherwise(lit("unique")).as("verdict"),
+        coalesce(col("exact_of"), col("near_of")).as("dup_of"),
+        col("est_jaccard"))
+    CacheRelease.afterUse(Seq(bfp), out)
+  }
+
   /** Test-set decontamination: ids of `train` documents sharing at
     * least one word k-gram with ANY document in `evalDocs` — the
     * benchmark-overlap filter every training corpus runs before a model

@@ -573,4 +573,72 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
     // all five footer variants normalize to the same digest
     assert(out.values.forall(_ == 1), out.toString)
   }
+
+  // -------------------------------------------------------------------
+  // Incremental dedup against a persisted fingerprint registry
+
+  private def fp(df: org.apache.spark.sql.DataFrame) =
+    Dedup.fingerprintRegistry(df, "text", "doc_id",
+      k = 3, numHashes = 12, bands = 4, rowsPerBand = 3)
+
+  test("incrementalDedup verdicts: exact copy, near copy, novel doc") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "spark plans fold into whole stage codegen pipelines at runtime"),
+      (3L, "completely different third document about something else entirely")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // exact after normalization (case + trailing whitespace)
+      (101L, "The QUICK brown fox jumps over the lazy dog near the river bank  "),
+      // near: same text + short tail (most shingles shared)
+      (102L, "spark plans fold into whole stage codegen pipelines at runtime with aqe"),
+      // novel
+      (103L, "entirely fresh words that overlap with no registry document at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(fp(batch), fp(corpus), "doc_id",
+        numHashes = 12, tau = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)).map(_.toString.toLong))).toMap
+    assert(out(101L) == ("exact", Some(1L)), out.toString)
+    assert(out(102L)._1 == "near" && out(102L)._2 == Some(2L), out.toString)
+    assert(out(103L) == ("unique", None), out.toString)
+  }
+
+  test("incrementalDedup est_jaccard is the signature-agreement fraction") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(fp(batch), fp(corpus), "doc_id",
+      numHashes = 12, tau = 0.5).collect().head
+    // identical text -> identical signature -> estimate exactly 1.0
+    assert(out.getString(1) == "exact")
+    assert(out.getDouble(3) == 1.0)
+  }
+
+  test("incrementalDedup maxBucket caps registry fan-in by ascending id") {
+    // three identical registry docs land in identical buckets; cap=1
+    // keeps only the lowest registry id as a candidate
+    val t = "same exact text in every registry document here repeated words"
+    val corpus = Seq((5L, t), (6L, t), (7L, t)).toDF("doc_id", "text")
+    val batch = Seq((101L, t + " tail")).toDF("doc_id", "text")
+    val capped = Dedup.incrementalDedup(fp(batch), fp(corpus), "doc_id",
+      numHashes = 12, tau = 0.25, maxBucket = 1).collect().head
+    assert(Option(capped.get(2)).map(_.toString.toLong) == Some(5L),
+      s"cap keeps the lowest registry id: $capped")
+  }
+
+  test("incrementalDedup near tie-break: max estimate then min registry id") {
+    val t = "one two three four five six seven eight nine ten eleven twelve"
+    // two identical registry docs: both estimate identically against the
+    // near batch doc; the lower id must win
+    val corpus = Seq((9L, t), (4L, t)).toDF("doc_id", "text")
+    val batch = Seq((101L, t + " extra")).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(fp(batch), fp(corpus), "doc_id",
+      numHashes = 12, tau = 0.25).collect().head
+    assert(out.getString(1) == "near")
+    assert(out.get(2).toString.toLong == 4L, out.toString)
+  }
 }
