@@ -1770,6 +1770,96 @@ object QueriesSim {
        |  FROM dist) WHERE rank <= $RecallK),
        |${recallTail(FilteredPredSql)}""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q99 MMR diversified retrieval: greedy Maximal-Marginal-Relevance
+  // re-rank of a brute-force top-20 shortlist — the serving stage that
+  // keeps near-duplicate hits from crowding a result page. λ = 0.7
+  // (as 7 tenths), k = 5. The oracle unrolls the same greedy loop as
+  // chained CTEs (selection t scores every unselected candidate
+  // against the union of steps < t); scores are EXACT integers
+  // (7·rel_micro − 3·pen_micro over ×10⁶ cosines — λ·rel−(1−λ)·pen
+  // with 6-decimal inputs lands on 7th-decimal half-way ties where the
+  // engines' double rounding diverges) and ties break on ascending
+  // nid, so the sequences are identical.
+  private val MmrShortlist = 20
+  private val MmrK = 5
+  private val MmrLambdaTenths = 7
+
+  def q99MmrRerank(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).select("vec_id", "embedding")
+    val short = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 10), emb,
+        qId = "vec_id", cId = "vec_id", vecCol = "embedding",
+        k = MmrShortlist)
+      .select(col("qid"), col("nid"), col("cos").as("rel"))
+    val withVec = short.join(
+      emb.select(col("vec_id").as("nid"), col("embedding").as("nvec")), "nid")
+    Similarity.mmrRerank(withVec, lambdaTenths = MmrLambdaTenths, k = MmrK)
+      .orderBy("qid", "step")
+  }
+
+  val q99Sql: String = {
+    val lt = MmrLambdaTenths
+    val ilt = 10 - MmrLambdaTenths
+    def selU(t: Int) =
+      (1 to t).map(i => s"SELECT qid, nid FROM sel$i").mkString(" UNION ALL ")
+    val step1 =
+      s"""sc1 AS (SELECT qid, nid, $lt * rel_micro AS mmr_micro FROM short),
+         |sel1 AS (
+         | SELECT qid, nid, mmr_micro, 1 AS step FROM (
+         |  SELECT qid, nid, mmr_micro,
+         |   row_number() OVER (PARTITION BY qid
+         |     ORDER BY mmr_micro DESC, nid) AS rn
+         |  FROM sc1)
+         | WHERE rn = 1)""".stripMargin
+    val steps = (2 to MmrK).map { t =>
+      s"""sc$t AS (
+         | SELECT c.qid, c.nid,
+         |  $lt * c.rel_micro - $ilt * max(p.sim_micro) AS mmr_micro
+         | FROM short c
+         | JOIN (${selU(t - 1)}) s ON s.qid = c.qid
+         | JOIN pair p ON p.qid = c.qid AND p.a = c.nid AND p.b = s.nid
+         | LEFT JOIN (${selU(t - 1)}) x ON x.qid = c.qid AND x.nid = c.nid
+         | WHERE x.nid IS NULL
+         | GROUP BY c.qid, c.nid, c.rel_micro),
+         |sel$t AS (
+         | SELECT qid, nid, mmr_micro, $t AS step FROM (
+         |  SELECT qid, nid, mmr_micro,
+         |   row_number() OVER (PARTITION BY qid
+         |     ORDER BY mmr_micro DESC, nid) AS rn
+         |  FROM sc$t)
+         | WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to MmrK)
+      .map(t => s"SELECT qid, nid, mmr_micro, step FROM sel$t")
+      .mkString("\n UNION ALL ")
+    s"""WITH q AS (
+       | SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+       | WHERE vec_id < 10),
+       |sims AS (
+       | SELECT q.qid, e.vec_id AS nid,
+       |  round(${cosSql("q.qvec", "e.embedding")}, 6) AS rel
+       | FROM q JOIN embeddings e ON e.vec_id != q.qid),
+       |short AS (
+       | SELECT qid, nid,
+       |  CAST(round(rel * 1000000) AS BIGINT) AS rel_micro FROM (
+       |  SELECT qid, nid, rel,
+       |   row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rk
+       |  FROM sims) WHERE rk <= $MmrShortlist),
+       |pair AS (
+       | SELECT s1.qid, s1.nid AS a, s2.nid AS b,
+       |  CAST(round(round(${cosSql("e1.embedding", "e2.embedding")}, 6)
+       |       * 1000000) AS BIGINT) AS sim_micro
+       | FROM short s1
+       | JOIN short s2 ON s2.qid = s1.qid AND s2.nid != s1.nid
+       | JOIN embeddings e1 ON e1.vec_id = s1.nid
+       | JOIN embeddings e2 ON e2.vec_id = s2.nid),
+       |$step1,
+       |$steps
+       |SELECT qid, step, nid, mmr_micro FROM ($unions)
+       |ORDER BY qid, step""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_sq8_encode" -> (q88Sq8Encode _),
     "q89_sq8_adc" -> (q89Sq8Adc _),
@@ -1779,6 +1869,7 @@ object QueriesSim {
     "q93_ivfsq_refine_recall" -> (q93IvfSqRefineRecall _),
     "q96_filtered_ann" -> (q96FilteredAnn _),
     "q97_filtered_recall" -> (q97FilteredRecall _),
+    "q99_mmr_rerank" -> (q99MmrRerank _),
     "q86_semantic_dedup" -> (q86SemanticDedup _),
     "q95_semdedup_tau_sweep" -> (q95SemDedupTauSweep _),
     "q84_ivfpq_refine" -> (q84IvfPqRefine _),
@@ -1806,6 +1897,7 @@ object QueriesSim {
     "q93_ivfsq_refine_recall" -> q93Sql,
     "q96_filtered_ann" -> q96Sql,
     "q97_filtered_recall" -> q97Sql,
+    "q99_mmr_rerank" -> q99Sql,
     "q86_semantic_dedup" -> q86Sql,
     "q95_semdedup_tau_sweep" -> q95Sql,
     "q84_ivfpq_refine" -> q84Sql,

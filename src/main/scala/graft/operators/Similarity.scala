@@ -375,4 +375,98 @@ object Similarity {
     assigned.select(col(idCol), col("cid"))
       .join(pairMax, Seq(idCol), "left")
   }
+
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998) —
+    * the diversified-retrieval serving stage production vector stores
+    * expose behind plain top-k: greedily pick `k` results from a
+    * per-query SHORTLIST, each step maximizing
+    * `λ·rel − (1−λ)·max_{s∈selected} sim(c, s)` so near-duplicate hits
+    * don't crowd the result page.
+    *
+    * `shortlist` columns: (qid, nid, rel, nvec) — rel already rounded
+    * (e.g. [[bruteForceTopK]] output joined back to vectors).
+    *
+    * Greedy selection is inherently SEQUENTIAL in k, so this is one of
+    * the rare genuinely-imperative operators (SURVEY §2 preference
+    * order d): a k-round relational formulation would re-shuffle the
+    * candidate set k times, while the shortlist already fits a group by
+    * the serving contract (|shortlist| ≤ a few dozen per query — the
+    * same bound that makes the ANN refine stage cheap). One shuffle on
+    * qid, then O(S²·k) local arithmetic per group.
+    *
+    * Determinism (the q67 integer-micro lesson): λ·rel − (1−λ)·pen with
+    * 6-decimal inputs lands ON a 7th-decimal half-way tie for most
+    * values (0.7·x shifts a micro grid onto half-micros), exactly where
+    * HALF_UP-over-shortest-repr (Spark/JVM) and binary rounding
+    * (DuckDB) disagree — so scores never round: λ is taken in TENTHS
+    * and the score is the exact integer
+    * `lambdaTenths·rel_micro − (10−lambdaTenths)·pen_micro` over
+    * micro-unit (×10⁶) cosines. Cosines accumulate in index order as
+    * doubles (the engine-parity fold), round to 6 decimals (the one
+    * cross-engine rounding, shared with every similarity query), and
+    * convert to near-integer-robust micro longs. Ties break on
+    * ascending nid — the oracle's chained-CTE greedy computes the
+    * identical sequence.
+    */
+  def mmrRerank(shortlist: DataFrame, lambdaTenths: Int, k: Int): DataFrame = {
+    require(lambdaTenths >= 0 && lambdaTenths <= 10,
+      s"lambdaTenths must be in [0, 10], got $lambdaTenths")
+    val ss = shortlist.sparkSession
+    import ss.implicits._
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cosMicro(a: Array[Float], b: Array[Float]): Long = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < a.length) {
+        ab += a(i).toDouble * b(i).toDouble
+        aa += a(i).toDouble * a(i).toDouble
+        bb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      math.round(r6(ab / (math.sqrt(aa) * math.sqrt(bb))) * 1e6)
+    }
+    shortlist
+      .select(col("qid").cast("long"), col("nid").cast("long"),
+        col("rel").cast("double"), col("nvec"))
+      .as[(Long, Long, Double, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cands = it.toArray.sortBy(_._2)
+        val n = cands.length
+        val relMicro = cands.map(c => math.round(c._3 * 1e6))
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Long)]
+        var t = 1
+        val steps = math.min(k, n)
+        while (t <= steps) {
+          var best = -1
+          var bestScore = 0L
+          var i = 0
+          while (i < n) {
+            if (!selected.contains(i)) {
+              var pen = 0L
+              var first = true
+              selected.foreach { j =>
+                val sim = cosMicro(cands(i)._4, cands(j)._4)
+                if (first || sim > pen) { pen = sim; first = false }
+              }
+              val score =
+                if (selected.isEmpty) lambdaTenths * relMicro(i)
+                else lambdaTenths * relMicro(i) - (10 - lambdaTenths) * pen
+              // candidates iterate in ascending nid: strict > keeps the
+              // lowest nid on score ties
+              if (best == -1 || score > bestScore) {
+                best = i; bestScore = score
+              }
+            }
+            i += 1
+          }
+          selected += best
+          out += ((qid, t, cands(best)._2, bestScore))
+          t += 1
+        }
+        out
+      }
+      .toDF("qid", "step", "nid", "mmr_micro")
+  }
 }

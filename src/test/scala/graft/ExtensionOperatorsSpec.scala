@@ -570,4 +570,50 @@ class ExtensionOperatorsSpec extends AnyFunSuite with SharedSpark {
     // exactly one canonical per cluster
     assert(out.count(_._3) == 2)
   }
+
+  // -------------------------------------------------------------------
+  // MMR diversified re-rank
+
+  private def mmrShortlist(rows: Seq[(Long, Long, Double, Array[Float])]) =
+    rows.toDF("qid", "nid", "rel", "nvec")
+
+  test("mmrRerank with lambdaTenths=10 is plain top-k by relevance") {
+    val v = Array(1f, 0f, 0f)
+    val short = mmrShortlist(Seq(
+      (1L, 11L, 0.9, v), (1L, 12L, 0.8, v), (1L, 13L, 0.7, v), (1L, 14L, 0.6, v)))
+    val out = Similarity.mmrRerank(short, lambdaTenths = 10, k = 3)
+      .orderBy("step").as[(Long, Int, Long, Long)].collect().toSeq
+    assert(out.map(_._3) == Seq(11L, 12L, 13L),
+      s"pure-relevance MMR = top-k: $out")
+    assert(out.map(_._4) == Seq(9000000L, 8000000L, 7000000L))
+  }
+
+  test("mmrRerank penalizes near-duplicates of already-selected hits") {
+    // candidate 12 is an exact duplicate direction of top hit 11
+    // (cos = 1.0); candidate 13 is orthogonal with lower relevance.
+    // Pure relevance picks 11 then 12; MMR at lambda 0.5 must pick the
+    // diverse 13 at step 2: score(12) = 5*.85 - 5*1.0 < score(13) =
+    // 5*.60 - 5*0.
+    val a = Array(1f, 0f, 0f)
+    val b = Array(0f, 1f, 0f)
+    val short = mmrShortlist(Seq(
+      (1L, 11L, 0.90, a), (1L, 12L, 0.85, a), (1L, 13L, 0.60, b)))
+    val out = Similarity.mmrRerank(short, lambdaTenths = 5, k = 3)
+      .orderBy("step").as[(Long, Int, Long, Long)].collect().toSeq
+    assert(out.map(_._3) == Seq(11L, 13L, 12L), out.toString)
+    // step-2 score: 5*600000 - 5*0 (13 orthogonal to 11)
+    assert(out(1)._4 == 3000000L, out.toString)
+    // step-3 score: 5*850000 - 5*1000000 (12 parallel to selected 11)
+    assert(out(2)._4 == -750000L, out.toString)
+  }
+
+  test("mmrRerank emits min(k, shortlist) steps with score ties on min nid") {
+    val v = Array(1f, 1f, 0f)
+    val short = mmrShortlist(Seq((1L, 22L, 0.5, v), (1L, 21L, 0.5, v)))
+    val out = Similarity.mmrRerank(short, lambdaTenths = 7, k = 5)
+      .orderBy("step").as[(Long, Int, Long, Long)].collect().toSeq
+    assert(out.length == 2)
+    // equal relevance: step 1 takes the lower nid
+    assert(out.head._3 == 21L, out.toString)
+  }
 }
