@@ -330,4 +330,22 @@ object Streaming {
                      ranges: graft.operators.Sq.Ranges): DataFrame =
     vectors.select(col(idCol).as("id"),
       graft.operators.Sq.encodeCodes(col(vecCol), ranges).as("codes"))
+
+  /** Streaming face of the IVF LIST APPEND — the coarse-quantizer
+    * third of the continuous index-ingest family next to
+    * [[pqEncodeStream]] (codes) and [[sqEncodeStream]] (scalar codes):
+    * arriving vectors assign to their inverted list against an
+    * IMMUTABLE persisted coarse quantizer (an index version freezes
+    * its centroids; re-learning is a new index version).
+    * [[graft.operators.Similarity.assignClusters]] is a pure
+    * literal-centroid argmin projection, so the same stateless
+    * batch ≡ stream contract holds — appending (id, cid) rows to the
+    * persisted list-assignment table is all a serving IVF needs to
+    * make new vectors searchable.
+    */
+  def ivfAssignStream(vectors: DataFrame, idCol: String, vecCol: String,
+                      centroids: Seq[(Int, Array[Double])]): DataFrame =
+    graft.operators.Similarity
+      .assignClusters(vectors, centroids, idCol, vecCol)
+      .select(col(idCol).as("id"), col("cid"))
 }

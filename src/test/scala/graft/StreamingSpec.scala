@@ -236,6 +236,41 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       "streamed SQ8 codes must equal the batch encode")
   }
 
+  test("ivfAssignStream list assignment matches the batch path across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(47)
+    val rows = (0 until 30).map(i =>
+      StreamingSpec.Vec(i.toLong, Seq.fill(8)(rnd.nextFloat() * 2f - 1f)))
+    val batchDf = rows.toDF()
+    // frozen coarse quantizer: 4 centroids with non-contiguous ids
+    val cents = Seq(
+      (3, Array(0.5, 0.5, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+      (7, Array(-0.5, 0.5, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+      (11, Array(0.0, -0.5, 0.5, 0.0, 0.0, 0.0, 0.0, 0.0)),
+      (19, Array(0.0, 0.0, -0.5, -0.5, 0.0, 0.0, 0.0, 0.0)))
+    val stream = MemoryStream[StreamingSpec.Vec]
+    val q = Streaming.ivfAssignStream(stream.toDF(), "vec_id", "embedding", cents)
+      .writeStream.format("memory").queryName("ivf_assign_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(rows.take(10): _*)
+      q.processAllAvailable()
+      stream.addData(rows.drop(10): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ivf_assign_out").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val batch = graft.operators.Similarity
+      .assignClusters(batchDf, cents, "vec_id", "embedding")
+      .select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(streamed.length == 30)
+    assert(streamed.toSet == batch.toSet,
+      "streamed IVF list assignment must equal the batch path")
+    // caller cids survive (non-contiguous centroid ids keep labels)
+    assert(streamed.map(_._2).toSet.subsetOf(Set(3, 7, 11, 19)))
+  }
+
   test("sessionize (flatMapGroupsWithState) matches the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
