@@ -166,12 +166,61 @@ object QueriesCuration {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q100 next-fit bin packing: docs in id order fill fixed 256-token
+  // training bins within 50-id buckets (bins never cross buckets — the
+  // q66 range-bucket discipline applied to bin ASSIGNMENT). The oracle
+  // replays the identical sequential fold as a recursive CTE stepping
+  // the per-bucket row number.
+  private val PackCapacity = 256L
+  private val PackIdBucket = 50L
+
+  def q100NextfitPack(s: SparkSession, d: String): DataFrame = {
+    val toks = regexp_count(
+      graft.operators.TextStats.normalize(col("text")), lit("\\S+"))
+    val docs = documents(s, d)
+      .select(col("doc_id"), toks.cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    Curation.nextFitPack(docs, "doc_id", "n_tokens",
+        capacity = PackCapacity, bucketWidth = PackIdBucket)
+      .orderBy("doc_id")
+  }
+
+  val q100Sql: String = {
+    val normSql = graft.operators.TextStats.normalizeSql("text")
+    s"""WITH RECURSIVE base AS (
+       | SELECT doc_id, doc_id // $PackIdBucket AS bucket,
+       |  CAST(len(regexp_extract_all($normSql, '\\S+')) AS BIGINT) AS n_tokens
+       | FROM documents),
+       |t AS (
+       | SELECT doc_id, bucket, n_tokens,
+       |  row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+       | FROM base WHERE n_tokens > 0),
+       |pack AS (
+       | SELECT doc_id, bucket, rn, n_tokens,
+       |  CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS bin_offset,
+       |  n_tokens AS fill
+       | FROM t WHERE rn = 1
+       | UNION ALL
+       | SELECT t.doc_id, t.bucket, t.rn, t.n_tokens,
+       |  CAST(CASE WHEN p.fill > 0 AND p.fill + t.n_tokens > $PackCapacity
+       |       THEN p.bin + 1 ELSE p.bin END AS BIGINT),
+       |  CAST(CASE WHEN p.fill > 0 AND p.fill + t.n_tokens > $PackCapacity
+       |       THEN 0 ELSE p.fill END AS BIGINT),
+       |  CAST(CASE WHEN p.fill > 0 AND p.fill + t.n_tokens > $PackCapacity
+       |       THEN t.n_tokens ELSE p.fill + t.n_tokens END AS BIGINT)
+       | FROM pack p JOIN t ON t.bucket = p.bucket AND t.rn = p.rn + 1)
+       |SELECT doc_id, bucket, bin, bin_offset FROM pack
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_curation_pipeline" -> (q47CurationPipeline _),
     "q39_train_eval_split" -> (q39TrainEvalSplit _),
     "q40_stratified_sample" -> (q40StratifiedSample _),
     "q41_value_histogram" -> (q41ValueHistogram _),
     "q66_sequence_packing" -> (q66SequencePacking _),
+    "q100_nextfit_pack" -> (q100NextfitPack _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -180,5 +229,6 @@ object QueriesCuration {
     "q40_stratified_sample" -> q40Sql,
     "q41_value_histogram" -> q41Sql,
     "q66_sequence_packing" -> q66Sql,
+    "q100_nextfit_pack" -> q100Sql,
   )
 }

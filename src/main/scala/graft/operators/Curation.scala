@@ -175,6 +175,50 @@ object Curation {
     CacheRelease.afterUse(Seq(withCum), out)
   }
 
+  /** Next-fit BIN packing of documents into fixed token-capacity
+    * training shards — [[packingOffsets]]'s sibling that assigns an
+    * actual bin: docs in id order fill the current bin until the next
+    * doc would overflow `capacity`, then a fresh bin opens (a doc
+    * longer than capacity occupies a bin alone). Emits
+    * (id, bucket, bin, bin_offset) where bin numbers restart per
+    * bucket and bin_offset is the token position within the bin.
+    *
+    * Packing is sequential by construction (each bin boundary depends
+    * on the full fill history), so the corpus partitions into
+    * id-range BUCKETS of `bucketWidth` ids and packs within each —
+    * bins never cross buckets (documented boundary semantics, the
+    * same trade [[packingOffsets]] makes to avoid single-tasking the
+    * corpus; the per-bucket tail waste is at most one partial bin).
+    * One shuffle on the bucket key, then a sorted sequential fold per
+    * group; group size is bounded by the id density of the bucket.
+    * Ids must be non-negative (bucket = id / width truncates).
+    */
+  def nextFitPack(df: DataFrame, idCol: String, lenCol: String,
+                  capacity: Long, bucketWidth: Long): DataFrame = {
+    require(capacity >= 1 && bucketWidth >= 1)
+    val ss = df.sparkSession
+    import ss.implicits._
+    df.select(col(idCol).cast("long"), col(lenCol).cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1 / bucketWidth)
+      .flatMapGroups { (bucket, it) =>
+        val docs = it.toArray.sortBy(_._1)
+        val out = new Array[(Long, Long, Long, Long)](docs.length)
+        var bin = 0L
+        var fill = 0L
+        var i = 0
+        while (i < docs.length) {
+          val (id, len) = docs(i)
+          if (fill > 0 && fill + len > capacity) { bin += 1; fill = 0 }
+          out(i) = (id, bucket, bin, fill)
+          fill += len
+          i += 1
+        }
+        out
+      }
+      .toDF(idCol, "bucket", "bin", "bin_offset")
+  }
+
   /** Hashed-unigram importance weights for data selection — the DSIR
     * shape (Xie et al. 2023, "Data Selection for Language Models via
     * Importance Resampling"): score every raw document by how much more

@@ -575,6 +575,40 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
   }
 
   // -------------------------------------------------------------------
+  // Next-fit bin packing
+
+  test("nextFitPack fills bins in id order and opens on overflow") {
+    val docs = Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 50L))
+      .toDF("doc_id", "n_tokens")
+    val out = Curation.nextFitPack(docs, "doc_id", "n_tokens",
+        capacity = 256, bucketWidth = 1000)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    // 100+100 fit; +100 would reach 300 > 256 -> new bin; +50 fits there
+    assert(out == Seq(
+      (1L, 0L, 0L, 0L), (2L, 0L, 0L, 100L),
+      (3L, 0L, 1L, 0L), (4L, 0L, 1L, 100L)))
+  }
+
+  test("nextFitPack: an oversized doc occupies a bin alone") {
+    val docs = Seq((1L, 10L), (2L, 999L), (3L, 10L))
+      .toDF("doc_id", "n_tokens")
+    val out = Curation.nextFitPack(docs, "doc_id", "n_tokens",
+        capacity = 256, bucketWidth = 1000)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 0L, 0L), (2L, 0L, 1L, 0L), (3L, 0L, 2L, 0L)))
+  }
+
+  test("nextFitPack bins never cross id-range buckets") {
+    val docs = Seq((49L, 10L), (50L, 10L)).toDF("doc_id", "n_tokens")
+    val out = Curation.nextFitPack(docs, "doc_id", "n_tokens",
+        capacity = 256, bucketWidth = 50)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    // both would fit one bin, but the bucket boundary splits them
+    assert(out == Seq((49L, 0L, 0L, 0L), (50L, 1L, 0L, 0L)))
+  }
+
+  // -------------------------------------------------------------------
   // Incremental dedup against a persisted fingerprint registry
 
   private def fp(df: org.apache.spark.sql.DataFrame) =
