@@ -235,11 +235,37 @@ object Pq {
     * (element s = subspace s's centroid id) — a single shuffle-free
     * projection. Bit-identical to the [[codeRows]] join+window path
     * (PqSpec pins it): same round-6 double distances, same cid
-    * tie-break, just taken with [[nearestCidMapSide]]'s literal-array
-    * argmin instead of an explode → broadcast-join → window plan.
+    * tie-break. Since r9 the assignment runs in the native
+    * [[graft.functions.PqEncodeExpr]] (one compiled m·K·subDim loop —
+    * the HOF argmin dispatched interpreted lambdas and allocated a
+    * scored-struct array per subspace per row in the n·k hot loop of
+    * every index build); [[encodeCodesHof]] keeps the composed
+    * formulation as the parity baseline the expression spec pins
+    * against.
     */
   def encodeCodes(vecCol: Column,
                   codebook: Seq[(Int, Int, Array[Double])]): Column = {
+    val m = codebook.map(_._1).max + 1
+    val subDim = codebook.head._3.length
+    val cents = (0 until m).map { s =>
+      val cs = codebook.filter(_._1 == s).sortBy(_._2).map(_._3)
+      val flat = new Array[Double](cs.length * subDim)
+      cs.zipWithIndex.foreach { case (v, i) =>
+        System.arraycopy(v, 0, flat, i * subDim, subDim)
+      }
+      flat
+    }
+    graft.functions.PqEncodeExpr.encode(vecCol, cents, subDim)
+  }
+
+  /** The composed HOF formulation of [[encodeCodes]] — the parity
+    * baseline: per subspace, `array_min` over
+    * `struct(round(l2sq(subvec, cvec), 6), cid)` literal-centroid
+    * structs. PqEncodeExprSpec asserts the native path is element-
+    * identical on randomized vectors.
+    */
+  def encodeCodesHof(vecCol: Column,
+                     codebook: Seq[(Int, Int, Array[Double])]): Column = {
     val m = codebook.map(_._1).max + 1
     val subDim = codebook.head._3.length
     array((0 until m).map { s =>
