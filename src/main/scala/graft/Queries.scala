@@ -194,10 +194,41 @@ object Queries {
       |GROUP BY l_returnflag, id ORDER BY l_returnflag, id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q101 one-pass column profiling (the Deequ-style data-quality gate a
+  // pipeline runs before trusting a new table): per numeric lineitem
+  // column — rows, nulls, exact distinct count, min/max, integer-micro
+  // sum and mean. One unpivot + one grouped aggregation = one table
+  // scan for all columns; sums are exact longs (reproducible across
+  // engines AND partition merge orders, the q67 discipline).
+  private val profileCols = Seq("l_orderkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax")
+
+  def q101Profile(s: SparkSession, d: String): DataFrame =
+    Extents.profileColumns(lineitem(s, d), profileCols)
+      .orderBy("col_name")
+
+  val q101Sql: String = {
+    val branches = profileCols
+      .map(c => s"SELECT '$c' AS col_name, CAST($c AS DOUBLE) AS value FROM lineitem")
+      .mkString(" UNION ALL ")
+    s"""WITH long AS ($branches)
+       |SELECT col_name,
+       | count(*) AS n,
+       | CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       | count(DISTINCT value) AS n_distinct,
+       | min(value) AS vmin, max(value) AS vmax,
+       | CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro,
+       | CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+       |   // nullif(count(*) - CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT), 0)
+       |   AS mean_micro
+       |FROM long GROUP BY col_name ORDER BY col_name""".stripMargin
+  }
+
   /** Registry: name -> query. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_extents_by_group" -> (q44ExtentsByGroup _),
     "q94_extents_approx" -> (q94ExtentsApprox _),
+    "q101_profile" -> (q101Profile _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_shape_pivot" -> (q02ShapePivot _),
     "q03_extents" -> (q03Extents _),
@@ -210,6 +241,7 @@ object Queries {
   /** Registry: name -> DuckDB oracle SQL. */
   val oracle: Map[String, String] = Map(
     "q44_extents_by_group" -> q44Sql,
+    "q101_profile" -> q101Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_shape_pivot" -> q02Sql,
     "q03_extents" -> q03Sql,

@@ -68,6 +68,40 @@ object QueriesTile {
   }
 
   // ---------------------------------------------------------------------
+  // q102 z-order tile write order: q31's tile table keyed by the Morton
+  // interleave of (x, y) — the write-locality ordering the tile
+  // directory sink uses at scale (tiles adjacent on the map land in
+  // adjacent keys, so an object-store write clusters each region into
+  // few contiguous shards). Pure integer bit arithmetic, identical in
+  // both engines.
+  private val MortonBits = 8
+
+  def q102ZorderTiles(s: SparkSession, d: String): DataFrame =
+    Tiling.assignTiles(points(s, d), "lon", "lat", minZoom = 3, maxZoom = 6)
+      .groupBy("z", "x", "y")
+      .agg(count(lit(1)).as("n_features"))
+      .withColumn("morton",
+        Tiling.mortonKey(col("x"), col("y"), MortonBits))
+      .orderBy("z", "morton")
+
+  val q102Sql: String = {
+    val zs = (3 to 6).map { z =>
+      s"SELECT $z AS z, ${tileXSql(z)} AS x, ${tileYSql(z)} AS y FROM pts"
+    }.mkString("\nUNION ALL ")
+    val morton = (0 until MortonBits).map { i =>
+      s"((x >> $i) & 1) * ${1L << (2 * i)} + ((y >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString("\n  + ")
+    s"""WITH pts AS ($pointsSql),
+       |assigned AS ($zs),
+       |tiles AS (
+       | SELECT z, x, y, count(*) AS n_features
+       | FROM assigned GROUP BY z, x, y)
+       |SELECT z, x, y, n_features,
+       | CAST($morton AS BIGINT) AS morton
+       |FROM tiles ORDER BY z, morton""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // O4 density drop: per z=5 tile, keep the 3 highest-balance features
   // (tippecanoe --drop-densest-as-needed with a budget of 3).
   def q32TileDensityDrop(s: SparkSession, d: String): DataFrame =
@@ -254,9 +288,11 @@ object QueriesTile {
     "q48_polygon_cover" -> (q48PolygonCover _),
     "q49_shared_borders" -> (q49SharedBorders _),
     "q51_base_zoom_thin" -> (q51BaseZoomThin _),
+    "q102_zorder_tiles" -> (q102ZorderTiles _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q102_zorder_tiles" -> q102Sql,
     "q31_tile_assign" -> q31Sql,
     "q32_tile_density_drop" -> q32Sql,
     "q33_bubble_centers" -> q33Sql,

@@ -238,4 +238,36 @@ object Extents {
       .mkString(", ")
     Seq(expr(s"stack(${metricCols.size}, $pairs) as (id, value)"))
   }
+
+  /** One-pass column PROFILING (the Deequ/data-quality shape a
+    * training-data pipeline runs before trusting a new table): per
+    * numeric column — row count, null count, exact distinct count,
+    * min/max, and the exact integer-micro sum and mean. One unpivot +
+    * one grouped aggregation; the table is scanned once however many
+    * columns are profiled (the distinct count rides Spark's Expand
+    * two-phase distinct aggregation, still a single scan).
+    *
+    * Sums follow the integer-micro discipline (values × 10⁶ rounded to
+    * longs, summed as longs): a double sum's value depends on partition
+    * merge order, an integer sum doesn't — so the profile is
+    * reproducible across engines AND across runs. `mean_micro` is the
+    * floor-divided integer mean over non-null rows (null when a column
+    * is all-null).
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val names = array(cols.map(lit): _*)
+    val long = df.select(explodeToLong(cols): _*)
+    long.groupBy("id")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("value")).as("n_distinct"),
+        min("value").as("vmin"), max("value").as("vmax"),
+        sum(round(col("value") * 1000000.0).cast("long")).as("sum_micro"))
+      .withColumn("mean_micro",
+        expr("sum_micro div nullif(n - n_null, 0)"))
+      .withColumn("col_name", element_at(names, col("id") + 1))
+      .select("col_name", "n", "n_null", "n_distinct", "vmin", "vmax",
+        "sum_micro", "mean_micro")
+  }
 }

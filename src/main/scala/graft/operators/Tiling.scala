@@ -53,6 +53,25 @@ object Tiling {
     least(lit(n - 1), greatest(lit(0L), floor(round(merc * n, 6)).cast("long")))
   }
 
+  /** Z-order (Morton) key of tile coordinates: bit-interleave x and y
+    * (x in even positions) so tiles adjacent on the plane stay adjacent
+    * in key order — the write-locality ordering for the tile-directory
+    * sink at scale (object stores list and range-read by key; a
+    * z-order-sorted write clusters each map region's tiles into few
+    * contiguous shards, the Delta/Hudi Z-ORDER idea applied to the
+    * pyramid). Pure integer arithmetic — `((x >> i) & 1) · 4^i` terms —
+    * so the identical expression renders in any engine.
+    */
+  def mortonKey(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val xl = x.cast("long")
+    val yl = y.cast("long")
+    (0 until bits).map { i =>
+      shiftright(xl, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(yl, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+  }
+
   /** T4 fan-out: one row per (z, x, y) tile containing the point, for
     * every zoom in [minZoom, maxZoom]. Pure projection + explode — the
     * groupBy(z,x,y) downstream is the tile-build shuffle.

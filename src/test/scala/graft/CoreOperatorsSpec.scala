@@ -273,4 +273,33 @@ class CoreOperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(ws % 3600000000L == 0, "window start must sit on the hour grid")
     assert(t >= ws && t < ws + 3600000000L, "row must fall inside its window")
   }
+
+  test("profileColumns: nulls counted, distinct excludes null, integer-micro mean") {
+    val df = Seq(
+      (Some(1.5), Some(10.0)),
+      (Some(1.5), None),
+      (Some(2.5), Some(30.0)),
+      (None, None)
+    ).toDF("a", "b")
+    val out = Extents.profileColumns(df, Seq("a", "b"))
+      .orderBy("col_name").collect()
+    val a = out(0); val b = out(1)
+    assert(a.getString(0) == "a" && b.getString(0) == "b")
+    // a: 4 rows, 1 null, 2 distinct, mean = (1.5+1.5+2.5)/3 = 1833333 micro
+    assert((a.getLong(1), a.getLong(2), a.getLong(3)) == ((4L, 1L, 2L)))
+    assert(a.getDouble(4) == 1.5 && a.getDouble(5) == 2.5)
+    assert(a.getLong(6) == 5500000L && a.getLong(7) == 1833333L)
+    // b: 2 nulls, 2 distinct, mean = 20000000 micro exactly
+    assert((b.getLong(1), b.getLong(2), b.getLong(3)) == ((4L, 2L, 2L)))
+    assert(b.getLong(7) == 20000000L)
+  }
+
+  test("profileColumns: an all-null column yields null mean, zero distinct") {
+    val out = Extents.profileColumns(
+        Seq((Option.empty[Double], 1.0), (None, 2.0)).toDF("a", "b"),
+        Seq("a"))
+      .collect().head
+    assert(out.getLong(2) == 2L && out.getLong(3) == 0L)
+    assert(out.isNullAt(7), "mean over zero non-null rows must be null")
+  }
 }

@@ -449,4 +449,25 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(!p.contains("Join"))
     assert(p.contains("partial_count"), "tile counts must partial-aggregate")
   }
+
+  test("q98: incremental dedup joins broadcast the BATCH side — the registry never builds a hash table") {
+    val p = plan("q98_incremental_dedup")
+    // every join against the registry must be a broadcast join whose
+    // build side is batch-derived (digest set, bucket set, signatures);
+    // an SMJ would shuffle the corpus-sized registry per arriving batch
+    assert(!p.contains("SortMergeJoin"),
+      s"registry side must never shuffle into a join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"candidate generation must stay equi-joins:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      s"digest/bucket/signature/assembly joins must broadcast the batch side:\n$p")
+  }
+
+  test("q100: next-fit packing is one shuffle on the bucket key") {
+    val p = plan("q100_nextfit_pack")
+    assert(!p.contains("Join"), s"packing must not join:\n$p")
+    // one exchange into the per-bucket fold (+ the presentation sort)
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"one bucket shuffle + one output sort at most:\n$p")
+  }
 }

@@ -453,4 +453,30 @@ class TilingSpec extends AnyFunSuite with SharedSpark {
       .filter(_.toString.endsWith(".pbf")).count()
     assert(pbfs == n)
   }
+
+  test("mortonKey interleaves x into even and y into odd bit positions") {
+    import spark.implicits._
+    val out = Seq((3L, 5L), (0L, 0L), (7L, 0L), (0L, 7L))
+      .toDF("x", "y")
+      .select(Tiling.mortonKey($"x", $"y", bits = 3).as("m"))
+      .as[Long].collect().toSeq
+    // x=3 (011) -> 1+4; y=5 (101) -> 2+32; total 39
+    assert(out == Seq(39L, 0L, 21L, 42L))
+  }
+
+  test("mortonKey preserves 2x2 block locality (consecutive quads share prefixes)") {
+    import spark.implicits._
+    val keys = (for { x <- 0 until 4; y <- 0 until 4 } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+      .select($"x", $"y", Tiling.mortonKey($"x", $"y", bits = 2).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the 16 keys are a bijection onto 0..15
+    assert(keys.values.toSet == (0L until 16L).toSet)
+    // each aligned 2x2 block occupies one contiguous key quad
+    for (bx <- 0 until 2; by <- 0 until 2) {
+      val quad = for { dx <- 0 until 2; dy <- 0 until 2 }
+        yield keys((bx * 2 + dx).toLong, (by * 2 + dy).toLong)
+      assert(quad.max - quad.min == 3, s"block ($bx,$by) not contiguous: $quad")
+    }
+  }
 }
