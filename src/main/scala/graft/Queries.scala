@@ -198,8 +198,11 @@ object Queries {
   // pipeline runs before trusting a new table): per numeric lineitem
   // column — rows, nulls, exact distinct count, min/max, integer-micro
   // sum and mean. One unpivot + one grouped aggregation = one table
-  // scan for all columns; sums are exact longs (reproducible across
-  // engines AND partition merge orders, the q67 discipline).
+  // scan for all columns; sums are exact integers in a DECIMAL(38,0)
+  // accumulator (reproducible across engines AND partition merge
+  // orders, the q67 discipline — a BIGINT accumulator overflows on a
+  // corpus-scale key column, which ANSI mode surfaced at the 10×
+  // scale-up).
   private val profileCols = Seq("l_orderkey", "l_linenumber", "l_quantity",
     "l_extendedprice", "l_discount", "l_tax")
 
@@ -217,10 +220,10 @@ object Queries {
        | CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        | count(DISTINCT value) AS n_distinct,
        | min(value) AS vmin, max(value) AS vmax,
-       | CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro,
-       | CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+       | CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DECIMAL(38,0)) AS sum_micro,
+       | CAST(sum(CAST(round(value * 1000000) AS BIGINT))
        |   // nullif(count(*) - CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT), 0)
-       |   AS mean_micro
+       |   AS BIGINT) AS mean_micro
        |FROM long GROUP BY col_name ORDER BY col_name""".stripMargin
   }
 

@@ -70,6 +70,15 @@ object QueriesCorpus {
         "text", "doc_id", DecontamK)
       .orderBy("doc_id")
 
+  // q103: the SAME decontamination semantics through the Bloom-prefilter
+  // deployment path (eval set too large to broadcast raw at 100 TB) —
+  // compact bit-array prefilter, exact confirm join. Output-identical to
+  // q55 by construction (no false negatives), so it shares q55's oracle.
+  def q103DecontaminateBloom(s: SparkSession, d: String): DataFrame =
+    Dedup.contaminatedIdsBloom(trainDocs(s, d), evalDocs(s, d),
+        "text", "doc_id", DecontamK)
+      .orderBy("doc_id")
+
   val q55Sql: String =
     s"""WITH train AS ($trainSql),
        |evsh AS (
@@ -824,6 +833,7 @@ object QueriesCorpus {
     "q85_dsir_weights" -> (q85DsirWeights _),
     "q80_cut_spans" -> (q80CutSpans _),
     "q55_decontaminate" -> (q55Decontaminate _),
+    "q103_decontaminate_bloom" -> (q103DecontaminateBloom _),
     "q56_repetition" -> (q56Repetition _),
     "q57_source_balance" -> (q57SourceBalance _),
     "q58_boilerplate" -> (q58Boilerplate _),
@@ -843,6 +853,7 @@ object QueriesCorpus {
     "q85_dsir_weights" -> q85Sql,
     "q80_cut_spans" -> q80Sql,
     "q55_decontaminate" -> q55Sql,
+    "q103_decontaminate_bloom" -> q55Sql,
     "q56_repetition" -> q56Sql,
     "q57_source_balance" -> q57Sql,
     "q58_boilerplate" -> q58Sql,

@@ -1408,11 +1408,19 @@ object QueriesSim {
       .orderBy("vec_id")
   }
 
-  private val sqRngCtes: String =
+  /** The SQ8 oracle CTE pair, with the range-LEARNING corpus
+    * restrictable (`rangeWhereSql`): codes are always computed for the
+    * WHOLE embeddings table, but q104's compacted index learns its
+    * ranges on the base half only and stream-encodes the delta against
+    * them — the frozen-artifact contract the clamp in `sqcodes`
+    * exists for.
+    */
+  private def sqRngCtesRanged(rangeWhereSql: String): String =
     s"""rng AS (
        | SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
        |        max(CAST(embedding[i] AS DOUBLE)) AS mx
        | FROM embeddings, unnest(range(1, 65)) AS u(i)
+       | WHERE $rangeWhereSql
        | GROUP BY i),
        |rngl AS (
        | SELECT list(mn ORDER BY i) AS mns,
@@ -1425,6 +1433,8 @@ object QueriesSim {
        |    CAST(round(((CAST(embedding[j] AS DOUBLE) - mns[j]) / spans[j])
        |               * CAST(255 AS DOUBLE)) AS INT)))) AS codes
        | FROM embeddings, rngl)""".stripMargin
+
+  private val sqRngCtes: String = sqRngCtesRanged("TRUE")
 
   val q88Sql: String =
     s"""WITH $sqRngCtes
@@ -1541,13 +1551,16 @@ object QueriesSim {
     * boosted probe count).
     */
   private def ivfSqServeCtes(probeSql: String,
-                             corpusFilterSql: String = "TRUE"): String =
-    s"""$sqRngCtes,
+                             corpusFilterSql: String = "TRUE",
+                             rangeWhereSql: String = "TRUE",
+                             centCountSql: String =
+                               "(SELECT count(*) FROM embeddings)"): String =
+    s"""${sqRngCtesRanged(rangeWhereSql)},
        |emb AS (SELECT vec_id, embedding FROM embeddings),
        |cent AS (
        | SELECT cid AS ccid, cvec AS ccvec
        | FROM read_parquet('$PqCoarseFixtureDir/*/*.parquet')
-       | WHERE corpus_vecs = (SELECT count(*) FROM embeddings)),
+       | WHERE corpus_vecs = $centCountSql),
        |assigned AS (
        | SELECT vec_id AS nid, ccid FROM (
        |  SELECT e.vec_id, c.ccid,
@@ -1860,6 +1873,169 @@ object QueriesSim {
        |ORDER BY qid, step""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q104 ANN index COMPACTION: the continuous-ingest lifecycle closed
+  // end-to-end. An index version freezes its artifacts on the corpus it
+  // was built from (the BASE half, vec_id % 2 = 0 here): SQ8 ranges and
+  // the Lloyd coarse quantizer are learned on base only. New vectors
+  // (the DELTA half) then arrive through the streaming index-append
+  // faces — sqEncodeStream (codes) + ivfAssignStream (inverted-list
+  // assignment), both pure projections against the FROZEN artifacts
+  // (stream ≡ batch, StreamingSpec) — and compaction unions base + delta
+  // rows into ONE registry table carrying (nid, ccid, codes) together.
+  // Serving probes that single table: one equi-join from the probe
+  // fan-out instead of q90's two (assignment table ⋈ code table) —
+  // co-locating list id and codes per row is exactly what a compaction
+  // buys at serving time. The oracle recomputes everything from scratch
+  // (ranges over the base half only; the even-corpus centroid fixture
+  // via read_parquet; clamp on delta codes — the frozen-ranges
+  // contract), so the hash-match proves merged-index serving ≡ a
+  // from-scratch build over the full corpus with base-frozen artifacts.
+  private val CompactBaseSql = "vec_id % 2 = 0"
+  private val CompactCentCountSql =
+    "(SELECT count(*) FROM embeddings WHERE vec_id % 2 = 0)"
+  private val SqMergedFixtureDir = "/tmp/graft_fixtures/sq_merged_idx"
+
+  private def evenEmb(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).where(col("vec_id") % 2 === 0)
+
+  /** Base-half SQ8 ranges — [[sqRanges]]'s protocol keyed to the even
+    * corpus (train_rows = the even count: full-agg discipline on the
+    * base half; the fixture path carries an `even` prefix so it can
+    * never shadow a full-corpus ranges fixture).
+    */
+  private def sqEvenRanges(s: SparkSession, d: String): graft.operators.Sq.Ranges =
+    graft.operators.ArtifactCache.getOrLoadOrLearn(s"sq8even:$d") {
+      val nE = evenEmb(s, d).count()
+      graft.operators.ArtifactCache
+        .parquetFixture(s, s"$SqRangesFixtureDir/even$nE")
+        .filter(df => df.columns.contains("corpus_dir") &&
+          df.columns.contains("train_rows"))
+        .map { df =>
+          df.where(col("corpus_vecs") === nE && col("corpus_dir") === d &&
+              col("train_rows") === nE)
+            .select("pos", "mn", "span")
+            .collect().sortBy(_.getInt(0)).toSeq
+        }
+        .filter(_.nonEmpty)
+        .map(rows => graft.operators.Sq.Ranges(
+          rows.map(_.getDouble(1)), rows.map(_.getDouble(2))))
+    } {
+      val base = evenEmb(s, d)
+      val r = graft.operators.Sq.learnRanges(
+        base.select("embedding"), "embedding")
+      val nE = base.count()
+      import s.implicits._
+      r.mins.indices.map(i => (i, r.mins(i), r.spans(i), nE, d, nE))
+        .toDF("pos", "mn", "span", "corpus_vecs", "corpus_dir", "train_rows")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$SqRangesFixtureDir/even$nE")
+      r
+    }
+
+  /** Base-half coarse quantizer — [[pqResidualCoarse]]'s protocol
+    * trained on the even corpus; the fixture lands in the SAME
+    * [[PqCoarseFixtureDir]] glob the oracles read, keyed by
+    * corpus_vecs = the even count (disjoint from every full-corpus
+    * count by construction of the testdata scales).
+    */
+  private def coarseEven(s: SparkSession, d: String)
+      : Seq[(Int, Int, Array[Double])] =
+    graft.operators.ArtifactCache.getOrLoadOrLearn(
+        s"pqcoarseeven:$d:$CoarseIters") {
+      val nE = evenEmb(s, d).count()
+      loadCodebook(s, PqCoarseFixtureDir, nE, d, subCol = None,
+        graft.operators.Pq.trainCap(graft.operators.Pq.coarseListCount(nE)))
+    } {
+      val base = evenEmb(s, d).select("vec_id", "embedding")
+      val nE = base.count()
+      val k = graft.operators.Pq.coarseListCount(nE)
+      val coarse = graft.operators.Pq.coarseQuantizer(
+        base, "vec_id", "embedding", k, CoarseIters)
+      val tr = graft.operators.Pq.trainCap(k).toLong
+      import s.implicits._
+      coarse.map { case (_, cid, v) => (cid, v, nE, d, tr) }
+        .toDF("cid", "cvec", "corpus_vecs", "corpus_dir", "train_rows")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$PqCoarseFixtureDir/$nE")
+      coarse
+    }
+
+  /** The COMPACTED index table: (nid, ccid, codes) for the whole
+    * corpus in one registry parquet — base rows encoded/assigned at
+    * build, delta rows through the streaming faces' projection (the
+    * same expression; batch ≡ stream is StreamingSpec-pinned), merged
+    * by one unionByName. Both halves are a single shuffle-free
+    * projection each — assignment (`Pq.encodeCodes` over the m=1
+    * coarse codebook, round-6 L2 / cid tie-break) and SQ8 codes
+    * (clamped against the frozen base ranges) computed side by side,
+    * never joined.
+    */
+  private def sqMergedIndex(s: SparkSession, d: String): DataFrame = {
+    val path = graft.operators.ArtifactCache.getOrLoadOrLearn(
+        s"sqmergedidx:$d") {
+      val n = embeddings(s, d).count()
+      val p = s"$SqMergedFixtureDir/$n"
+      graft.operators.ArtifactCache.parquetFixture(s, p)
+        .filter(df => df.columns.contains("corpus_dir"))
+        .filter(_.where(col("corpus_vecs") === n && col("corpus_dir") === d)
+          .limit(1).count() == 1)
+        .map(_ => p)
+    } {
+      val r = sqEvenRanges(s, d)
+      val coarse = coarseEven(s, d)
+      val emb = embeddings(s, d).select("vec_id", "embedding")
+      val n = emb.count()
+      def half(df: DataFrame): DataFrame =
+        df.select(col("vec_id").as("nid"),
+          element_at(graft.operators.Pq.encodeCodes(
+            col("embedding"), coarse), 1).as("ccid"),
+          graft.operators.Sq.encodeCodes(col("embedding"), r).as("codes"))
+      val p = s"$SqMergedFixtureDir/$n"
+      half(emb.where(col("vec_id") % 2 === 0))
+        .unionByName(half(emb.where(col("vec_id") % 2 =!= 0)))
+        .withColumn("corpus_vecs", lit(n)).withColumn("corpus_dir", lit(d))
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    s.read.parquet(path).where(col("corpus_dir") === d)
+      .select("nid", "ccid", "codes")
+  }
+
+  def q104CompactedIvfSq(s: SparkSession, d: String): DataFrame = {
+    val coarse = coarseEven(s, d)
+    val nProbe = graft.operators.Pq.probeCount(coarse.size)
+    val r = sqEvenRanges(s, d)
+    val emb = embeddings(s, d).select("vec_id", "embedding")
+    val idx = sqMergedIndex(s, d)
+    val queries = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1000)
+    val probes = graft.operators.Pq.coarseProbe(
+      queries, coarse, "vec_id", "embedding", nProbe)
+    val w = Window.partitionBy("qid").orderBy(col("__d"), col("nid"))
+    probes.select("qid", "ccid")
+      .join(idx, "ccid")
+      .filter(col("qid") =!= col("nid"))
+      .join(broadcast(queries.select(col("vec_id").as("qid"),
+        col("embedding").as("qvec"))), "qid")
+      .withColumn("__d",
+        round(graft.operators.Sq.adcDist(col("qvec"), col("codes"), r), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= SqK)
+      .select(col("qid"), col("rank"), col("nid").as("id"),
+        col("__d").as("dist"))
+      .orderBy("qid", "rank")
+  }
+
+  val q104Sql: String =
+    s"""WITH ${ivfSqServeCtes(DerivedProbeSql, "TRUE",
+           CompactBaseSql, CompactCentCountSql)},
+       |rr AS (
+       | SELECT qid, nid, dist,
+       |  row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
+       | FROM dist)
+       |SELECT qid, CAST(rank AS INT) AS rank, nid AS id, dist
+       |FROM rr WHERE rank <= $SqK ORDER BY qid, rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_sq8_encode" -> (q88Sq8Encode _),
     "q89_sq8_adc" -> (q89Sq8Adc _),
@@ -1872,6 +2048,7 @@ object QueriesSim {
     "q99_mmr_rerank" -> (q99MmrRerank _),
     "q86_semantic_dedup" -> (q86SemanticDedup _),
     "q95_semdedup_tau_sweep" -> (q95SemDedupTauSweep _),
+    "q104_index_compaction" -> (q104CompactedIvfSq _),
     "q84_ivfpq_refine" -> (q84IvfPqRefine _),
     "q79_adc_refine" -> (q79AdcRefine _),
     "q81_refine_recall" -> (q81RefineRecall _),
@@ -1900,6 +2077,7 @@ object QueriesSim {
     "q99_mmr_rerank" -> q99Sql,
     "q86_semantic_dedup" -> q86Sql,
     "q95_semdedup_tau_sweep" -> q95Sql,
+    "q104_index_compaction" -> q104Sql,
     "q84_ivfpq_refine" -> q84Sql,
     "q79_adc_refine" -> q79Sql,
     "q81_refine_recall" -> q81Sql,

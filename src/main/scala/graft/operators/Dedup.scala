@@ -344,6 +344,85 @@ object Dedup {
       .distinct()
   }
 
+  /** Bloom-filter decontamination — output-identical to
+    * [[contaminatedIds]], built for the regime where even the eval
+    * side's distinct shingle set is too large to broadcast raw (a
+    * 100M-shingle benchmark union is GBs as a broadcast hash set; as a
+    * Bloom filter it is `mBits/8` bytes — 16 MB at the cap — regardless
+    * of eval size).
+    *
+    * Three stages, none of which ever shuffles the train corpus:
+    *  1. BUILD (relational, one eval pass): distinct eval shingle
+    *     hashes explode to their `numProbes` double-hashed bit
+    *     positions ([[graft.functions.BloomAnyExpr]]'s exact
+    *     arithmetic, reproduced in column form — spec-pinned), OR-fold
+    *     per 64-bit word (`bit_or`), and the ≤ mBits/64 words collect
+    *     into a `long[]` — a BOUNDED artifact like a quantizer
+    *     codebook, sized from the measured eval cardinality
+    *     (~16 bits/key, FP ≈ 0.6% at 7 probes).
+    *  2. PREFILTER (map-side, codegen): one scan of the train corpus;
+    *     [[graft.functions.BloomAnyExpr.bloomAny]] keeps only docs with
+    *     ≥ 1 maybe-hit shingle. No false negatives by construction, so
+    *     only false POSITIVES survive to stage 3.
+    *  3. CONFIRM (exact): suspect docs' shingles — |suspects| ∝ true
+    *     contamination + FP rate, tiny next to the corpus — BROADCAST
+    *     against the eval shingle set in an equi-join; the eval set is
+    *     the probe side and never moves. Ids with a real shared shingle
+    *     come out distinct.
+    *
+    * The broadcast-set formulation ([[contaminatedIds]]) stays the
+    * oracle-shaped baseline; this is its deployment twin when the eval
+    * union outgrows a broadcast. `mBitsOverride` pins a tiny filter in
+    * specs to force false positives through the confirm stage.
+    */
+  def contaminatedIdsBloom(train: DataFrame, evalDocs: DataFrame,
+                           textCol: String, idCol: String, k: Int,
+                           numProbes: Int = 7,
+                           mBitsOverride: Option[Int] = None,
+                           mode: HashMode = HashMode.OracleMd5): DataFrame = {
+    val evalSh = evalDocs
+      .select(explode(hashedWordShingles(textCol, k, mode)).as("__sh"))
+      .distinct()
+      .persist()
+    // Bounded driver-side artifact build (the quantizer-learn shape):
+    // one count to size the filter, one bit_or aggregation to fill it.
+    val nKeys = evalSh.count()
+    val mBits = mBitsOverride.getOrElse {
+      val want = 16L * math.max(nKeys, 1L)
+      val pow2 = java.lang.Long.highestOneBit(math.max(want - 1, 1L)) << 1
+      math.min(math.max(pow2, 1L << 14), 1L << 27).toInt
+    }
+    val maskL = (mBits - 1).toLong
+    val logM = java.lang.Integer.numberOfTrailingZeros(mBits)
+    val posCols: Seq[Column] = {
+      val h = col("__sh")
+      val h1 = h.bitwiseAND(lit(maskL))
+      val h2 = shiftrightunsigned(h, logM).bitwiseAND(lit(maskL))
+        .bitwiseOR(lit(1L))
+      (0 until numProbes).map(i =>
+        (h1 + lit(i.toLong) * h2).bitwiseAND(lit(maskL)))
+    }
+    val bits = new Array[Long](mBits / 64)
+    evalSh.select(explode(array(posCols: _*)).as("__pos"))
+      .select(shiftrightunsigned(col("__pos"), 6).cast("int").as("__w"),
+        call_function("shiftleft", lit(1L),
+          col("__pos").bitwiseAND(lit(63L)).cast("int")).as("__m"))
+      .groupBy("__w")
+      .agg(call_function("bit_or", col("__m")).as("__bits"))
+      .collect()
+      .foreach(r => bits(r.getInt(0)) = r.getLong(1))
+    val suspectSh = train
+      .select(col(idCol), hashedWordShingles(textCol, k, mode).as("__shs"))
+      .filter(graft.functions.BloomAnyExpr.bloomAny(
+        col("__shs"), bits, mBits, numProbes))
+      .select(col(idCol), explode(col("__shs")).as("__sh"))
+    val out = evalSh
+      .join(broadcast(suspectSh), Seq("__sh"))
+      .select(idCol)
+      .distinct()
+    CacheRelease.afterUse(Seq(evalSh), out)
+  }
+
   /** Multi-width decontamination stats: one row per (train doc, k) with
     * the count of that doc's distinct word k-grams found in the eval
     * corpus's k-gram set, for every width in `ks` — the standard

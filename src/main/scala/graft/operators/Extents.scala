@@ -263,9 +263,14 @@ object Extents {
         sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null"),
         countDistinct(col("value")).as("n_distinct"),
         min("value").as("vmin"), max("value").as("vmax"),
-        sum(round(col("value") * 1000000.0).cast("long")).as("sum_micro"))
+        // per-row micros fit a long; the CORPUS-WIDE sum does not (a
+        // 6M-row key column already tops 2^63 — ANSI overflow at the
+        // 10× scale-up caught exactly this), so the accumulator is
+        // DECIMAL(38,0): still integer-exact, still merge-order-free
+        sum(round(col("value") * 1000000.0).cast("long")
+          .cast("decimal(38,0)")).as("sum_micro"))
       .withColumn("mean_micro",
-        expr("sum_micro div nullif(n - n_null, 0)"))
+        expr("CAST(sum_micro div nullif(n - n_null, 0) AS BIGINT)"))
       .withColumn("col_name", element_at(names, col("id") + 1))
       .select("col_name", "n", "n_null", "n_distinct", "vmin", "vmax",
         "sum_micro", "mean_micro")

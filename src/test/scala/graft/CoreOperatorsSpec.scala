@@ -288,7 +288,10 @@ class CoreOperatorsSpec extends AnyFunSuite with SharedSpark {
     // a: 4 rows, 1 null, 2 distinct, mean = (1.5+1.5+2.5)/3 = 1833333 micro
     assert((a.getLong(1), a.getLong(2), a.getLong(3)) == ((4L, 1L, 2L)))
     assert(a.getDouble(4) == 1.5 && a.getDouble(5) == 2.5)
-    assert(a.getLong(6) == 5500000L && a.getLong(7) == 1833333L)
+    // sum_micro rides a DECIMAL(38,0) accumulator (a corpus-scale key
+    // column overflows BIGINT); values stay exact integers
+    assert(a.getDecimal(6).longValueExact == 5500000L &&
+      a.getLong(7) == 1833333L)
     // b: 2 nulls, 2 distinct, mean = 20000000 micro exactly
     assert((b.getLong(1), b.getLong(2), b.getLong(3)) == ((4L, 2L, 2L)))
     assert(b.getLong(7) == 20000000L)
