@@ -375,6 +375,46 @@ object Dedup {
     * union outgrows a broadcast. `mBitsOverride` pins a tiny filter in
     * specs to force false positives through the confirm stage.
     */
+  /** Relational Bloom-filter BUILD: the distinct long hashes in
+    * `hashes.hashCol` explode to their double-hashed bit positions
+    * ([[graft.functions.BloomAnyExpr]]'s exact arithmetic in column
+    * form — spec-pinned by the no-false-negative operator tests),
+    * OR-fold per 64-bit word, and collect into a bounded `long[]`
+    * (≤ 16 MB at the cap, a quantizer-codebook-sized artifact however
+    * large the hash set). Sized at ~16 bits/key from the measured
+    * cardinality unless `mBitsOverride` pins it (specs use a tiny
+    * filter to force false positives). Returns (bits, mBits).
+    */
+  def bloomBits(hashes: DataFrame, hashCol: String, numProbes: Int,
+                mBitsOverride: Option[Int] = None): (Array[Long], Int) = {
+    val nKeys = hashes.count()
+    val mBits = mBitsOverride.getOrElse {
+      val want = 16L * math.max(nKeys, 1L)
+      val pow2 = java.lang.Long.highestOneBit(math.max(want - 1, 1L)) << 1
+      math.min(math.max(pow2, 1L << 14), 1L << 27).toInt
+    }
+    val maskL = (mBits - 1).toLong
+    val logM = java.lang.Integer.numberOfTrailingZeros(mBits)
+    val posCols: Seq[Column] = {
+      val h = col(hashCol)
+      val h1 = h.bitwiseAND(lit(maskL))
+      val h2 = shiftrightunsigned(h, logM).bitwiseAND(lit(maskL))
+        .bitwiseOR(lit(1L))
+      (0 until numProbes).map(i =>
+        (h1 + lit(i.toLong) * h2).bitwiseAND(lit(maskL)))
+    }
+    val bits = new Array[Long](mBits / 64)
+    hashes.select(explode(array(posCols: _*)).as("__pos"))
+      .select(shiftrightunsigned(col("__pos"), 6).cast("int").as("__w"),
+        call_function("shiftleft", lit(1L),
+          col("__pos").bitwiseAND(lit(63L)).cast("int")).as("__m"))
+      .groupBy("__w")
+      .agg(call_function("bit_or", col("__m")).as("__bits"))
+      .collect()
+      .foreach(r => bits(r.getInt(0)) = r.getLong(1))
+    (bits, mBits)
+  }
+
   def contaminatedIdsBloom(train: DataFrame, evalDocs: DataFrame,
                            textCol: String, idCol: String, k: Int,
                            numProbes: Int = 7,
@@ -386,31 +426,7 @@ object Dedup {
       .persist()
     // Bounded driver-side artifact build (the quantizer-learn shape):
     // one count to size the filter, one bit_or aggregation to fill it.
-    val nKeys = evalSh.count()
-    val mBits = mBitsOverride.getOrElse {
-      val want = 16L * math.max(nKeys, 1L)
-      val pow2 = java.lang.Long.highestOneBit(math.max(want - 1, 1L)) << 1
-      math.min(math.max(pow2, 1L << 14), 1L << 27).toInt
-    }
-    val maskL = (mBits - 1).toLong
-    val logM = java.lang.Integer.numberOfTrailingZeros(mBits)
-    val posCols: Seq[Column] = {
-      val h = col("__sh")
-      val h1 = h.bitwiseAND(lit(maskL))
-      val h2 = shiftrightunsigned(h, logM).bitwiseAND(lit(maskL))
-        .bitwiseOR(lit(1L))
-      (0 until numProbes).map(i =>
-        (h1 + lit(i.toLong) * h2).bitwiseAND(lit(maskL)))
-    }
-    val bits = new Array[Long](mBits / 64)
-    evalSh.select(explode(array(posCols: _*)).as("__pos"))
-      .select(shiftrightunsigned(col("__pos"), 6).cast("int").as("__w"),
-        call_function("shiftleft", lit(1L),
-          col("__pos").bitwiseAND(lit(63L)).cast("int")).as("__m"))
-      .groupBy("__w")
-      .agg(call_function("bit_or", col("__m")).as("__bits"))
-      .collect()
-      .foreach(r => bits(r.getInt(0)) = r.getLong(1))
+    val (bits, mBits) = bloomBits(evalSh, "__sh", numProbes, mBitsOverride)
     val suspectSh = train
       .select(col(idCol), hashedWordShingles(textCol, k, mode).as("__shs"))
       .filter(graft.functions.BloomAnyExpr.bloomAny(

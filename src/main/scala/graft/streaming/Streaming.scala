@@ -277,6 +277,35 @@ object Streaming {
       Dedup.hashedWordShingles(textCol, k, mode), evalArr))
   }
 
+  /** Streaming face of BLOOM decontamination — [[decontaminateStream]]'s
+    * scale path for an eval set too large to ship as a literal hash
+    * array (the same regime split as
+    * [[graft.operators.Dedup.contaminatedIdsBloom]] vs
+    * `contaminatedIds`). The frozen Bloom bit array
+    * ([[graft.operators.Dedup.bloomBits]], built ONCE at stream setup —
+    * an index-version artifact like a quantizer codebook) rides the
+    * native [[graft.functions.BloomAnyExpr]] as a pure map-side
+    * projection, so the face is stateless and stream ≡ batch.
+    *
+    * Output ROUTES rather than drops: `maybe_contaminated = false` is
+    * DEFINITE-clean (no false negatives — those rows are safe to pass
+    * straight to the training sink), `true` marks the small suspect
+    * slice for exact adjudication. The exact confirm is a join against
+    * the full eval shingle set, which a stream cannot anti-join
+    * statelessly — deployment runs `contaminatedIdsBloom`'s confirm
+    * stage over the suspect partition in `foreachBatch` (or offline),
+    * which is exactly the compaction-style division of labor: cheap
+    * definite answers in-stream, bounded exact work behind them.
+    */
+  def bloomRouteStream(docs: DataFrame, textCol: String, k: Int,
+                       bits: Array[Long], mBits: Int, numProbes: Int,
+                       mode: graft.operators.TextStats.HashMode =
+                         graft.operators.TextStats.HashMode.EngineXx): DataFrame =
+    docs.withColumn("maybe_contaminated",
+      graft.functions.BloomAnyExpr.bloomAny(
+        graft.operators.Dedup.hashedWordShingles(textCol, k, mode),
+        bits, mBits, numProbes))
+
   /** Batch twin of [[nearDupPairsStream]]'s anchor-star: every bucket
     * member pairs against the bucket's minimum id — the contract the
     * StreamingSpec re-delivery test checks the stream against.

@@ -470,4 +470,35 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert("Exchange".r.findAllIn(p).size <= 2,
       s"one bucket shuffle + one output sort at most:\n$p")
   }
+
+  test("q103: Bloom decontamination — map-side prefilter, broadcast confirm") {
+    val p = plan("q103_decontaminate_bloom")
+    // the corpus-side prefilter is a native expression inside a Filter
+    // over the train scan — no join reaches unfiltered corpus rows
+    assert(p.contains("bloomany") || p.contains("BloomAny"),
+      s"prefilter must be the native Bloom expression:\n$p")
+    // the confirm join must broadcast the (tiny) suspect side; the eval
+    // shingle set — the side that outgrows a broadcast at 100 TB as a
+    // RAW set — must never build a hash table or shuffle into an SMJ
+    assert(!p.contains("SortMergeJoin"),
+      s"eval shingle set must never shuffle into a join:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 1,
+      s"exactly one confirm join, suspect side broadcast:\n$p")
+  }
+
+  test("q104: compacted index serves through ONE candidate equi-join") {
+    val p = plan("q104_index_compaction")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"serving must stay broadcast equi-joins:\n$p")
+    // q90 needs assignment ⋈ codes ⋈ queries (two corpus-side joins);
+    // the compacted table carries (ccid, codes) together, so serving is
+    // probe⋈index + the broadcast query-panel join — exactly two
+    assert("BroadcastHashJoin".r.findAllIn(p).size <= 2,
+      s"compaction must remove the assignment⋈codes join:\n$p")
+    // the index is READ from the registry, never rebuilt at serve time:
+    // the only scans are the merged-table parquet + the query panel
+    val scans = p.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.exists(_.contains("sq_merged_idx")),
+      s"serving must scan the persisted merged index:\n$p")
+  }
 }

@@ -166,6 +166,52 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(flagged == Set(1L))
   }
 
+  test("bloomRouteStream: definite-clean never false, suspects cover all hits") {
+    implicit val sqlCtx = spark.sqlContext
+    val mode = graft.operators.TextStats.HashMode.EngineXx
+    val evalDocs = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val evalSh = evalDocs.select(
+      org.apache.spark.sql.functions.explode(
+        graft.operators.Dedup.hashedWordShingles("text", 5, mode)).as("h"))
+      .distinct()
+    val (bits, mBits) = graft.operators.Dedup.bloomBits(evalSh, "h", 7)
+    val t0 = 1700000000000L
+    def doc(id: Long, text: String, offSec: Int) =
+      StreamingSpec.Doc(id, text, new java.sql.Timestamp(t0 + offSec * 1000L))
+    val docs = Seq(
+      doc(1, "prefix quick brown fox jumps over inner suffix", 0), // true hit
+      doc(2, "quick brown fox only three shared", 1),
+      doc(3, "completely unrelated text entirely", 2))
+    val stream = MemoryStream[StreamingSpec.Doc]
+    stream.addData(docs.take(1): _*)
+    val q = Streaming.bloomRouteStream(stream.toDF(), "text", 5,
+        bits, mBits, 7, mode)
+      .writeStream.format("memory").queryName("bloom_route_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      stream.addData(docs.drop(1): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val routed = spark.table("bloom_route_out")
+      .select("doc_id", "maybe_contaminated").as[(Long, Boolean)]
+      .collect().toMap
+    assert(routed.keySet == Set(1L, 2L, 3L))
+    // no false negatives: every true contamination must be a suspect
+    val truly = graft.operators.Dedup.contaminatedIds(
+        docs.toDF(), evalDocs, "text", "doc_id", k = 5, mode = mode)
+      .as[Long].collect().toSet
+    assert(truly.forall(routed(_)),
+      "a truly contaminated doc routed definite-clean breaks the contract")
+    // and the batch face of the same projection agrees exactly
+    val batch = Streaming.bloomRouteStream(docs.toDF(), "text", 5,
+        bits, mBits, 7, mode)
+      .select("doc_id", "maybe_contaminated").as[(Long, Boolean)]
+      .collect().toMap
+    assert(batch == routed, "stream must equal the batch projection")
+  }
+
   test("nearDupStep timeout branch evicts the bucket anchor") {
     import org.apache.spark.sql.streaming.TestGroupState
     val state = TestGroupState.create[Streaming.AnchorState](
