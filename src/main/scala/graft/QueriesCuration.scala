@@ -214,6 +214,38 @@ object QueriesCuration {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q105 reproducible training-order shuffle: two epochs (seeds 1, 2)
+  // of the seeded-hash permutation over documents, sharded so the sort
+  // never single-partitions (Curation.trainShuffle). The union proves
+  // both faces of the contract in one result: within a seed the order
+  // is deterministic (the oracle recomputes it exactly), and across
+  // seeds the permutation actually changes (different shard/pos rows
+  // hash-matching per seed).
+  private val ShuffleShards = 8
+  private val ShuffleSeeds = Seq(1L, 2L)
+
+  def q105TrainShuffle(s: SparkSession, d: String): DataFrame =
+    ShuffleSeeds.map { seed =>
+      Curation.trainShuffle(documents(s, d), "doc_id", seed, ShuffleShards)
+    }.reduce(_ unionByName _).orderBy("seed", "shard", "pos")
+
+  val q105Sql: String = {
+    val seedRows = ShuffleSeeds
+      .map(v => s"SELECT CAST($v AS BIGINT) AS seed").mkString(" UNION ALL ")
+    s"""WITH e AS ($seedRows),
+       |h AS (
+       | SELECT d.doc_id, e.seed,
+       |  CAST(('0x' || substr(md5(
+       |    CAST(e.seed AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)),
+       |    1, 15)) AS BIGINT) AS h
+       | FROM documents d CROSS JOIN e)
+       |SELECT doc_id, seed, h % $ShuffleShards AS shard,
+       | row_number() OVER (PARTITION BY seed, h % $ShuffleShards
+       |   ORDER BY h, doc_id) AS pos
+       |FROM h ORDER BY seed, shard, pos""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_curation_pipeline" -> (q47CurationPipeline _),
     "q39_train_eval_split" -> (q39TrainEvalSplit _),
@@ -221,6 +253,7 @@ object QueriesCuration {
     "q41_value_histogram" -> (q41ValueHistogram _),
     "q66_sequence_packing" -> (q66SequencePacking _),
     "q100_nextfit_pack" -> (q100NextfitPack _),
+    "q105_train_shuffle" -> (q105TrainShuffle _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -230,5 +263,6 @@ object QueriesCuration {
     "q41_value_histogram" -> q41Sql,
     "q66_sequence_packing" -> q66Sql,
     "q100_nextfit_pack" -> q100Sql,
+    "q105_train_shuffle" -> q105Sql,
   )
 }

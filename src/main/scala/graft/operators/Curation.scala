@@ -219,6 +219,39 @@ object Curation {
       .toDF(idCol, "bucket", "bin", "bin_offset")
   }
 
+  /** Reproducible training-order shuffle: the global example
+    * permutation every epoch of training consumes, derived from a
+    * seeded hash instead of `rand()` so the order is a pure function
+    * of (seed, id) — re-running an epoch replays it bit-identically,
+    * and changing the seed re-permutes (the per-epoch reshuffle).
+    * Each id gets `h = hash60(seed ':' id)`; its shard is `h %
+    * shards` and its position within the shard is the rank of `h`
+    * there — the sharded-shuffle layout training readers consume
+    * (one file-group per shard, each internally ordered; readers
+    * interleave shards for the global stream).
+    *
+    * Scale shape (100 TB): a literal global `ORDER BY h` would be
+    * the right semantics but materializes one total order (range
+    * exchange + full sort over the corpus) nobody needs — readers
+    * consume SHARDS. Here the window partitions by shard, so the
+    * sort is `shards` independent n/shards-row sorts, no
+    * SinglePartition stage anywhere; the hash both balances shard
+    * sizes (uniform over the 60-bit space) and provides the
+    * within-shard order for free.
+    */
+  def trainShuffle(df: DataFrame, idCol: String, seed: Long,
+                   shards: Int): DataFrame = {
+    require(shards >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("h"), col(idCol))
+    df.select(col(idCol),
+        TextStats.hash60(
+          concat(lit(s"$seed:"), col(idCol).cast("string"))).as("h"))
+      .withColumn("shard", col("h") % shards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), lit(seed).as("seed"), col("shard"), col("pos"))
+  }
+
   /** Hashed-unigram importance weights for data selection — the DSIR
     * shape (Xie et al. 2023, "Data Selection for Language Models via
     * Importance Resampling"): score every raw document by how much more

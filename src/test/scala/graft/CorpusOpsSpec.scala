@@ -609,6 +609,45 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
   }
 
   // -------------------------------------------------------------------
+  // Reproducible training-order shuffle
+
+  test("trainShuffle is a complete permutation: every id once, " +
+      "positions contiguous from 1 per shard") {
+    val docs = (1L to 200L).toDF("doc_id")
+    val out = Curation.trainShuffle(docs, "doc_id", seed = 7L, shards = 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1).sorted == (1L to 200L))
+    assert(out.forall { case (_, seed, shard, _) =>
+      seed == 7L && shard >= 0 && shard < 4 })
+    out.groupBy(_._3).values.foreach { rows =>
+      assert(rows.map(_._4).sorted == (1L to rows.length))
+    }
+  }
+
+  test("trainShuffle replays bit-identically; a new seed re-permutes") {
+    val docs = (1L to 100L).toDF("doc_id")
+    def run(seed: Long) =
+      Curation.trainShuffle(docs, "doc_id", seed, shards = 4)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._3, r._4)).sortBy(_._1).toSeq
+    assert(run(1L) == run(1L))
+    // different seed must move SOME ids (hash collision across the
+    // whole id set is ~impossible at 60 bits)
+    assert(run(1L) != run(2L))
+  }
+
+  test("trainShuffle shard order follows the seeded hash, ids break ties") {
+    val docs = Seq(5L, 9L, 23L).toDF("doc_id")
+    val out = Curation.trainShuffle(docs, "doc_id", seed = 3L, shards = 1)
+      .orderBy("pos").as[(Long, Long, Long, Long)].collect().toSeq
+    val expected = Seq(5L, 9L, 23L)
+      .map(id => id -> graft.functions.Md5Hash60Expr.hash(
+        s"3:$id".getBytes("UTF-8")))
+      .sortBy { case (id, h) => (h, id) }.map(_._1)
+    assert(out.map(_._1) == expected)
+  }
+
+  // -------------------------------------------------------------------
   // Incremental dedup against a persisted fingerprint registry
 
   private def fp(df: org.apache.spark.sql.DataFrame) =

@@ -501,4 +501,16 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(scans.exists(_.contains("sq_merged_idx")),
       s"serving must scan the persisted merged index:\n$p")
   }
+
+  test("q105: shuffle permutation sorts per shard, never one global sort") {
+    val p = plan("q105_train_shuffle")
+    // the rank window must partition by shard — `shards` independent
+    // sorts; an empty-partition window (global ORDER BY h) would
+    // funnel the corpus through one task
+    assert("hashpartitioning\\(shard".r.findFirstIn(p).isDefined,
+      s"permutation window must partition by shard:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no single-partition stage in the shuffle permutation:\n$p")
+    assert(!p.contains("Join"), s"pure projection + window, no join:\n$p")
+  }
 }
