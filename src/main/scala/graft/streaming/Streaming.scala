@@ -377,4 +377,41 @@ object Streaming {
     graft.operators.Similarity
       .assignClusters(vectors, centroids, idCol, vecCol)
       .select(col(idCol).as("id"), col("cid"))
+
+  /** Stream-STREAM interval join — the q43 attribution semantics
+    * (each left event pairs with the right events of the same key
+    * whose timestamp lands in `[leftTs, leftTs + maxDelta]`) when
+    * BOTH sides arrive as streams. This is the one Structured
+    * Streaming shape where state lives on both sides: Spark buffers
+    * each side's rows in the state store until the OTHER side's
+    * watermark plus the range bound proves no future match can
+    * arrive, then evicts — so the two `withWatermark` calls and the
+    * event-time range predicate are not optional tuning but the
+    * state-size contract (without them an inner stream-stream join
+    * buffers both streams forever; SPARK docs call this out as the
+    * unbounded-state mode).
+    *
+    * Contrast with the batch twin [[graft.operators.Joins.rangeJoin]]:
+    * batch turns the range predicate into a bucketed EQUI-join because
+    * a batch range join would otherwise plan as a nested loop; the
+    * stream side needs no bucket trick — micro-batch arrival already
+    * bounds the probe set, and the state store is the "bucket".
+    * Output columns = left columns then right columns (callers
+    * project/rename); inner join, append mode.
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
+                         leftTs: String, rightTs: String, maxDelta: String,
+                         leftDelay: String, rightDelay: String): DataFrame = {
+    // the LEFT side buffers waiting for right rows up to maxDelta
+    // newer, so its eviction horizon is rightDelay + maxDelta — pass
+    // leftDelay accordingly (e.g. maxDelta "1 hour", delays
+    // "2 hours"/"1 hour"); Spark derives the actual state-cleanup
+    // point from the watermarks AND the range predicate together
+    val l = left.withWatermark(leftTs, leftDelay).alias("l")
+    val r = right.withWatermark(rightTs, rightDelay).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $maxDelta"))
+  }
 }

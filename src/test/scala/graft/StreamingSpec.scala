@@ -339,9 +339,48 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(batch.length == 3)
     assert(batch.map(_.getAs[Long]("n_events")).toSeq == Seq(2L, 1L, 1L))
   }
+
+  test("intervalJoinStream (stream-stream) matches the batch range join") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingSpec.Stamped
+    // purchases at t0/t45/t200; clicks land 0..60m after some of them
+    val purchases = Seq(
+      Stamped(100L, 1L, ts(0)), Stamped(101L, 1L, ts(45)),
+      Stamped(102L, 2L, ts(200)))
+    val clicks = Seq(
+      Stamped(900L, 1L, ts(30)),   // within 1h of p100 AND p101? p101 is at 45 — no (before it)
+      Stamped(901L, 1L, ts(70)),   // within 1h of p101 (45+60=105 ≥ 70), outside p100's (0+60=60)
+      Stamped(902L, 2L, ts(199)),  // before p102 — no match
+      Stamped(903L, 3L, ts(10)))   // no purchase for user 3
+    val ps = MemoryStream[Stamped]; ps.addData(purchases: _*)
+    val cs = MemoryStream[Stamped]; cs.addData(clicks: _*)
+    val joined = Streaming.intervalJoinStream(
+        ps.toDF().withColumnRenamed("event_id", "p_eid"),
+        cs.toDF().withColumnRenamed("event_id", "c_eid"),
+        key = "user_id", leftTs = "ts", rightTs = "ts",
+        maxDelta = "1 hour", leftDelay = "2 hours", rightDelay = "1 hour")
+      .select(col("p_eid"), col("c_eid"))
+    val q = joined.writeStream.format("memory").queryName("attrib_out")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("attrib_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch twin over the same rows (timestamps as micros)
+    val toUs = (s: Seq[Stamped], eid: String) => s.toDF()
+      .select(col("user_id"), col("event_id").as(eid),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as(eid + "_us"))
+    val batch = graft.operators.Joins.rangeJoin(
+        toUs(purchases, "p_eid"), toUs(clicks, "c_eid"),
+        "user_id", "p_eid_us", "c_eid_us", maxDeltaUs = 3600L * 1000000L)
+      .select("p_eid", "c_eid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch)
+    assert(got == Set((100L, 900L), (101L, 901L)))
+  }
 }
 
 object StreamingSpec {
   case class Doc(doc_id: Long, text: String, ts: java.sql.Timestamp)
   case class Vec(vec_id: Long, embedding: Seq[Float])
+  case class Stamped(event_id: Long, user_id: Long, ts: java.sql.Timestamp)
 }
