@@ -502,6 +502,19 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"serving must scan the persisted merged index:\n$p")
   }
 
+  test("q101: profiling is histogram-first — no Expand, no distinct agg") {
+    val p = plan("q101_profile")
+    // the r9 rewrite: exact distinct = the (id, value) histogram's row
+    // count, so the plan must NOT contain the distinct-agg Expand that
+    // doubles the unpivoted frame before the shuffle
+    assert(!p.contains("Expand"),
+      s"profile must not use the Expand distinct rewrite:\n$p")
+    assert(p.contains("partial_count"),
+      s"histogram build must combine map-side:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no single-partition stage in profiling:\n$p")
+  }
+
   test("q105: shuffle permutation sorts per shard, never one global sort") {
     val p = plan("q105_train_shuffle")
     // the rank window must partition by shard — `shards` independent
