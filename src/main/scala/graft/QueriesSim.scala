@@ -937,11 +937,16 @@ object QueriesSim {
     * every query one overlap and skew the comparison.
     */
   private def residualIvfAdc(s: SparkSession, d: String, probeAll: Boolean,
-                             k: Int, excludeSelf: Boolean = true): DataFrame = {
+                             k: Int, excludeSelf: Boolean = true,
+                             excludeQueryList: Boolean = false): DataFrame = {
     val coarse = pqResidualCoarse(s, d)
     val nProbe =
       if (probeAll) Int.MaxValue
-      else graft.operators.Pq.probeCount(coarse.size)
+      // hard-negative mining (q106) empties the query's OWN list — the
+      // densest candidate source — so it probes one list further to
+      // restore the budget (the q92/q96 boosted-budget reasoning)
+      else graft.operators.Pq.probeCount(coarse.size) +
+        (if (excludeQueryList) 1 else 0)
     val cbR = pqResidualCodebook(s, d)
     val emb = embeddings(s, d).select("vec_id", "embedding")
     val codesT = pqResidualCodes(s, d)
@@ -955,8 +960,22 @@ object QueriesSim {
       "qrvec", cbR)
     val candsAll = probes.select(col("qid"), col("ccid"))
       .join(assigned, "ccid")
-    val cands =
+    val candsSelf =
       if (excludeSelf) candsAll.filter(col("qid") =!= col("nid")) else candsAll
+    val cands =
+      if (excludeQueryList) {
+        // positives ≈ the query's own inverted list (its semantic
+        // neighborhood under the index's own clustering); a candidate
+        // appears with ccid = its assigned list, so dropping
+        // ccid == query's list leaves the highest-scoring
+        // OUT-OF-NEIGHBORHOOD rows — hard negatives. The query panel
+        // is tiny, so its assignment rows broadcast
+        val qAssign = assigned
+          .join(broadcast(queries.select(col("vec_id").as("nid"))), "nid")
+          .select(col("nid").as("qid"), col("ccid").as("qccid"))
+        candsSelf.join(broadcast(qAssign), "qid")
+          .filter(col("ccid") =!= col("qccid")).drop("qccid")
+      } else candsSelf
     val w = Window.partitionBy("qid").orderBy(col("__adc_micro"), col("nid"))
     cands
       .join(codes, "nid")
@@ -976,7 +995,8 @@ object QueriesSim {
     * assignment → residual frame → residual codes → per-(query, list)
     * LUT over the probed lists (`nProbe`).
     */
-  private def residualCtes(nProbeSql: String, excludeSelf: Boolean = true): String =
+  private def residualCtes(nProbeSql: String, excludeSelf: Boolean = true,
+                           excludeQueryList: Boolean = false): String =
     s"""emb AS (SELECT vec_id, embedding FROM embeddings),
        |cent AS (
        | SELECT cid AS ccid, cvec AS ccvec
@@ -1041,7 +1061,13 @@ object QueriesSim {
        |cands AS (
        | SELECT p.qid, p.ccid, a.nid
        | FROM probes p JOIN assigned a USING (ccid)
-       | ${if (excludeSelf) "WHERE p.qid != a.nid" else ""}),
+       | ${if (excludeQueryList) "JOIN assigned qa ON qa.nid = p.qid" else ""}
+       | ${Seq(if (excludeSelf) Some("p.qid != a.nid") else None,
+              if (excludeQueryList) Some("a.ccid != qa.ccid") else None)
+          .flatten match {
+            case Nil => ""
+            case cs => cs.mkString("WHERE ", " AND ", "")
+          }}),
        |radc AS (
        | SELECT x.qid, x.nid, CAST(sum(l.qd2_micro) AS BIGINT) AS adc_micro
        | FROM cands x
@@ -1064,6 +1090,41 @@ object QueriesSim {
        |SELECT qid, CAST(rank AS INT) AS rank, nid,
        | round(adc_micro / 1000000.0, 6) AS adc
        |FROM ranked WHERE rank <= $IvfPqK
+       |ORDER BY qid, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q106 hard-negative mining — the contrastive-training retrieval
+  // shape (DPR/Contriever negative selection): for each query, the
+  // highest-scoring candidates OUTSIDE its own semantic neighborhood.
+  // "Positive" here = the query's own inverted list under the index's
+  // persisted coarse clustering (its nearest-centroid cell — the same
+  // neighborhood SemDeDup treats as duplicate-candidate space), so
+  // near-duplicates and same-topic twins never leak into the negative
+  // pool as false negatives. Serving = q82's probe-pruned residual
+  // ADC with one extra broadcast of the 20-row query-assignment panel
+  // and one filter; the probe budget is boosted by one list because
+  // the exclusion empties the densest candidate source. Zero new
+  // state: the assignment table IS the persisted code table's sub-0
+  // slice.
+  private val HardNegK = 5
+
+  def q106HardNegatives(s: SparkSession, d: String): DataFrame =
+    residualIvfAdc(s, d, probeAll = false, k = HardNegK,
+        excludeQueryList = true)
+      .orderBy("qid", "rank")
+
+  private val BoostedProbeSql =
+    "(SELECT greatest(2, count(*) // 16) + 1 FROM cent)"
+
+  val q106Sql: String =
+    s"""WITH ${residualCtes(BoostedProbeSql, excludeQueryList = true)},
+       |ranked AS (
+       | SELECT qid, nid, adc_micro,
+       |  row_number() OVER (PARTITION BY qid ORDER BY adc_micro, nid) AS rank
+       | FROM radc)
+       |SELECT qid, CAST(rank AS INT) AS rank, nid,
+       | round(adc_micro / 1000000.0, 6) AS adc
+       |FROM ranked WHERE rank <= $HardNegK
        |ORDER BY qid, rank""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -2053,6 +2114,7 @@ object QueriesSim {
     "q79_adc_refine" -> (q79AdcRefine _),
     "q81_refine_recall" -> (q81RefineRecall _),
     "q82_ivfpq_residual" -> (q82IvfPqResidual _),
+    "q106_hard_negatives" -> (q106HardNegatives _),
     "q83_residual_recall" -> (q83ResidualRecall _),
     "q73_pq_encode" -> (q73PqEncode _),
     "q74_adc_topk" -> (q74AdcTopk _),
@@ -2082,6 +2144,7 @@ object QueriesSim {
     "q79_adc_refine" -> q79Sql,
     "q81_refine_recall" -> q81Sql,
     "q82_ivfpq_residual" -> q82Sql,
+    "q106_hard_negatives" -> q106Sql,
     "q83_residual_recall" -> q83Sql,
     "q73_pq_encode" -> q73Sql,
     "q74_adc_topk" -> q74Sql,

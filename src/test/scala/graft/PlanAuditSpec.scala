@@ -502,6 +502,17 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"serving must scan the persisted merged index:\n$p")
   }
 
+  test("q106: hard negatives serve broadcast-shaped from the persisted index") {
+    val p = plan("q106_hard_negatives")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"hard-negative serving must stay broadcast/probe-pruned:\n$p")
+    // the neighborhood exclusion reads the query panel's assignment —
+    // a tiny broadcast, never a corpus-side shuffle join
+    val scans = p.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.exists(_.contains("pq_residual_codes")),
+      s"assignment/codes must come from the persisted index table:\n$p")
+  }
+
   test("q101: profiling is histogram-first — no Expand, no distinct agg") {
     val p = plan("q101_profile")
     // the r9 rewrite: exact distinct = the (id, value) histogram's row
