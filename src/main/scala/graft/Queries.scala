@@ -202,7 +202,9 @@ object Queries {
   // accumulator (reproducible across engines AND partition merge
   // orders, the q67 discipline — a BIGINT accumulator overflows on a
   // corpus-scale key column, which ANSI mode surfaced at the 10×
-  // scale-up).
+  // scale-up). sum_micro crosses the wire as the canonical decimal
+  // STRING: DECIMAL(38,0) was the one column whose driver hash
+  // canonicalization diverged between engines (r9's only red row).
   private val profileCols = Seq("l_orderkey", "l_linenumber", "l_quantity",
     "l_extendedprice", "l_discount", "l_tax")
 
@@ -220,7 +222,7 @@ object Queries {
        | CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        | count(DISTINCT value) AS n_distinct,
        | min(value) AS vmin, max(value) AS vmax,
-       | CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DECIMAL(38,0)) AS sum_micro,
+       | CAST(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS sum_micro,
        | CAST(sum(CAST(round(value * 1000000) AS BIGINT))
        |   // nullif(count(*) - CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT), 0)
        |   AS BIGINT) AS mean_micro

@@ -306,7 +306,56 @@ object QueriesDedup {
       .orderBy("new_id")
   }
 
-  val q98Sql: String = {
+  // -------------------------------------------------------------------
+  // q107: the intra-batch window. Batch classes: registry-exact copies
+  // (%5 — including a %15 SECOND copy of the same digest, proving
+  // registry precedence: both resolve to the REGISTRY id, not each
+  // other), and same-digest twin pairs absent from the registry
+  // (%13=1 emitted twice with a shared novel tail): registry-only
+  // dedup calls both 'unique'/'near'; the intra-batch pass marks the
+  // later twin 'exact' with dup_of = the earlier batch id.
+  private def intraBatchCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select("doc_id", "text")
+    val twin = docs.filter(col("doc_id") % 13 === 1)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" intra batch twin tail")).as("text"))
+    docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 300000).as("doc_id"),
+        concat(upper(col("text")), lit("  ")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 350000).as("doc_id"),
+          concat(upper(col("text")), lit("  ")).as("text")))
+      .unionByName(twin.select((col("doc_id") + 600000).as("doc_id"), col("text")))
+      .unionByName(twin.select((col("doc_id") + 700000).as("doc_id"), col("text")))
+  }
+
+  private val intraBatchCorpusSql =
+    """SELECT doc_id + 300000 AS doc_id, upper(text) || '  ' AS text
+      |FROM documents WHERE doc_id % 5 = 0
+      |UNION ALL
+      |SELECT doc_id + 350000 AS doc_id, upper(text) || '  ' AS text
+      |FROM documents WHERE doc_id % 15 = 0
+      |UNION ALL
+      |SELECT doc_id + 600000 AS doc_id,
+      |       text || ' intra batch twin tail' AS text
+      |FROM documents WHERE doc_id % 13 = 1
+      |UNION ALL
+      |SELECT doc_id + 700000 AS doc_id,
+      |       text || ' intra batch twin tail' AS text
+      |FROM documents WHERE doc_id % 13 = 1""".stripMargin
+
+  def q107IntraBatchDedup(s: SparkSession, d: String): DataFrame = {
+    val batchFp = Dedup.fingerprintRegistry(intraBatchCorpus(s, d), "text",
+      "doc_id", k = 3, NumHashes, Bands, RowsPerBand)
+    Dedup.incrementalDedup(batchFp, fpRegistry(s, d), "doc_id",
+        NumHashes, tau = IncTau, maxBucket = MaxBucket, intraBatch = true)
+      .orderBy("new_id")
+  }
+
+  /** Shared DuckDB twin of [[Dedup.incrementalDedup]] — parameterized
+    * over the batch corpus and the intra-batch exact pass (q107).
+    */
+  private def incrementalSql(batchSql: String, intraBatch: Boolean): String = {
     val p = Dedup.MinhashP
     val sigExprs = (0 until NumHashes).map { i =>
       val (a, b) = Dedup.minhashCoeffs(i)
@@ -320,7 +369,22 @@ object QueriesDedup {
     val agree = (0 until NumHashes)
       .map(i => s"(CASE WHEN bs.sig$i = rs.sig$i THEN 1 ELSE 0 END)")
       .mkString("\n  + ")
-    s"""WITH batch AS ($batchCorpusSql),
+    // intra-batch exact pass: min batch id per digest; an EARLIER
+    // same-digest batch doc outranks near, is outranked by registry
+    val bexCte =
+      if (intraBatch)
+        ",\nbex AS (SELECT text_md5, min(doc_id) AS batch_of FROM bsig GROUP BY 1)"
+      else ""
+    val bexJoin =
+      if (intraBatch) "\n LEFT JOIN bex x ON x.text_md5 = bs.text_md5" else ""
+    val exactCase =
+      if (intraBatch) "e.exact_of IS NOT NULL OR x.batch_of < bs.doc_id"
+      else "e.exact_of IS NOT NULL"
+    val dupOf =
+      if (intraBatch)
+        "coalesce(e.exact_of, CASE WHEN x.batch_of < bs.doc_id THEN x.batch_of END, n.near_of)"
+      else "coalesce(e.exact_of, n.near_of)"
+    s"""WITH batch AS ($batchSql),
        |rsh AS (SELECT doc_id, md5($normSql) AS text_md5,
        |  list_transform($shinglesSql,
        |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS sh
@@ -362,18 +426,20 @@ object QueriesDedup {
        |ex AS (
        | SELECT bs.doc_id AS new_id, min(rs.doc_id) AS exact_of
        | FROM bsig bs JOIN rsig rs ON rs.text_md5 = bs.text_md5
-       | GROUP BY 1)
-       |SELECT b.doc_id AS new_id,
-       | CASE WHEN e.exact_of IS NOT NULL THEN 'exact'
+       | GROUP BY 1)$bexCte
+       |SELECT bs.doc_id AS new_id,
+       | CASE WHEN $exactCase THEN 'exact'
        |      WHEN n.near_of IS NOT NULL THEN 'near'
        |      ELSE 'unique' END AS verdict,
-       | coalesce(e.exact_of, n.near_of) AS dup_of,
+       | $dupOf AS dup_of,
        | n.est_jaccard
-       |FROM batch b
-       | LEFT JOIN ex e ON e.new_id = b.doc_id
-       | LEFT JOIN best n ON n.new_id = b.doc_id
+       |FROM bsig bs
+       | LEFT JOIN ex e ON e.new_id = bs.doc_id
+       | LEFT JOIN best n ON n.new_id = bs.doc_id$bexJoin
        |ORDER BY new_id""".stripMargin
   }
+
+  val q98Sql: String = incrementalSql(batchCorpusSql, intraBatch = false)
 
   // ---------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -385,6 +451,7 @@ object QueriesDedup {
     // (driver records rows-only): DuckDB cannot reproduce xxhash64
     "q52_dedup_xxhash" -> (q52DedupXxhash _),
     "q98_incremental_dedup" -> (q98IncrementalDedup _),
+    "q107_intra_batch_dedup" -> (q107IntraBatchDedup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -393,5 +460,7 @@ object QueriesDedup {
     "q24_simhash" -> q24Sql,
     "q25_ngram_jaccard" -> q25Sql,
     "q98_incremental_dedup" -> q98Sql,
+    "q107_intra_batch_dedup" ->
+      incrementalSql(intraBatchCorpusSql, intraBatch = true),
   )
 }

@@ -260,10 +260,22 @@ object Dedup {
     *    registry side, ascending id); candidate count ∝ batch size.
     *  - the estimate join touches |candidates| registry signature
     *    rows, the final assembly only batch rows.
+    *
+    * Scope: by default the verdict is REGISTRY-ONLY — two identical
+    * docs arriving in the same batch, both absent from the registry,
+    * each come out 'unique' (each is novel w.r.t. the corpus; the
+    * caller's registry append + next batch closes the window).
+    * `intraBatch = true` closes it in-line: a batch-local exact pass
+    * (min new_id per digest, the [[exactDedup]] rule) marks later
+    * same-digest batch docs 'exact' with `dup_of` = the batch
+    * survivor. Registry matches take precedence (corpus ids are
+    * canonical). The pass is one batch-sized broadcast aggregate —
+    * the corpus side is untouched.
     */
   def incrementalDedup(batchFp: DataFrame, registry: DataFrame,
                        idCol: String, numHashes: Int, tau: Double,
-                       maxBucket: Int = Int.MaxValue): DataFrame = {
+                       maxBucket: Int = Int.MaxValue,
+                       intraBatch: Boolean = false): DataFrame = {
     val bfp = batchFp.select(col(idCol).as("new_id"), col("text_md5"),
       col("sig"), col("buckets")).cache()
     // exact: broadcast the batch digest set against the registry scan
@@ -306,14 +318,29 @@ object Dedup {
       .withColumn("__rn", row_number().over(wBest))
       .filter(col("__rn") === 1)
       .select(col("new_id"), col("reg_id").as("near_of"), col("est_jaccard"))
-    val out = bfp.select("new_id", "text_md5")
+    // batch-local exact survivors (only earlier same-digest batch ids
+    // count as a duplicate target — the min-id keep rule)
+    val base = bfp.select("new_id", "text_md5")
       .join(broadcast(exact), Seq("text_md5"), "left")
       .join(broadcast(bestNear), Seq("new_id"), "left")
+    val withBatch =
+      if (intraBatch)
+        base.join(
+            broadcast(bfp.groupBy("text_md5")
+              .agg(min(col("new_id")).as("batch_of"))),
+            Seq("text_md5"), "left")
+          .withColumn("batch_of",
+            when(col("batch_of") < col("new_id"), col("batch_of")))
+      else base.withColumn("batch_of",
+        lit(null).cast(bfp.schema("new_id").dataType))
+    val out = withBatch
       .select(col("new_id"),
-        when(col("exact_of").isNotNull, lit("exact"))
+        when(col("exact_of").isNotNull || col("batch_of").isNotNull,
+            lit("exact"))
           .when(col("near_of").isNotNull, lit("near"))
           .otherwise(lit("unique")).as("verdict"),
-        coalesce(col("exact_of"), col("near_of")).as("dup_of"),
+        coalesce(col("exact_of"), col("batch_of"), col("near_of"))
+          .as("dup_of"),
         col("est_jaccard"))
     CacheRelease.afterUse(Seq(bfp), out)
   }
@@ -404,14 +431,19 @@ object Dedup {
         (h1 + lit(i.toLong) * h2).bitwiseAND(lit(maskL)))
     }
     val bits = new Array[Long](mBits / 64)
+    // typed collect: Tuple2 is @specialized on (Int, Long), so the
+    // driver materializes ≤ mBits/64 unboxed pairs (~32 MB at the 2^27
+    // cap) instead of generic Rows with boxed values (~100s of MB)
+    import hashes.sparkSession.implicits._
     hashes.select(explode(array(posCols: _*)).as("__pos"))
       .select(shiftrightunsigned(col("__pos"), 6).cast("int").as("__w"),
         call_function("shiftleft", lit(1L),
           col("__pos").bitwiseAND(lit(63L)).cast("int")).as("__m"))
       .groupBy("__w")
       .agg(call_function("bit_or", col("__m")).as("__bits"))
+      .as[(Int, Long)]
       .collect()
-      .foreach(r => bits(r.getInt(0)) = r.getLong(1))
+      .foreach { case (w, m) => bits(w) = m }
     (bits, mBits)
   }
 

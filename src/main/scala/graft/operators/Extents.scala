@@ -253,8 +253,15 @@ object Extents {
     * longs, summed as longs): a double sum's value depends on partition
     * merge order, an integer sum doesn't — so the profile is
     * reproducible across engines AND across runs. `mean_micro` is the
-    * floor-divided integer mean over non-null rows (null when a column
-    * is all-null).
+    * truncating (toward-zero) integer mean over non-null rows — the
+    * semantics BOTH engines natively share (Spark `div` and DuckDB
+    * integer `//` truncate; verified on negative sums) — null when a
+    * column is all-null. `sum_micro` accumulates in DECIMAL(38,0) (a
+    * BIGINT overflows on a corpus-scale key column) but is EMITTED as
+    * its canonical decimal string: DECIMAL(38,0) is the one output
+    * type whose driver-side hash canonicalization diverged between
+    * engines (CORRECTNESS_r09 q101), and the digit string is identical
+    * in both.
     */
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     val names = array(cols.map(lit): _*)
@@ -287,6 +294,7 @@ object Extents {
           .cast("decimal(38,0)") * col("cnt")).as("sum_micro"))
       .withColumn("mean_micro",
         expr("CAST(sum_micro div nullif(n - n_null, 0) AS BIGINT)"))
+      .withColumn("sum_micro", col("sum_micro").cast("string"))
       .withColumn("col_name", element_at(names, col("id") + 1))
       .select("col_name", "n", "n_null", "n_distinct", "vmin", "vmax",
         "sum_micro", "mean_micro")

@@ -289,12 +289,27 @@ class CoreOperatorsSpec extends AnyFunSuite with SharedSpark {
     assert((a.getLong(1), a.getLong(2), a.getLong(3)) == ((4L, 1L, 2L)))
     assert(a.getDouble(4) == 1.5 && a.getDouble(5) == 2.5)
     // sum_micro rides a DECIMAL(38,0) accumulator (a corpus-scale key
-    // column overflows BIGINT); values stay exact integers
-    assert(a.getDecimal(6).longValueExact == 5500000L &&
-      a.getLong(7) == 1833333L)
+    // column overflows BIGINT) and is emitted as its canonical digit
+    // string — the one type whose driver hash canonicalization
+    // diverged between engines (r9 q101)
+    assert(a.getString(6) == "5500000" && a.getLong(7) == 1833333L)
     // b: 2 nulls, 2 distinct, mean = 20000000 micro exactly
     assert((b.getLong(1), b.getLong(2), b.getLong(3)) == ((4L, 2L, 2L)))
     assert(b.getLong(7) == 20000000L)
+  }
+
+  test("profileColumns: negative mean truncates toward zero (both engines)") {
+    // sum = -7.0 over 2 non-null rows → -7000000 div 2 = -3500000
+    // exactly; sum = -7.0 over 3 rows (third = 0) → -7000000/3 =
+    // -2333333.33 → Spark `div` and DuckDB integer `//` BOTH truncate
+    // toward zero (verified: -7//2 = -3 in DuckDB), so -2333333, not
+    // floor's -2333334
+    val out = Extents.profileColumns(
+        Seq(-3.5, -3.5, 0.0).toDF("a"), Seq("a"))
+      .collect().head
+    assert(out.getString(6) == "-7000000", "negative sum digit string")
+    assert(out.getLong(7) == -2333333L,
+      "negative mean must truncate toward zero, matching DuckDB //")
   }
 
   test("profileColumns: an all-null column yields null mean, zero distinct") {

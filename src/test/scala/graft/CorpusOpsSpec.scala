@@ -703,6 +703,35 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
       s"cap keeps the lowest registry id: $capped")
   }
 
+  test("incrementalDedup intraBatch: same-digest batch twins, registry wins") {
+    val corpus = Seq(
+      (1L, "registry resident document with its own words here today"))
+      .toDF("doc_id", "text")
+    val tw = "twin text absent from the registry but duplicated in batch"
+    val batch = Seq(
+      // twins: digest absent from registry — later id dups the earlier
+      (101L, tw), (102L, tw),
+      // registry-exact pair: BOTH resolve to the registry id (registry
+      // precedence over the intra-batch survivor)
+      (103L, "registry resident document with its own words here today"),
+      (104L, "Registry RESIDENT document with its own words here today  ")
+    ).toDF("doc_id", "text")
+    def run(intra: Boolean) =
+      Dedup.incrementalDedup(fp(batch), fp(corpus), "doc_id",
+          numHashes = 12, tau = 0.5, intraBatch = intra)
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), Option(r.get(2)).map(_.toString.toLong))).toMap
+    val off = run(intra = false)
+    assert(off(101L)._1 == "unique" && off(102L)._1 == "unique",
+      s"registry-only scope: both twins novel w.r.t. the corpus: $off")
+    val on = run(intra = true)
+    assert(on(101L)._1 == "unique", s"earlier twin survives: $on")
+    assert(on(102L) == ("exact", Some(101L)),
+      s"later twin dups the batch survivor: $on")
+    assert(on(103L) == ("exact", Some(1L)) && on(104L) == ("exact", Some(1L)),
+      s"registry id outranks the intra-batch survivor: $on")
+  }
+
   test("incrementalDedup near tie-break: max estimate then min registry id") {
     val t = "one two three four five six seven eight nine ten eleven twelve"
     // two identical registry docs: both estimate identically against the
