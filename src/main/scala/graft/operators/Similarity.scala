@@ -349,7 +349,19 @@ object Similarity {
     // lifetime. localCheckpoint materializes eagerly, cuts the lineage,
     // and its blocks are reclaimed by the ContextCleaner once the
     // returned frame is unreachable — no caller-side protocol needed.
-    val assigned = assignedIn.localCheckpoint()
+    //
+    // Norm hoist: `cosine(a, b)` expands to
+    // `dotp(a,b) / (sqrt(dotp(a,a)) * sqrt(dotp(b,b)))` — three
+    // dim-length loops per PAIR, two of which depend on one side only.
+    // Computing `sqrt(dotp(v,v))` once per ROW here (materialized by
+    // the checkpoint) and combining as `dotp(a,b) / (na * nb)` is
+    // bit-identical (same doubles multiplied in the same order) and
+    // cuts the pair-stage flops 3× — the dominant term of the 100×
+    // SemDeDup wall (SURVEY §6.2: the max-anchor-cosine scan).
+    val assigned = assignedIn
+      .withColumn("__norm", sqrt(
+        graft.functions.DotProductExpr.dotp(col(vecCol), col(vecCol))))
+      .localCheckpoint()
     val wc = Window.partitionBy("cid").orderBy(col(idCol))
     // the anchor frame is deterministically bounded at k·maxCluster
     // rows. Catalyst cannot see that through the Window, so hint the
@@ -360,17 +372,19 @@ object Similarity {
     val anchors0 = assigned
       .withColumn("__rn", row_number().over(wc))
       .filter(col("__rn") <= maxCluster)
-      .select(col("cid"), col(idCol).as("__a"), col(vecCol).as("__avec"))
+      .select(col("cid"), col(idCol).as("__a"), col(vecCol).as("__avec"),
+        col("__norm").as("__anorm"))
     val anchors =
       if (clusters.toLong * maxCluster <= 1000000L) broadcast(anchors0)
       else anchors0
     val b = assigned.select(col("cid"), col(idCol).as("__b"),
-      col(vecCol).as("__bvec"))
+      col(vecCol).as("__bvec"), col("__norm").as("__bnorm"))
+    val pairCos = graft.functions.DotProductExpr
+      .dotp(col("__avec"), col("__bvec")) / (col("__anorm") * col("__bnorm"))
     val pairMax = anchors.join(b, "cid")
       .where(col("__a") < col("__b"))
       .groupBy(col("__b"))
-      .agg(max(round(cosine(col("__avec"), col("__bvec")), roundTo))
-        .as("max_anchor_cos"))
+      .agg(max(round(pairCos, roundTo)).as("max_anchor_cos"))
       .select(col("__b").as(idCol), col("max_anchor_cos"))
     assigned.select(col(idCol), col("cid"))
       .join(pairMax, Seq(idCol), "left")
