@@ -2063,12 +2063,18 @@ object QueriesSim {
       .select("nid", "ccid", "codes")
   }
 
-  def q104CompactedIvfSq(s: SparkSession, d: String): DataFrame = {
+  /** The compacted-registry serving pipeline, parameterized by the
+    * index face it reads (the merged table for q104; merged − deletes
+    * for q108): probe pruning → candidate equi-join → SQ8 ADC →
+    * per-query top-k. Frozen artifacts (even-base coarse lists + SQ
+    * ranges) are shared whatever the face.
+    */
+  private[graft] def sqServeTopK(s: SparkSession, d: String,
+                                 idx: DataFrame): DataFrame = {
     val coarse = coarseEven(s, d)
     val nProbe = graft.operators.Pq.probeCount(coarse.size)
     val r = sqEvenRanges(s, d)
     val emb = embeddings(s, d).select("vec_id", "embedding")
-    val idx = sqMergedIndex(s, d)
     val queries = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1000)
     val probes = graft.operators.Pq.coarseProbe(
       queries, coarse, "vec_id", "embedding", nProbe)
@@ -2087,8 +2093,63 @@ object QueriesSim {
       .orderBy("qid", "rank")
   }
 
+  def q104CompactedIvfSq(s: SparkSession, d: String): DataFrame =
+    sqServeTopK(s, d, sqMergedIndex(s, d))
+
   val q104Sql: String =
     s"""WITH ${ivfSqServeCtes(DerivedProbeSql, "TRUE",
+           CompactBaseSql, CompactCentCountSql)},
+       |rr AS (
+       | SELECT qid, nid, dist,
+       |  row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
+       | FROM dist)
+       |SELECT qid, CAST(rank AS INT) AS rank, nid AS id, dist
+       |FROM rr WHERE rank <= $SqK ORDER BY qid, rank""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q108 tombstoned serving — the DELETE face of the index lifecycle
+  // (q104 closes append; real vector stores also drop). Deleted ids
+  // live in a TOMBSTONE REGISTRY (a tiny id table — the deterministic
+  // rule below stands in for its contents so the oracle can recompute
+  // it); serving anti-joins probed candidates against the broadcast
+  // tombstone set BEFORE any distance work, so a delete is visible
+  // immediately with zero index rebuild; compaction later drops the
+  // rows physically on merge and resets the registry
+  // ([[compactDropTombstones]] — CompactionSpec proves
+  // filter-at-serve ≡ drop-at-compact and that deleted ids never
+  // surface). 100 TB shape: the tombstone set is ids-only (broadcast-
+  // small by the delete-rate contract), the index table never
+  // re-shuffles, and the anti-join is map-side against the candidate
+  // stream — the scratch-reset-and-rebuild discipline of the reference
+  // (build.sh:67) replaced by an incremental tombstone+compact cycle.
+  private val TombstoneSql = "vec_id % 17 = 5"
+
+  /** The tombstone registry: ids dropped since the last compaction. */
+  private def tombstones(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).where(expr(TombstoneSql))
+      .select(col("vec_id").as("del_id"))
+
+  /** Merged index minus tombstones — the runtime serve face. */
+  private def tombstoneFiltered(s: SparkSession, d: String): DataFrame =
+    sqMergedIndex(s, d).join(broadcast(tombstones(s, d)),
+      col("nid") === col("del_id"), "left_anti")
+
+  def q108TombstonedServe(s: SparkSession, d: String): DataFrame =
+    sqServeTopK(s, d, tombstoneFiltered(s, d))
+
+  /** COMPACTION with physical drop: rewrites the merged registry table
+    * without the tombstoned rows (after which the tombstone registry
+    * would reset to empty) and serves from the re-read table — the
+    * spec proves the result is identical to runtime filtering.
+    */
+  def compactDropTombstones(s: SparkSession, d: String,
+                            outPath: String): DataFrame = {
+    tombstoneFiltered(s, d).write.mode("overwrite").parquet(outPath)
+    s.read.parquet(outPath)
+  }
+
+  val q108Sql: String =
+    s"""WITH ${ivfSqServeCtes(DerivedProbeSql, s"NOT ($TombstoneSql)",
            CompactBaseSql, CompactCentCountSql)},
        |rr AS (
        | SELECT qid, nid, dist,
@@ -2110,6 +2171,7 @@ object QueriesSim {
     "q86_semantic_dedup" -> (q86SemanticDedup _),
     "q95_semdedup_tau_sweep" -> (q95SemDedupTauSweep _),
     "q104_index_compaction" -> (q104CompactedIvfSq _),
+    "q108_tombstoned_serve" -> (q108TombstonedServe _),
     "q84_ivfpq_refine" -> (q84IvfPqRefine _),
     "q79_adc_refine" -> (q79AdcRefine _),
     "q81_refine_recall" -> (q81RefineRecall _),
@@ -2140,6 +2202,7 @@ object QueriesSim {
     "q86_semantic_dedup" -> q86Sql,
     "q95_semdedup_tau_sweep" -> q95Sql,
     "q104_index_compaction" -> q104Sql,
+    "q108_tombstoned_serve" -> q108Sql,
     "q84_ivfpq_refine" -> q84Sql,
     "q79_adc_refine" -> q79Sql,
     "q81_refine_recall" -> q81Sql,

@@ -502,6 +502,19 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"serving must scan the persisted merged index:\n$p")
   }
 
+  test("q108: tombstone anti-join broadcasts the delete set pre-distance") {
+    val p = plan("q108_tombstoned_serve")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"tombstoned serving must stay broadcast-shaped:\n$p")
+    // the delete registry is ids-only and broadcast; the index table
+    // never shuffles for it
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"tombstones must apply as a broadcast anti-join:\n$p")
+    assert(p.linesIterator.filter(_.contains("FileScan parquet"))
+        .exists(_.contains("sq_merged_idx")),
+      s"serving must scan the persisted merged index:\n$p")
+  }
+
   test("q106: hard negatives serve broadcast-shaped from the persisted index") {
     val p = plan("q106_hard_negatives")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
