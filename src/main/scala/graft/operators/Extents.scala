@@ -143,10 +143,22 @@ object Extents {
                              fewGroups: Boolean = true): DataFrame = {
     val gcols = groupCols.map(col)
     if (approximate) {
-      long.groupBy(gcols: _*)
+      // HISTOGRAM-FED sketch (round 10): the per-row GK update re-pays
+      // its buffer/compress cycle for every duplicate value, while a
+      // `groupBy(value)` histogram map-combines duplicates before the
+      // shuffle — real metric columns (rates, counts, flags) are
+      // heavily duplicated, so the weighted sketch
+      // ([[graft.functions.WeightedPercentileApprox]], weight-w
+      // insertion O(1)) updates once per DISTINCT value. The histogram
+      // hash-agg spills (never OOMs) on near-unique columns; the final
+      // per-group state is still one ε-bounded summary. Accuracy
+      // contract unchanged: GK, ε = 1e-4.
+      val hist = long.groupBy((groupCols :+ "value").map(col): _*)
+        .agg(count(lit(1)).as("cnt"))
+      hist.groupBy(gcols: _*)
         .agg(min("value").as("vmin"), max("value").as("vmax"),
-          percentile_approx(col("value"), array(lit(lo), lit(hi)), lit(10000))
-            .as("qq"))
+          graft.functions.WeightedPercentileApprox.wpa(
+            col("value"), col("cnt"), Seq(lo, hi), 10000).as("qq"))
         .select(gcols ++ Seq(col("vmin"), col("vmax"),
           element_at(col("qq"), 1).as("q1"),
           element_at(col("qq"), 2).as("q99")): _*)
