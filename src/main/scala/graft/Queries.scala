@@ -229,8 +229,75 @@ object Queries {
        |FROM long GROUP BY col_name ORDER BY col_name""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q111 profile DRIFT — the monitoring step after q101's profiling
+  // gate: profile two slices of the fact table side by side (here the
+  // pre-/post-mid-1998 shipdate halves standing in for yesterday's vs
+  // today's snapshot) in ONE scan (`Extents.profileColumnsBy` — the
+  // unpivot carries the slice key, so the histogram shuffle is shared)
+  // and emit per-column deltas in exact integer micros: a double mean
+  // would make "did the mean move?" depend on partition merge order,
+  // the integer-micro mean can drift only if the DATA did. The
+  // per-mille drift ratio stays in truncating integer division (Spark
+  // `div` ≡ DuckDB `//` on the non-negative operands) so the oracle
+  // hash covers the drift arithmetic itself.
+  private val DriftCut = "1998-06-01"
+
+  def q111ProfileDrift(s: SparkSession, d: String): DataFrame = {
+    val sliced = lineitem(s, d).withColumn("slice",
+      when(col("l_shipdate") < lit(DriftCut).cast("date"), "base")
+        .otherwise("cur"))
+    // the per-slice profile is a |cols|·|slices|-row table feeding both
+    // join branches — materialize it (maxAnchorCosine's localCheckpoint
+    // pattern) so the drift join reads the tiny table twice instead of
+    // scanning the fact table once per branch
+    val p = Extents.profileColumnsBy(sliced, profileCols, "slice")
+      .localCheckpoint()
+    def side(tag: String): DataFrame =
+      p.where(col("slice") === tag).select(col("col_name"),
+        col("n").as(s"n_$tag"), col("n_distinct").as(s"distinct_$tag"),
+        col("mean_micro").as(s"mean_$tag"))
+    side("base").join(side("cur"), "col_name")
+      .select(col("col_name"),
+        col("n_base"), col("n_cur"),
+        (col("n_cur") - col("n_base")).as("n_delta"),
+        col("distinct_base"), col("distinct_cur"),
+        col("mean_base"), col("mean_cur"),
+        (col("mean_cur") - col("mean_base")).as("mean_delta_micro"),
+        expr("CAST(abs(mean_cur - mean_base) * 1000 " +
+          "div nullif(abs(mean_base), 0) AS BIGINT)").as("drift_pm"))
+      .orderBy("col_name")
+  }
+
+  val q111Sql: String = {
+    val branches = profileCols
+      .map(c => "SELECT CASE WHEN l_shipdate < DATE '" + DriftCut +
+        s"' THEN 'base' ELSE 'cur' END AS slice, '$c' AS col_name, " +
+        s"CAST($c AS DOUBLE) AS value FROM lineitem")
+      .mkString(" UNION ALL ")
+    s"""WITH long AS ($branches),
+       |p AS (
+       | SELECT slice, col_name, count(*) AS n,
+       |  count(DISTINCT value) AS n_distinct,
+       |  CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+       |    // nullif(count(*) - CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT), 0)
+       |    AS BIGINT) AS mean_micro
+       | FROM long GROUP BY slice, col_name)
+       |SELECT b.col_name,
+       | b.n AS n_base, c.n AS n_cur, c.n - b.n AS n_delta,
+       | b.n_distinct AS distinct_base, c.n_distinct AS distinct_cur,
+       | b.mean_micro AS mean_base, c.mean_micro AS mean_cur,
+       | c.mean_micro - b.mean_micro AS mean_delta_micro,
+       | CAST(abs(c.mean_micro - b.mean_micro) * 1000
+       |   // nullif(abs(b.mean_micro), 0) AS BIGINT) AS drift_pm
+       |FROM p b JOIN p c ON b.col_name = c.col_name
+       |WHERE b.slice = 'base' AND c.slice = 'cur'
+       |ORDER BY b.col_name""".stripMargin
+  }
+
   /** Registry: name -> query. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_profile_drift" -> (q111ProfileDrift _),
     "q44_extents_by_group" -> (q44ExtentsByGroup _),
     "q94_extents_approx" -> (q94ExtentsApprox _),
     "q101_profile" -> (q101Profile _),
@@ -247,6 +314,7 @@ object Queries {
   val oracle: Map[String, String] = Map(
     "q44_extents_by_group" -> q44Sql,
     "q101_profile" -> q101Sql,
+    "q111_profile_drift" -> q111Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_shape_pivot" -> q02Sql,
     "q03_extents" -> q03Sql,

@@ -354,7 +354,49 @@ object QueriesText {
        |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q110: EXACT corpus heavy hitters through the two-pass sketch plan —
+  // vocabulary-scale frequent-token mining without ever shuffling the
+  // raw token stream. Pass 1: a Misra–Gries k-counter summary per
+  // partition (map-side partial aggregation, native
+  // [[graft.functions.MisraGriesCandidates]]), merged to ≤ k candidate
+  // tokens — guaranteed to contain every θ-frequent token for
+  // k ≥ ⌈1/θ⌉. Pass 2: broadcast the candidate set, count ONLY
+  // candidate occurrences exactly (map-side combine), keep
+  // cnt·(1/θ) ≥ N — so the OUTPUT is exact (oracle: plain
+  // GROUP BY … HAVING) however the sketch's partition-local eviction
+  // order varies. At 100 TB only k-sized summaries and candidate
+  // occurrences cross the wire; the n-gram key space never shuffles.
+  private val HhTheta = 100 // θ = 1/HhTheta = 0.01
+
+  def q110HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val words = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+    val cands = words.agg(graft.functions.MisraGriesCandidates
+      .mg(col("word"), lit(1L), HhTheta).as("cands"))
+      .select(explode(col("cands")).as("word"))
+    val total = words.agg(count(lit(1)).as("n_total"))
+    words.join(broadcast(cands), "word")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .where(col("cnt") * HhTheta >= col("n_total"))
+      .select(col("word"), col("cnt"))
+      .orderBy(desc("cnt"), col("word"))
+  }
+
+  val q110Sql: String =
+    s"""WITH w AS (
+       | SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |ww AS (SELECT word FROM w WHERE word <> ''),
+       |t AS (SELECT count(*) AS n FROM ww)
+       |SELECT word, count(*) AS cnt
+       |FROM ww, t GROUP BY word, n
+       |HAVING count(*) * $HhTheta >= n
+       |ORDER BY cnt DESC, word""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_heavy_hitters" -> (q110HeavyHitters _),
     "q18_token_stats" -> (q18TokenStats _),
     "q19_quality_score" -> (q19QualityScore _),
     "q20_lang_id" -> (q20LangId _),
@@ -369,6 +411,7 @@ object QueriesText {
   )
 
   val oracle: Map[String, String] = Map(
+    "q110_heavy_hitters" -> q110Sql,
     "q18_token_stats" -> q18Sql,
     "q19_quality_score" -> q19Sql,
     "q20_lang_id" -> q20Sql,

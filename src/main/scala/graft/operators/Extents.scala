@@ -276,22 +276,47 @@ object Extents {
     * in both.
     */
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val names = array(cols.map(lit): _*)
     val long = df.select(explodeToLong(cols): _*)
-    // histogram-first: collapse to the distinct-value table, then
-    // compute every statistic cnt-weighted from it. Equivalent to one
-    // groupBy with countDistinct, but strictly cheaper at scale:
-    // Spark's distinct-agg rewrite EXPANDs the unpivoted frame 2×
-    // (one projection for the distinct keys, one for the plain aggs)
-    // and shuffles the duplicated rows; here the only full-width
-    // shuffle is the (id, value) histogram build with map-side
-    // partial counts — the q03/q44 extents kernel — and the plain
-    // aggregates ride the collapsed histogram for free (measured:
-    // 11.7 → 4.5 s at the 10× scale-up, 3.2 → 2.1 s at sf0.1). Values repeat in real fact
-    // tables (quantities, discounts, status codes), so the collapsed
-    // frame is usually far smaller than the raw one.
-    val hist = long.groupBy("id", "value").agg(count(lit(1)).as("cnt"))
-    hist.groupBy("id")
+    profileCore(long, cols, Nil)
+  }
+
+  /** [[profileColumns]] with a SLICE key — one scan profiles every
+    * slice (snapshot, decade, source shard) side by side: the unpivot
+    * carries the slice column, the histogram groups by
+    * (slice, id, value), and each slice's statistics fall out of the
+    * same collapsed frame. The drift-monitoring shape (today's
+    * snapshot vs yesterday's) without a second pass over the table.
+    */
+  def profileColumnsBy(df: DataFrame, cols: Seq[String],
+                       sliceCol: String): DataFrame = {
+    val long = df.select(col(sliceCol) +: explodeToLong(cols): _*)
+    profileCore(long, cols, Seq(sliceCol))
+  }
+
+  /** Shared profiling kernel over the unpivoted (sliceCols..., id,
+    * value) frame.
+    *
+    * Histogram-first: collapse to the distinct-value table, then
+    * compute every statistic cnt-weighted from it. Equivalent to one
+    * groupBy with countDistinct, but strictly cheaper at scale:
+    * Spark's distinct-agg rewrite EXPANDs the unpivoted frame 2×
+    * (one projection for the distinct keys, one for the plain aggs)
+    * and shuffles the duplicated rows; here the only full-width
+    * shuffle is the (id, value) histogram build with map-side
+    * partial counts — the q03/q44 extents kernel — and the plain
+    * aggregates ride the collapsed histogram for free (measured:
+    * 11.7 → 4.5 s at the 10× scale-up, 3.2 → 2.1 s at sf0.1). Values
+    * repeat in real fact tables (quantities, discounts, status
+    * codes), so the collapsed frame is usually far smaller than the
+    * raw one.
+    */
+  private def profileCore(long: DataFrame, cols: Seq[String],
+                          sliceCols: Seq[String]): DataFrame = {
+    val names = array(cols.map(lit): _*)
+    val keys = sliceCols :+ "id"
+    val hist = long.groupBy((keys :+ "value").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    hist.groupBy(keys.map(col): _*)
       .agg(
         sum("cnt").as("n"),
         coalesce(sum(when(col("value").isNull, col("cnt"))), lit(0L))
@@ -308,7 +333,7 @@ object Extents {
         expr("CAST(sum_micro div nullif(n - n_null, 0) AS BIGINT)"))
       .withColumn("sum_micro", col("sum_micro").cast("string"))
       .withColumn("col_name", element_at(names, col("id") + 1))
-      .select("col_name", "n", "n_null", "n_distinct", "vmin", "vmax",
-        "sum_micro", "mean_micro")
+      .select(((sliceCols :+ "col_name") ++ Seq("n", "n_null", "n_distinct",
+        "vmin", "vmax", "sum_micro", "mean_micro")).map(col): _*)
   }
 }

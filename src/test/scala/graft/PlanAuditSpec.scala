@@ -502,6 +502,31 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"serving must scan the persisted merged index:\n$p")
   }
 
+  test("q111: drift profiles both slices in one fact-table pass") {
+    val p = plan("q111_profile_drift")
+    // the sliced profile is checkpointed before the drift self-join:
+    // the executed plan must not scan lineitem once per join branch
+    assert(p.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("lineitem")) <= 1,
+      s"drift must not re-scan the fact table per slice:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the 6-row drift join must stay broadcast-shaped:\n$p")
+  }
+
+  test("q110: raw token stream never shuffles; confirm join is broadcast") {
+    val p = plan("q110_heavy_hitters")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"heavy hitters must stay broadcast-shaped:\n$p")
+    // MG partial summaries aggregate map-side (ObjectHashAggregate for
+    // the TypedImperativeAggregate), so the only exchanges are the
+    // k-sized summary merge, the candidate-count merge, and the 1-row
+    // total — never an exchange keyed on the raw token
+    assert(p.contains("ObjectHashAggregate"),
+      s"MG sketch must partial-aggregate map-side:\n$p")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 1,
+      s"candidate set must broadcast into the confirm join:\n$p")
+  }
+
   test("q108: tombstone anti-join broadcasts the delete set pre-distance") {
     val p = plan("q108_tombstoned_serve")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
