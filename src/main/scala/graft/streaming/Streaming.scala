@@ -378,6 +378,28 @@ object Streaming {
       .assignClusters(vectors, centroids, idCol, vecCol)
       .select(col(idCol).as("id"), col("cid"))
 
+  /** Streaming face of the TOMBSTONE REGISTRY APPEND — the delete half
+    * of the continuous index lifecycle, next to the three append faces
+    * ([[pqEncodeStream]] / [[sqEncodeStream]] / [[ivfAssignStream]]):
+    * delete events arrive as (id, event-time) rows and project into
+    * the registry's ids-only format. Repeated deletes of the same id
+    * inside the watermark horizon collapse to one registry row
+    * (`dropDuplicatesWithinWatermark` — bounded state, the q06 dedup
+    * contract; deletes are idempotent so a re-delivery past the
+    * horizon appending a second row is harmless — the serving
+    * anti-join and the compaction filter are set-semantics). Serving
+    * applies the registry as q108's broadcast LeftAnti before any
+    * distance work, so a delete is visible at the next micro-batch
+    * commit with zero index rebuild; `compactDropTombstones`
+    * physically drops the rows and resets the registry.
+    */
+  def tombstoneStream(deletes: DataFrame, idCol: String, tsCol: String,
+                      watermark: String): DataFrame =
+    deletes.withWatermark(tsCol, watermark)
+      .select(col(idCol).as("del_id"), col(tsCol))
+      .dropDuplicatesWithinWatermark("del_id")
+      .select("del_id")
+
   /** Stream-STREAM interval join — the q43 attribution semantics
     * (each left event pairs with the right events of the same key
     * whose timestamp lands in `[leftTs, leftTs + maxDelta]`) when

@@ -88,6 +88,30 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(digests.distinct.length == digests.length)
   }
 
+  test("tombstoneStream dedups re-delivered delete events; ids-only registry rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[StreamingSpec.Doc]
+    val t0 = 1700000000000L
+    def del(id: Long, offSec: Int) = StreamingSpec.Doc(id, "",
+      new java.sql.Timestamp(t0 + offSec * 1000L))
+    val q = Streaming.tombstoneStream(stream.toDF(), "doc_id", "ts",
+        "10 minutes")
+      .writeStream.format("memory").queryName("tomb_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // id 7 delivered twice in-horizon: one registry row
+      stream.addData(del(7, 0), del(9, 1), del(7, 2))
+      q.processAllAvailable()
+      stream.addData(del(11, 60))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("tomb_out")
+    assert(out.columns.toSeq == Seq("del_id"),
+      "registry rows must be ids-only (broadcast-small contract)")
+    val ids = out.collect().map(_.getAs[Long]("del_id")).toSeq
+    assert(ids.sorted == Seq(7L, 9L, 11L), s"got $ids")
+  }
+
   test("sessionStep timeout branch flushes the open session and evicts state") {
     import org.apache.spark.sql.streaming.TestGroupState
     val open = Streaming.SessionState(start = 1000L, lastSeen = 2000L,
