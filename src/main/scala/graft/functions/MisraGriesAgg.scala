@@ -34,9 +34,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * with true frequency > N/(k+1) retains a positive counter — with
   * k ≥ ⌈1/θ⌉, every θ-frequent item is in the candidate array.
   *
-  * Null items are skipped; weights ≤ 0 are skipped (weight w insertion
-  * is O(1) amortized — histogram feeds compose the same way as
-  * [[WeightedPercentileApprox]]).
+  * Null items are skipped; weights ≤ 0 are skipped. Weight-w insertion
+  * is one map update (histogram feeds compose the same way as
+  * [[WeightedPercentileApprox]]); an insertion past capacity pays an
+  * O(k) subtract-min scan — fine for the heavy-hitter regime
+  * (k = ⌈1/θ⌉ is a few hundred at any useful θ), and the classic
+  * bucket-list refinement is the upgrade path if a caller ever needs
+  * k ≫ 10⁴.
   */
 case class MisraGriesCandidates(
     child: Expression,
