@@ -295,9 +295,44 @@ object Queries {
        |ORDER BY b.col_name""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q112 equal-frequency (quantile) BINNING — the exact
+  // feature-discretization operator over the same metric columns as
+  // q03: k bins of near-equal row count per metric, ties kept in one
+  // bin (the histogram-granularity ntile: bin = (cum_before·k) div n
+  // over the range-bucketed cumulative histogram — all-integer rank
+  // arithmetic, no whole-metric sort on one task, oracle-exact by
+  // construction since DuckDB computes the identical integer formula
+  // over the identical distinct-value cumsum).
+  private val BinK = 8
+
+  def q112QuantileBins(s: SparkSession, d: String): DataFrame =
+    Extents.quantileBins(lineitem(s, d), extentCols, BinK)
+
+  val q112Sql: String = {
+    val branches = extentCols
+      .map(c => s"SELECT '$c' AS id, CAST($c AS DOUBLE) AS value FROM lineitem")
+      .mkString(" UNION ALL ")
+    s"""WITH long AS ($branches),
+       |h AS (
+       | SELECT id, value, count(*) AS cnt FROM long
+       | WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY id, value),
+       |c AS (
+       | SELECT id, value, cnt,
+       |  sum(cnt) OVER (PARTITION BY id ORDER BY value) - cnt AS cum_before,
+       |  sum(cnt) OVER (PARTITION BY id) AS n
+       | FROM h)
+       |SELECT id AS metric,
+       | least($BinK - 1, CAST((cum_before * $BinK) // n AS INT)) AS bin,
+       | CAST(sum(cnt) AS BIGINT) AS n_rows,
+       | min(value) AS lo, max(value) AS hi
+       |FROM c GROUP BY 1, 2 ORDER BY metric, bin""".stripMargin
+  }
+
   /** Registry: name -> query. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_profile_drift" -> (q111ProfileDrift _),
+    "q112_quantile_bins" -> (q112QuantileBins _),
     "q44_extents_by_group" -> (q44ExtentsByGroup _),
     "q94_extents_approx" -> (q94ExtentsApprox _),
     "q101_profile" -> (q101Profile _),
@@ -315,6 +350,7 @@ object Queries {
     "q44_extents_by_group" -> q44Sql,
     "q101_profile" -> q101Sql,
     "q111_profile_drift" -> q111Sql,
+    "q112_quantile_bins" -> q112Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_shape_pivot" -> q02Sql,
     "q03_extents" -> q03Sql,

@@ -163,48 +163,7 @@ object Extents {
           element_at(col("qq"), 1).as("q1"),
           element_at(col("qq"), 2).as("q99")): _*)
     } else {
-      // cache barrier: the histogram (already the SMALL distinct-value
-      // table) feeds both the boundary sketch and the bucketed cumsum —
-      // without it the whole upstream unpivot + try_cast re-executes per
-      // reference (observed 3x at sf0.1). Same documented pattern as the
-      // q23 shingle cache; released by `unpersistAfterUse` once the
-      // first action over the result completes.
-      val hist = long.groupBy((groupCols :+ "value").map(col): _*)
-        .agg(count(lit(1)).as("cnt"))
-        .persist()
-      // deterministic range bucketing: per-group boundary sketch over the
-      // distinct values; bucket = #boundaries below the value (HOF over
-      // a tiny broadcast array)
-      val qs = array((1 until RangeBuckets)
-        .map(i => lit(i.toDouble / RangeBuckets)): _*)
-      val bounds = hist.groupBy(gcols: _*)
-        .agg(percentile_approx(col("value"), qs, lit(1000)).as("__bnds"))
-      // bounds/offs are ≤ RangeBuckets rows PER GROUP, so the broadcast
-      // hint is only safe while groupCol cardinality is bounded
-      // (`fewGroups`, the reference shape: a handful of metrics ×
-      // regions). A 100 TB caller with millions of groups passes
-      // fewGroups = false and these become shuffle joins — the driver
-      // never builds an unbounded broadcast table.
-      def maybeBroadcast(df: DataFrame): DataFrame =
-        if (fewGroups) broadcast(df) else df
-      val bucketed = hist.join(maybeBroadcast(bounds), groupCols)
-        .withColumn("bkt", size(filter(col("__bnds"), b => b < col("value"))))
-        .drop("__bnds")
-      val bktCols = groupCols :+ "bkt"
-      // per-(group, bucket) subtotals: ≤ RangeBuckets rows per group, so
-      // the offset window's per-group partition is trivially small
-      val sub = bucketed.groupBy(bktCols.map(col): _*)
-        .agg(sum("cnt").as("bsum"))
-      val offs = sub
-        .withColumn("__off", coalesce(sum("bsum").over(
-          Window.partitionBy(gcols: _*).orderBy("bkt")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .withColumn("n", sum("bsum").over(Window.partitionBy(gcols: _*)))
-        .select(bktCols.map(col) :+ col("__off") :+ col("n"): _*)
-      val wIn = Window.partitionBy(bktCols.map(col): _*).orderBy("value")
-      val cum = bucketed.join(maybeBroadcast(offs), bktCols)
-        .withColumn("cum", sum("cnt").over(wIn) + col("__off"))
-        .withColumn("cum_before", col("cum") - col("cnt"))
+      val (hist, cum) = cumulativeHistogram(long, groupCols, fewGroups)
       // rank targets (1-based): kLo = ⌊h⌋+1 and its successor, clamped
       def picks(p: Double, name: String): Seq[Column] = {
         val h = (col("n") - 1) * p
@@ -229,6 +188,102 @@ object Extents {
           interp(lo, "a").as("q1"), interp(hi, "b").as("q99")): _*)
       unpersistAfterUse(hist, out)
     }
+  }
+
+  /** The shared exact-rank kernel: distinct-value histogram +
+    * RANGE-BUCKETED cumulative ranks per group. Returns the PERSISTED
+    * histogram (route the final frame through [[unpersistAfterUse]])
+    * and the cum frame — (groupCols..., bkt, value, cnt, cum,
+    * cum_before, n) — where `cum` is the exact 1-based cumulative row
+    * count through each distinct value and `n` the group total. No
+    * operator ever sorts a whole group's distinct values on one task:
+    * the in-bucket window partitions by (group, bkt) and the
+    * per-bucket offset comes from a second window over the TINY
+    * bucket-subtotal table (≤ [[RangeBuckets]] rows per group).
+    * Consumers: [[computeExtents]] (exact R-7 quantiles) and
+    * [[quantileBins]] (equal-frequency binning).
+    */
+  private def cumulativeHistogram(long: DataFrame, groupCols: Seq[String],
+                                  fewGroups: Boolean)
+      : (DataFrame, DataFrame) = {
+    val gcols = groupCols.map(col)
+    // cache barrier: the histogram (already the SMALL distinct-value
+    // table) feeds both the boundary sketch and the bucketed cumsum —
+    // without it the whole upstream unpivot + try_cast re-executes per
+    // reference (observed 3x at sf0.1). Same documented pattern as the
+    // q23 shingle cache; released by `unpersistAfterUse` once the
+    // first action over the result completes.
+    val hist = long.groupBy((groupCols :+ "value").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .persist()
+    // deterministic range bucketing: per-group boundary sketch over the
+    // distinct values; bucket = #boundaries below the value (HOF over
+    // a tiny broadcast array)
+    val qs = array((1 until RangeBuckets)
+      .map(i => lit(i.toDouble / RangeBuckets)): _*)
+    val bounds = hist.groupBy(gcols: _*)
+      .agg(percentile_approx(col("value"), qs, lit(1000)).as("__bnds"))
+    // bounds/offs are ≤ RangeBuckets rows PER GROUP, so the broadcast
+    // hint is only safe while groupCol cardinality is bounded
+    // (`fewGroups`, the reference shape: a handful of metrics ×
+    // regions). A 100 TB caller with millions of groups passes
+    // fewGroups = false and these become shuffle joins — the driver
+    // never builds an unbounded broadcast table.
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (fewGroups) broadcast(df) else df
+    val bucketed = hist.join(maybeBroadcast(bounds), groupCols)
+      .withColumn("bkt", size(filter(col("__bnds"), b => b < col("value"))))
+      .drop("__bnds")
+    val bktCols = groupCols :+ "bkt"
+    // per-(group, bucket) subtotals: ≤ RangeBuckets rows per group, so
+    // the offset window's per-group partition is trivially small
+    val sub = bucketed.groupBy(bktCols.map(col): _*)
+      .agg(sum("cnt").as("bsum"))
+    val offs = sub
+      .withColumn("__off", coalesce(sum("bsum").over(
+        Window.partitionBy(gcols: _*).orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum("bsum").over(Window.partitionBy(gcols: _*)))
+      .select(bktCols.map(col) :+ col("__off") :+ col("n"): _*)
+    val wIn = Window.partitionBy(bktCols.map(col): _*).orderBy("value")
+    val cum = bucketed.join(maybeBroadcast(offs), bktCols)
+      .withColumn("cum", sum("cnt").over(wIn) + col("__off"))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+    (hist, cum)
+  }
+
+  /** Equal-frequency (quantile) BINNING — the feature-discretization /
+    * balanced-bucketing operator (Spark ML's QuantileDiscretizer shape,
+    * exact instead of sketched): each metric's values split into `k`
+    * bins of near-equal row count. Bin of a distinct value =
+    * `(cum_before · k) div n` — the histogram-granularity ntile, so
+    * TIES STAY IN ONE BIN (a discretizer must map equal values
+    * equally; row-ntile splits them arbitrarily) and bins are balanced
+    * up to tie granularity. All arithmetic is integer (exact at any n,
+    * no double rank), the ranks come from the same range-bucketed
+    * cumulative histogram as the exact extents — no whole-group sort
+    * on one task — and the output is one row per (metric, bin) with
+    * count and value range.
+    */
+  def quantileBins(df: DataFrame, metricCols: Seq[String], k: Int,
+                   fewGroups: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val stackExpr = explodeToLong(metricCols)
+    val long = df.select(stackExpr: _*)
+      .select(col("id"), numericOrNull(col("value")).as("value"))
+      .filter(col("value").isNotNull)
+    val names = array(metricCols.map(lit): _*)
+    val (hist, cum) = cumulativeHistogram(long, Seq("id"), fewGroups)
+    val out = cum
+      .withColumn("bin",
+        expr(s"least($k - 1, CAST((cum_before * $k) div n AS INT))"))
+      .groupBy(col("id"), col("bin"))
+      .agg(sum("cnt").as("n_rows"),
+        min("value").as("lo"), max("value").as("hi"))
+      .withColumn("metric", element_at(names, col("id") + 1))
+      .select("metric", "bin", "n_rows", "lo", "hi")
+      .orderBy("metric", "bin")
+    unpersistAfterUse(hist, out)
   }
 
   /** Releases the cached histogram once the first action consuming

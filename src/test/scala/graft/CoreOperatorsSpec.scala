@@ -198,6 +198,28 @@ class CoreOperatorsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("quantileBins: near-equal bins, ties in one bin, ranges partition") {
+    // 1000 distinct values → 8 bins of exactly 125 rows
+    val df = (1 to 1000).map(_.toDouble).toDF("a")
+    val bins = Extents.quantileBins(df, Seq("a"), 8).collect()
+    assert(bins.length == 8)
+    assert(bins.forall(_.getAs[Long]("n_rows") == 125L))
+    // bin value-ranges are disjoint and ordered
+    val sorted = bins.sortBy(_.getAs[Int]("bin"))
+    sorted.sliding(2).foreach { case Array(x, y) =>
+      assert(x.getAs[Double]("hi") < y.getAs[Double]("lo"))
+    }
+    // heavy tie: one value holding 60% of rows lands in ONE bin (a
+    // discretizer must map equal values equally — row-ntile would
+    // split them across bins)
+    val tied = (Seq.fill(600)(5.0) ++ (1 to 400).map(_.toDouble + 1000))
+      .toDF("a")
+    val tb = Extents.quantileBins(tied, Seq("a"), 4).collect()
+    assert(tb.count(r => r.getAs[Double]("lo") <= 5.0 &&
+      5.0 <= r.getAs[Double]("hi")) == 1, "tied value must occupy one bin")
+    assert(tb.map(_.getAs[Long]("n_rows")).sum == 1000L)
+  }
+
   test("approximate extents stay within 2% of exact quantiles") {
     val rnd = new scala.util.Random(11)
     val df = (0 until 5000).map(_ => rnd.nextDouble() * 1000).toDF("a")

@@ -502,6 +502,16 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"serving must scan the persisted merged index:\n$p")
   }
 
+  test("q112: quantile binning keeps the range-bucketed rank shape") {
+    val p = plan("q112_quantile_bins")
+    // same kernel contract as q03: the cumulative window partitions by
+    // (metric, bkt), never the metric alone, and nothing single-partitions
+    assert("hashpartitioning\\([^)]*bkt".r.findFirstIn(p).isDefined,
+      s"binning cumsum must partition by (id, bkt):\n$p")
+    assert(!p.contains("SinglePartition"),
+      "no single-partition exchange in quantile binning")
+  }
+
   test("q111: drift profiles both slices in one fact-table pass") {
     val p = plan("q111_profile_drift")
     // the sliced profile is checkpointed before the drift self-join:
