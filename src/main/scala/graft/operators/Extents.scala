@@ -163,7 +163,26 @@ object Extents {
           element_at(col("qq"), 1).as("q1"),
           element_at(col("qq"), 2).as("q99")): _*)
     } else {
-      val (hist, cum) = cumulativeHistogram(long, groupCols, fewGroups)
+      val (hist, bucketed, offs) = cumulativeHistogram(long, groupCols, fewGroups)
+      // RANK-TARGETED window (round 10): the two quantiles need the
+      // exact rank of only 4 target positions per group, and the
+      // offset table already brackets each bucket's rank span — so
+      // only the ≤4 buckets containing a target ever join into the
+      // window. The other ~⅞ of the distinct values skip the sort
+      // entirely (measured ~20%/~10% end-to-end at sf0.1/10× — the
+      // histogram build dominates what remains); vmin/vmax come from
+      // the histogram directly. Bucket-hit predicate and pick expressions share the
+      // same floor arithmetic, so the picked values are bit-identical
+      // to the full-window formulation (spec- and oracle-covered).
+      def bucketHit(p: Double): Column = {
+        val h = (col("n") - 1) * p
+        val kLo = floor(h) + 1
+        val kHi = least(floor(h) + 2, col("n"))
+        (col("__off") < kLo && kLo <= col("__off") + col("bsum")) ||
+          (col("__off") < kHi && kHi <= col("__off") + col("bsum"))
+      }
+      val cum = cumFrom(bucketed, offs.where(bucketHit(lo) || bucketHit(hi)),
+        groupCols, fewGroups)
       // rank targets (1-based): kLo = ⌊h⌋+1 and its successor, clamped
       def picks(p: Double, name: String): Seq[Column] = {
         val h = (col("n") - 1) * p
@@ -180,10 +199,12 @@ object Extents {
         val frac = h - floor(h)
         col(s"${name}_lo") + frac * (col(s"${name}_hi") - col(s"${name}_lo"))
       }
-      val out = cum.groupBy(gcols: _*)
+      val ranges = hist.groupBy(gcols: _*)
+        .agg(min("value").as("vmin"), max("value").as("vmax"))
+      val pickAgg = cum.groupBy(gcols: _*)
         .agg(first("n").as("n"),
-          Seq(min("value").as("vmin"), max("value").as("vmax")) ++
-            picks(lo, "a") ++ picks(hi, "b"): _*)
+          picks(lo, "a") ++ picks(hi, "b"): _*)
+      val out = ranges.join(pickAgg, groupCols)
         .select(gcols ++ Seq(col("vmin"), col("vmax"),
           interp(lo, "a").as("q1"), interp(hi, "b").as("q99")): _*)
       unpersistAfterUse(hist, out)
@@ -205,7 +226,7 @@ object Extents {
     */
   private def cumulativeHistogram(long: DataFrame, groupCols: Seq[String],
                                   fewGroups: Boolean)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     val gcols = groupCols.map(col)
     // cache barrier: the histogram (already the SMALL distinct-value
     // table) feeds both the boundary sketch and the bucketed cumsum —
@@ -244,12 +265,27 @@ object Extents {
         Window.partitionBy(gcols: _*).orderBy("bkt")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("n", sum("bsum").over(Window.partitionBy(gcols: _*)))
-      .select(bktCols.map(col) :+ col("__off") :+ col("n"): _*)
+      .select(bktCols.map(col) ++ Seq(col("bsum"), col("__off"), col("n")): _*)
+    (hist, bucketed, offs)
+  }
+
+  /** In-bucket cumulative ranks over (a possibly bucket-FILTERED view
+    * of) the offset table: joining `bucketed` against fewer `offs`
+    * rows prunes whole buckets out of the window — the rank-targeted
+    * short-circuit [[computeExtents]] uses (only the ≤4 buckets
+    * containing a target rank ever sort), while [[quantileBins]]
+    * passes the full table because every distinct value needs its
+    * rank.
+    */
+  private def cumFrom(bucketed: DataFrame, offs: DataFrame,
+                      groupCols: Seq[String],
+                      fewGroups: Boolean): DataFrame = {
+    val bktCols = groupCols :+ "bkt"
     val wIn = Window.partitionBy(bktCols.map(col): _*).orderBy("value")
-    val cum = bucketed.join(maybeBroadcast(offs), bktCols)
+    val offsSide = if (fewGroups) broadcast(offs) else offs
+    bucketed.join(offsSide, bktCols)
       .withColumn("cum", sum("cnt").over(wIn) + col("__off"))
       .withColumn("cum_before", col("cum") - col("cnt"))
-    (hist, cum)
   }
 
   /** Equal-frequency (quantile) BINNING — the feature-discretization /
@@ -273,8 +309,8 @@ object Extents {
       .select(col("id"), numericOrNull(col("value")).as("value"))
       .filter(col("value").isNotNull)
     val names = array(metricCols.map(lit): _*)
-    val (hist, cum) = cumulativeHistogram(long, Seq("id"), fewGroups)
-    val out = cum
+    val (hist, bucketed, offs) = cumulativeHistogram(long, Seq("id"), fewGroups)
+    val out = cumFrom(bucketed, offs, Seq("id"), fewGroups)
       .withColumn("bin",
         expr(s"least($k - 1, CAST((cum_before * $k) div n AS INT))"))
       .groupBy(col("id"), col("bin"))
