@@ -369,13 +369,19 @@ object Similarity {
     // un-capped join broadcast its (plain-projection) small side and
     // losing that to an SMJ cost 4× wall at sf0.1; past the bound
     // (huge k at extreme corpus scale) fall back to the cid equi-join.
+    // The bound is in ROWS but budgeted in BYTES: each anchor row
+    // carries the full vector (dim floats ≈ 280 B at dim 64 with row
+    // overhead), so 250k rows ≈ 70 MB — a comfortable executor-side
+    // hash relation; the old 1M-row bound would have hinted a ~280 MB
+    // broadcast past any sane threshold (the explicit hint overrides
+    // autoBroadcastJoinThreshold, so the guard must be honest here).
     val anchors0 = assigned
       .withColumn("__rn", row_number().over(wc))
       .filter(col("__rn") <= maxCluster)
       .select(col("cid"), col(idCol).as("__a"), col(vecCol).as("__avec"),
         col("__norm").as("__anorm"))
     val anchors =
-      if (clusters.toLong * maxCluster <= 1000000L) broadcast(anchors0)
+      if (clusters.toLong * maxCluster <= 250000L) broadcast(anchors0)
       else anchors0
     val b = assigned.select(col("cid"), col(idCol).as("__b"),
       col(vecCol).as("__bvec"), col("__norm").as("__bnorm"))
