@@ -2032,7 +2032,7 @@ object QueriesSim {
     * (clamped against the frozen base ranges) computed side by side,
     * never joined.
     */
-  private def sqMergedIndex(s: SparkSession, d: String): DataFrame = {
+  private[graft] def sqMergedIndex(s: SparkSession, d: String): DataFrame = {
     val path = graft.operators.ArtifactCache.getOrLoadOrLearn(
         s"sqmergedidx:$d") {
       val n = embeddings(s, d).count()

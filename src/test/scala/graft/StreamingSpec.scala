@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -110,6 +110,38 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       "registry rows must be ids-only (broadcast-small contract)")
     val ids = out.collect().map(_.getAs[Long]("del_id")).toSeq
     assert(ids.sorted == Seq(7L, 9L, 11L), s"got $ids")
+  }
+
+  test("tombstoneStream registry composes with index serving: streamed deletes never surface") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val stream = MemoryStream[StreamingSpec.Doc]
+    val t0 = 1700000000000L
+    // stream the q108 rule's ids (vec_id % 17 == 5) as delete events —
+    // the registry a deployment accumulates between compactions
+    val delIds = spark.read.parquet(s"$d/embeddings.parquet")
+      .where(expr("vec_id % 17 = 5"))
+      .select("vec_id").collect().map(_.getLong(0))
+    val q = Streaming.tombstoneStream(stream.toDF(), "doc_id", "ts",
+        "10 minutes")
+      .writeStream.format("memory").queryName("tomb_reg")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(delIds.map(id => StreamingSpec.Doc(id, "",
+        new java.sql.Timestamp(t0))).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val registry = spark.table("tomb_reg")
+    // serving through the STREAMED registry must equal q108 (which
+    // derives the same registry relationally)
+    val viaStream = QueriesSim.sqServeTopK(spark, d,
+      QueriesSim.sqMergedIndex(spark, d)
+        .join(org.apache.spark.sql.functions.broadcast(registry),
+          col("nid") === col("del_id"), "left_anti")).collect().toSeq
+    val viaQuery = QueriesSim.all("q108_tombstoned_serve")(spark, d)
+      .collect().toSeq
+    assert(viaStream == viaQuery,
+      "streamed tombstone registry must serve identically to q108")
   }
 
   test("sessionStep timeout branch flushes the open session and evicts state") {
