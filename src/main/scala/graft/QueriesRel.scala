@@ -304,7 +304,75 @@ object QueriesRel {
       | AND c_us >= p_us AND c_us <= p_us + 3600000000
       |ORDER BY p_eid, c_eid""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q113 FUZZY string-key join (J6) — the messy-feed-to-catalog matcher:
+  // a "feed" of part names each missing one character (deterministic
+  // drop at position p_partkey % 5 + 2, feed = every 7th part) joins
+  // back to the distinct-name catalog on char-3-gram Jaccard ≥ 0.5.
+  // Candidate generation is the df-pruned gram equi-join (never
+  // all-pairs — Joins.fuzzyKeyJoin); verification is exact Jaccard over
+  // the full 60-bit gram-hash sets, so the DuckDB oracle reproduces the
+  // result cell-exact. tau = 0.5 separates true matches (~0.6–0.8 for
+  // a one-char drop) from same-noun different-adjective catalog pairs
+  // (~0.3).
+  private val FzK = 3
+  private val FzTau = 0.5
+  private val FzMaxDf = 50
+
+  def q113FuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    val cat = part(s, d).select(col("p_name"))
+    val feed = part(s, d).where(col("p_partkey") % 7 === 0)
+      .select(expr(
+        "concat(substr(p_name, 1, (p_partkey % 5 + 2) - 1), " +
+          "substr(p_name, (p_partkey % 5 + 2) + 1))").as("feed_name"))
+    Joins.fuzzyKeyJoin(cat, feed, "p_name", "feed_name",
+        FzK, FzTau, FzMaxDf)
+      .select(col("left_key").as("catalog_name"),
+        col("right_key").as("feed_name"), col("jaccard"))
+      .orderBy("catalog_name", "feed_name")
+  }
+
+  val q113Sql: String = {
+    val norm = graft.operators.TextStats.normalizeSql _
+    def shSql(e: String): String =
+      s"""list_distinct(list_transform(
+         |   range(1, greatest(length(${norm(e)}) - ${FzK - 1}, 1) + 1),
+         |   i -> CAST(('0x' || substr(md5(substr(${norm(e)}, i, $FzK)), 1, 15))
+         |        AS BIGINT)))""".stripMargin
+    s"""WITH cat AS (SELECT DISTINCT p_name AS left_key FROM part),
+       |feed AS (
+       | SELECT DISTINCT concat(substr(p_name, 1, (p_partkey % 5 + 2) - 1),
+       |   substr(p_name, (p_partkey % 5 + 2) + 1)) AS right_key
+       | FROM part WHERE p_partkey % 7 = 0),
+       |lsh AS (SELECT left_key, ${shSql("left_key")} AS sh FROM cat),
+       |rsh AS (SELECT right_key, ${shSql("right_key")} AS sh FROM feed),
+       |lex AS (SELECT left_key, unnest(sh) AS h FROM lsh),
+       |rex AS (SELECT right_key, unnest(sh) AS h FROM rsh),
+       |hot AS (
+       | SELECT h FROM (
+       |  SELECT h, count(*) AS df FROM (
+       |   SELECT h FROM lex UNION ALL SELECT h FROM rex) u
+       |  GROUP BY h) t WHERE df > $FzMaxDf),
+       |cand AS (
+       | SELECT DISTINCT x.left_key, y.right_key
+       | FROM (SELECT * FROM lex WHERE h NOT IN (SELECT h FROM hot)) x
+       | JOIN (SELECT * FROM rex WHERE h NOT IN (SELECT h FROM hot)) y
+       |  USING (h)),
+       |v AS (
+       | SELECT c.left_key AS catalog_name, c.right_key AS feed_name,
+       |  round(CAST(len(list_intersect(ls.sh, rs.sh)) AS DOUBLE)
+       |   / (len(ls.sh) + len(rs.sh) - len(list_intersect(ls.sh, rs.sh))),
+       |   6) AS jaccard
+       | FROM cand c
+       | JOIN lsh ls ON ls.left_key = c.left_key
+       | JOIN rsh rs ON rs.right_key = c.right_key)
+       |SELECT catalog_name, feed_name, jaccard FROM v
+       |WHERE jaccard >= $FzTau
+       |ORDER BY catalog_name, feed_name""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_fuzzy_join" -> (q113FuzzyJoin _),
     "q43_range_join" -> (q43RangeJoin _),
     "q37_shipping_priority" -> (q37ShippingPriority _),
     "q38_big_orders" -> (q38BigOrders _),
@@ -321,6 +389,7 @@ object QueriesRel {
   )
 
   val oracle: Map[String, String] = Map(
+    "q113_fuzzy_join" -> q113Sql,
     "q43_range_join" -> q43Sql,
     "q37_shipping_priority" -> q37Sql,
     "q38_big_orders" -> q38Sql,

@@ -79,4 +79,62 @@ object Joins {
         col(rightTsUs) <= col(leftTsUs) + maxDeltaUs)
       .drop("__bucket")
   }
+
+  /** J6: FUZZY string-key join — the messy-feed-to-catalog matcher
+    * (misspelled place names, OCR'd vendor names, near-identical product
+    * titles): returns the DISTINCT key-level match table
+    * (left_key, right_key, jaccard) for every cross-side key pair whose
+    * char-`k`-gram Jaccard similarity is ≥ `tau`; callers join it back
+    * to their row tables. Working at KEY level (each side's keys
+    * dedupe before shingling) is the scale shape — |distinct keys| is
+    * usually orders below |rows|.
+    *
+    * Plan (never all-pairs):
+    *  1. normalize + char-k-gram-hash each side's distinct keys (the
+    *     q21 fingerprint kernel — native one-pass expression, 60-bit
+    *     md5 hashes, oracle-reproducible);
+    *  2. CANDIDATE pairs = cross-side equi-join on the gram hash,
+    *     with grams whose combined document frequency exceeds `maxDf`
+    *     excluded first (non-discriminative boilerplate grams —
+    *     "Customer#0…" prefixes — would otherwise fan the equi-join
+    *     toward all-pairs; the hot set is bounded at
+    *     Σ|grams| / maxDf rows by construction, so its broadcast
+    *     cannot grow unboundedly);
+    *  3. VERIFY each candidate with the FULL gram sets (exact Jaccard
+    *     over the distinct 60-bit hash arrays — candidates are few
+    *     post-prune, so the per-pair intersect is cheap).
+    *
+    * Recall contract: a pair ALL of whose shared grams are hot is
+    * never considered (the standard df-prune trade); the verify stage
+    * makes precision exact. Deterministic end to end — the DuckDB
+    * oracle reproduces the same prune + verify cell-exact.
+    */
+  def fuzzyKeyJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   k: Int, tau: Double, maxDf: Int): DataFrame = {
+    require(k >= 1 && tau >= 0.0 && tau <= 1.0 && maxDf >= 1)
+    def keyed(df: DataFrame, keyCol: String, out: String): DataFrame =
+      df.select(col(keyCol).cast("string").as(out)).distinct()
+        .withColumn("__sh", array_distinct(
+          TextStats.shingleHashExpr(out, k)))
+    val l = keyed(left, leftKey, "left_key")
+    val r = keyed(right, rightKey, "right_key")
+    val lex = l.select(col("left_key"), explode(col("__sh")).as("h"))
+    val rex = r.select(col("right_key"), explode(col("__sh")).as("h"))
+    val hot = lex.select("h").unionAll(rex.select("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select("h")
+    val cand = lex.join(broadcast(hot), Seq("h"), "left_anti")
+      .join(rex.join(broadcast(hot), Seq("h"), "left_anti"), "h")
+      .select("left_key", "right_key").distinct()
+    cand
+      .join(l, "left_key")
+      .join(r.withColumnRenamed("__sh", "__shr"), "right_key")
+      .withColumn("__c",
+        size(array_intersect(col("__sh"), col("__shr"))).cast("double"))
+      .withColumn("jaccard", round(col("__c") /
+        (size(col("__sh")) + size(col("__shr")) - col("__c")), 6))
+      .where(col("jaccard") >= tau)
+      .select("left_key", "right_key", "jaccard")
+  }
 }

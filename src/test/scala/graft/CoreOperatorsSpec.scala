@@ -169,6 +169,34 @@ class CoreOperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(out == Seq((1L, 100L, 100L), (1L, 100L, 150L), (1L, 1000L, 1099L)))
   }
 
+  test("fuzzyKeyJoin: identical keys score 1.0; df-prune gates candidates") {
+    val cat = Seq("red widget", "blue anvil", "hot gear").toDF("name")
+    val feed = Seq("red widget", "red widgt", "cold plate").toDF("fname")
+    val out = graft.operators.Joins
+      .fuzzyKeyJoin(cat, feed, "name", "fname", 3, 0.5, 50)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(out.exists { case (l, r2, j) =>
+      l == "red widget" && r2 == "red widget" && j == 1.0 },
+      s"exact duplicate must score 1.0: $out")
+    assert(out.exists { case (l, r2, j) =>
+      l == "red widget" && r2 == "red widgt" && j >= 0.5 },
+      s"one-char drop must survive tau: $out")
+    assert(!out.exists(_._2 == "cold plate"),
+      "unrelated key must not match")
+    // maxDf = 1 makes EVERY gram hot (each appears in ≥ 2 of catalog ∪
+    // feed or is unique — unique grams have df 1 ≤ 1... use maxDf such
+    // that shared grams are hot): with maxDf = 1 the shared grams of
+    // the exact-duplicate pair (df = 2) are all pruned, so no candidate
+    // survives — the documented recall trade of the prune
+    val pruned = graft.operators.Joins
+      .fuzzyKeyJoin(cat, feed.where($"fname" === "red widget"),
+        "name", "fname", 3, 0.5, 1)
+      .collect()
+    assert(pruned.isEmpty,
+      "all-shared-grams-hot pair must be pruned (recall contract)")
+  }
+
   test("histogram quantile matches direct R-7 on random duplicated multisets") {
     // the exact path is a distributed histogram + interpolation, not a
     // value-multiset buffer — it must agree with naive R-7 bit-for-bit

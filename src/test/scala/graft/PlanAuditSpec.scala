@@ -502,6 +502,16 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"serving must scan the persisted merged index:\n$p")
   }
 
+  test("q113: fuzzy join is gram equi-join + verify — never a product") {
+    val p = plan("q113_fuzzy_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy candidates must come from the gram equi-join:\n$p")
+    // the hot-gram set applies as broadcast anti-joins pre-candidate
+    assert(p.contains("LeftAnti"),
+      s"df-prune must anti-join the hot grams:\n$p")
+  }
+
   test("q112: quantile binning keeps the range-bucketed rank shape") {
     val p = plan("q112_quantile_bins")
     // same kernel contract as q03: the cumulative window partitions by
