@@ -371,8 +371,62 @@ object QueriesRel {
        |ORDER BY catalog_name, feed_name""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q114 edit-distance fuzzy join (J6b) — q113's candidate machinery
+  // verified with exact Levenshtein ≤ 2 instead of gram Jaccard: the
+  // character-level face of the matcher (native `levenshtein` in both
+  // engines, identical definition — the verify is oracle-covered).
+  private val EdMaxDist = 2
+
+  def q114EditJoin(s: SparkSession, d: String): DataFrame = {
+    val cat = part(s, d).select(col("p_name"))
+    val feed = part(s, d).where(col("p_partkey") % 7 === 0)
+      .select(expr(
+        "concat(substr(p_name, 1, (p_partkey % 5 + 2) - 1), " +
+          "substr(p_name, (p_partkey % 5 + 2) + 1))").as("feed_name"))
+    Joins.fuzzyKeyJoinEdit(cat, feed, "p_name", "feed_name",
+        FzK, EdMaxDist, FzMaxDf)
+      .select(col("left_key").as("catalog_name"),
+        col("right_key").as("feed_name"), col("dist").cast("int").as("dist"))
+      .orderBy("catalog_name", "feed_name")
+  }
+
+  val q114Sql: String = {
+    val norm = graft.operators.TextStats.normalizeSql _
+    def shSql(e: String): String =
+      s"""list_distinct(list_transform(
+         |   range(1, greatest(length(${norm(e)}) - ${FzK - 1}, 1) + 1),
+         |   i -> CAST(('0x' || substr(md5(substr(${norm(e)}, i, $FzK)), 1, 15))
+         |        AS BIGINT)))""".stripMargin
+    s"""WITH cat AS (SELECT DISTINCT p_name AS left_key FROM part),
+       |feed AS (
+       | SELECT DISTINCT concat(substr(p_name, 1, (p_partkey % 5 + 2) - 1),
+       |   substr(p_name, (p_partkey % 5 + 2) + 1)) AS right_key
+       | FROM part WHERE p_partkey % 7 = 0),
+       |lsh AS (SELECT left_key, ${shSql("left_key")} AS sh FROM cat),
+       |rsh AS (SELECT right_key, ${shSql("right_key")} AS sh FROM feed),
+       |lex AS (SELECT left_key, unnest(sh) AS h FROM lsh),
+       |rex AS (SELECT right_key, unnest(sh) AS h FROM rsh),
+       |hot AS (
+       | SELECT h FROM (
+       |  SELECT h, count(*) AS df FROM (
+       |   SELECT h FROM lex UNION ALL SELECT h FROM rex) u
+       |  GROUP BY h) t WHERE df > $FzMaxDf),
+       |cand AS (
+       | SELECT DISTINCT x.left_key, y.right_key
+       | FROM (SELECT * FROM lex WHERE h NOT IN (SELECT h FROM hot)) x
+       | JOIN (SELECT * FROM rex WHERE h NOT IN (SELECT h FROM hot)) y
+       |  USING (h))
+       |SELECT left_key AS catalog_name, right_key AS feed_name,
+       | CAST(levenshtein(left_key, right_key) AS INT) AS dist
+       |FROM cand
+       |WHERE levenshtein(left_key, right_key) <= $EdMaxDist
+       |ORDER BY catalog_name, feed_name""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_fuzzy_join" -> (q113FuzzyJoin _),
+    "q114_edit_join" -> (q114EditJoin _),
     "q43_range_join" -> (q43RangeJoin _),
     "q37_shipping_priority" -> (q37ShippingPriority _),
     "q38_big_orders" -> (q38BigOrders _),
@@ -390,6 +444,7 @@ object QueriesRel {
 
   val oracle: Map[String, String] = Map(
     "q113_fuzzy_join" -> q113Sql,
+    "q114_edit_join" -> q114Sql,
     "q43_range_join" -> q43Sql,
     "q37_shipping_priority" -> q37Sql,
     "q38_big_orders" -> q38Sql,

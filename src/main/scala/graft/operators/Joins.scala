@@ -113,6 +113,53 @@ object Joins {
                    leftKey: String, rightKey: String,
                    k: Int, tau: Double, maxDf: Int): DataFrame = {
     require(k >= 1 && tau >= 0.0 && tau <= 1.0 && maxDf >= 1)
+    val (l, r, cand) = fuzzyCandidates(left, right, leftKey, rightKey, k, maxDf)
+    cand
+      .join(l, "left_key")
+      .join(r.withColumnRenamed("__sh", "__shr"), "right_key")
+      .withColumn("__c",
+        size(array_intersect(col("__sh"), col("__shr"))).cast("double"))
+      .withColumn("jaccard", round(col("__c") /
+        (size(col("__sh")) + size(col("__shr")) - col("__c")), 6))
+      .where(col("jaccard") >= tau)
+      .select("left_key", "right_key", "jaccard")
+  }
+
+  /** J6b: edit-distance fuzzy key join — the same df-pruned gram
+    * candidate generation as [[fuzzyKeyJoin]], verified with exact
+    * Levenshtein distance ≤ `maxDist` instead of gram Jaccard (the
+    * classic production pairing: cheap set-similarity prefilter, exact
+    * edit-distance confirm — Jaccard tolerates reordering, edit
+    * distance pins character-level closeness). `levenshtein` is an
+    * identically-defined native function in both engines, so the
+    * oracle reproduces the verify cell-exact. Same recall contract as
+    * the Jaccard face: a pair sharing only hot grams is never
+    * considered; additionally a pair within `maxDist` edits but
+    * sharing NO k-gram (possible only when maxDist ≥ len/k-ish edits
+    * scatter every gram) is missed — the standard prefilter bound,
+    * documented.
+    */
+  def fuzzyKeyJoinEdit(left: DataFrame, right: DataFrame,
+                       leftKey: String, rightKey: String,
+                       k: Int, maxDist: Int, maxDf: Int): DataFrame = {
+    require(k >= 1 && maxDist >= 0 && maxDf >= 1)
+    val (_, _, cand) = fuzzyCandidates(left, right, leftKey, rightKey, k, maxDf)
+    cand
+      .withColumn("dist", levenshtein(col("left_key"), col("right_key")))
+      .where(col("dist") <= maxDist)
+      .select("left_key", "right_key", "dist")
+  }
+
+  /** Shared candidate stage of the fuzzy join family: distinct keys per
+    * side → char-k-gram hash sets → df-pruned cross-side gram
+    * equi-join. Returns the two keyed frames (with their `__sh` gram
+    * arrays, for verify stages that need them) and the DISTINCT
+    * candidate pair table.
+    */
+  private def fuzzyCandidates(left: DataFrame, right: DataFrame,
+                              leftKey: String, rightKey: String,
+                              k: Int, maxDf: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     def keyed(df: DataFrame, keyCol: String, out: String): DataFrame =
       df.select(col(keyCol).cast("string").as(out)).distinct()
         .withColumn("__sh", array_distinct(
@@ -127,14 +174,6 @@ object Joins {
     val cand = lex.join(broadcast(hot), Seq("h"), "left_anti")
       .join(rex.join(broadcast(hot), Seq("h"), "left_anti"), "h")
       .select("left_key", "right_key").distinct()
-    cand
-      .join(l, "left_key")
-      .join(r.withColumnRenamed("__sh", "__shr"), "right_key")
-      .withColumn("__c",
-        size(array_intersect(col("__sh"), col("__shr"))).cast("double"))
-      .withColumn("jaccard", round(col("__c") /
-        (size(col("__sh")) + size(col("__shr")) - col("__c")), 6))
-      .where(col("jaccard") >= tau)
-      .select("left_key", "right_key", "jaccard")
+    (l, r, cand)
   }
 }

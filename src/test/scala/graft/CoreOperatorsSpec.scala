@@ -197,6 +197,20 @@ class CoreOperatorsSpec extends AnyFunSuite with SharedSpark {
       "all-shared-grams-hot pair must be pruned (recall contract)")
   }
 
+  test("fuzzyKeyJoinEdit verifies candidates with exact Levenshtein") {
+    val cat = Seq("red widget", "blue anvil").toDF("name")
+    val feed = Seq("red widget", "red widgt", "rd wdget", "hot plate")
+      .toDF("fname")
+    val out = graft.operators.Joins
+      .fuzzyKeyJoinEdit(cat, feed, "name", "fname", 3, 2, 50)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Int]("dist"))).toSet
+    assert(out.contains(("red widget", "red widget", 0)))
+    assert(out.contains(("red widget", "red widgt", 1)))
+    assert(out.contains(("red widget", "rd wdget", 2)))
+    assert(!out.exists(_._2 == "hot plate"), "unrelated key must not match")
+  }
+
   test("histogram quantile matches direct R-7 on random duplicated multisets") {
     // the exact path is a distributed histogram + interpolation, not a
     // value-multiset buffer — it must agree with naive R-7 bit-for-bit
