@@ -424,9 +424,35 @@ object QueriesRel {
        |ORDER BY catalog_name, feed_name""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q115 entity RESOLUTION — the serving face over the fuzzy match
+  // table: each messy feed name resolves to its single best catalog
+  // entity (max Jaccard, ties on ascending catalog name), the top-1
+  // contract an ingestion pipeline actually consumes. One
+  // WindowGroupLimit over q113's pair table — rank prunes map-side.
+  def q115EntityResolve(s: SparkSession, d: String): DataFrame = {
+    val pairs = q113FuzzyJoin(s, d)
+    val w = Window.partitionBy("feed_name")
+      .orderBy(col("jaccard").desc, col("catalog_name"))
+    pairs.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("feed_name"), col("catalog_name").as("resolved"),
+        col("jaccard"))
+      .orderBy("feed_name")
+  }
+
+  val q115Sql: String =
+    s"""WITH m AS ($q113Sql)
+       |SELECT feed_name, catalog_name AS resolved, jaccard FROM (
+       | SELECT feed_name, catalog_name, jaccard,
+       |  row_number() OVER (PARTITION BY feed_name
+       |    ORDER BY jaccard DESC, catalog_name) AS rn
+       | FROM m) t WHERE rn = 1 ORDER BY feed_name""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_fuzzy_join" -> (q113FuzzyJoin _),
     "q114_edit_join" -> (q114EditJoin _),
+    "q115_entity_resolve" -> (q115EntityResolve _),
     "q43_range_join" -> (q43RangeJoin _),
     "q37_shipping_priority" -> (q37ShippingPriority _),
     "q38_big_orders" -> (q38BigOrders _),
@@ -445,6 +471,7 @@ object QueriesRel {
   val oracle: Map[String, String] = Map(
     "q113_fuzzy_join" -> q113Sql,
     "q114_edit_join" -> q114Sql,
+    "q115_entity_resolve" -> q115Sql,
     "q43_range_join" -> q43Sql,
     "q37_shipping_priority" -> q37Sql,
     "q38_big_orders" -> q38Sql,

@@ -502,6 +502,11 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"serving must scan the persisted merged index:\n$p")
   }
 
+  test("q115: entity resolution rank-limits map-side over the match table") {
+    assert(plan("q115_entity_resolve").contains("WindowGroupLimit"),
+      "best-match selection must prune through WindowGroupLimit")
+  }
+
   test("q113: fuzzy join is gram equi-join + verify — never a product") {
     val p = plan("q113_fuzzy_join")
     assert(!p.contains("CartesianProduct") &&
