@@ -117,6 +117,12 @@ object Joins {
     cand
       .join(l, "left_key")
       .join(r.withColumnRenamed("__sh", "__shr"), "right_key")
+      // SIZE filter (PPJoin family, result-neutral): |A∩B| ≤ min sizes
+      // and |A∪B| ≥ max sizes, so J ≤ min/max — a pair whose smaller
+      // gram set is under tau·(larger) can never reach tau; prune it
+      // before the per-pair intersect (the expensive step)
+      .where(least(size(col("__sh")), size(col("__shr"))).cast("double") >=
+        lit(tau) * greatest(size(col("__sh")), size(col("__shr"))))
       .withColumn("__c",
         size(array_intersect(col("__sh"), col("__shr"))).cast("double"))
       .withColumn("jaccard", round(col("__c") /
@@ -145,6 +151,11 @@ object Joins {
     require(k >= 1 && maxDist >= 0 && maxDf >= 1)
     val (_, _, cand) = fuzzyCandidates(left, right, leftKey, rightKey, k, maxDf)
     cand
+      // LENGTH filter (result-neutral): the length difference
+      // lower-bounds edit distance, so prune before the O(len²)
+      // levenshtein — the classic cheap gate of edit-distance joins
+      .where(abs(length(col("left_key")) - length(col("right_key")))
+        <= maxDist)
       .withColumn("dist", levenshtein(col("left_key"), col("right_key")))
       .where(col("dist") <= maxDist)
       .select("left_key", "right_key", "dist")
