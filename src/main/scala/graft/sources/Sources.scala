@@ -58,6 +58,26 @@ object Sources {
     (if (gzip) w.option("compression", "gzip") else w).csv(path)
   }
 
+  /** BUCKETED parquet table sink — the co-located-join face of the §2
+    * scale checklist ("repartition()/bucketing for co-located joins"):
+    * both sides of a repeated large-large equi-join written with the
+    * SAME (buckets, key) layout join with ZERO exchanges — the shuffle
+    * is paid ONCE at write time and amortized over every subsequent
+    * join, the technique for fact-fact joins where neither side
+    * broadcasts (at 100 TB, the lineitem ⋈ orders class).
+    * `sortBy(key)` additionally pre-sorts within buckets so the
+    * sort-merge join's sort can also be elided when bucket files allow.
+    * Spark requires bucketed writes to go through the session catalog
+    * (`saveAsTable`); read back with `spark.table(name)` — the bucket
+    * metadata only survives through the catalog, a plain
+    * `read.parquet(path)` forgets the layout (BucketedJoinSpec pins
+    * the zero-exchange plan and that trap).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
   /** S4: GeoJSON FeatureCollection scan → one row per feature with
     * `GEOID`, geometry type, and raw geometry JSON string (geometry
     * stays opaque until the tiling stage, like the reference's

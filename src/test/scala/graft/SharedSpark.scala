@@ -13,6 +13,9 @@ trait SharedSpark extends BeforeAndAfterAll { self: Suite =>
     .config("spark.sql.optimizer.windowGroupLimitThreshold", 100000)
       .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // static conf, first session in the JVM wins: keep saveAsTable
+    // artifacts (the bucketed-join spec) out of the repo tree
+    .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
