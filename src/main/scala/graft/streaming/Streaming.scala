@@ -400,6 +400,23 @@ object Streaming {
       .dropDuplicatesWithinWatermark("del_id")
       .select("del_id")
 
+  /** Streaming face of the HEAVY-HITTER candidate sketch (q110's pass
+    * 1 under `readStream`): a Complete-mode global aggregation whose
+    * state is the bounded Misra–Gries k-counter buffer — each
+    * micro-batch folds its items into the store-persisted summary, so
+    * the emitted candidate array always covers every θ-frequent item
+    * of the WHOLE stream so far (the mergeable-summaries bound is
+    * partition- and batch-order-free). Downstream, each emission feeds
+    * the exact confirm count in `foreachBatch` — q110's second pass,
+    * the same suspect-then-confirm shape as [[bloomRouteStream]].
+    * Continuous vocabulary/domain monitoring without ever shuffling
+    * or storing the raw token stream.
+    */
+  def heavyHitterCandidatesStream(items: DataFrame, itemCol: String,
+                                  k: Int): DataFrame =
+    items.agg(graft.functions.MisraGriesCandidates
+      .mg(col(itemCol), lit(1L), k).as("cands"))
+
   /** Stream-STREAM interval join — the q43 attribution semantics
     * (each left event pairs with the right events of the same key
     * whose timestamp lands in `[leftTs, leftTs + maxDelta]`) when

@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{col, explode, expr}
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -142,6 +142,29 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       .collect().toSeq
     assert(viaStream == viaQuery,
       "streamed tombstone registry must serve identically to q108")
+  }
+
+  test("heavyHitterCandidatesStream: MG state folds across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val q = Streaming.heavyHitterCandidatesStream(
+        stream.toDF().toDF("w"), "w", 10)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // batch 1: 'alpha' heavy, 60 rare singletons
+      stream.addData(Seq.fill(40)("alpha") ++ (1 to 60).map(i => s"r$i"): _*)
+      q.processAllAvailable()
+      // batch 2: 'beta' becomes heavy only ACROSS the whole stream
+      stream.addData(Seq.fill(50)("beta") ++ (61 to 120).map(i => s"r$i"): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val cands = spark.table("hh_out")
+      .select(explode(col("cands"))).as[String].collect().toSet
+    // N = 210, k = 10 → threshold N/(k+1) ≈ 19: both heavies must be
+    // candidates of the stream-wide summary
+    assert(Set("alpha", "beta").subsetOf(cands), s"got $cands")
+    assert(cands.size <= 10, "capacity bound must hold in the state store")
   }
 
   test("sessionStep timeout branch flushes the open session and evicts state") {
