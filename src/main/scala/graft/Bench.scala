@@ -74,12 +74,22 @@ object Bench {
     // comparisons can see the estimator and the spread.
     val nPasses = 2
     val samples = Array.fill(nPasses)(collection.mutable.LinkedHashMap.empty[String, Double])
+    // Host-speed canaries (Canary.scala): warm once untimed, then one
+    // timed sample immediately before pass 1 and one immediately after
+    // pass 2 — the probes BRACKET the same host window the per-query
+    // timings live in, so a cross-round uniform wall shift shows up in
+    // the canary ratio and per-query comparisons can be deflated by it.
+    Canary.warm(spark)
+    val canaryPre = Canary.sample(spark)
     for (pass <- 0 until nPasses; (name, _) <- queries) {
       val t0 = System.nanoTime()
       run(name)
       samples(pass)(name) = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
     }
+    val canaryPost = Canary.sample(spark)
+    val canary = Canary.names.map(n =>
+      n -> math.min(canaryPre(n), canaryPost(n)))
     val results = queries.map { case (name, _) =>
       name -> (0 until nPasses).map(p => samples(p)(name)).min
     }
@@ -96,7 +106,12 @@ object Bench {
     // the driver's ~2 KB stdout tail (in r06–r08 the single map line
     // overflowed it and only ~72/91 timings were driver-visible).
     System.err.println(s"""{"samples":$raw,"estimator":"min over $nPasses suite-separated passes (untimed warm-up pass first)"}""")
+    // canary goes to stderr too: if a future suite growth overflows the
+    // stdout tail, the calibration record survives in the driver log
+    System.err.println(
+      s"""{"canary_pre":${timesJson(canaryPre)},"canary_post":${timesJson(canaryPost)}}""")
     BenchFormat.perQueryLines(results, sfDir).foreach(println)
+    println(BenchFormat.canaryLine(canary, sfDir))
     println(BenchFormat.totalLine(total, sfDir))
     spark.stop()
   }

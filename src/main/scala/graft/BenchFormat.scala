@@ -56,6 +56,18 @@ object BenchFormat {
     }
   }
 
+  /** The host-speed calibration line ([[Canary]]) — one short JSON
+    * line carrying the min-over-samples probe timings, placed directly
+    * before the total line so it survives inside the driver's stdout
+    * tail alongside the per-query parts (≈85 chars — budgeted in the
+    * same ~2 KB window the part lines are chunked for).
+    */
+  def canaryLine(probes: Seq[(String, Double)], sf: String): String = {
+    val entries = probes
+      .map { case (k, v) => "\"" + k + "\":" + ms3(v) }.mkString(",")
+    s"""{"metric":"canary","unit":"sec","sf":"$sf","probes":{$entries}}"""
+  }
+
   /** The final total-only line — SHORT by construction so the tail
     * always holds it in full; must stay the last stdout line.
     */

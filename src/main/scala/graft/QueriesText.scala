@@ -373,13 +373,24 @@ object QueriesText {
     val words = documents(s, d)
       .select(explode(split(col("text"), " ")).as("word"))
       .where(col("word") =!= "")
-    val cands = words.agg(graft.functions.MisraGriesCandidates
-      .mg(col("word"), lit(1L), HhTheta).as("cands"))
-      .select(explode(col("cands")).as("word"))
-    val total = words.agg(count(lit(1)).as("n_total"))
+    // ONE sketch-pass aggregation carries both the MG candidate summary
+    // and the exact token total (they fold over the same stream), and
+    // the one-row result checkpoints so its two consumer branches
+    // (candidate broadcast, total broadcast) don't each re-tokenize the
+    // corpus. The confirm join below is the second — and only other —
+    // corpus pass: persisting the exploded token stream instead would
+    // trade a full-corpus materialization for a re-scan, the wrong side
+    // of the trade at 100 TB where the raw text column is the cheapest
+    // thing to read twice.
+    val sketch = words.agg(
+        graft.functions.MisraGriesCandidates
+          .mg(col("word"), lit(1L), HhTheta).as("cands"),
+        count(lit(1)).as("n_total"))
+      .localCheckpoint()
+    val cands = sketch.select(explode(col("cands")).as("word"))
     words.join(broadcast(cands), "word")
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
+      .crossJoin(broadcast(sketch.select("n_total")))
       .where(col("cnt") * HhTheta >= col("n_total"))
       .select(col("word"), col("cnt"))
       .orderBy(desc("cnt"), col("word"))

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join operators mirroring the reference's tile-join semantics.
@@ -94,12 +95,12 @@ object Joins {
     *     q21 fingerprint kernel — native one-pass expression, 60-bit
     *     md5 hashes, oracle-reproducible);
     *  2. CANDIDATE pairs = cross-side equi-join on the gram hash,
-    *     with grams whose combined document frequency exceeds `maxDf`
-    *     excluded first (non-discriminative boilerplate grams —
-    *     "Customer#0…" prefixes — would otherwise fan the equi-join
-    *     toward all-pairs; the hot set is bounded at
-    *     Σ|grams| / maxDf rows by construction, so its broadcast
-    *     cannot grow unboundedly);
+    *     df-pruned (grams hotter than `maxDf` excluded) and
+    *     PREFIX-FILTERED (only each key's ⌊(1−τ)·|g|⌋+1 rarest grams
+    *     probe — result-neutral, see [[fuzzyCandidates]]). The gram-df
+    *     table grows with the distinct-key space: `broadcastDf = false`
+    *     switches its joins from broadcast to shuffle when the key
+    *     space outgrows an executor-sized vocabulary;
     *  3. VERIFY each candidate with the FULL gram sets (exact Jaccard
     *     over the distinct 60-bit hash arrays — candidates are few
     *     post-prune, so the per-pair intersect is cheap).
@@ -111,9 +112,21 @@ object Joins {
     */
   def fuzzyKeyJoin(left: DataFrame, right: DataFrame,
                    leftKey: String, rightKey: String,
-                   k: Int, tau: Double, maxDf: Int): DataFrame = {
+                   k: Int, tau: Double, maxDf: Int,
+                   broadcastDf: Boolean = true,
+                   usePrefix: Boolean = true): DataFrame = {
     require(k >= 1 && tau >= 0.0 && tau <= 1.0 && maxDf >= 1)
-    val (l, r, cand) = fuzzyCandidates(left, right, leftKey, rightKey, k, maxDf)
+    // PPJoin PREFIX bound for Jaccard τ: J ≥ τ ⟹ |A\B| ≤ (1−τ)·|A|, so
+    // under ANY shared total gram order the smallest shared gram sits
+    // within the first ⌊(1−τ)·|A|⌋+1 of A's ordered grams (and B's,
+    // symmetrically). The 1e-6 slack covers the verify stage's
+    // round-to-6 admission (a true J of τ−5e-7 rounds up to pass) plus
+    // fp noise in the product — so the prefix is RESULT-NEUTRAL against
+    // the rounded-Jaccard filter (spec-pinned A/B on a fuzz corpus).
+    val jaccardPrefix: Column => Column =
+      n => (floor(lit(1.0 - tau + 1e-6) * n) + 1).cast("int")
+    val (l, r, cand) = fuzzyCandidates(left, right, leftKey, rightKey,
+      k, maxDf, jaccardPrefix, broadcastDf, usePrefix)
     cand
       .join(l, "left_key")
       .join(r.withColumnRenamed("__sh", "__shr"), "right_key")
@@ -147,9 +160,21 @@ object Joins {
     */
   def fuzzyKeyJoinEdit(left: DataFrame, right: DataFrame,
                        leftKey: String, rightKey: String,
-                       k: Int, maxDist: Int, maxDf: Int): DataFrame = {
+                       k: Int, maxDist: Int, maxDf: Int,
+                       broadcastDf: Boolean = true,
+                       usePrefix: Boolean = true): DataFrame = {
     require(k >= 1 && maxDist >= 0 && maxDf >= 1)
-    val (_, _, cand) = fuzzyCandidates(left, right, leftKey, rightKey, k, maxDf)
+    // PREFIX bound for edit distance d: one edit destroys ≤ k distinct
+    // k-grams, so ed(a,b) ≤ d ⟹ |A\B| ≤ k·d and the smallest shared
+    // gram sits within the first k·d+1 ordered grams of either side —
+    // a CONSTANT prefix, independent of key length. (Grams hash the
+    // NORMALIZED key while the verify measures the raw key: normalize —
+    // charwise lowercase + whitespace collapse — never increases edit
+    // distance, so the raw-ed bound transfers to the normalized grams.)
+    val editPrefix: Column => Column =
+      n => least(n, lit(k * maxDist + 1)).cast("int")
+    val (_, _, cand) = fuzzyCandidates(left, right, leftKey, rightKey,
+      k, maxDf, editPrefix, broadcastDf, usePrefix)
     cand
       // LENGTH filter (result-neutral): the length difference
       // lower-bounds edit distance, so prune before the O(len²)
@@ -162,29 +187,91 @@ object Joins {
   }
 
   /** Shared candidate stage of the fuzzy join family: distinct keys per
-    * side → char-k-gram hash sets → df-pruned cross-side gram
-    * equi-join. Returns the two keyed frames (with their `__sh` gram
-    * arrays, for verify stages that need them) and the DISTINCT
-    * candidate pair table.
+    * side → char-k-gram hash sets → df-pruned, PREFIX-FILTERED
+    * cross-side gram equi-join. Returns the two keyed frames (with
+    * their `__sh` gram arrays, for verify stages that need them) and
+    * the DISTINCT candidate pair table.
+    *
+    * Plan, in order:
+    *  1. every gram's cross-side document frequency (one groupBy);
+    *     grams with df = 1 drop immediately — a gram on one side only
+    *     can never produce a candidate — so the carried df table holds
+    *     only REPEATED grams (≤ Σ|grams|/2 rows by construction,
+    *     usually far fewer);
+    *  2. each side's exploded grams take their df by an equi-join
+    *     (inner — the df-1 drop rides it for free) and grams hotter
+    *     than `maxDf` filter out (the non-discriminative boilerplate
+    *     prune — "Customer#0…" prefixes would fan the equi-join toward
+    *     all-pairs). `broadcastDf = true` (default) hints the df table
+    *     broadcast — right while the repeated-gram vocabulary is
+    *     executor-sized; at very large distinct-key counts the table
+    *     grows linearly with the key space, so pass `false` to fall
+    *     back to shuffle hash joins (the Extents `fewGroups` pattern);
+    *  3. PREFIX filter (PPJoin): under the global (df asc, hash) gram
+    *     order — rarest first — only each key's first `prefixLen(|g|)`
+    *     surviving grams generate candidates. The caller supplies the
+    *     bound that makes this RESULT-NEUTRAL for its verify predicate
+    *     (Jaccard: ⌊(1−τ)|g|⌋+1; edit: k·d+1 — see the call sites);
+    *     any shared surviving gram pair's MINIMUM gram in that order is
+    *     provably inside both prefixes, so the candidate set keeps
+    *     every pair the verify can accept while the equi-join input
+    *     shrinks ~(1−τ)-fold per side. Ranking is one window per side
+    *     partitioned by key — distinct keys, never raw rows.
+    *
+    * Recall contract (unchanged by the prefix): a pair ALL of whose
+    * shared grams are hot is never considered — the standard df-prune
+    * trade; the verify stage keeps precision exact and the oracle
+    * reproduces prune + verify cell-exact.
     */
-  private def fuzzyCandidates(left: DataFrame, right: DataFrame,
-                              leftKey: String, rightKey: String,
-                              k: Int, maxDf: Int)
-      : (DataFrame, DataFrame, DataFrame) = {
+  /** Intermediates of the candidate stage, for the verify faces and
+    * the instrumentation spec: the two keyed frames (with full `__sh`
+    * gram arrays), the two PRUNED exploded gram frames (post df-prune,
+    * post prefix), and the DISTINCT candidate pair table.
+    */
+  private[graft] final case class FuzzyStage(
+      l: DataFrame, r: DataFrame,
+      prunedL: DataFrame, prunedR: DataFrame, cand: DataFrame)
+
+  private[graft] def fuzzyCandidates(left: DataFrame, right: DataFrame,
+                                     leftKey: String, rightKey: String,
+                                     k: Int, maxDf: Int,
+                                     prefixLen: Column => Column,
+                                     broadcastDf: Boolean = true,
+                                     usePrefix: Boolean = true)
+      : FuzzyStage = {
     def keyed(df: DataFrame, keyCol: String, out: String): DataFrame =
       df.select(col(keyCol).cast("string").as(out)).distinct()
         .withColumn("__sh", array_distinct(
           TextStats.shingleHashExpr(out, k)))
     val l = keyed(left, leftKey, "left_key")
     val r = keyed(right, rightKey, "right_key")
-    val lex = l.select(col("left_key"), explode(col("__sh")).as("h"))
-    val rex = r.select(col("right_key"), explode(col("__sh")).as("h"))
-    val hot = lex.select("h").unionAll(rex.select("h"))
+    def exploded(df: DataFrame, key: String): DataFrame =
+      df.select(col(key), size(col("__sh")).as("__n"),
+        explode(col("__sh")).as("h"))
+    val lex = exploded(l, "left_key")
+    val rex = exploded(r, "right_key")
+    val dfRep = lex.select("h").unionAll(rex.select("h"))
       .groupBy("h").agg(count(lit(1)).as("df"))
-      .where(col("df") > maxDf).select("h")
-    val cand = lex.join(broadcast(hot), Seq("h"), "left_anti")
-      .join(rex.join(broadcast(hot), Seq("h"), "left_anti"), "h")
+      .where(col("df") >= 2)
+    val dfSide = if (broadcastDf) broadcast(dfRep) else dfRep
+    def pruned(ex: DataFrame, key: String): DataFrame = {
+      val surv = ex.join(dfSide, Seq("h")).where(col("df") <= maxDf)
+      if (!usePrefix) surv.select(key, "h")
+      else {
+        val w = Window.partitionBy(key).orderBy(col("df"), col("h"))
+        surv.withColumn("__rn", row_number().over(w))
+          // prefixLen takes the FULL distinct-gram count (__n): removed
+          // df-1 grams only vacate prefix slots, never displace the
+          // smallest shared gram, so the bound stays valid (and a tad
+          // conservative) against the pruned rank
+          .where(col("__rn") <= prefixLen(col("__n")))
+          .select(key, "h")
+      }
+    }
+    val pl = pruned(lex, "left_key")
+    val pr = pruned(rex, "right_key")
+    val cand = pl.join(pr, "h")
       .select("left_key", "right_key").distinct()
-    (l, r, cand)
+    FuzzyStage(l, r, pl, pr, cand)
   }
 }

@@ -369,19 +369,26 @@ object Similarity {
     // un-capped join broadcast its (plain-projection) small side and
     // losing that to an SMJ cost 4× wall at sf0.1; past the bound
     // (huge k at extreme corpus scale) fall back to the cid equi-join.
-    // The bound is in ROWS but budgeted in BYTES: each anchor row
-    // carries the full vector (dim floats ≈ 280 B at dim 64 with row
-    // overhead), so 250k rows ≈ 70 MB — a comfortable executor-side
-    // hash relation; the old 1M-row bound would have hinted a ~280 MB
-    // broadcast past any sane threshold (the explicit hint overrides
-    // autoBroadcastJoinThreshold, so the guard must be honest here).
+    // The bound is in ROWS but budgeted in BYTES, and each anchor row's
+    // byte cost is DOMINATED BY THE VECTOR — dim·8 for the doubles plus
+    // ~64 B of row overhead (UnsafeRow header, id, cid, norm) — so a
+    // fixed row count is honest at exactly one dimension (250k rows is
+    // ~70 MB at dim 64 but ~1 GB at dim 1024). The guard therefore
+    // derives the row bound from the ACTUAL dimension of the data
+    // (probed from the already-checkpointed assignment — one cheap
+    // single-row job) against a fixed 70 MB byte budget: the explicit
+    // hint overrides autoBroadcastJoinThreshold, so it must be honest
+    // at every dim, not just the fixture's.
     val anchors0 = assigned
       .withColumn("__rn", row_number().over(wc))
       .filter(col("__rn") <= maxCluster)
       .select(col("cid"), col(idCol).as("__a"), col(vecCol).as("__avec"),
         col("__norm").as("__anorm"))
+    val dim = assigned.select(size(col(vecCol))).take(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    val anchorRowBound = 70L * 1000 * 1000 / (dim.toLong * 8 + 64)
     val anchors =
-      if (clusters.toLong * maxCluster <= 250000L) broadcast(anchors0)
+      if (clusters.toLong * maxCluster <= anchorRowBound) broadcast(anchors0)
       else anchors0
     val b = assigned.select(col("cid"), col(idCol).as("__b"),
       col(vecCol).as("__bvec"), col("__norm").as("__bnorm"))

@@ -211,6 +211,53 @@ class CoreOperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(!out.exists(_._2 == "hot plate"), "unrelated key must not match")
   }
 
+  test("fuzzy join prefix filter is result-neutral and prunes candidates") {
+    // suffixed-name corpus (the q113 shape, denser): shared adjective/
+    // noun vocabulary ensures heavy cross-key gram collisions, numeric
+    // suffixes keep keys distinct; the feed drops one deterministic char
+    val adjs = Seq("red", "blue", "hot", "cold", "dim", "pale")
+    val nouns = Seq("widget", "anvil", "gear", "plate", "crate", "spool")
+    val names = for (a <- adjs; b <- nouns; i <- 0 until 14)
+      yield s"$a $b $i"
+    val cat = names.toDF("name")
+    val feed = names.zipWithIndex.collect { case (n, i) if i % 3 == 0 =>
+      val p = i % 5 + 2
+      n.substring(0, p) + n.substring(p + 1)
+    }.toDF("fname")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq.toSeq).toSeq.sortBy(_.mkString("|"))
+    // Jaccard face: prefix on/off and broadcast/shuffle df all agree
+    val jOn = rows(graft.operators.Joins
+      .fuzzyKeyJoin(cat, feed, "name", "fname", 3, 0.5, 50))
+    val jOff = rows(graft.operators.Joins
+      .fuzzyKeyJoin(cat, feed, "name", "fname", 3, 0.5, 50,
+        usePrefix = false))
+    val jShuf = rows(graft.operators.Joins
+      .fuzzyKeyJoin(cat, feed, "name", "fname", 3, 0.5, 50,
+        broadcastDf = false))
+    assert(jOn.nonEmpty, "fixture must produce matches")
+    assert(jOn == jOff, "prefix filter must be result-neutral (Jaccard)")
+    assert(jOn == jShuf, "shuffle-df fallback must be result-neutral")
+    // edit face
+    val eOn = rows(graft.operators.Joins
+      .fuzzyKeyJoinEdit(cat, feed, "name", "fname", 3, 2, 50))
+    val eOff = rows(graft.operators.Joins
+      .fuzzyKeyJoinEdit(cat, feed, "name", "fname", 3, 2, 50,
+        usePrefix = false))
+    assert(eOn.nonEmpty && eOn == eOff,
+      "prefix filter must be result-neutral (edit distance)")
+    // and the point of the filter: the candidate pair table SHRINKS
+    val pfx: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      n => (floor(lit(0.5 + 1e-6) * n) + 1).cast("int")
+    val nOn = graft.operators.Joins
+      .fuzzyCandidates(cat, feed, "name", "fname", 3, 50, pfx)._3.count()
+    val nOff = graft.operators.Joins
+      .fuzzyCandidates(cat, feed, "name", "fname", 3, 50, pfx,
+        usePrefix = false)._3.count()
+    assert(nOn < nOff,
+      s"prefix must prune candidates: $nOn !< $nOff")
+  }
+
   test("histogram quantile matches direct R-7 on random duplicated multisets") {
     // the exact path is a distributed histogram + interpolation, not a
     // value-multiset buffer — it must agree with naive R-7 bit-for-bit

@@ -512,9 +512,14 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"fuzzy candidates must come from the gram equi-join:\n$p")
-    // the hot-gram set applies as broadcast anti-joins pre-candidate
-    assert(p.contains("LeftAnti"),
-      s"df-prune must anti-join the hot grams:\n$p")
+    // the df-prune + prefix filter ride the gram-df equi-join: each
+    // side's grams take their df (broadcast by default), hot grams
+    // filter out, and the PPJoin prefix ranks survivors per key —
+    // a Window (dynamic per-key limit, so no WindowGroupLimit rewrite)
+    assert(p.contains("BroadcastHashJoin"),
+      s"gram-df lookup must broadcast at catalog scale:\n$p")
+    assert(p.contains("Window"),
+      s"prefix filter must rank grams per key:\n$p")
   }
 
   test("q112: quantile binning keeps the range-bucketed rank shape") {
