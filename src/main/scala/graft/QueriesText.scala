@@ -369,10 +369,24 @@ object QueriesText {
   // occurrences cross the wire; the n-gram key space never shuffles.
   private val HhTheta = 100 // θ = 1/HhTheta = 0.01
 
-  def q110HeavyHitters(s: SparkSession, d: String): DataFrame = {
-    val words = documents(s, d)
+  private def q110Words(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
       .select(explode(split(col("text"), " ")).as("word"))
       .where(col("word") =!= "")
+
+  /** The one-pass sketch frame (pre-checkpoint), exposed so the plan
+    * audit can assert its MG ObjectHashAggregate + map-side partial —
+    * the `localCheckpoint` in [[q110HeavyHitters]] cuts lineage, so the
+    * outer query's executed plan shows only `Scan ExistingRDD` here.
+    */
+  private[graft] def q110Sketch(s: SparkSession, d: String): DataFrame =
+    q110Words(s, d).agg(
+      graft.functions.MisraGriesCandidates
+        .mg(col("word"), lit(1L), HhTheta).as("cands"),
+      count(lit(1)).as("n_total"))
+
+  def q110HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val words = q110Words(s, d)
     // ONE sketch-pass aggregation carries both the MG candidate summary
     // and the exact token total (they fold over the same stream), and
     // the one-row result checkpoints so its two consumer branches
@@ -382,11 +396,7 @@ object QueriesText {
     // trade a full-corpus materialization for a re-scan, the wrong side
     // of the trade at 100 TB where the raw text column is the cheapest
     // thing to read twice.
-    val sketch = words.agg(
-        graft.functions.MisraGriesCandidates
-          .mg(col("word"), lit(1L), HhTheta).as("cands"),
-        count(lit(1)).as("n_total"))
-      .localCheckpoint()
+    val sketch = q110Sketch(s, d).localCheckpoint()
     val cands = sketch.select(explode(col("cands")).as("word"))
     words.join(broadcast(cands), "word")
       .groupBy("word").agg(count(lit(1)).as("cnt"))

@@ -125,8 +125,9 @@ object Joins {
     // the rounded-Jaccard filter (spec-pinned A/B on a fuzz corpus).
     val jaccardPrefix: Column => Column =
       n => (floor(lit(1.0 - tau + 1e-6) * n) + 1).cast("int")
-    val (l, r, cand) = fuzzyCandidates(left, right, leftKey, rightKey,
+    val stage = fuzzyCandidates(left, right, leftKey, rightKey,
       k, maxDf, jaccardPrefix, broadcastDf, usePrefix)
+    val (l, r, cand) = (stage.l, stage.r, stage.cand)
     cand
       .join(l, "left_key")
       .join(r.withColumnRenamed("__sh", "__shr"), "right_key")
@@ -173,8 +174,8 @@ object Joins {
     // distance, so the raw-ed bound transfers to the normalized grams.)
     val editPrefix: Column => Column =
       n => least(n, lit(k * maxDist + 1)).cast("int")
-    val (_, _, cand) = fuzzyCandidates(left, right, leftKey, rightKey,
-      k, maxDf, editPrefix, broadcastDf, usePrefix)
+    val cand = fuzzyCandidates(left, right, leftKey, rightKey,
+      k, maxDf, editPrefix, broadcastDf, usePrefix).cand
     cand
       // LENGTH filter (result-neutral): the length difference
       // lower-bounds edit distance, so prune before the O(len²)
@@ -207,16 +208,19 @@ object Joins {
     *     executor-sized; at very large distinct-key counts the table
     *     grows linearly with the key space, so pass `false` to fall
     *     back to shuffle hash joins (the Extents `fewGroups` pattern);
-    *  3. PREFIX filter (PPJoin): under the global (df asc, hash) gram
-    *     order — rarest first — only each key's first `prefixLen(|g|)`
-    *     surviving grams generate candidates. The caller supplies the
-    *     bound that makes this RESULT-NEUTRAL for its verify predicate
+    *  3. PREFIX filter (PPJoin): each key's grams rank in the global
+    *     (df asc, hash) order — rarest first, over the key's FULL gram
+    *     set (df-1 grams included via a left join, hot grams last) —
+    *     and only the first `prefixLen(|g|)` grams that also pass the
+    *     df filters generate candidates. The caller supplies the bound
+    *     that makes this RESULT-NEUTRAL for its verify predicate
     *     (Jaccard: ⌊(1−τ)|g|⌋+1; edit: k·d+1 — see the call sites);
-    *     any shared surviving gram pair's MINIMUM gram in that order is
-    *     provably inside both prefixes, so the candidate set keeps
-    *     every pair the verify can accept while the equi-join input
-    *     shrinks ~(1−τ)-fold per side. Ranking is one window per side
-    *     partitioned by key — distinct keys, never raw rows.
+    *     any qualifying pair's MINIMUM shared gram in that order is
+    *     provably surviving and inside both prefixes, so the candidate
+    *     set keeps every pair the verify can accept while the
+    *     equi-join input shrinks ~(1−τ)-fold per side. Ranking is one
+    *     window per side partitioned by key — distinct keys, never raw
+    *     rows.
     *
     * Recall contract (unchanged by the prefix): a pair ALL of whose
     * shared grams are hot is never considered — the standard df-prune
@@ -255,16 +259,27 @@ object Joins {
       .where(col("df") >= 2)
     val dfSide = if (broadcastDf) broadcast(dfRep) else dfRep
     def pruned(ex: DataFrame, key: String): DataFrame = {
-      val surv = ex.join(dfSide, Seq("h")).where(col("df") <= maxDf)
-      if (!usePrefix) surv.select(key, "h")
+      if (!usePrefix)
+        ex.join(dfSide, Seq("h")).where(col("df") <= maxDf)
+          .select(key, "h")
       else {
-        val w = Window.partitionBy(key).orderBy(col("df"), col("h"))
-        surv.withColumn("__rn", row_number().over(w))
-          // prefixLen takes the FULL distinct-gram count (__n): removed
-          // df-1 grams only vacate prefix slots, never displace the
-          // smallest shared gram, so the bound stays valid (and a tad
-          // conservative) against the pruned rank
+        // PPJoin prefix, textbook form: rank each key's grams in the
+        // FULL global (df asc, hash) order — df-1 grams take df=1 via
+        // the left join's coalesce (they are A\B members the bound
+        // counts, so they must occupy rank slots), hot grams sort LAST
+        // (df desc-most) — take the first prefixLen(|A|) grams, THEN
+        // apply the df ≥ 2 / ≤ maxDf candidate filters. Neutrality: for
+        // any pair sharing a surviving gram, the order puts every
+        // surviving gram before every hot one and df-1 grams are never
+        // shared, so min(A∩B) is itself surviving; its rank in A is
+        // ≤ |A\B|+1 ≤ prefixLen(|A|) (everything ranked before it is in
+        // A\B), hence it survives in BOTH prefixes.
+        val w = Window.partitionBy(key).orderBy(col("__df"), col("h"))
+        ex.join(dfSide, Seq("h"), "left_outer")
+          .withColumn("__df", coalesce(col("df"), lit(1L)))
+          .withColumn("__rn", row_number().over(w))
           .where(col("__rn") <= prefixLen(col("__n")))
+          .where(col("df").isNotNull && col("df") <= maxDf)
           .select(key, "h")
       }
     }

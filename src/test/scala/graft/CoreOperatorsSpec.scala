@@ -246,16 +246,45 @@ class CoreOperatorsSpec extends AnyFunSuite with SharedSpark {
         usePrefix = false))
     assert(eOn.nonEmpty && eOn == eOff,
       "prefix filter must be result-neutral (edit distance)")
-    // and the point of the filter: the candidate pair table SHRINKS
+    // and the point of the filter: the candidate pair table SHRINKS.
+    // Measured with maxDf slack (1e5 ≈ no hot-gram prune) because that
+    // is the regime where the prefix is the ONLY pruner — at tight
+    // maxDf the df-prune leaves fewer grams per key than the prefix
+    // budget and there is nothing left to cut (the scale case is the
+    // slack one: a production maxDf is large relative to most grams).
     val pfx: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
       n => (floor(lit(0.5 + 1e-6) * n) + 1).cast("int")
-    val nOn = graft.operators.Joins
-      .fuzzyCandidates(cat, feed, "name", "fname", 3, 50, pfx)._3.count()
-    val nOff = graft.operators.Joins
-      .fuzzyCandidates(cat, feed, "name", "fname", 3, 50, pfx,
-        usePrefix = false)._3.count()
+    val on = graft.operators.Joins
+      .fuzzyCandidates(cat, feed, "name", "fname", 3, 100000, pfx)
+    val off = graft.operators.Joins
+      .fuzzyCandidates(cat, feed, "name", "fname", 3, 100000, pfx,
+        usePrefix = false)
+    val nOn = on.cand.count(); val nOff = off.cand.count()
     assert(nOn < nOff,
       s"prefix must prune candidates: $nOn !< $nOff")
+    // the equi-join INPUT (the quadratic-risk stage) shrinks harder
+    // than the distinct pair table — assert it too
+    val gOn = on.prunedL.count() + on.prunedR.count()
+    val gOff = off.prunedL.count() + off.prunedR.count()
+    assert(gOn < gOff,
+      s"prefix must prune probing grams: $gOn !< $gOff")
+    // neutrality must also hold in the slack-maxDf regime where the
+    // prefix actually drops grams (the tight-maxDf checks above pass
+    // trivially when the prefix is inert)
+    val jOnBig = rows(graft.operators.Joins
+      .fuzzyKeyJoin(cat, feed, "name", "fname", 3, 0.5, 100000))
+    val jOffBig = rows(graft.operators.Joins
+      .fuzzyKeyJoin(cat, feed, "name", "fname", 3, 0.5, 100000,
+        usePrefix = false))
+    assert(jOnBig.nonEmpty && jOnBig == jOffBig,
+      "prefix must be result-neutral when actively pruning (Jaccard)")
+    val eOnBig = rows(graft.operators.Joins
+      .fuzzyKeyJoinEdit(cat, feed, "name", "fname", 3, 2, 100000))
+    val eOffBig = rows(graft.operators.Joins
+      .fuzzyKeyJoinEdit(cat, feed, "name", "fname", 3, 2, 100000,
+        usePrefix = false))
+    assert(eOnBig.nonEmpty && eOnBig == eOffBig,
+      "prefix must be result-neutral when actively pruning (edit)")
   }
 
   test("histogram quantile matches direct R-7 on random duplicated multisets") {

@@ -544,17 +544,27 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
   }
 
   test("q110: raw token stream never shuffles; confirm join is broadcast") {
+    // outer plan: the confirm join broadcasts the ≤k candidate set and
+    // never sort-merges the token stream. (The sketch itself appears
+    // here only as `Scan ExistingRDD` — its localCheckpoint cuts
+    // lineage — so its shape is audited on its own frame below.)
     val p = plan("q110_heavy_hitters")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"heavy hitters must stay broadcast-shaped:\n$p")
-    // MG partial summaries aggregate map-side (ObjectHashAggregate for
-    // the TypedImperativeAggregate), so the only exchanges are the
-    // k-sized summary merge, the candidate-count merge, and the 1-row
-    // total — never an exchange keyed on the raw token
-    assert(p.contains("ObjectHashAggregate"),
-      s"MG sketch must partial-aggregate map-side:\n$p")
     assert("BroadcastExchange".r.findAllIn(p).size >= 1,
       s"candidate set must broadcast into the confirm join:\n$p")
+    // sketch frame's own plan (pre-checkpoint): MG partial summaries
+    // aggregate map-side (ObjectHashAggregate for the
+    // TypedImperativeAggregate), so the only exchange is the 1-row
+    // summary merge — never an exchange keyed on the raw token
+    val sp = QueriesText.q110Sketch(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(sp.contains("ObjectHashAggregate"),
+      s"MG sketch must partial-aggregate map-side:\n$sp")
+    assert(sp.contains("partial_mg_candidates"),
+      s"MG sketch must have a map-side partial phase:\n$sp")
+    assert(!sp.contains("hashpartitioning(word"),
+      s"the raw token stream must never shuffle on the token key:\n$sp")
   }
 
   test("q108: tombstone anti-join broadcasts the delete set pre-distance") {
