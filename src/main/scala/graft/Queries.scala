@@ -309,6 +309,17 @@ object Queries {
   def q112QuantileBins(s: SparkSession, d: String): DataFrame =
     Extents.quantileBins(lineitem(s, d), extentCols, BinK)
 
+  // ---------------------------------------------------------------------
+  // q116: q112's APPROXIMATE twin — equal-frequency binning with GK
+  // sketch cut points (histogram-fed weighted sketch, ε = 1e-4) in
+  // place of the exact cumulative-rank windows. Same ties-in-one-bin
+  // semantics (bin = #cuts strictly below the value); bin balance off
+  // by ≤ 2ε·n + tie mass. Sketch cuts are engine-specific → rows-only
+  // driver check, no oracle (the q94 precedent); the accuracy contract
+  // is spec-pinned in CoreOperatorsSpec against the exact path.
+  def q116QuantileBinsApprox(s: SparkSession, d: String): DataFrame =
+    Extents.approxQuantileBins(lineitem(s, d), extentCols, BinK)
+
   val q112Sql: String = {
     val branches = extentCols
       .map(c => s"SELECT '$c' AS id, CAST($c AS DOUBLE) AS value FROM lineitem")
@@ -333,6 +344,7 @@ object Queries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_profile_drift" -> (q111ProfileDrift _),
     "q112_quantile_bins" -> (q112QuantileBins _),
+    "q116_quantile_bins_approx" -> (q116QuantileBinsApprox _),
     "q44_extents_by_group" -> (q44ExtentsByGroup _),
     "q94_extents_approx" -> (q94ExtentsApprox _),
     "q101_profile" -> (q101Profile _),

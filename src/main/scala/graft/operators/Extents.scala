@@ -322,6 +322,61 @@ object Extents {
     unpersistAfterUse(hist, out)
   }
 
+  /** APPROXIMATE equal-frequency binning — [[quantileBins]]'s scale
+    * twin (the suite's exact path is its wall-clock leader purely from
+    * exactness; a discretizer for feature bucketing rarely needs exact
+    * rank balance). Same output shape and the same TIES-IN-ONE-BIN
+    * contract — bin is a pure function of the VALUE (the count of cut
+    * points strictly below it), so equal values always land together —
+    * but the k−1 cut points come from the histogram-fed GK sketch
+    * ([[graft.functions.WeightedPercentileApprox]], ε = 1/accuracy)
+    * instead of the exact cumulative-rank machinery.
+    *
+    * What it skips vs the exact path: the per-bucket offset windows
+    * and the in-bucket cumulative-rank window (a sort per
+    * (metric, bucket) cell) — after the shared distinct-value
+    * histogram, the only work is one sketch pass over distinct values
+    * and a broadcast of k−1 cuts per metric.
+    *
+    * ACCURACY contract: each cut's rank error is ≤ ε·n (GK bound), so
+    * a bin's row count deviates from n/k by at most 2ε·n plus tie
+    * mass at the cut values; bins remain disjoint, ordered, and
+    * exhaustive (every value maps to exactly one bin in [0, k−1]).
+    * Sketch cuts are engine-specific → rows-only driver check, no
+    * DuckDB oracle (the q94 precedent); the contract is spec-pinned
+    * against the exact path in CoreOperatorsSpec.
+    */
+  def approxQuantileBins(df: DataFrame, metricCols: Seq[String], k: Int,
+                         accuracy: Int = 10000,
+                         fewGroups: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val stackExpr = explodeToLong(metricCols)
+    val long = df.select(stackExpr: _*)
+      .select(col("id"), numericOrNull(col("value")).as("value"))
+      .filter(col("value").isNotNull)
+    val names = array(metricCols.map(lit): _*)
+    val hist = long.groupBy(col("id"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist()
+    val cuts = hist.groupBy(col("id"))
+      .agg(graft.functions.WeightedPercentileApprox.wpa(
+        col("value"), col("cnt"),
+        (1 until k).map(_.toDouble / k), accuracy).as("__cuts"))
+    // ≤ k−1 doubles per metric — broadcast while the metric space is
+    // bounded; a high-cardinality grouped caller would flip fewGroups
+    val cutsSide = if (fewGroups) broadcast(cuts) else cuts
+    val out = hist.join(cutsSide, "id")
+      .withColumn("bin",
+        size(filter(col("__cuts"), c => c < col("value"))))
+      .groupBy(col("id"), col("bin"))
+      .agg(sum("cnt").as("n_rows"),
+        min("value").as("lo"), max("value").as("hi"))
+      .withColumn("metric", element_at(names, col("id") + 1))
+      .select("metric", "bin", "n_rows", "lo", "hi")
+      .orderBy("metric", "bin")
+    unpersistAfterUse(hist, out)
+  }
+
   /** Releases the cached histogram once the first action consuming
     * `out` completes — see [[CacheRelease]] (shared with the LSH
     * pipeline's shingle barriers) for the full release/self-expiry
