@@ -355,6 +355,19 @@ object Extents {
       .select(col("id"), numericOrNull(col("value")).as("value"))
       .filter(col("value").isNotNull)
     val names = array(metricCols.map(lit): _*)
+    if (k == 1) {
+      // no cut points to sketch — the single bin is the histogram's
+      // own per-metric rollup (bit-identical to the exact path's k=1,
+      // which wpa cannot express: an empty percentages array types as
+      // array<null> and fails analysis)
+      return long.groupBy(col("id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("value").as("lo"), max("value").as("hi"))
+        .withColumn("bin", lit(0))
+        .withColumn("metric", element_at(names, col("id") + 1))
+        .select("metric", "bin", "n_rows", "lo", "hi")
+        .orderBy("metric", "bin")
+    }
     val hist = long.groupBy(col("id"), col("value"))
       .agg(count(lit(1)).as("cnt"))
       .persist()

@@ -384,9 +384,17 @@ object Similarity {
       .filter(col("__rn") <= maxCluster)
       .select(col("cid"), col(idCol).as("__a"), col(vecCol).as("__avec"),
         col("__norm").as("__anorm"))
-    val dim = assigned.select(size(col(vecCol))).take(1)
+    // probe guard: skip null vectors (size(null) would make the row
+    // null/-1), coalesce to 0, and when the dim is undeterminable
+    // (empty frame or all-null vectors) fall back to a conservative
+    // 250k-row cap instead of dividing the budget by the 64-byte
+    // overhead alone (which would claim ~1M vector rows broadcast-safe)
+    val dim = assigned.filter(col(vecCol).isNotNull)
+      .select(coalesce(size(col(vecCol)), lit(0))).take(1)
       .headOption.map(_.getInt(0)).getOrElse(0)
-    val anchorRowBound = 70L * 1000 * 1000 / (dim.toLong * 8 + 64)
+    val anchorRowBound =
+      if (dim <= 0) 250L * 1000
+      else 70L * 1000 * 1000 / (dim.toLong * 8 + 64)
     val anchors =
       if (clusters.toLong * maxCluster <= anchorRowBound) broadcast(anchors0)
       else anchors0

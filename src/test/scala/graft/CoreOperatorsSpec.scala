@@ -338,6 +338,74 @@ class CoreOperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(tb.map(_.getAs[Long]("n_rows")).sum == 1000L)
   }
 
+  test("approxQuantileBins: GK-cut bins honor the exact path's contract") {
+    // duplicated random multiset — ties are the hard part of the
+    // contract. 400 distinct values, each repeated 1..80 times (seeded).
+    val rnd = new scala.util.Random(7)
+    val groups = (0 until 400).map { _ =>
+      ((rnd.nextInt(4000) - 2000).toDouble / 7, 1 + rnd.nextInt(80))
+    }.toMap // Map dedups colliding draws — (value -> count) histogram
+    val vals = groups.toSeq.flatMap { case (v, c) => Seq.fill(c)(v) }
+    val n = vals.size.toLong
+    val k = 8
+    val accuracy = 10000 // GK ε = 1e-4
+    val df = scala.util.Random.shuffle(vals).toDF("a")
+    val bins = Extents.approxQuantileBins(df, Seq("a"), k, accuracy)
+      .collect().sortBy(_.getAs[Int]("bin"))
+    // bins are disjoint, ordered, exhaustive: 0..m contiguous, value
+    // ranges strictly increasing, counts sum to n
+    assert(bins.map(_.getAs[Int]("bin")).toSeq == (0 until bins.length),
+      "bin ids must be contiguous from 0")
+    assert(bins.map(_.getAs[Long]("n_rows")).sum == n)
+    bins.sliding(2).foreach {
+      case Array(x, y) =>
+        assert(x.getAs[Double]("hi") < y.getAs[Double]("lo"),
+          "bin value-ranges must be disjoint and ordered")
+      case _ =>
+    }
+    // ties in one bin: every distinct value's range containment is
+    // unique (bin is a pure function of the value)
+    for (v <- groups.keys)
+      assert(bins.count(r => r.getAs[Double]("lo") <= v &&
+        v <= r.getAs[Double]("hi")) == 1, s"value $v split across bins")
+    // per-bin balance: |count − n/k| ≤ 2ε·n + tie mass. Each bin has
+    // two cuts; each cut's rank error is ≤ ε·n and ties at a cut value
+    // move that value's whole mass to one side — bound the tie term by
+    // the heaviest value's multiplicity per cut.
+    val maxTie = groups.values.max.toLong
+    val slack = math.ceil(2 * n / accuracy.toDouble).toLong + 2 * maxTie
+    for (b <- bins) {
+      val c = b.getAs[Long]("n_rows")
+      assert(math.abs(c - n / k) <= slack,
+        s"bin ${b.getAs[Int]("bin")} count $c vs n/k=${n / k} slack $slack")
+    }
+    // agreement with the exact path: on a tie-free uniform multiset the
+    // ε=1e-4 sketch is rank-exact at this n, so the two paths must
+    // produce the SAME bins (count and value range, bit-for-bit)
+    val uni = (1 to 1000).map(_.toDouble).toDF("a")
+    val ex = Extents.quantileBins(uni, Seq("a"), k).collect()
+      .map(r => (r.getAs[Int]("bin"),
+        (r.getAs[Long]("n_rows"), r.getAs[Double]("lo"), r.getAs[Double]("hi"))))
+    val ap = Extents.approxQuantileBins(uni, Seq("a"), k, accuracy).collect()
+      .map(r => (r.getAs[Int]("bin"),
+        (r.getAs[Long]("n_rows"), r.getAs[Double]("lo"), r.getAs[Double]("hi"))))
+    assert(ap.toMap == ex.toMap,
+      "tie-free small-n bins must agree with the exact path")
+  }
+
+  test("approxQuantileBins: k=1 short-circuits to the single-bin rollup") {
+    // wpa cannot take an empty percentages array (types as array<null>);
+    // k=1 must come from the histogram directly and match the exact path
+    val df = Seq(3.0, 1.0, 4.0, 1.0, 5.0).toDF("a")
+    val ap = Extents.approxQuantileBins(df, Seq("a"), 1).collect()
+    val ex = Extents.quantileBins(df, Seq("a"), 1).collect()
+    assert(ap.length == 1 && ex.length == 1)
+    assert(ap(0).getAs[Int]("bin") == 0)
+    assert(ap(0).getAs[Long]("n_rows") == ex(0).getAs[Long]("n_rows"))
+    assert(ap(0).getAs[Double]("lo") == ex(0).getAs[Double]("lo"))
+    assert(ap(0).getAs[Double]("hi") == ex(0).getAs[Double]("hi"))
+  }
+
   test("approximate extents stay within 2% of exact quantiles") {
     val rnd = new scala.util.Random(11)
     val df = (0 until 5000).map(_ => rnd.nextDouble() * 1000).toDF("a")

@@ -382,6 +382,27 @@ class ExtensionOperatorsSpec extends AnyFunSuite with SharedSpark {
         "trade the cap buys linear work with")
   }
 
+  test("semanticDedupAssigned: null-vector probe row and empty frame are safe") {
+    // the broadcast-bound dim probe must skip null vectors (size(null)
+    // is null — the raw getInt would NPE) and fall back to a
+    // conservative row cap when no dim is determinable at all
+    val rows = Seq(
+      (0L, 7, null.asInstanceOf[Array[Float]]), // FIRST row: null vec
+      (1L, 7, Array(1f, 0f, 0f, 0f)),
+      (2L, 7, Array(1f, 0f, 0f, 0f)))           // dup of 1 -> dropped
+    val df = rows.toDF("vec_id", "cid", "embedding")
+    val out = Similarity.semanticDedupAssigned(df, "vec_id", "embedding",
+        tau = 0.95)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept"))
+      .toMap
+    assert(out(1L), "lowest real vector kept")
+    assert(!out(2L), "dup of the real anchor drops despite the null probe row")
+    // empty frame: the probe finds no dim — must not throw
+    val empty = df.filter(col("vec_id") < 0)
+    assert(Similarity.semanticDedupAssigned(empty, "vec_id", "embedding",
+      tau = 0.95).collect().isEmpty)
+  }
+
   test("SQ8: codes bounded 0..255, extremes pin, degenerate dim safe, ADC separates blobs") {
     import graft.operators.Sq
     // two separated blobs with per-id jitter; dim 3 CONSTANT (degenerate)

@@ -532,6 +532,20 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       "no single-partition exchange in quantile binning")
   }
 
+  test("q116: approx binning runs no rank windows — one sketch pass") {
+    val p = plan("q116_quantile_bins_approx")
+    // the whole point of the approx twin: after the shared histogram
+    // there is ONE sketch aggregation and a broadcast of ≤ k−1 cuts —
+    // none of the exact path's per-bucket offset/cumulative-rank
+    // windows, and nothing single-partitions
+    assert(!p.contains("Window"),
+      s"approx binning must not run the exact path's rank windows:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"no single-partition exchange in approx binning:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the k-1-cuts-per-metric side must broadcast:\n$p")
+  }
+
   test("q111: drift profiles both slices in one fact-table pass") {
     val p = plan("q111_profile_drift")
     // the sliced profile is checkpointed before the drift self-join:
