@@ -2131,7 +2131,19 @@ object QueriesSim {
 
   /** Merged index minus tombstones — the runtime serve face. */
   private def tombstoneFiltered(s: SparkSession, d: String): DataFrame =
-    sqMergedIndex(s, d).join(broadcast(tombstones(s, d)),
+    tombstoneFilteredWith(s, d, tombstones(s, d))
+
+  /** The serve-time anti-join over an EXPLICIT registry table
+    * (`del_id` rows — e.g. a parquet table accumulated by
+    * [[graft.streaming.Streaming.tombstoneStream]]'s sink). q108's own
+    * registry is the deterministic stand-in rule above purely so the
+    * DuckDB oracle can recompute it; the serve path itself only ever
+    * sees registry ROWS (CompactionSpec drives it with a streamed
+    * parquet registry holding a different id set).
+    */
+  def tombstoneFilteredWith(s: SparkSession, d: String,
+                            registry: DataFrame): DataFrame =
+    sqMergedIndex(s, d).join(broadcast(registry),
       col("nid") === col("del_id"), "left_anti")
 
   def q108TombstonedServe(s: SparkSession, d: String): DataFrame =
