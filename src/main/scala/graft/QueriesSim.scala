@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.Similarity
+import graft.operators.{Retrieval, Similarity}
 
 /** Similarity-search query batch (SURVEY.md §7.2 M8) over `embeddings`:
   * brute-force cosine top-k (baseline), sign-bit LSH ANN (scale path),
@@ -138,7 +138,7 @@ object QueriesSim {
     * so both candidate-generation strategies (LSH bands, SemDeDup
     * clusters) have ground-truth pairs to find.
     */
-  private def neardupCorpus(s: SparkSession, d: String): DataFrame = {
+  private[graft] def neardupCorpus(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     val perturbed = emb.filter(col("vec_id") % 3 === 0)
       .select((col("vec_id") + 10000).as("vec_id"),
@@ -835,7 +835,7 @@ object QueriesSim {
     */
   private val CoarseIters = 10
 
-  private def pqResidualCoarse(s: SparkSession, d: String)
+  private[graft] def pqResidualCoarse(s: SparkSession, d: String)
       : Seq[(Int, Int, Array[Double])] =
     graft.operators.ArtifactCache.getOrLoadOrLearn(
         s"pqcoarse:$d:derived:$CoarseIters") {
@@ -1228,7 +1228,7 @@ object QueriesSim {
     graft.operators.Pq.trainCap(
       graft.operators.Pq.coarseListCount(embeddings(s, d).count())).toLong
 
-  private def semClusters(s: SparkSession, d: String): DataFrame = {
+  private[graft] def semClusters(s: SparkSession, d: String): DataFrame = {
     val path = graft.operators.ArtifactCache.getOrLoadOrLearn(
         s"semclusters:$d:$CoarseIters:coarsetrain") {
       val tr = semClustersTrainRows(s, d)
@@ -2170,7 +2170,132 @@ object QueriesSim {
        |SELECT qid, CAST(rank AS INT) AS rank, nid AS id, dist
        |FROM rr WHERE rank <= $SqK ORDER BY qid, rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q117 RRF hybrid retrieval — the production hybrid-search serving
+  // stage (and its RAG-pipeline face): a sparse BM25 leg and a dense
+  // cosine leg, each a per-query top-30 run over the SAME candidate
+  // corpus (documents that carry an embedding: doc_id = vec_id), fused
+  // by reciprocal rank (Retrieval.rrfFuse, k = 60) into the final
+  // top-10. Rank-only fusion sidesteps the incomparable score scales;
+  // both legs reuse shipped operators (TextStats.bm25Scores — q75's
+  // scorer, per-query term panels; the q26 broadcast-query cosine
+  // shape), and every score that feeds a ranking is micro-int exact,
+  // so the DuckDB oracle reproduces leg ranks AND fused order
+  // cell-exact. Scale shape: corpus text/vectors never shuffle — the
+  // BM25 leg moves only matching (id, term, tf) rows, the dense leg is
+  // a broadcast-query map-side scan, and fusion sees only top-N run
+  // rows.
+  private val RrfPanel: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("table", "query", "join", "spark"),
+    3L -> Seq("vector", "stream", "window", "merge"))
+  private val RrfLegN = 30
+  private val RrfKConst = 60
+  private val RrfOut = 10
+
+  def q117RrfHybrid(s: SparkSession, d: String): DataFrame = {
+    val corpus = documents(s, d).select("doc_id", "text")
+      .join(embeddings(s, d), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding"))
+    val sparse = RrfPanel.map { case (qid, terms) =>
+      graft.operators.TextStats.bm25Scores(
+          corpus.select("doc_id", "text"), "doc_id", "text", terms)
+        .select(lit(qid).as("qid"), col("doc_id"), col("score"))
+    }.reduce(_ unionByName _)
+    val ws = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+    val sparseRun = sparse.withColumn("rank", row_number().over(ws))
+      .where(col("rank") <= RrfLegN).select("qid", "doc_id", "rank")
+
+    val qvecs = embeddings(s, d)
+      .where(col("vec_id").isin(RrfPanel.map(_._1): _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val dense = corpus.select(col("doc_id"), col("embedding"))
+      .join(broadcast(qvecs))
+      .select(col("qid"), col("doc_id"),
+        round(Similarity.cosine(col("qvec"), col("embedding")), 6).as("cos"))
+    val wd = Window.partitionBy("qid").orderBy(col("cos").desc, col("doc_id"))
+    val denseRun = dense.withColumn("rank", row_number().over(wd))
+      .where(col("rank") <= RrfLegN).select("qid", "doc_id", "rank")
+
+    Retrieval.rrfFuse(Seq(sparseRun, denseRun), "qid", "doc_id",
+        RrfKConst, RrfOut)
+      .orderBy("qid", "rrf_rank")
+  }
+
+  val q117Sql: String = {
+    val norm = graft.operators.TextStats.normalizeSql("c.text")
+    val panelRows = RrfPanel.map { case (qid, terms) =>
+      s"($qid, [${terms.map(t => s"'$t'").mkString(", ")}])"
+    }.mkString(", ")
+    s"""WITH corpus AS (
+       | SELECT d.doc_id, d.text, e.embedding
+       | FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+       |panel AS (
+       | SELECT CAST(qid AS BIGINT) AS qid, terms
+       | FROM (VALUES $panelRows) p(qid, terms)),
+       |t AS (SELECT c.doc_id, string_split($norm, ' ') AS toks FROM corpus c),
+       |dd AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM t),
+       |st AS (
+       | SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+       | FROM dd),
+       |h AS (SELECT doc_id, dl, unnest(toks) AS tok FROM dd),
+       |tf AS (
+       | SELECT doc_id, dl, tok, count(*) AS tf FROM h
+       | WHERE tok IN (SELECT unnest(terms) FROM panel) GROUP BY 1, 2, 3),
+       |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+       |sc AS (
+       | SELECT p.qid, tf.doc_id,
+       |  CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+       |    * ((tf * (1.2 + 1.0))
+       |       / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)))
+       |    * 1000000) AS BIGINT) AS s
+       | FROM tf JOIN dfq USING (tok)
+       | JOIN panel p ON list_contains(p.terms, tf.tok), st),
+       |sparse AS (
+       | SELECT qid, doc_id,
+       |  round(CAST(sum(s) AS BIGINT) / 1000000.0, 6) AS score
+       | FROM sc GROUP BY 1, 2),
+       |sr AS (
+       | SELECT qid, doc_id,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)
+       |   AS rank
+       | FROM sparse),
+       |qv AS (
+       | SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+       | WHERE vec_id IN (${RrfPanel.map(_._1).mkString(", ")})),
+       |ds AS (
+       | SELECT q.qid, c.doc_id,
+       |  round(${cosSql("q.qvec", "c.embedding")}, 6) AS cos
+       | FROM qv q, corpus c),
+       |dr AS (
+       | SELECT qid, doc_id,
+       |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id)
+       |   AS rank
+       | FROM ds),
+       |contrib AS (
+       | SELECT qid, doc_id,
+       |  CAST(round(1000000.0 / ($RrfKConst + rank)) AS BIGINT) AS c
+       | FROM (SELECT qid, doc_id, rank FROM sr WHERE rank <= $RrfLegN
+       |       UNION ALL
+       |       SELECT qid, doc_id, rank FROM dr WHERE rank <= $RrfLegN)),
+       |fused AS (
+       | SELECT qid, doc_id,
+       |  round(CAST(sum(c) AS BIGINT) / 1000000.0, 6) AS rrf_score,
+       |  count(*) AS n_runs
+       | FROM contrib GROUP BY 1, 2),
+       |final AS (
+       | SELECT qid,
+       |  row_number() OVER (PARTITION BY qid ORDER BY rrf_score DESC, doc_id)
+       |   AS rrf_rank,
+       |  doc_id, rrf_score, n_runs
+       | FROM fused)
+       |SELECT qid, CAST(rrf_rank AS INT) AS rrf_rank, doc_id, rrf_score,
+       | n_runs
+       |FROM final WHERE rrf_rank <= $RrfOut
+       |ORDER BY qid, rrf_rank""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_rrf_hybrid" -> (q117RrfHybrid _),
     "q88_sq8_encode" -> (q88Sq8Encode _),
     "q89_sq8_adc" -> (q89Sq8Adc _),
     "q90_ivfsq_topk" -> (q90IvfSqTopk _),
@@ -2202,6 +2327,7 @@ object QueriesSim {
   )
 
   val oracle: Map[String, String] = Map(
+    "q117_rrf_hybrid" -> q117Sql,
     "q88_sq8_encode" -> q88Sql,
     "q89_sq8_adc" -> q89Sql,
     "q90_ivfsq_topk" -> q90Sql,

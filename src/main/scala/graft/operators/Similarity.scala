@@ -504,4 +504,106 @@ object Similarity {
       }
       .toDF("qid", "step", "nid", "mmr_micro")
   }
+
+  /** Two-level cluster refinement — the k ∝ n SemDeDup geometry at a
+    * bounded, cell-local build cost. The Abbas et al. pipeline scales
+    * its cluster COUNT with the corpus (constant occupancy), but a flat
+    * Lloyd at k ∝ n costs k·n·dim per round (n²·dim — untrainable) and
+    * its per-iteration centroid collect is k ∝ n driver rows. This
+    * operator reuses the persisted coarse assignment (k₁ = 4√n lists,
+    * the IVF quantizer — already trained, already paid for) and splits
+    * each coarse cell whose occupancy exceeds `targetOcc` into
+    * ⌈occ/targetOcc⌉ sub-cells with a LOCAL deterministic Lloyd run
+    * inside the cell's own task: seeds are the cell's lowest-id
+    * members, `iters` L2 rounds, argmin ties to the lowest sub index.
+    * Build cost: one shuffle of the corpus on cid (the same exchange
+    * any per-cell operator pays, one-time — the output is what a
+    * deployment persists), then per-cell CPU occ²·dim·iters/targetOcc —
+    * Σ over cells = n·occ·dim·iters/targetOcc = O(n^1.5) with a 1/4
+    * constant from occ = √n/4, embarrassingly parallel across cells,
+    * and ZERO driver round-trips (no global-Lloyd collect loop).
+    *
+    * Determinism: members sort by id inside the cell, seeds/ties/sum
+    * order are all id- or index-fixed, so the emitted assignment is a
+    * pure function of the input table — a persisted run of it can feed
+    * a cell-exact SQL oracle the same way the coarse fixture does.
+    *
+    * Output: (idCol, cid = cid₁·2²⁰ + sub, vecCol) — same shape the
+    * pair stage ([[maxAnchorCosine]]) consumes; sub-cell count per
+    * cell is ≤ ⌈occ/targetOcc⌉ < 2²⁰ for any occupancy the coarse
+    * rule produces below ~10¹² rows.
+    */
+  def subClusterAssignment(assigned: DataFrame, idCol: String,
+                           vecCol: String, targetOcc: Int,
+                           iters: Int = 5): DataFrame = {
+    require(targetOcc >= 1 && iters >= 1)
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val SplitCap = 1L << 20
+    assigned
+      .select(col("cid").cast("long"), col(idCol).cast("long"),
+        col(vecCol).cast("array<float>"))
+      .as[(Long, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cid, it) =>
+        val members = it.toArray.sortBy(_._2)
+        val nSub = ((members.length + targetOcc - 1) / targetOcc)
+          .min(members.length)
+        if (nSub <= 1)
+          members.iterator.map { case (_, id, v) => (id, cid * SplitCap, v) }
+        else {
+          val dim = members.head._3.length
+          var cent: Array[Array[Double]] =
+            members.take(nSub).map(_._3.map(_.toDouble))
+          val assign = new Array[Int](members.length)
+          var round = 0
+          while (round < iters) {
+            var i = 0
+            while (i < members.length) {
+              val v = members(i)._3
+              var best = 0
+              var bestD = Double.MaxValue
+              var c = 0
+              while (c < nSub) {
+                val cv = cent(c)
+                var d = 0.0
+                var j = 0
+                while (j < dim) {
+                  val t = v(j) - cv(j); d += t * t; j += 1
+                }
+                if (d < bestD) { bestD = d; best = c }
+                c += 1
+              }
+              assign(i) = best
+              i += 1
+            }
+            val sums = Array.fill(nSub)(new Array[Double](dim))
+            val cnt = new Array[Int](nSub)
+            i = 0
+            while (i < members.length) {
+              val v = members(i)._3
+              val a = assign(i)
+              var j = 0
+              while (j < dim) { sums(a)(j) += v(j); j += 1 }
+              cnt(a) += 1
+              i += 1
+            }
+            cent = Array.tabulate(nSub) { c =>
+              if (cnt(c) == 0) cent(c)
+              else {
+                val sv = sums(c)
+                var j = 0
+                while (j < dim) { sv(j) /= cnt(c); j += 1 }
+                sv
+              }
+            }
+            round += 1
+          }
+          members.iterator.zipWithIndex.map { case ((_, id, v), i) =>
+            (id, cid * SplitCap + assign(i), v)
+          }
+        }
+      }
+      .toDF(idCol, "cid", vecCol)
+  }
 }

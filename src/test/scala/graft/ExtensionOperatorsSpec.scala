@@ -637,4 +637,79 @@ class ExtensionOperatorsSpec extends AnyFunSuite with SharedSpark {
     // equal relevance: step 1 takes the lower nid
     assert(out.head._3 == 21L, out.toString)
   }
+
+  // --------------------------------------------------------- RRF fusion
+  test("rrfFuse sums micro-exact reciprocal ranks and counts legs") {
+    val sparse = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("qid", "id", "rank")
+    val dense = Seq((1L, 20L, 1), (1L, 30L, 4)).toDF("qid", "id", "rank")
+    val out = graft.operators.Retrieval
+      .rrfFuse(Seq(sparse, dense), "qid", "id", rrfK = 60, topK = 10)
+      .orderBy("rrf_rank")
+      .as[(Long, Int, Long, Double, Long)].collect().toSeq
+    // micro-int contributions: 1/61→16393, 1/62→16129, 1/64→15625
+    assert(out == Seq(
+      (1L, 1, 20L, 0.032522, 2L), // 16393 + 16129
+      (1L, 2, 10L, 0.016393, 1L),
+      (1L, 3, 30L, 0.015625, 1L)))
+  }
+
+  test("rrfFuse truncates at topK and breaks score ties on lower id") {
+    val run = Seq((1L, 9L, 1), (1L, 2L, 1), (1L, 5L, 2), (1L, 7L, 3))
+      .toDF("qid", "id", "rank")
+    val out = graft.operators.Retrieval
+      .rrfFuse(Seq(run), "qid", "id", rrfK = 60, topK = 3)
+      .orderBy("rrf_rank")
+      .as[(Long, Int, Long, Double, Long)].collect().toSeq
+    assert(out.map(_._3) == Seq(2L, 9L, 5L)) // tie at rank 1: lower id first
+    assert(out.length == 3)
+  }
+
+  // ------------------------------------------------- sub-cluster refine
+  private def subFixture = {
+    // cell 0: 40 members in two well-separated blobs (20 near the
+    // origin, 20 near 100·1̄) — must split and split CLEANLY; cell 1:
+    // 10 members (≤ targetOcc — must NOT split); cell 2: a singleton
+    def blob(cid: Int, base: Float, ids: Range) = ids.map { i =>
+      (i.toLong, cid.toLong,
+        Array(base + (i % 5) * 0.1f, base - (i % 3) * 0.1f, base))
+    }
+    (blob(0, 0f, 0 until 20) ++ blob(0, 100f, 20 until 40) ++
+      blob(1, 50f, 100 until 110) ++ blob(2, -7f, 200 until 201))
+      .toDF("vec_id", "cid", "embedding")
+  }
+
+  test("subClusterAssignment: membership, split bounds, unsplit small cells") {
+    val out = Similarity.subClusterAssignment(
+      subFixture, "vec_id", "embedding", targetOcc = 16)
+    val rows = out.as[(Long, Long, Array[Float])].collect()
+    val in = subFixture.as[(Long, Long, Array[Float])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.length == in.size)
+    rows.foreach { case (id, cid2, v) =>
+      // coarse membership and the vector itself are preserved
+      assert(cid2 >> 20 == in(id)._2, s"id $id left its coarse cell")
+      assert(v.sameElements(in(id)._3))
+    }
+    val subsPerCell = rows.groupBy(_._2 >> 20)
+      .view.mapValues(_.map(_._2).distinct.length).toMap
+    // ceil(40/16) = 3 is the BOUND; Lloyd may leave a seed cell empty
+    assert(subsPerCell(0L) >= 2 && subsPerCell(0L) <= 3)
+    assert(subsPerCell(1L) == 1 && subsPerCell(2L) == 1)
+    // unsplit cells keep sub index 0 (cid2 is exactly cid·2^20)
+    assert(rows.filter(_._2 >> 20 == 1L).forall(r => (r._2 & 0xFFFFF) == 0))
+  }
+
+  test("subClusterAssignment separates distant blobs and is deterministic") {
+    val run1 = Similarity.subClusterAssignment(
+      subFixture, "vec_id", "embedding", targetOcc = 16)
+      .as[(Long, Long, Array[Float])].collect().map(r => r._1 -> r._2).toMap
+    val run2 = Similarity.subClusterAssignment(
+      subFixture, "vec_id", "embedding", targetOcc = 16)
+      .as[(Long, Long, Array[Float])].collect().map(r => r._1 -> r._2).toMap
+    assert(run1 == run2)
+    // the two blobs of cell 0 never share a sub-cell
+    val blobA = (0 until 20).map(i => run1(i.toLong)).toSet
+    val blobB = (20 until 40).map(i => run1(i.toLong)).toSet
+    assert(blobA.intersect(blobB).isEmpty, s"$blobA vs $blobB")
+  }
 }
