@@ -2294,8 +2294,86 @@ object QueriesSim {
        |ORDER BY qid, rrf_rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q118 SemDeDup over the REFINED (k ∝ n) clustering — q86's dedup
+  // semantics served from the two-level geometry
+  // (Similarity.subClusterAssignment over the persisted coarse table):
+  // the paper's constant-occupancy scaling, reachable without an
+  // untrainable flat k-means. The refined assignment is itself the
+  // persisted registry artifact (stamped like the coarse fixture), and
+  // — because the cell-local Lloyd is deterministic — the DuckDB
+  // oracle re-derives anchors, pair cosines, and drops from the SAME
+  // stored table, so the hash check covers the refined pair stage
+  // end to end. Output shape matches q86: (vec_id, cid, kept), cid
+  // now the refined cid₁·2²⁰+sub id.
+  private val SemTargetOcc = 16
+  private val SemRefinedDir = "/tmp/graft_fixtures/sem_refined"
+
+  private[graft] def semRefined(s: SparkSession, d: String): DataFrame = {
+    val path = graft.operators.ArtifactCache.getOrLoadOrLearn(
+        s"semrefined:$d:$SemTargetOcc:$CoarseIters") {
+      val n = neardupCorpus(s, d).count()
+      val p = s"$SemRefinedDir/$n"
+      graft.operators.ArtifactCache.parquetFixture(s, p)
+        .filter(df => df.columns.contains("corpus_dir") &&
+          df.columns.contains("target_occ"))
+        .filter(_.where(col("corpus_vecs") === n && col("corpus_dir") === d &&
+            col("target_occ") === SemTargetOcc)
+          .limit(1).count() == 1)
+        .map(_ => p)
+    } {
+      val base = semClusters(s, d)
+      val n = base.count()
+      val p = s"$SemRefinedDir/$n"
+      Similarity.subClusterAssignment(base, "vec_id", "embedding",
+          SemTargetOcc)
+        .select(col("vec_id"), col("cid"), col("embedding"),
+          lit(n).as("corpus_vecs"), lit(d).as("corpus_dir"),
+          lit(SemTargetOcc).as("target_occ"))
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    s.read.parquet(path).where(col("corpus_dir") === d)
+      .select("vec_id", "cid", "embedding")
+  }
+
+  def q118SemDedupRefined(s: SparkSession, d: String): DataFrame = {
+    // clusters ≈ n/targetOcc — only the anchor-broadcast bound reads it
+    val clusterEst =
+      (neardupCorpus(s, d).count() / SemTargetOcc).toInt.max(1)
+    Similarity.semanticDedupAssigned(semRefined(s, d),
+        "vec_id", "embedding", SemTau, maxCluster = SemCap,
+        clusters = clusterEst)
+      .orderBy("vec_id")
+  }
+
+  val q118Sql: String =
+    s"""WITH corpus AS ($neardupCorpusSql),
+       |assigned AS (
+       | SELECT vec_id, cid
+       | FROM read_parquet('$SemRefinedDir/*/*.parquet')
+       | WHERE corpus_vecs = (SELECT count(*) FROM corpus)
+       |   AND target_occ = $SemTargetOcc),
+       |anch AS (
+       | SELECT cid, vec_id FROM (
+       |  SELECT cid, vec_id,
+       |   row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS r
+       |  FROM assigned) t WHERE r <= $SemCap),
+       |dropped AS (
+       | SELECT DISTINCT y.vec_id AS b
+       | FROM anch x
+       | JOIN assigned y USING (cid)
+       | JOIN corpus cx ON cx.vec_id = x.vec_id
+       | JOIN corpus cy ON cy.vec_id = y.vec_id
+       | WHERE x.vec_id < y.vec_id
+       |   AND round(${cosSql("cx.embedding", "cy.embedding")}, 6) >= $SemTau)
+       |SELECT a.vec_id, a.cid, (dr.b IS NULL) AS kept
+       |FROM assigned a LEFT JOIN dropped dr ON dr.b = a.vec_id
+       |ORDER BY vec_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_rrf_hybrid" -> (q117RrfHybrid _),
+    "q118_semdedup_refined" -> (q118SemDedupRefined _),
     "q88_sq8_encode" -> (q88Sq8Encode _),
     "q89_sq8_adc" -> (q89Sq8Adc _),
     "q90_ivfsq_topk" -> (q90IvfSqTopk _),
@@ -2328,6 +2406,7 @@ object QueriesSim {
 
   val oracle: Map[String, String] = Map(
     "q117_rrf_hybrid" -> q117Sql,
+    "q118_semdedup_refined" -> q118Sql,
     "q88_sq8_encode" -> q88Sql,
     "q89_sq8_adc" -> q89Sql,
     "q90_ivfsq_topk" -> q90Sql,

@@ -629,4 +629,17 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"no single-partition stage in the shuffle permutation:\n$p")
     assert(!p.contains("Join"), s"pure projection + window, no join:\n$p")
   }
+
+  test("q117: query panel broadcasts onto the corpus; every top-k rank-limits") {
+    val p = plan("q117_rrf_hybrid")
+    // the dense leg's unconditioned panel join must be a broadcast
+    // nested loop (2 query rows), never a CartesianProduct shuffle
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"dense query panel must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no shuffled product anywhere in the hybrid plan:\n$p")
+    // leg top-30s and the fused top-10 all prune map-side
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 3,
+      s"leg and fusion rankings must rank-limit:\n$p")
+  }
 }
