@@ -100,9 +100,13 @@ object FuzzyScale {
   def main(args: Array[String]): Unit = {
     val ns = if (args.nonEmpty) args.map(_.toLong).toSeq
              else Seq(6400L, 64000L, 640000L)
-    val spark = SparkSession.builder().master("local[4]")
+    // default local[4] (the documented harness); FUZZY_CORES=16 is the
+    // partition-parallelism probe — the 640k wall is claimed to be a
+    // partition-count knob, and a cores sweep is the evidence
+    val cores = sys.env.getOrElse("FUZZY_CORES", "4").toInt
+    val spark = SparkSession.builder().master(s"local[$cores]")
       .config("spark.sql.optimizer.windowGroupLimitThreshold", 100000)
-      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -2371,9 +2371,92 @@ object QueriesSim {
        |FROM assigned a LEFT JOIN dropped dr ON dr.b = a.vec_id
        |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q119 incremental semantic dedup — the semantic face of the q98
+  // incremental contract: a small batch of NEW vectors verdicted
+  // against the persisted clustering registry (the q86 table) through
+  // the FROZEN coarse quantizer (no relearn), each batch vector
+  // compared only against its assigned cell's stored anchors. Batch
+  // classes: every 5th-mod-1 registry-source vector re-appears at
+  // id+20000 with a ±0.005 nudge (cos ≥ ~0.999 to its source — drops
+  // when the source's cell anchors see it), and every 5th-mod-2 at
+  // id+30000 REVERSED (an unrelated direction — survives). The oracle
+  // re-derives assignment from the centroid fixture and anchors from
+  // the stored clustering table, so the frozen-quantizer serving path
+  // is hash-checked end to end.
+  private val SemBatchNudge = 0.005
+
+  private[graft] def semBatch(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val near = emb.filter(col("vec_id") % 5 === 1)
+      .select((col("vec_id") + 20000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => (x.cast("double")
+            + when(i % 2 === 0, SemBatchNudge).otherwise(-SemBatchNudge))
+            .cast("float")).as("embedding"))
+    val novel = emb.filter(col("vec_id") % 5 === 2)
+      .select((col("vec_id") + 30000).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+    near.unionByName(novel)
+  }
+
+  def q119IncrementalSemDedup(s: SparkSession, d: String): DataFrame =
+    Similarity.incrementalSemanticDedup(semBatch(s, d), semClusters(s, d),
+        pqResidualCoarse(s, d).map { case (_, cid, v) => (cid, v) },
+        "vec_id", "embedding", SemTau, maxCluster = SemCap)
+      .orderBy("vec_id")
+
+  val q119Sql: String =
+    s"""WITH corpus AS ($neardupCorpusSql),
+       |batch AS (
+       | SELECT vec_id + 20000 AS vec_id,
+       |  list_transform(range(0, 64),
+       |    i -> CAST(CAST(embedding[i + 1] AS DOUBLE)
+       |         + (CASE WHEN i % 2 = 0 THEN $SemBatchNudge
+       |            ELSE -$SemBatchNudge END) AS FLOAT)) AS embedding
+       | FROM embeddings WHERE vec_id % 5 = 1
+       | UNION ALL
+       | SELECT vec_id + 30000 AS vec_id,
+       |  list_transform(range(0, 64), i -> embedding[64 - i]) AS embedding
+       | FROM embeddings WHERE vec_id % 5 = 2),
+       |cent AS (
+       | SELECT cid, cvec
+       | FROM read_parquet('$PqCoarseFixtureDir/*/*.parquet')
+       | WHERE corpus_vecs = (SELECT count(*) FROM embeddings)),
+       |reg AS (
+       | SELECT vec_id, cid, embedding
+       | FROM read_parquet('$SemClustersDir/*/*.parquet')
+       | WHERE corpus_vecs = (SELECT count(*) FROM corpus)),
+       |assignedb AS (
+       | SELECT vec_id, cid, embedding FROM (
+       |  SELECT b.vec_id, c.cid, b.embedding,
+       |   row_number() OVER (PARTITION BY b.vec_id
+       |     ORDER BY ${l2Sql("b.embedding", "c.cvec")}, c.cid) AS r
+       |  FROM batch b CROSS JOIN cent c) t WHERE r = 1),
+       |anch AS (
+       | SELECT cid, vec_id, embedding FROM (
+       |  SELECT cid, vec_id, embedding,
+       |   row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS r
+       |  FROM reg) t WHERE r <= $SemCap),
+       |best AS (
+       | SELECT vec_id, anchor_id, cos FROM (
+       |  SELECT a.vec_id, an.vec_id AS anchor_id,
+       |   round(${cosSql("an.embedding", "a.embedding")}, 6) AS cos,
+       |   row_number() OVER (PARTITION BY a.vec_id
+       |     ORDER BY round(${cosSql("an.embedding", "a.embedding")}, 6)
+       |       DESC, an.vec_id) AS r
+       |  FROM assignedb a JOIN anch an USING (cid)) t WHERE r = 1)
+       |SELECT a.vec_id, a.cid,
+       | CASE WHEN b.cos >= $SemTau THEN b.anchor_id END AS dup_of,
+       | b.cos AS best_cos,
+       | (b.cos IS NULL OR b.cos < $SemTau) AS kept
+       |FROM assignedb a LEFT JOIN best b ON b.vec_id = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_rrf_hybrid" -> (q117RrfHybrid _),
     "q118_semdedup_refined" -> (q118SemDedupRefined _),
+    "q119_incremental_semdedup" -> (q119IncrementalSemDedup _),
     "q88_sq8_encode" -> (q88Sq8Encode _),
     "q89_sq8_adc" -> (q89Sq8Adc _),
     "q90_ivfsq_topk" -> (q90IvfSqTopk _),
@@ -2407,6 +2490,7 @@ object QueriesSim {
   val oracle: Map[String, String] = Map(
     "q117_rrf_hybrid" -> q117Sql,
     "q118_semdedup_refined" -> q118Sql,
+    "q119_incremental_semdedup" -> q119Sql,
     "q88_sq8_encode" -> q88Sql,
     "q89_sq8_adc" -> q89Sql,
     "q90_ivfsq_topk" -> q90Sql,

@@ -411,6 +411,73 @@ object Similarity {
       .join(pairMax, Seq(idCol), "left")
   }
 
+  /** Incremental SemDeDup — the semantic face of the incremental-dedup
+    * contract ([[Dedup.incrementalDedup]] is the MinHash face): a small
+    * BATCH of new vectors is verdicted against a PERSISTED clustering
+    * registry (id, cid, vec — the q86 table) without touching the
+    * registry's own kept/dropped state. Each batch vector is assigned
+    * to its nearest coarse centroid (the SAME frozen quantizer that
+    * built the registry — incremental means no relearn), then compared
+    * ONLY against that cell's stored anchors (the `maxCluster`
+    * lowest-id members — the same bounded-fan-in contract as the batch
+    * pair stage): max rounded cosine, ties to the lowest anchor id.
+    * Verdict: `kept = best_cos is null or < tau`; a dropped vector
+    * reports `dup_of` = its best anchor.
+    *
+    * Scale shape (the q98 asymmetry, semantic edition): the batch is
+    * small by the incremental contract, so it BROADCASTS twice — its
+    * distinct cids semi-join-prune the registry scan (only touched
+    * cells are ranked; an un-pruned window would shuffle the whole
+    * registry per batch), and the assigned batch broadcasts onto the
+    * surviving anchors (≤ maxCluster·|touched cids| rows). Registry
+    * vectors never shuffle on anything but their own cid, and only for
+    * touched cells. Per-pair flops use the hoisted-norm form
+    * (`dotp/(na·nb)`, norms once per row — bit-identical to
+    * `cosine()`, 3× fewer loops).
+    */
+  def incrementalSemanticDedup(batch: DataFrame, registry: DataFrame,
+                               centroids: Seq[(Int, Array[Double])],
+                               idCol: String, vecCol: String, tau: Double,
+                               roundTo: Int = 6,
+                               maxCluster: Int = 256): DataFrame = {
+    require(maxCluster > 0, "maxCluster must be positive")
+    val assigned = assignClusters(batch, centroids, idCol, vecCol)
+      .withColumn("__bnorm", sqrt(
+        graft.functions.DotProductExpr.dotp(col(vecCol), col(vecCol))))
+      .localCheckpoint()
+    val touched = assigned.select("cid").distinct()
+    val wc = Window.partitionBy("cid").orderBy(col(idCol))
+    val anchors = registry
+      .join(broadcast(touched), Seq("cid"), "left_semi")
+      .withColumn("__rn", row_number().over(wc))
+      .filter(col("__rn") <= maxCluster)
+      .select(col("cid"), col(idCol).as("__a"), col(vecCol).as("__avec"),
+        sqrt(graft.functions.DotProductExpr
+          .dotp(col(vecCol), col(vecCol))).as("__anorm"))
+    val pairCos = graft.functions.DotProductExpr
+      .dotp(col("__avec"), col(vecCol)) / (col("__anorm") * col("__bnorm"))
+    // best anchor per batch row: one struct-max aggregate (max cos,
+    // then min anchor id via negation) — partial map-side, never a
+    // window over the joined pairs
+    val best = anchors
+      .join(broadcast(assigned), "cid")
+      .groupBy(col(idCol))
+      .agg(max(struct(round(pairCos, roundTo).as("c"),
+        (-col("__a")).as("na"))).as("__best"))
+      .select(col(idCol), col("__best.c").as("best_cos"),
+        (-col("__best.na")).as("__besta"))
+    // `best` is ≤ one row per batch vector — broadcast-sized by the
+    // incremental contract (and invisible to Catalyst through the
+    // checkpoint scan, which would otherwise SMJ two tiny frames)
+    assigned.select(col(idCol), col("cid"))
+      .join(broadcast(best), Seq(idCol), "left")
+      .withColumn("kept",
+        col("best_cos").isNull || col("best_cos") < tau)
+      .select(col(idCol), col("cid"),
+        when(!col("kept"), col("__besta")).as("dup_of"),
+        col("best_cos"), col("kept"))
+  }
+
   /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998) —
     * the diversified-retrieval serving stage production vector stores
     * expose behind plain top-k: greedily pick `k` results from a

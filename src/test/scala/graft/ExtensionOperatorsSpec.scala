@@ -712,4 +712,42 @@ class ExtensionOperatorsSpec extends AnyFunSuite with SharedSpark {
     val blobB = (20 until 40).map(i => run1(i.toLong)).toSet
     assert(blobA.intersect(blobB).isEmpty, s"$blobA vs $blobB")
   }
+
+  // -------------------------------------------- incremental SemDeDup
+  test("incrementalSemanticDedup: cap, no-anchor cell, tie to lowest anchor") {
+    // registry: one cell (cid 1) with three members; maxCluster = 2
+    // makes ids 1,2 the anchors and id 3 (the z axis) BEYOND the cap
+    val registry = Seq(
+      (1L, 1, Array(1f, 0f, 0f)),
+      (2L, 1, Array(0f, 1f, 0f)),
+      (3L, 1, Array(0f, 0f, 1f)))
+      .toDF("vec_id", "cid", "embedding")
+    val centroids = Seq(1 -> Array(1.0, 0.0, 0.0), 2 -> Array(-1.0, 0.0, 0.0))
+    val batch = Seq(
+      (100L, Array(0.9f, 0.1f, 0f)),  // near anchor 1 -> dup_of 1
+      (101L, Array(0.5f, 0f, 0.87f)), // best cos ~.498 < tau -> kept
+      (102L, Array(0.1f, 0f, 1f)),    // twin of BEYOND-CAP id 3 -> kept
+      (103L, Array(-1f, 0f, 0f)),     // cell 2: registry empty -> kept
+      (104L, Array(1f, 1f, 0f)))      // cos-tie anchors 1,2 -> dup_of 1
+      .toDF("vec_id", "embedding")
+    val out = Similarity.incrementalSemanticDedup(batch, registry,
+        centroids, "vec_id", "embedding", tau = 0.5, maxCluster = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4))))
+      .toMap
+    assert(out.size == 5)
+    assert(out(100L)._1 == 1 && out(100L)._2 == Some(1L) && !out(100L)._4)
+    assert(math.abs(out(100L)._3.get - 0.993884) < 1e-6)
+    assert(out(101L)._2.isEmpty && out(101L)._4)
+    assert(out(101L)._3.get < 0.5)
+    // the registry twin sits past the anchor cap: NOT consulted
+    assert(out(102L)._2.isEmpty && out(102L)._4 && out(102L)._3.get < 0.2)
+    // untouched cell: no anchors at all -> null best_cos, kept
+    assert(out(103L)._1 == 2 && out(103L)._2.isEmpty &&
+      out(103L)._3.isEmpty && out(103L)._4)
+    // equal rounded cosine to both anchors: lowest anchor id wins
+    assert(out(104L)._2 == Some(1L) && !out(104L)._4)
+    assert(math.abs(out(104L)._3.get - 0.707107) < 1e-6)
+  }
 }

@@ -642,4 +642,18 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert("WindowGroupLimit".r.findAllIn(p).size >= 3,
       s"leg and fusion rankings must rank-limit:\n$p")
   }
+
+  test("q119: batch broadcasts twice; registry never sort-merge-joins") {
+    val p = plan("q119_incremental_semdedup")
+    // the batch's distinct cids semi-join-prune the registry scan
+    // BEFORE the anchor window, and the assigned batch broadcasts onto
+    // the surviving anchors — both joins broadcast, batch side built
+    assert(p.contains("LeftSemi"),
+      s"registry must be cid-pruned by the batch before ranking:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"cid prune and anchor-pair join must both broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a small batch must never SMJ against the registry:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+  }
 }
