@@ -2193,14 +2193,25 @@ object QueriesSim {
   private val RrfOut = 10
 
   def q117RrfHybrid(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val corpus = documents(s, d).select("doc_id", "text")
       .join(embeddings(s, d), col("doc_id") === col("vec_id"))
       .select(col("doc_id"), col("text"), col("embedding"))
-    val sparse = RrfPanel.map { case (qid, terms) =>
-      graft.operators.TextStats.bm25Scores(
-          corpus.select("doc_id", "text"), "doc_id", "text", terms)
-        .select(lit(qid).as("qid"), col("doc_id"), col("score"))
-    }.reduce(_ unionByName _)
+    // one corpus tokenize for the WHOLE panel: per-term contributions
+    // are micro-rounded before any per-query sum (bm25TermScores), so
+    // scoring the union lexicon once and summing per query is
+    // bit-identical to a bm25Scores call per query — minus the extra
+    // corpus scans (the panel join is a broadcast over qid×term rows)
+    val lexicon = RrfPanel.flatMap(_._2).distinct
+    val panel = RrfPanel
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("qid", "term")
+    val sparse = graft.operators.TextStats
+      .bm25TermScores(corpus.select("doc_id", "text"), "doc_id", "text",
+        lexicon)
+      .join(broadcast(panel), "term")
+      .groupBy("qid", "doc_id")
+      .agg(round(sum("s_micro") / 1000000.0, 6).as("score"))
     val ws = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
     val sparseRun = sparse.withColumn("rank", row_number().over(ws))
       .where(col("rank") <= RrfLegN).select("qid", "doc_id", "rank")

@@ -379,9 +379,28 @@ object TextStats {
     */
   def bm25Scores(df: DataFrame, idCol: String, textCol: String,
                  queryTerms: Seq[String],
-                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    val qArr = array(queryTerms.map(lit): _*)
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TermScores(df, idCol, textCol, queryTerms, k1, b)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits"),
+        round(sum("s_micro") / 1000000.0, 6).as("score"))
+
+  /** Per-(document, term) BM25 contributions in integer MICROS over a
+    * term LEXICON — the shared single-scan core of [[bm25Scores]] and
+    * the multi-query retrieval panel (q117): because each term's
+    * contribution is micro-rounded BEFORE any per-query sum, scoring
+    * the union lexicon once and summing per query downstream is
+    * bit-identical to scoring each query separately — but tokenizes
+    * the corpus ONCE instead of once per query. df/idf per term are
+    * query-independent (df(t) = #docs containing t), so the lexicon
+    * restriction changes which rows exist, never their values.
+    * Emits (idCol, term, s_micro) for matching (doc, term) pairs.
+    */
+  def bm25TermScores(df: DataFrame, idCol: String, textCol: String,
+                     lexicon: Seq[String],
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(lexicon.nonEmpty, "lexicon must be non-empty")
+    val qArr = array(lexicon.map(lit): _*)
     val docs = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), col("__toks"), size(col("__toks")).cast("long").as("__dl"))
     val stats = docs.agg(count(lit(1)).as("__n"),
@@ -397,11 +416,8 @@ object TextStats {
       (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl")))
     tf.join(broadcast(dfreq), "__t")
       .crossJoin(broadcast(stats))
-      .select(col(idCol),
-        round(idf * sat * 1000000.0).cast("long").as("__s_micro"))
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_hits"),
-        round(sum("__s_micro") / 1000000.0, 6).as("score"))
+      .select(col(idCol), col("__t").as("term"),
+        round(idf * sat * 1000000.0).cast("long").as("s_micro"))
   }
 
   /** Overlapping token-window chunks of a document (the RAG/indexing
