@@ -478,6 +478,34 @@ object Similarity {
         col("best_cos"), col("kept"))
   }
 
+  /** The registry's anchor table PACKED one row per cell —
+    * (cid, __anchs: array<struct<__a, __avec, __anorm>>), each array
+    * ≤ `maxCluster` entries (the same lowest-id anchor contract as
+    * [[incrementalSemanticDedup]]). This is the artifact a CONTINUOUS
+    * verdict path persists per index version: with the anchors
+    * pre-packed, verdicting an arriving vector is a stream-static
+    * left join on cid plus a bounded in-row fold — no window, no
+    * aggregation, no state (see
+    * [[graft.streaming.Streaming.semDedupVerdictStream]]). The batch
+    * face keeps its touched-cid pruned window instead: a one-shot
+    * batch only pays for the cells it touches, while a long-running
+    * stream amortizes packing ALL cells once.
+    */
+  def packedAnchors(registry: DataFrame, idCol: String, vecCol: String,
+                    maxCluster: Int = 256): DataFrame = {
+    require(maxCluster > 0, "maxCluster must be positive")
+    val wc = Window.partitionBy("cid").orderBy(col(idCol))
+    registry
+      .withColumn("__rn", row_number().over(wc))
+      .filter(col("__rn") <= maxCluster)
+      .select(col("cid"), col(idCol).as("__a"), col(vecCol).as("__avec"),
+        sqrt(graft.functions.DotProductExpr
+          .dotp(col(vecCol), col(vecCol))).as("__anorm"))
+      .groupBy("cid")
+      .agg(collect_list(struct(col("__a"), col("__avec"), col("__anorm")))
+        .as("__anchs"))
+  }
+
   /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998) —
     * the diversified-retrieval serving stage production vector stores
     * expose behind plain top-k: greedily pick `k` results from a

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -377,6 +377,56 @@ object Streaming {
     graft.operators.Similarity
       .assignClusters(vectors, centroids, idCol, vecCol)
       .select(col(idCol).as("id"), col("cid"))
+
+  /** Streaming face of the INCREMENTAL SEMANTIC DEDUP verdict
+    * ([[graft.operators.Similarity.incrementalSemanticDedup]] under
+    * `readStream`): arriving vectors assign to their cell against the
+    * frozen coarse quantizer (pure literal-centroid argmin — the
+    * [[ivfAssignStream]] projection), stream-static LEFT join the
+    * PRE-PACKED anchor table
+    * ([[graft.operators.Similarity.packedAnchors]] — one row per cell,
+    * ≤ maxCluster anchors in an array), and fold the best anchor with
+    * an in-row `aggregate` over that bounded array: max rounded
+    * cosine, ties to the lowest anchor id — the batch operator's
+    * semantics exactly, recomputed as a STATELESS projection (no
+    * window, no groupBy, no watermark state; batch ≡ stream pinned in
+    * StreamingSpec). The fold keeps the max of the TOTAL order
+    * (cos desc, id asc), so the collect_list order of the packed array
+    * is immaterial. A vector landing in a cell with no registry rows
+    * (left-join miss) verdicts kept with null best_cos — same as
+    * batch. Cosines use the hoisted-norm form over norms computed once
+    * per row/anchor.
+    */
+  def semDedupVerdictStream(vectors: DataFrame, packedAnchors: DataFrame,
+                            centroids: Seq[(Int, Array[Double])],
+                            idCol: String, vecCol: String, tau: Double,
+                            roundTo: Int = 6): DataFrame = {
+    val assigned = graft.operators.Similarity
+      .assignClusters(vectors, centroids, idCol, vecCol)
+      .withColumn("__bnorm", sqrt(
+        graft.functions.DotProductExpr.dotp(col(vecCol), col(vecCol))))
+    val zero = struct(lit(null).cast("double").as("c"),
+      lit(null).cast("long").as("a"))
+    def fold(acc: Column, x: Column): Column = {
+      val cand = round(
+        graft.functions.DotProductExpr.dotp(x.getField("__avec"), col(vecCol))
+          / (x.getField("__anorm") * col("__bnorm")), roundTo)
+      val take = acc.getField("c").isNull ||
+        cand > acc.getField("c") ||
+        (cand === acc.getField("c") &&
+          x.getField("__a") < acc.getField("a"))
+      when(take, struct(cand.as("c"), x.getField("__a").cast("long").as("a")))
+        .otherwise(acc)
+    }
+    assigned
+      .join(packedAnchors, Seq("cid"), "left")
+      .withColumn("__best", aggregate(col("__anchs"), zero, fold))
+      .select(col(idCol), col("cid"),
+        when(col("__best.c").isNotNull && col("__best.c") >= tau,
+          col("__best.a")).as("dup_of"),
+        col("__best.c").as("best_cos"),
+        (col("__best.c").isNull || col("__best.c") < tau).as("kept"))
+  }
 
   /** Streaming face of the TOMBSTONE REGISTRY APPEND — the delete half
     * of the continuous index lifecycle, next to the three append faces

@@ -456,10 +456,56 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(got == batch)
     assert(got == Set((100L, 900L), (101L, 901L)))
   }
+
+  test("semDedupVerdictStream matches the batch incremental verdict across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    // the q119 unit fixture: anchors 1,2 (cap=2), id 3 beyond the cap,
+    // cell 2 empty; batch classes dup / kept / cap-twin / no-cell / tie
+    val registry = Seq(
+      StreamingSpec.RegRow(1L, 1, Seq(1f, 0f, 0f)),
+      StreamingSpec.RegRow(2L, 1, Seq(0f, 1f, 0f)),
+      StreamingSpec.RegRow(3L, 1, Seq(0f, 0f, 1f))).toDF()
+    val centroids = Seq(1 -> Array(1.0, 0.0, 0.0), 2 -> Array(-1.0, 0.0, 0.0))
+    val vecs = Seq(
+      StreamingSpec.Vec(100L, Seq(0.9f, 0.1f, 0f)),
+      StreamingSpec.Vec(101L, Seq(0.5f, 0f, 0.87f)),
+      StreamingSpec.Vec(102L, Seq(0.1f, 0f, 1f)),
+      StreamingSpec.Vec(103L, Seq(-1f, 0f, 0f)),
+      StreamingSpec.Vec(104L, Seq(1f, 1f, 0f)))
+    val packed = Similarity.packedAnchors(
+      registry, "vec_id", "embedding", maxCluster = 2)
+    val stream = MemoryStream[StreamingSpec.Vec]
+    val q = Streaming.semDedupVerdictStream(stream.toDF(), packed,
+        centroids, "vec_id", "embedding", tau = 0.5)
+      .writeStream.format("memory").queryName("semdedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(vecs.take(2): _*)
+      q.processAllAvailable()
+      stream.addData(vecs.drop(2): _*) // later micro-batch, same registry
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4))
+    val streamed = spark.table("semdedup_out").collect().map(key).toSet
+    val batch = Similarity.incrementalSemanticDedup(vecs.toDF(), registry,
+        centroids, "vec_id", "embedding", tau = 0.5, maxCluster = 2)
+      .collect().map(key).toSet
+    assert(streamed == batch,
+      s"stream verdicts must equal the batch operator:\n$streamed\nvs\n$batch")
+    // the fixture's intended classes actually exercised
+    assert(streamed.count(!_._5) == 2, "100 and 104 drop")
+    assert(streamed.exists(r => r._1 == 103L && r._4.isEmpty && r._5),
+      "no-anchor cell verdicts kept with null cosine")
+  }
 }
 
 object StreamingSpec {
   case class Doc(doc_id: Long, text: String, ts: java.sql.Timestamp)
   case class Vec(vec_id: Long, embedding: Seq[Float])
   case class Stamped(event_id: Long, user_id: Long, ts: java.sql.Timestamp)
+  case class RegRow(vec_id: Long, cid: Int, embedding: Seq[Float])
 }
