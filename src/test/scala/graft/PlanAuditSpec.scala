@@ -643,6 +643,21 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"leg and fusion rankings must rank-limit:\n$p")
   }
 
+  test("q118: refined serving keeps q86's capped equi-join shape") {
+    val p = plan("q118_semdedup_refined")
+    // same serving operator as q86, over the REFINED stored assignment:
+    // the sub-cluster build must be amortized into the fixture — no
+    // groupByKey/Lloyd stage in the serving plan (the refined table is
+    // read back from parquet), and the pair stage keeps the capped
+    // equi-join discipline
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"refined pairs must come from an equi-join on cid:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"anchor cap must prune map-side:\n$p")
+    assert(!p.contains("MapGroups") && !p.contains("AppendColumns"),
+      s"serving must read the persisted refined table, not re-split cells:\n$p")
+  }
+
   test("q119: batch broadcasts twice; registry never sort-merge-joins") {
     val p = plan("q119_incremental_semdedup")
     // the batch's distinct cids semi-join-prune the registry scan
