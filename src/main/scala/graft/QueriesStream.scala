@@ -105,11 +105,77 @@ object QueriesStream {
       |   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2) AS hour_sum
       |FROM events ORDER BY eid""".stripMargin
 
+  // Pairwise audience overlap via KMV (bottom-k) distinct sketches:
+  // |A∩B| / |A∪B| across every event-type pair, where an "audience" is
+  // the distinct high-value (> 150) user set of one event type.
+  //
+  // Scale story (the reason this is NOT count(distinct) per pair): one
+  // pass builds a ≤ k-long sketch per type with map-side partial
+  // aggregation — raw user ids never cross the shuffle, only k·8-byte
+  // arrays — and the full pairwise panel is then codegen'd array math
+  // over the 5-row sketch frame (broadcast self-join; the
+  // nested-loop there is over #event-types rows, not data). Adding a
+  // 6th type or a 100× corpus changes sketch-build cost only.
+  //
+  // Oracle hook: distinct audiences here (150/1500 users at
+  // sf0.01/sf0.1) sit far below k = 16384, so every estimator returns
+  // the exact value (KmvSketch's exactness contract) and DuckDB can
+  // check the whole panel; the saturated-regime estimator is
+  // spec-pinned in KmvSketchSpec instead.
+  /** The one sketch-build pass over the corpus (exposed pre-checkpoint
+    * so PlanAuditSpec can pin its partial-aggregate shape).
+    */
+  private[graft] def q120Sketches(s: SparkSession, d: String,
+      k: Int): DataFrame =
+    events(s, d)
+      .filter(col("value") > 150)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.Kmv.sketch(xxhash64(col("user_id")), k).as("sk"))
+
+  private[graft] val q120K = 16384
+
+  def q120AudienceOverlap(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Kmv
+    val k = q120K
+    // one sketch-build pass; the #types-row result is materialized so
+    // the self-join's two sides don't each re-scan the corpus
+    val aud = q120Sketches(s, d, k).localCheckpoint(eager = true)
+    val a = aud.select(col("event_type").as("type_a"), col("sk").as("ska"))
+    val b = aud.select(col("event_type").as("type_b"), col("sk").as("skb"))
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        round(Kmv.estimateDistinct(col("ska"), k), 6).as("users_a"),
+        round(Kmv.estimateDistinct(col("skb"), k), 6).as("users_b"),
+        round(Kmv.intersectEstimate(col("ska"), col("skb"), k), 6)
+          .as("inter_est"),
+        round(Kmv.unionEstimate(col("ska"), col("skb"), k), 6)
+          .as("union_est"),
+        round(Kmv.jaccardEstimate(col("ska"), col("skb"), k), 6)
+          .as("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val q120Sql: String =
+    """WITH a AS (SELECT DISTINCT event_type AS t, user_id AS u
+      |           FROM events WHERE value > 150),
+      |c AS (SELECT t, count(*) AS n FROM a GROUP BY t),
+      |i AS (SELECT x.t AS ta, y.t AS tb, count(*) AS ni
+      |      FROM a x JOIN a y ON x.u = y.u AND x.t < y.t GROUP BY 1, 2)
+      |SELECT i.ta AS type_a, i.tb AS type_b,
+      | round(ca.n * 1.0, 6) AS users_a,
+      | round(cb.n * 1.0, 6) AS users_b,
+      | round(i.ni * 1.0, 6) AS inter_est,
+      | round((ca.n + cb.n - i.ni) * 1.0, 6) AS union_est,
+      | round(i.ni * 1.0 / (ca.n + cb.n - i.ni), 6) AS jaccard
+      |FROM i JOIN c ca ON ca.t = i.ta JOIN c cb ON cb.t = i.tb
+      |ORDER BY type_a, type_b""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_sessionize" -> (q34Sessionize _),
     "q35_count_distinct" -> (q35CountDistinct _),
     "q45_json_extract" -> (q45JsonExtract _),
     "q46_range_frame" -> (q46RangeFrame _),
+    "q120_audience_overlap" -> (q120AudienceOverlap _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -117,5 +183,6 @@ object QueriesStream {
     "q35_count_distinct" -> q35Sql,
     "q45_json_extract" -> q45Sql,
     "q46_range_frame" -> q46Sql,
+    "q120_audience_overlap" -> q120Sql,
   )
 }

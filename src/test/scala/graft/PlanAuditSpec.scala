@@ -658,6 +658,27 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"serving must read the persisted refined table, not re-split cells:\n$p")
   }
 
+  test("q120: raw ids never shuffle — only KMV sketches cross the exchange") {
+    // sketch build (audited on the pre-checkpoint frame, the q110
+    // pattern): object-hash aggregate with a map-side partial pass, so
+    // the exchange carries ≤ k-long arrays per (partition, type), never
+    // the raw user_id stream
+    val ps = QueriesStream.q120Sketches(spark, d, QueriesStream.q120K)
+      .queryExecution.executedPlan.toString
+    assert(ps.contains("ObjectHashAggregate"),
+      s"kmv_sketch must run as an object hash aggregate:\n$ps")
+    assert(ps.contains("partial_kmv_sketch"),
+      s"sketch build must partial-aggregate map-side:\n$ps")
+    // the pairwise panel is a broadcast nested loop over the #types-row
+    // sketch frame (bounded by event-type cardinality, not data) — a
+    // CartesianProduct would mean the broadcast was lost
+    val p = plan("q120_audience_overlap")
+    assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"pair panel must broadcast the tiny sketch frame:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in the panel may shuffle-join:\n$p")
+  }
+
   test("q119: batch broadcasts twice; registry never sort-merge-joins") {
     val p = plan("q119_incremental_semdedup")
     // the batch's distinct cids semi-join-prune the registry scan
