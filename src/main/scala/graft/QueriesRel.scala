@@ -449,7 +449,61 @@ object QueriesRel {
        |    ORDER BY jaccard DESC, catalog_name) AS rn
        | FROM m) t WHERE rn = 1 ORDER BY feed_name""".stripMargin
 
+  // q121: bounded-iteration weighted PageRank over the customer↔supplier
+  // trade graph (edge weight = lineitems traded; doubled to both
+  // directions so the bipartite walk has no dangling sinks). The
+  // domain-authority scoring pattern of corpus curation, expressed as
+  // 5 power iterations of graft.operators.Graph.pageRank — per-round
+  // localCheckpoint lineage, 2 equi-shuffles per round (see the
+  // operator's Scaladoc for the 100 TB shape). The oracle unrolls the
+  // same 5 iterations as chained CTEs; every float literal is forced
+  // to DOUBLE (e0 suffixes) so both engines run identical IEEE
+  // arithmetic, and ranks round to 9 decimals.
+  def q121PageRank(s: SparkSession, d: String): DataFrame = {
+    val e0 = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(concat(lit("c"), col("o_custkey")).as("cn"),
+        concat(lit("s"), col("l_suppkey")).as("sn"))
+      .agg(count(lit(1)).cast("double").as("weight"))
+    val edges = e0.select(col("cn").as("src"), col("sn").as("dst"),
+        col("weight"))
+      .unionAll(e0.select(col("sn").as("src"), col("cn").as("dst"),
+        col("weight")))
+    graft.operators.Graph.pageRank(edges, iters = 5, damping = 0.85)
+      .select(col("node"), round(col("r"), 9).as("rank"))
+      .orderBy("node")
+  }
+
+  val q121Sql: String = {
+    def iter(i: Int): String = {
+      val prev = s"r${i - 1}"
+      s"""c$i AS (SELECT t.dst AS node, sum(t.p * $prev.r) AS inflow
+         |  FROM t JOIN $prev ON $prev.node = t.src GROUP BY 1),
+         |r$i AS (SELECT nodes.node,
+         |  (1e0 - 0.85e0) / (SELECT n FROM nn)
+         |    + 0.85e0 * coalesce(c$i.inflow, 0e0) AS r
+         |  FROM nodes LEFT JOIN c$i ON c$i.node = nodes.node)""".stripMargin
+    }
+    s"""WITH e0 AS (
+       | SELECT 'c' || o_custkey AS cn, 's' || l_suppkey AS sn,
+       |        CAST(count(*) AS DOUBLE) AS w
+       | FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       | GROUP BY 1, 2),
+       |e AS (SELECT cn AS src, sn AS dst, w FROM e0
+       |      UNION ALL SELECT sn, cn, w FROM e0),
+       |ow AS (SELECT src, sum(w) AS wsum FROM e GROUP BY 1),
+       |t AS (SELECT e.src, e.dst, e.w / ow.wsum AS p
+       |      FROM e JOIN ow ON e.src = ow.src),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |r0 AS (SELECT node, 1e0 / (SELECT n FROM nn) AS r FROM nodes),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT node, round(r, 9) AS rank FROM r5 ORDER BY node""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_pagerank" -> (q121PageRank _),
     "q113_fuzzy_join" -> (q113FuzzyJoin _),
     "q114_edit_join" -> (q114EditJoin _),
     "q115_entity_resolve" -> (q115EntityResolve _),
@@ -469,6 +523,7 @@ object QueriesRel {
   )
 
   val oracle: Map[String, String] = Map(
+    "q121_pagerank" -> q121Sql,
     "q113_fuzzy_join" -> q113Sql,
     "q114_edit_join" -> q114Sql,
     "q115_entity_resolve" -> q115Sql,

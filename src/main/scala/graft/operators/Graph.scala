@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph propagation over edge-list DataFrames. The reference
+  * pipeline has no graph tier; this is part of the large-scale
+  * training-data extension (domain-authority scoring for corpus
+  * curation — the CommonCrawl-style "rank the hosts, keep documents
+  * from reputable ones" filter), built on the same bounded-round
+  * discipline as [[Dedup.connectedComponents]].
+  */
+object Graph {
+
+  /** Weighted PageRank, a FIXED number of power iterations.
+    *
+    * `edges` = (src, dst, weight); ranks flow along edge direction,
+    * split proportionally to weight. Every node must appear as a `src`
+    * at least once (no dangling sinks — callers with asymmetric edges
+    * add the reverse direction or self-loops first; q121 doubles its
+    * bipartite edges, which also guarantees this). Dst-only nodes would
+    * silently leak their mass; the require below rejects them.
+    *
+    * Scale shape (the reason this is NOT a driver-side loop over
+    * collect()ed rows):
+    *  - the transition matrix (edge → probability `w/W(src)`) is built
+    *    once — one groupBy(src) + one equi-join — then repartitioned on
+    *    `src` and localCheckpointed: every iteration's rank join
+    *    re-uses that partitioning, so only the |N|-row rank vector
+    *    moves per round, never the |E|-row edge list;
+    *  - each iteration is exactly two shuffles (rank join on src,
+    *    inflow groupBy on dst), both equi-keyed;
+    *  - each round localCheckpoints the new rank vector, so lineage —
+    *    and the executed plan — stays LINEAR in rounds (the q50
+    *    connected-components discipline; an unpersisted loop doubles
+    *    the plan tree per round and re-executes 2^R scans).
+    *
+    * Total mass is conserved (no dangling nodes), so ranks sum to 1 —
+    * spec-pinned in GraphSpec along with closed-form fixtures.
+    */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+
+    val outW = edges.groupBy("src").agg(sum("weight").as("wsum"))
+    val trans = edges.join(outW, "src")
+      .select(col("src"), col("dst"), (col("weight") / col("wsum")).as("p"))
+      .repartition(col("src"))
+      .localCheckpoint(eager = true)
+
+    val nodes = trans.select(col("src").as("node")).distinct()
+      .localCheckpoint(eager = true)
+    // no-dangling contract: a dst that never appears as src would leak
+    // rank mass out of the system
+    require(trans.select("dst").except(nodes.select(col("node"))).isEmpty,
+      "pageRank requires every dst to also appear as a src " +
+        "(add reverse edges or self-loops for dangling nodes)")
+    val n = nodes.count()
+
+    var ranks = nodes.withColumn("r", lit(1.0 / n))
+    var i = 0
+    while (i < iters) {
+      val inflow = trans.join(ranks, col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(sum(col("p") * col("r")).as("inflow"))
+      ranks = nodes
+        .join(inflow, nodes("node") === inflow("dst"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("r"))
+        .localCheckpoint(eager = true)
+      i += 1
+    }
+    ranks
+  }
+}

@@ -658,6 +658,17 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"serving must read the persisted refined table, not re-split cells:\n$p")
   }
 
+  test("q121: pagerank serving reads the checkpointed rank vector; no cartesians") {
+    val p = plan("q121_pagerank")
+    // after 5 checkpointed rounds the served plan is a flat scan of the
+    // final |N|-row rank vector (GraphSpec pins the per-round exchange
+    // growth); nothing here may blow up into a cartesian
+    assert(p.contains("Scan ExistingRDD"),
+      s"q121 must serve from the checkpointed rank vector:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pagerank is equi-joins only:\n$p")
+  }
+
   test("q120: raw ids never shuffle — only KMV sketches cross the exchange") {
     // sketch build (audited on the pre-checkpoint frame, the q110
     // pattern): object-hash aggregate with a map-side partial pass, so
