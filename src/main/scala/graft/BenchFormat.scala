@@ -29,6 +29,13 @@ object BenchFormat {
     * "part":"i/n",...}) so the driver can regex-recover all entries
     * from the tail without needing one parseable super-line.
     */
+  /** "/root/testdata/sf0.1" → "sf0.1" — the full dir path repeated on
+    * every part line was pure skeleton cost inside the 2 KB tail; the
+    * basename disambiguates identically (seconds are always the unit,
+    * declared once on the total line).
+    */
+  def sfTag(sf: String): String = sf.split('/').last
+
   def perQueryLines(results: Seq[(String, Double)], sf: String,
                     maxLine: Int = 900): Seq[String] = {
     val keys = results.map(r => compactKey(r._1))
@@ -41,7 +48,7 @@ object BenchFormat {
     // the fixed JSON skeleton around the entries; "part":"xx/xx" worst
     // case is bounded by 5 chars each side
     val overhead =
-      s"""{"metric":"per_query","part":"99/99","unit":"sec","sf":"$sf","queries":{}}""".length
+      s"""{"metric":"per_query","part":"99/99","sf":"${sfTag(sf)}","queries":{}}""".length
     val budget = math.max(maxLine - overhead, 40)
     val chunks = entries.foldLeft(Vector(Vector.empty[String])) { (acc, e) =>
       val cur = acc.last
@@ -52,7 +59,7 @@ object BenchFormat {
     }
     val n = chunks.size
     chunks.zipWithIndex.map { case (c, i) =>
-      s"""{"metric":"per_query","part":"${i + 1}/$n","unit":"sec","sf":"$sf","queries":{${c.mkString(",")}}}"""
+      s"""{"metric":"per_query","part":"${i + 1}/$n","sf":"${sfTag(sf)}","queries":{${c.mkString(",")}}}"""
     }
   }
 
@@ -65,7 +72,7 @@ object BenchFormat {
   def canaryLine(probes: Seq[(String, Double)], sf: String): String = {
     val entries = probes
       .map { case (k, v) => "\"" + k + "\":" + ms3(v) }.mkString(",")
-    s"""{"metric":"canary","unit":"sec","sf":"$sf","probes":{$entries}}"""
+    s"""{"metric":"canary","sf":"${sfTag(sf)}","probes":{$entries}}"""
   }
 
   /** The final total-only line — SHORT by construction so the tail

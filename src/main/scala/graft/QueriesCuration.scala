@@ -246,7 +246,35 @@ object QueriesCuration {
        |FROM h ORDER BY seed, shard, pos""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q124: weighted sampling without replacement — 8 docs per source,
+  // probability ∝ n_chars (the char-budget-aware subset draw a mixture
+  // builder runs per source; k = 8 of ~25 docs/source at sf0.01 keeps
+  // the draw a REAL selection — a k at the stratum size would select
+  // everything and verify nothing). Deterministic E-S exponential
+  // keys; the oracle reproduces the identical sample because the sort
+  // key is fixed-point nanos before ranking (Curation.weightedSample).
+  def q124WeightedSample(s: SparkSession, d: String): DataFrame =
+    Curation.weightedSample(
+        documents(s, d).select("doc_id", "source", "n_chars"),
+        keyCol = "doc_id", weightCol = "n_chars", stratumCol = "source",
+        k = 8, seed = "wsr1")
+      .select(col("source"), col("doc_id"), col("n_chars"), col("samp_rank"))
+      .orderBy("source", "samp_rank")
+
+  val q124Sql: String =
+    s"""WITH s AS (SELECT source, doc_id, n_chars,
+       |  CAST(round(-ln(
+       |      (${hash60Sql("'wsr1:' || doc_id")} + 1) / 1152921504606846976e0)
+       |    / n_chars * 1e9) AS BIGINT) AS skey
+       |  FROM documents WHERE n_chars > 0)
+       |SELECT source, doc_id, n_chars, samp_rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY source
+       |    ORDER BY skey, doc_id) AS samp_rank FROM s)
+       |WHERE samp_rank <= 8 ORDER BY source, samp_rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_weighted_sample" -> (q124WeightedSample _),
     "q47_curation_pipeline" -> (q47CurationPipeline _),
     "q39_train_eval_split" -> (q39TrainEvalSplit _),
     "q40_stratified_sample" -> (q40StratifiedSample _),
@@ -257,6 +285,7 @@ object QueriesCuration {
   )
 
   val oracle: Map[String, String] = Map(
+    "q124_weighted_sample" -> q124Sql,
     "q47_curation_pipeline" -> q47Sql,
     "q39_train_eval_split" -> q39Sql,
     "q40_stratified_sample" -> q40Sql,

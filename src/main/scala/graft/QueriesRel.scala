@@ -470,7 +470,10 @@ object QueriesRel {
         col("weight"))
       .unionAll(e0.select(col("sn").as("src"), col("cn").as("dst"),
         col("weight")))
-    graft.operators.Graph.pageRank(edges, iters = 5, damping = 0.85)
+    // edges are doubled above — symmetric by construction, so the
+    // operator's dangling anti-join pass is provably redundant here
+    graft.operators.Graph.pageRank(edges, iters = 5, damping = 0.85,
+        validateNoDangling = false)
       .select(col("node"), round(col("r"), 9).as("rank"))
       .orderBy("node")
   }

@@ -170,12 +170,96 @@ object QueriesStream {
       |FROM i JOIN c ca ON ca.t = i.ta JOIN c cb ON cb.t = i.tb
       |ORDER BY type_a, type_b""".stripMargin
 
+  // q122: retention cohort matrix — users bucketed by first-seen day,
+  // distinct users per (cohort, day-offset) cell. The first-event day
+  // comes from a window min over the user partition, NOT a self-join:
+  // one shuffle keys the raw stream by user, and the cohort label rides
+  // each row into the (cohort, offset) count-distinct — at 100 TB the
+  // alternative "min per user then join back" moves the corpus twice.
+  def q122RetentionCohorts(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+    events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .withColumn("cohort", min(col("day")).over(w))
+      .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("offset_days"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        col("offset_days"), col("n_users"))
+      .orderBy("cohort_day", "offset_days")
+  }
+
+  val q122Sql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |c AS (SELECT user_id, day,
+      |       min(day) OVER (PARTITION BY user_id) AS cohort FROM e)
+      |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+      |       datediff('day', cohort, day) AS offset_days,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // q123: ordered conversion funnel view → click → purchase with
+  // FIRST-MATCH, 24-hour-window semantics (a stage counts only if it
+  // happens strictly after — and within 24 h of — the user's first
+  // completion of the previous stage; without the window every active
+  // user trivially converts over a month of events and the funnel
+  // cannot discriminate: 150→60→25 users at sf0.01 with it). Three
+  // chained window mins over the SAME user partitioning — Catalyst
+  // stacks them on one Exchange, so the corpus shuffles once and the
+  // state-machine alternative (sort each user's history and walk it)
+  // never materializes per-user arrays. Timestamps in this dataset are
+  // microsecond-aligned with no per-user collisions, so the strict >
+  // comparisons are engine-identical.
+  def q123Funnel(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+    val day = expr("INTERVAL 24 HOURS")
+    val staged = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts") > col("t1") &&
+          col("ts") <= col("t1") + day, col("ts"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t2") &&
+          col("ts") <= col("t2") + day, col("ts"))).over(w))
+    staged.agg(
+        countDistinct(when(col("t1").isNotNull, col("user_id"))).as("n_view"),
+        countDistinct(when(col("t2").isNotNull, col("user_id"))).as("n_view_click"),
+        countDistinct(when(col("t3").isNotNull, col("user_id"))).as("n_full_funnel"))
+      .select(col("n_view"), col("n_view_click"), col("n_full_funnel"),
+        round(col("n_view_click") / col("n_view"), 6).as("r_click"),
+        round(col("n_full_funnel") / col("n_view_click"), 6).as("r_purchase"))
+  }
+
+  val q123Sql: String =
+    """WITH s1 AS (SELECT user_id AS u, event_type AS t, ts,
+      |  min(CASE WHEN event_type = 'view' THEN ts END)
+      |    OVER (PARTITION BY user_id) AS t1 FROM events),
+      |s2 AS (SELECT *, min(CASE WHEN t = 'click' AND ts > t1
+      |      AND ts <= t1 + INTERVAL 24 HOURS THEN ts END)
+      |    OVER (PARTITION BY u) AS t2 FROM s1),
+      |s3 AS (SELECT *, min(CASE WHEN t = 'purchase' AND ts > t2
+      |      AND ts <= t2 + INTERVAL 24 HOURS THEN ts END)
+      |    OVER (PARTITION BY u) AS t3 FROM s2)
+      |SELECT
+      | count(DISTINCT CASE WHEN t1 IS NOT NULL THEN u END) AS n_view,
+      | count(DISTINCT CASE WHEN t2 IS NOT NULL THEN u END) AS n_view_click,
+      | count(DISTINCT CASE WHEN t3 IS NOT NULL THEN u END) AS n_full_funnel,
+      | round(count(DISTINCT CASE WHEN t2 IS NOT NULL THEN u END)
+      |   / count(DISTINCT CASE WHEN t1 IS NOT NULL THEN u END), 6) AS r_click,
+      | round(count(DISTINCT CASE WHEN t3 IS NOT NULL THEN u END)
+      |   / count(DISTINCT CASE WHEN t2 IS NOT NULL THEN u END), 6) AS r_purchase
+      |FROM s3""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_sessionize" -> (q34Sessionize _),
     "q35_count_distinct" -> (q35CountDistinct _),
     "q45_json_extract" -> (q45JsonExtract _),
     "q46_range_frame" -> (q46RangeFrame _),
     "q120_audience_overlap" -> (q120AudienceOverlap _),
+    "q122_retention_cohorts" -> (q122RetentionCohorts _),
+    "q123_funnel" -> (q123Funnel _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -184,5 +268,7 @@ object QueriesStream {
     "q45_json_extract" -> q45Sql,
     "q46_range_frame" -> q46Sql,
     "q120_audience_overlap" -> q120Sql,
+    "q122_retention_cohorts" -> q122Sql,
+    "q123_funnel" -> q123Sql,
   )
 }

@@ -331,4 +331,49 @@ object Curation {
       .withColumn("lo", round(lit(lo) + col("bucket") * w, 6))
       .withColumn("hi", round(lit(lo) + (col("bucket") + 1) * w, 6))
   }
+
+  /** Weighted sampling WITHOUT replacement, k per stratum — the
+    * Efraimidis–Spirakis (2006) exponential-keys reservoir, made
+    * deterministic: each row's uniform comes from the seeded key hash
+    * (`u = (hash60(seed:key)+1)/2^60`), its E-S sort key is
+    * `-ln(u)/weight`, and the k smallest keys per stratum are the
+    * sample (tie → key order). Selection probability is exactly
+    * weight-proportional without-replacement, and — like every sampler
+    * here — a pure function of (seed, key): reprocessing, re-sharding,
+    * or re-running reproduces the identical sample; changing the seed
+    * redraws it.
+    *
+    * The sort key is FIXED-POINT at nano precision (`round(·×1e9)` as
+    * BIGINT) before ranking: both engines compute `ln` from identical
+    * integer inputs but may differ in the last ulp, and ranking on the
+    * quantized integer (ties broken by key) makes the selected set
+    * engine-exact — the same declared-precision trick as
+    * [[temperatureSample]]'s millionth thresholds. At nano precision a
+    * last-ulp `ln` flip moves a key across an integer boundary with
+    * probability ~1e-8 per row; per-row double comparison would flip
+    * ranks at ~1e-4.
+    *
+    * Scale shape: one narrow projection (hash + ln, codegen'd, no
+    * shuffle) and ONE rank window per stratum that the optimizer
+    * rank-limits (WindowGroupLimit): each map task forwards at most k
+    * rows per stratum, so the shuffle carries ~k·strata rows, not the
+    * corpus. Non-positive weights are excluded (their E-S key is
+    * undefined).
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      stratumCol: String, k: Int, seed: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (TextStats.hash60(
+        concat_ws(":", lit(seed), col(keyCol).cast("string"))) + lit(1L))
+      .cast("double") / lit(math.pow(2.0, 60))
+    val skey = round(-log(u) / col(weightCol).cast("double") * lit(1e9))
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol).orderBy(col("__skey"), col(keyCol))
+    df.filter(col(weightCol) > 0)
+      .withColumn("__skey", skey)
+      .withColumn("samp_rank", row_number().over(w))
+      .filter(col("samp_rank") <= k)
+      .drop("__skey")
+  }
 }

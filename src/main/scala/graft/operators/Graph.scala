@@ -38,7 +38,8 @@ object Graph {
     * Total mass is conserved (no dangling nodes), so ranks sum to 1 —
     * spec-pinned in GraphSpec along with closed-form fixtures.
     */
-  def pageRank(edges: DataFrame, iters: Int, damping: Double): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int, damping: Double,
+      validateNoDangling: Boolean = true): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
 
@@ -51,10 +52,13 @@ object Graph {
     val nodes = trans.select(col("src").as("node")).distinct()
       .localCheckpoint(eager = true)
     // no-dangling contract: a dst that never appears as src would leak
-    // rank mass out of the system
-    require(trans.select("dst").except(nodes.select(col("node"))).isEmpty,
-      "pageRank requires every dst to also appear as a src " +
-        "(add reverse edges or self-loops for dangling nodes)")
+    // rank mass out of the system. The check is one anti-join over the
+    // checkpointed edges — callers whose edges are symmetric BY
+    // CONSTRUCTION (q121 doubles every edge) may skip the pass.
+    if (validateNoDangling)
+      require(trans.join(nodes, col("dst") === col("node"), "left_anti").isEmpty,
+        "pageRank requires every dst to also appear as a src " +
+          "(add reverse edges or self-loops for dangling nodes)")
     val n = nodes.count()
 
     var ranks = nodes.withColumn("r", lit(1.0 / n))

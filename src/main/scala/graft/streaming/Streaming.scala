@@ -467,6 +467,19 @@ object Streaming {
     items.agg(graft.functions.MisraGriesCandidates
       .mg(col(itemCol), lit(1L), k).as("cands"))
 
+  /** Streaming per-group distinct sketches: [[graft.functions.KmvSketch]]
+    * as a streaming aggregation (complete/update mode). State per group
+    * is the ≤ k-long bottom-k set — bounded however long the stream
+    * runs — and the sketch algebra (union / intersection / Jaccard
+    * estimates, q120's panel) applies to any snapshot of the output
+    * without touching the raw id stream. Continuous audience-overlap
+    * monitoring: the streaming twin of q120's sketch-build pass.
+    */
+  def kmvSketchStream(items: DataFrame, groupCol: String, hashCol: String,
+                      k: Int): DataFrame =
+    items.groupBy(col(groupCol))
+      .agg(graft.functions.Kmv.sketch(xxhash64(col(hashCol)), k).as("sk"))
+
   /** Stream-STREAM interval join — the q43 attribution semantics
     * (each left event pairs with the right events of the same key
     * whose timestamp lands in `[leftTs, leftTs + maxDelta]`) when

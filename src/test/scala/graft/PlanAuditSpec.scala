@@ -658,6 +658,32 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"serving must read the persisted refined table, not re-split cells:\n$p")
   }
 
+  test("q122: cohort label rides a window min — the corpus shuffles once, no self-join") {
+    val p = plan("q122_retention_cohorts")
+    assert(p.contains("Window"), s"first-seen day must be a window min:\n$p")
+    assert(!p.contains("Join"),
+      s"min-then-join-back would move the corpus twice:\n$p")
+    assert(p.contains("partial_count(distinct"),
+      s"count-distinct must expand to a two-level partial aggregate:\n$p")
+  }
+
+  test("q123: three chained stage windows share ONE user shuffle; no join") {
+    val p = plan("q123_funnel")
+    assert(!p.contains("Join"), s"funnel must not self-join the corpus:\n$p")
+    // the three chained window mins share the user_id partitioning: one
+    // hashpartitioning exchange total before the global aggregate
+    val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"stage windows must stack on one user shuffle, got $exchanges:\n$p")
+  }
+
+  test("q124: rank window group-limits — map tasks forward ≤ k rows per stratum") {
+    val p = plan("q124_weighted_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"the E-S rank filter must prune map-side:\n$p")
+    assert(!p.contains("Join"), s"sampling is one pass, no join:\n$p")
+  }
+
   test("q121: pagerank serving reads the checkpointed rank vector; no cartesians") {
     val p = plan("q121_pagerank")
     // after 5 checkpointed rounds the served plan is a flat scan of the

@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, explode, expr}
+import org.apache.spark.sql.functions.{col, explode, expr, xxhash64}
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -165,6 +165,35 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     // candidates of the stream-wide summary
     assert(Set("alpha", "beta").subsetOf(cands), s"got $cands")
     assert(cands.size <= 10, "capacity bound must hold in the state store")
+  }
+
+  test("kmvSketchStream: stream-final sketches equal the batch sketches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Long)]
+    val q = Streaming.kmvSketchStream(
+        stream.toDF().toDF("grp", "uid"), "grp", "uid", 64)
+      .writeStream.format("memory").queryName("kmv_out")
+      .outputMode(OutputMode.Complete()).start()
+    val b1 = (1 to 80).map(i => ("a", (i % 50).toLong)) ++
+      (1 to 30).map(i => ("b", i.toLong))
+    val b2 = (1 to 40).map(i => ("a", (i % 90).toLong)) ++
+      (1 to 20).map(i => ("b", (i + 25).toLong))
+    try {
+      stream.addData(b1: _*)
+      q.processAllAvailable()
+      stream.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("kmv_out")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val batch = (b1 ++ b2).toDF("grp", "uid")
+      .groupBy("grp")
+      .agg(graft.functions.Kmv.sketch(xxhash64(col("uid")), 64).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(got == batch,
+      "micro-batched state must fold to the exact batch sketch")
+    // group b saw 45 distinct ids < k: the sketch is exact there
+    assert(got("b").size == 45)
   }
 
   test("sessionStep timeout branch flushes the open session and evicts state") {
