@@ -505,8 +505,72 @@ object QueriesRel {
        |SELECT node, round(r, 9) AS rank FROM r5 ORDER BY node""".stripMargin
   }
 
+  // q125: trade communities — synchronous weighted label propagation
+  // over the same doubled customer↔supplier graph as q121, 4 rounds,
+  // rolled up to (community, size, side mix). Deterministic by
+  // construction (sync rounds, largest-inflow label, smallest-label
+  // tie), so the oracle unrolls the SAME 4 rounds as chained CTEs with
+  // the identical row_number vote — the communities are hash-checked,
+  // not eyeballed. Weights are counts summed as doubles: IEEE-exact in
+  // both engines, so vote ties resolve identically.
+  //
+  // On THIS fixture the converged partition is the two bipartite sides:
+  // TPC-H trade is a dense random bipartite graph with no planted
+  // community structure, and synchronous LPA on such a graph settles
+  // into the side 2-coloring (self-loop damping just merges everything
+  // into one blob — measured both). That is the correct answer for
+  // structureless data; GraphSpec's two-cliques-over-a-weak-bridge
+  // fixture pins that the operator recovers real communities when they
+  // exist.
+  def q125Communities(s: SparkSession, d: String): DataFrame = {
+    val e0 = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(concat(lit("c"), col("o_custkey")).as("cn"),
+        concat(lit("s"), col("l_suppkey")).as("sn"))
+      .agg(count(lit(1)).cast("double").as("weight"))
+    val edges = e0.select(col("cn").as("src"), col("sn").as("dst"),
+        col("weight"))
+      .unionAll(e0.select(col("sn").as("src"), col("cn").as("dst"),
+        col("weight")))
+    graft.operators.Graph.labelPropagation(edges, iters = 4)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(when(col("node").startsWith("c"), 1L).otherwise(0L))
+          .as("n_cust"),
+        sum(when(col("node").startsWith("s"), 1L).otherwise(0L))
+          .as("n_supp"))
+      .orderBy("community")
+  }
+
+  val q125Sql: String = {
+    def round(i: Int): String = {
+      val prev = s"l${i - 1}"
+      s"""v$i AS (SELECT e.dst, $prev.label, sum(e.w) AS wv
+         |  FROM e JOIN $prev ON $prev.node = e.src GROUP BY 1, 2),
+         |l$i AS (SELECT dst AS node, label FROM (
+         |  SELECT dst, label, row_number() OVER (PARTITION BY dst
+         |    ORDER BY wv DESC, label) AS rn FROM v$i) WHERE rn = 1)"""
+        .stripMargin
+    }
+    s"""WITH e0 AS (
+       | SELECT 'c' || o_custkey AS cn, 's' || l_suppkey AS sn,
+       |        CAST(count(*) AS DOUBLE) AS w
+       | FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       | GROUP BY 1, 2),
+       |e AS (SELECT cn AS src, sn AS dst, w FROM e0
+       |      UNION ALL SELECT sn, cn, w FROM e0),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       |${(1 to 4).map(round).mkString(",\n")}
+       |SELECT label AS community, count(*) AS n_nodes,
+       | CAST(sum(CASE WHEN node LIKE 'c%' THEN 1 ELSE 0 END) AS BIGINT) AS n_cust,
+       | CAST(sum(CASE WHEN node LIKE 's%' THEN 1 ELSE 0 END) AS BIGINT) AS n_supp
+       |FROM l4 GROUP BY 1 ORDER BY community""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_pagerank" -> (q121PageRank _),
+    "q125_communities" -> (q125Communities _),
     "q113_fuzzy_join" -> (q113FuzzyJoin _),
     "q114_edit_join" -> (q114EditJoin _),
     "q115_entity_resolve" -> (q115EntityResolve _),
@@ -527,6 +591,7 @@ object QueriesRel {
 
   val oracle: Map[String, String] = Map(
     "q121_pagerank" -> q121Sql,
+    "q125_communities" -> q125Sql,
     "q113_fuzzy_join" -> q113Sql,
     "q114_edit_join" -> q114Sql,
     "q115_entity_resolve" -> q115Sql,

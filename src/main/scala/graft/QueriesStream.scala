@@ -252,6 +252,159 @@ object QueriesStream {
       |   / count(DISTINCT CASE WHEN t2 IS NOT NULL THEN u END), 6) AS r_purchase
       |FROM s3""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q126: metric correlation matrix — pairwise Pearson r between the
+  // five event types' daily value totals. Shape: ONE corpus scan into
+  // a conditional-sum day rollup (no pivot operator — the type list is
+  // declared, so no distinct-types pre-job), then all 10 pairwise
+  // corr() aggregates in ONE pass over the ~#days-row frame, stacked
+  // to long. The corpus shuffles once on day; the correlation work is
+  // a single tiny aggregate whatever the corpus size. corr is scale-
+  // invariant, so double sum-order noise in the day totals is ~1e-12
+  // relative and round(·,6) absorbs it in both engines.
+  private val evTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def q126CorrMatrix(s: SparkSession, d: String): DataFrame = {
+    val sums = evTypes.map(t =>
+      sum(when(col("event_type") === t, col("value"))).as(t))
+    val daily = events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sums.head, sums.tail: _*)
+    val pairs = for {
+      i <- evTypes.indices; j <- (i + 1) until evTypes.size
+    } yield (evTypes(i), evTypes(j))
+    // Pearson assembled from covar/stddev co-moments rather than
+    // corr(): under ANSI mode corr() RAISES on a zero-variance metric
+    // where the contract (and DuckDB) wants NULL — a constant metric
+    // is undefined correlation, not a query failure. Same one-pass
+    // partial-aggregate shape; the when() guard short-circuits the
+    // division.
+    val corrs = pairs.map { case (a, b) =>
+      val den = stddev_samp(col(a)) * stddev_samp(col(b))
+      round(when(den.isNull || den === 0, lit(null).cast("double"))
+        .otherwise(covar_samp(col(a), col(b)) / den), 6).as(s"${a}_$b")
+    }
+    val stackArgs = pairs
+      .map { case (a, b) => s"'$a', '$b', ${a}_$b" }.mkString(", ")
+    daily.agg(corrs.head, corrs.tail: _*)
+      .select(expr(s"stack(${pairs.size}, $stackArgs)" +
+        " as (metric_a, metric_b, r)"))
+      .orderBy("metric_a", "metric_b")
+  }
+
+  val q126Sql: String = {
+    val dayCols = evTypes.map(t =>
+      s"sum(CASE WHEN event_type = '$t' THEN value END) AS $t").mkString(",\n  ")
+    val pairs = for {
+      i <- evTypes.indices; j <- (i + 1) until evTypes.size
+    } yield (evTypes(i), evTypes(j))
+    val arms = pairs.map { case (a, b) =>
+      s"SELECT '$a' AS metric_a, '$b' AS metric_b, round(corr($a, $b), 6) AS r FROM d"
+    }.mkString("\n UNION ALL ")
+    s"""WITH d AS (SELECT CAST(ts AS DATE) AS day,
+       |  $dayCols
+       | FROM events GROUP BY 1)
+       |SELECT * FROM ($arms)
+       |ORDER BY metric_a, metric_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q127: ingest anomaly monitor — per-type daily event counts scored
+  // by the robust median/MAD z (Analytics.robustOutlierScores), rolled
+  // up per type. The corpus is scanned ONCE into the (type, day) count
+  // frame; medians/MADs are exact interpolated percentiles over that
+  // tiny fact frame (broadcast back — facts never re-shuffle to the
+  // stats). Day counts are integers, so the interpolated medians land
+  // on .0/.5 — IEEE-exact in both engines; the score division is then
+  // bit-identical and round(·,6) is cosmetic.
+  def q127AnomalyDays(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    graft.operators.Analytics.robustOutlierScores(daily, "event_type", "cnt")
+      .groupBy(col("event_type"))
+      .agg(round(max(col("med")), 6).as("median_cnt"),
+        round(max(col("mad")), 6).as("mad"),
+        sum(when(abs(col("rscore")) > 3, 1L).otherwise(0L)).as("n_anom"),
+        round(max(abs(col("rscore"))), 6).as("max_abs_score"))
+      .orderBy("event_type")
+  }
+
+  val q127Sql: String =
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |   CAST(count(*) AS DOUBLE) AS cnt FROM events GROUP BY 1, 2),
+      |m AS (SELECT event_type, quantile_cont(cnt, 0.5) AS med
+      |      FROM daily GROUP BY 1),
+      |dv AS (SELECT daily.event_type, cnt, med
+      |       FROM daily JOIN m USING (event_type)),
+      |md AS (SELECT event_type, quantile_cont(abs(cnt - med), 0.5) AS mad
+      |       FROM dv GROUP BY 1),
+      |sc AS (SELECT dv.event_type, cnt, dv.med, md.mad,
+      |   CASE WHEN md.mad = 0 THEN NULL
+      |        ELSE (cnt - dv.med) / (1.4826 * md.mad) END AS rscore
+      |  FROM dv JOIN md USING (event_type))
+      |SELECT event_type, round(max(med), 6) AS median_cnt,
+      | round(max(mad), 6) AS mad,
+      | CAST(sum(CASE WHEN abs(rscore) > 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_anom,
+      | round(max(abs(rscore)), 6) AS max_abs_score
+      |FROM sc GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q128: data-mix experiment readout — Welch's unequal-variance t over
+  // purchase values between two DETERMINISTIC hash arms (the q39 split
+  // discipline: arm = seeded user hash, so re-runs and engines agree on
+  // membership). ONE conditional-aggregate corpus pass computes both
+  // arms' (n, mean, var_samp) — map-side partials, no per-arm shuffle,
+  // no join — and Analytics.welchT assembles t and the Welch–
+  // Satterthwaite df as pure column math on the single output row.
+  private val hash60Sql =
+    (c: String) => s"CAST(('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+  def q128AbTest(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Analytics
+    val arm = graft.operators.TextStats.hash60(
+      concat_ws(":", lit("ab1"), col("user_id").cast("string"))) % 2
+    val withArm = events(s, d)
+      .filter(col("event_type") === "purchase")
+      .withColumn("arm", arm)
+    def f(a: Int, c: org.apache.spark.sql.Column) =
+      when(col("arm") === a, c)
+    val stats = withArm.agg(
+      count(f(0, lit(1))).as("n_a"), avg(f(0, col("value"))).as("mean_a"),
+      var_samp(f(0, col("value"))).as("var_a"),
+      count(f(1, lit(1))).as("n_b"), avg(f(1, col("value"))).as("mean_b"),
+      var_samp(f(1, col("value"))).as("var_b"))
+    val (t, df) = Analytics.welchT(
+      col("n_a"), col("mean_a"), col("var_a"),
+      col("n_b"), col("mean_b"), col("var_b"))
+    stats.select(col("n_a"), col("n_b"),
+      round(col("mean_a"), 6).as("mean_a"),
+      round(col("mean_b"), 6).as("mean_b"),
+      round(t, 4).as("t_stat"), round(df, 2).as("df"))
+  }
+
+  val q128Sql: String =
+    s"""WITH p AS (SELECT value,
+       |  ${hash60Sql("'ab1:' || user_id")} % 2 AS arm
+       |  FROM events WHERE event_type = 'purchase'),
+       |s AS (SELECT
+       |  count(*) FILTER (WHERE arm = 0) AS n_a,
+       |  avg(value) FILTER (WHERE arm = 0) AS mean_a,
+       |  var_samp(value) FILTER (WHERE arm = 0) AS var_a,
+       |  count(*) FILTER (WHERE arm = 1) AS n_b,
+       |  avg(value) FILTER (WHERE arm = 1) AS mean_b,
+       |  var_samp(value) FILTER (WHERE arm = 1) AS var_b
+       | FROM p)
+       |SELECT n_a, n_b, round(mean_a, 6) AS mean_a,
+       | round(mean_b, 6) AS mean_b,
+       | round((mean_a - mean_b)
+       |   / sqrt(var_a / n_a + var_b / n_b), 4) AS t_stat,
+       | round(pow(var_a / n_a + var_b / n_b, 2)
+       |   / (pow(var_a / n_a, 2) / (n_a - 1)
+       |      + pow(var_b / n_b, 2) / (n_b - 1)), 2) AS df
+       |FROM s""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_sessionize" -> (q34Sessionize _),
     "q35_count_distinct" -> (q35CountDistinct _),
@@ -260,6 +413,9 @@ object QueriesStream {
     "q120_audience_overlap" -> (q120AudienceOverlap _),
     "q122_retention_cohorts" -> (q122RetentionCohorts _),
     "q123_funnel" -> (q123Funnel _),
+    "q126_corr_matrix" -> (q126CorrMatrix _),
+    "q127_anomaly_days" -> (q127AnomalyDays _),
+    "q128_ab_test" -> (q128AbTest _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -270,5 +426,8 @@ object QueriesStream {
     "q120_audience_overlap" -> q120Sql,
     "q122_retention_cohorts" -> q122Sql,
     "q123_funnel" -> q123Sql,
+    "q126_corr_matrix" -> q126Sql,
+    "q127_anomaly_days" -> q127Sql,
+    "q128_ab_test" -> q128Sql,
   )
 }

@@ -38,6 +38,55 @@ object Graph {
     * Total mass is conserved (no dangling nodes), so ranks sum to 1 —
     * spec-pinned in GraphSpec along with closed-form fixtures.
     */
+  /** Synchronous weighted label propagation, a FIXED number of rounds —
+    * the community-detection sibling of [[pageRank]] (cluster the host
+    * graph, then curate per community: sample caps, contamination
+    * audits, dedup scopes per cluster).
+    *
+    * `edges` = (src, dst, weight); labels start as each node's own id
+    * and every round each node adopts the label with the LARGEST
+    * incoming weight sum, ties to the smallest label — so round
+    * results are a pure function of the graph, independent of
+    * partitioning or schedule (asynchronous LPA, the textbook variant,
+    * is schedule-dependent and could never be oracle-checked). Every
+    * node must appear as both a src and a dst (symmetric/doubled
+    * edges, or add self-loops); dst-only nodes never vote, src-only
+    * nodes never update.
+    *
+    * Scale shape is [[pageRank]]'s: the edge list is repartitioned on
+    * src and checkpointed ONCE; each round moves only the |N|-row
+    * label vector (join on src, vote groupBy on (dst, label), one
+    * rank-limited window on dst), then localCheckpoints — lineage
+    * linear in rounds. The window's per-node row set is the node's
+    * distinct incoming LABEL count (≤ degree), and the rank-1 filter
+    * group-limits map-side.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val trans = edges
+      .select(col("src"), col("dst"), col("weight").cast("double").as("w"))
+      .repartition(col("src"))
+      .localCheckpoint(eager = true)
+    val nodes = trans.select(col("src").as("node")).distinct()
+      .localCheckpoint(eager = true)
+
+    val byVote = org.apache.spark.sql.expressions.Window
+      .partitionBy("dst").orderBy(col("wv").desc, col("label"))
+    var labels = nodes.withColumn("label", col("node").cast("string"))
+    var i = 0
+    while (i < iters) {
+      labels = trans.join(labels, col("src") === col("node"))
+        .groupBy(col("dst"), col("label"))
+        .agg(sum(col("w")).as("wv"))
+        .withColumn("rn", row_number().over(byVote))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("node"), col("label"))
+        .localCheckpoint(eager = true)
+      i += 1
+    }
+    labels
+  }
+
   def pageRank(edges: DataFrame, iters: Int, damping: Double,
       validateNoDangling: Boolean = true): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")

@@ -124,6 +124,81 @@ object Streaming {
       .drop("session_id")
   }
 
+  case class FunnelState(anchors: Seq[Long])
+  case class FunnelHit(user_id: Long, stage_idx: Int, stage: String,
+                       ts: Timestamp)
+
+  /** One state-machine step of the streaming funnel — q123's
+    * first-match + per-stage-window semantics as per-user state: one
+    * FIXED-SIZE anchor array per active user (first qualifying
+    * completion time per stage, in event-time micros), so state is
+    * bounded by active users whatever the event volume, and the
+    * timeout branch evicts idle users entirely (their anchor windows
+    * are long past). A stage anchors only once (first match — a later
+    * re-entry never re-opens the window, the q123 contract) and only
+    * when it lands strictly after and within `windowMs` of the
+    * PREVIOUS stage's anchor. Each new anchor emits one append-mode
+    * transition row — the output is a conversion event stream, which
+    * downstream counts per stage without ever storing raw events.
+    *
+    * Stream ≡ batch (`QueriesStream.q123Funnel`) under event-time-
+    * ordered delivery: processing in ts order makes greedy
+    * first-qualifying identical to the batch window-min. A late event
+    * arriving BEHIND an already-set anchor does not re-anchor —
+    * the batch twin is the backfill corrector, the same division of
+    * labor as every stream/batch pair in this module.
+    */
+  def funnelStep(stages: Seq[String], windowMs: Long, armTimeout: Boolean,
+      evictMs: Long)(
+      userId: Long, it: Iterator[Event], state: GroupState[FunnelState])
+      : Iterator[FunnelHit] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      def micros(t: Timestamp): Long =
+        t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+      val anchors = state.getOption.map(_.anchors.toArray)
+        .getOrElse(Array.fill(stages.size)(-1L))
+      val out = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
+      for (e <- it.toSeq.sortBy(e => micros(e.ts))) {
+        val i = stages.indexOf(e.event_type)
+        if (i >= 0 && anchors(i) < 0) {
+          val t = micros(e.ts)
+          val qualifies =
+            if (i == 0) true
+            else anchors(i - 1) >= 0 && t > anchors(i - 1) &&
+              t <= anchors(i - 1) + windowMs * 1000L
+          if (qualifies) {
+            anchors(i) = t
+            out += FunnelHit(userId, i, stages(i), e.ts)
+          }
+        }
+      }
+      state.update(FunnelState(anchors.toSeq))
+      if (armTimeout) state.setTimeoutDuration(evictMs)
+      out.iterator
+    }
+  }
+
+  /** Streaming ordered-funnel tracking — the §2.9 face of q123: per-user
+    * stage anchors in `flatMapGroupsWithState`, emitting an append-only
+    * stream of first-time stage completions. Timeout handling mirrors
+    * [[sessionize]]: production arms a processing-time eviction, tests
+    * pass `NoTimeout` so `processAllAvailable` settles.
+    */
+  def funnelStream(events: Dataset[Event], stages: Seq[String],
+      windowMs: Long, evictMs: Long,
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout())
+      : Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    val arm = timeout == GroupStateTimeout.ProcessingTimeTimeout()
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelHit](
+        OutputMode.Append(), timeout)(
+        funnelStep(stages, windowMs, arm, evictMs))
+  }
+
   /** Streaming exact dedup — the §2.9 face of
     * [[graft.operators.Dedup.exactDedup]]: re-deliveries of the same
     * normalized-text digest are dropped within the watermark horizon

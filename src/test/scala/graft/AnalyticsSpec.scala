@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Curation
+import graft.operators.{Analytics, Curation}
 
 /** Event-analytics and weighted-sampling fixtures: q123's funnel
   * ordering/window semantics and Curation.weightedSample's E-S
@@ -92,5 +92,105 @@ class AnalyticsSpec extends AnyFunSuite with SharedSpark {
     val keys = Curation.weightedSample(df, "key", "w", "grp", 4, "z")
       .select("key").as[String].collect().toSet
     assert(keys == Set("a", "d"))
+  }
+
+  test("robustOutlierScores: planted spike scores past 3, median is unmoved") {
+    // 20 quiet days around 100 ± 2, one broken-scraper day at 500.
+    // mean/stddev would let the spike drag the gate; median/MAD doesn't.
+    val rows = (1 to 20).map(i => ("ingest", 100.0 + (i % 5) - 2)) :+
+      (("ingest", 500.0))
+    val out = Analytics.robustOutlierScores(
+        rows.toDF("grp", "x"), "grp", "x")
+      .collect().map(r => r.getDouble(1) -> r)
+    val spike = out.find(_._1 == 500.0).get._2
+    assert(spike.getAs[Double]("rscore") > 3,
+      s"spike must flag: ${spike.getAs[Double]("rscore")}")
+    assert(math.abs(spike.getAs[Double]("med") - 100.0) <= 1,
+      "median must ignore the spike")
+    val quiet = out.filter(_._1 <= 102.0)
+    assert(quiet.forall(q => math.abs(q._2.getAs[Double]("rscore")) < 3),
+      "quiet days must not flag")
+  }
+
+  test("robustOutlierScores: zero MAD yields null scores, not infinities") {
+    val df = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0), ("g", 9.0))
+      .toDF("grp", "x")
+    val scores = Analytics.robustOutlierScores(df, "grp", "x")
+      .select("rscore").collect().map(r => Option(r.get(0)))
+    assert(scores.forall(_.isEmpty),
+      "mad=0 (majority identical) must score null for every row")
+  }
+
+  test("welchT: planted mean shift has the right sign; equal samples give t=0") {
+    def stats(a: Seq[Double], b: Seq[Double]) = {
+      val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("arm", "x")
+      val s = df.agg(
+        count(when(col("arm") === "a", 1)).as("na"),
+        avg(when(col("arm") === "a", col("x"))).as("ma"),
+        var_samp(when(col("arm") === "a", col("x"))).as("va"),
+        count(when(col("arm") === "b", 1)).as("nb"),
+        avg(when(col("arm") === "b", col("x"))).as("mb"),
+        var_samp(when(col("arm") === "b", col("x"))).as("vb"))
+      val (t, dof) = Analytics.welchT(col("na"), col("ma"), col("va"),
+        col("nb"), col("mb"), col("vb"))
+      s.select(t.as("t"), dof.as("df")).head()
+    }
+    val rnd = new scala.util.Random(3)
+    val base = Seq.fill(60)(10.0 + rnd.nextGaussian())
+    val shifted = base.map(_ + 5.0)
+    val up = stats(shifted, base)
+    assert(up.getDouble(0) > 10, s"5-sigma shift must dominate: $up")
+    // identical samples: t exactly 0, df defined
+    val same = stats(base, base)
+    assert(same.getDouble(0) == 0.0 && same.getDouble(1) > 0)
+    // hand check against the closed form on a tiny fixture
+    val t2 = stats(Seq(1.0, 2.0, 3.0), Seq(2.0, 4.0, 6.0))
+    val (va, vb) = (1.0, 4.0) // var_samp of the two fixtures
+    val want = (2.0 - 4.0) / math.sqrt(va / 3 + vb / 3)
+    assert(math.abs(t2.getDouble(0) - want) < 1e-12)
+  }
+
+  test("welchT: degenerate arms (n<2 or zero spread both sides) are null") {
+    def one(a: Seq[Double], b: Seq[Double]) = {
+      val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("arm", "x")
+      val s = df.agg(
+        count(when(col("arm") === "a", 1)).as("na"),
+        avg(when(col("arm") === "a", col("x"))).as("ma"),
+        var_samp(when(col("arm") === "a", col("x"))).as("va"),
+        count(when(col("arm") === "b", 1)).as("nb"),
+        avg(when(col("arm") === "b", col("x"))).as("mb"),
+        var_samp(when(col("arm") === "b", col("x"))).as("vb"))
+      val (t, _) = Analytics.welchT(col("na"), col("ma"), col("va"),
+        col("nb"), col("mb"), col("vb"))
+      Option(s.select(t.as("t")).head().get(0))
+    }
+    assert(one(Seq(1.0), Seq(2.0, 3.0, 4.0)).isEmpty, "n_a=1")
+    assert(one(Seq(5.0, 5.0, 5.0), Seq(7.0, 7.0)).isEmpty, "zero pooled spread")
+  }
+
+  test("q126 on a planted fixture: perfect correlation and anti-correlation") {
+    // days where click tracks view exactly and error mirrors it
+    val rows = (0 until 8).flatMap { d =>
+      val base = 10.0 + d
+      Seq((d, "view", base), (d, "click", 2 * base + 1),
+        (d, "error", 100 - base), (d, "purchase", 5.0),
+        (d, "signup", if (d % 2 == 0) 1.0 else 3.0))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("corr_fx").toString
+    rows.zipWithIndex.map { case ((d, t, v), i) =>
+      (i.toLong, new Timestamp(1700000000000L + d * 24L * H), 1L, t, v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = QueriesStream.q126CorrMatrix(spark, dir)
+      .collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        Option(x.get(2)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(r(("click", "view")).contains(1.0),
+      s"affine metric must give r=1: $r")
+    assert(r(("error", "view")).contains(-1.0),
+      s"mirror must give r=-1: $r")
+    assert(r(("purchase", "view")).isEmpty,
+      s"constant metric has undefined correlation: $r")
   }
 }

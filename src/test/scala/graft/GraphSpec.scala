@@ -78,6 +78,61 @@ class GraphSpec extends AnyFunSuite with SharedSpark {
       s"exchange growth must be constant per round: $e2, $e3, $e4")
   }
 
+  private def lpa(edges: Seq[(String, String, Double)], iters: Int,
+      parts: Int = 1): Map[String, String] =
+    Graph.labelPropagation(
+        edges.toDF("src", "dst", "weight").repartition(parts), iters)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("labelPropagation: two cliques over a weak bridge split into two communities") {
+    def clique(ns: Seq[String]) = for {
+      a <- ns; b <- ns if a != b
+    } yield (a, b, 5.0)
+    val edges = clique(Seq("a", "b", "c")) ++ clique(Seq("d", "e", "f")) ++
+      Seq(("c", "d", 1.0), ("d", "c", 1.0))
+    val labels = lpa(edges, 4)
+    assert(Set("a", "b", "c").map(labels) .size == 1, s"clique 1 split: $labels")
+    assert(Set("d", "e", "f").map(labels).size == 1, s"clique 2 split: $labels")
+    assert(labels("a") != labels("d"),
+      s"weak bridge must not merge the cliques: $labels")
+  }
+
+  test("labelPropagation: one round matches the hand vote (largest inflow, min-label tie)") {
+    // b receives: a(label a, w=3) vs c+d (labels c,d, w=2 each) → 'a'
+    // e receives equal votes from a and c → tie breaks to 'a'
+    val edges = Seq(("a", "b", 3.0), ("c", "b", 2.0), ("d", "b", 2.0),
+      ("a", "e", 1.0), ("c", "e", 1.0),
+      // reverse edges so every node votes AND updates
+      ("b", "a", 1.0), ("b", "c", 1.0), ("b", "d", 1.0), ("e", "a", 1.0))
+    val l1 = lpa(edges, 1)
+    assert(l1("b") == "a", s"b must take the heaviest label: $l1")
+    assert(l1("e") == "a", s"equal vote must tie to the smaller label: $l1")
+    assert(l1("a") == "b" && l1("c") == "b" && l1("d") == "b",
+      s"single-in-neighbor nodes adopt that neighbor's label: $l1")
+  }
+
+  test("labelPropagation: partitioning-invariant (sync rounds, deterministic tie)") {
+    val rnd = new scala.util.Random(11)
+    val e0 = Seq.fill(150)((s"n${rnd.nextInt(30)}", s"n${rnd.nextInt(30)}",
+      (1 + rnd.nextInt(4)).toDouble))
+    val edges = e0 ++ e0.map { case (a, b, w) => (b, a, w) }
+    assert(lpa(edges, 3, parts = 1) == lpa(edges, 3, parts = 13),
+      "labels must be a pure function of the graph")
+  }
+
+  test("labelPropagation: lineage linear in rounds (constant exchange growth)") {
+    val edges = Seq(("a", "b", 1.0), ("b", "a", 1.0), ("b", "c", 2.0),
+      ("c", "b", 2.0)).toDF("src", "dst", "weight")
+    def exchanges(rounds: Int): Int = {
+      val p = Graph.labelPropagation(edges, rounds)
+        .queryExecution.executedPlan.toString
+      "Exchange".r.findAllIn(p).size
+    }
+    val (e2, e3, e4) = (exchanges(2), exchanges(3), exchanges(4))
+    assert(e3 - e2 == e4 - e3,
+      s"exchange growth must be constant per round: $e2, $e3, $e4")
+  }
+
   test("q121 graph at sf0.001: suppliers with more trade rank higher on average") {
     val out = QueriesRel.q121PageRank(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap

@@ -684,6 +684,46 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(!p.contains("Join"), s"sampling is one pass, no join:\n$p")
   }
 
+  test("q125: LPA serves from the checkpointed label vector; equi-joins only") {
+    val p = plan("q125_communities")
+    // after 4 checkpointed rounds the served plan is the |N|-row label
+    // vector + a rollup (GraphSpec pins per-round exchange growth)
+    assert(p.contains("Scan ExistingRDD"),
+      s"q125 must serve from the checkpointed labels:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"label propagation is equi-joins only:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"the community rollup must partial-aggregate:\n$p")
+  }
+
+  test("q126: one corpus scan feeds all 10 correlations; no join") {
+    val p = plan("q126_corr_matrix")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"declared type list ⇒ no pivot pre-job, 1 scan, got $scans:\n$p")
+    assert(!p.contains("Join"), s"the matrix is conditional sums, not self-joins:\n$p")
+    assert(p.contains("partial_covar_samp") && p.contains("partial_stddev_samp"),
+      s"the co-moments must partial-aggregate over the day frame:\n$p")
+  }
+
+  test("q127: stats broadcast back to the checkpointed facts; corpus never rescans") {
+    val p = plan("q127_anomaly_days")
+    assert("FileScan parquet".r.findAllIn(p).isEmpty,
+      s"all branches must read the materialized fact frame:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"per-group stats join back as broadcasts:\n$p")
+  }
+
+  test("q128: one conditional-aggregate pass — no per-arm shuffle, no join") {
+    val p = plan("q128_ab_test")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"both arms come from ONE scan, got $scans:\n$p")
+    assert(!p.contains("Join"), s"arms are FILTERed aggregates, not joins:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"the only exchange is the single-row gather:\n$p")
+    assert(p.contains("partial_var_samp") || p.contains("partial_avg"),
+      s"map-side partials required:\n$p")
+  }
+
   test("q121: pagerank serving reads the checkpointed rank vector; no cartesians") {
     val p = plan("q121_pagerank")
     // after 5 checkpointed rounds the served plan is a flat scan of the

@@ -212,6 +212,68 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(state.isRemoved, "idle user's state must be evicted")
   }
 
+  test("funnelStream: cross-batch anchors + re-delivery match the batch funnel") {
+    implicit val sqlCtx = spark.sqlContext
+    val H = 3600L * 1000
+    val t0 = 1700000000000L
+    def e(u: Long, t: String, off: Long) =
+      Event(u, new Timestamp(t0 + off), t, 1.0)
+    // u1 full funnel across batches; u2's click precedes their first
+    // view (stage 1 only); u3's click lands outside the 24h window
+    val b1 = Seq(e(1, "view", 0), e(1, "click", 2 * H),
+      e(2, "click", 0), e(3, "view", 0))
+    val b2 = Seq(e(1, "purchase", 4 * H), e(1, "view", 0), // re-delivery
+      e(2, "view", 1 * H), e(3, "click", 30 * H), e(3, "purchase", 31 * H))
+    val stream = MemoryStream[Event]
+    val q = Streaming.funnelStream(stream.toDS(),
+        stages = Seq("view", "click", "purchase"),
+        windowMs = 24 * H, evictMs = 24 * H,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(b1: _*)
+      q.processAllAvailable()
+      stream.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val hits = spark.table("funnel_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("stage")))
+    assert(hits.length == hits.distinct.length,
+      "a stage must anchor (and emit) at most once per user")
+    val byStage = hits.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    // batch twin over the same rows
+    val dir = java.nio.file.Files.createTempDirectory("funnel_stream").toString
+    (b1 ++ b2).toDF()
+      .selectExpr("monotonically_increasing_id() AS event_id", "ts",
+        "user_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = QueriesStream.q123Funnel(spark, dir).head()
+    assert(byStage("view").size.toLong == batch.getLong(0), "n_view")
+    assert(byStage.getOrElse("click", Set.empty).size.toLong ==
+      batch.getLong(1), "n_view_click")
+    assert(byStage.getOrElse("purchase", Set.empty).size.toLong ==
+      batch.getLong(2), "n_full_funnel")
+    assert(byStage("view") == Set(1L, 2L, 3L) &&
+      byStage("click") == Set(1L) && byStage("purchase") == Set(1L))
+  }
+
+  test("funnelStep timeout branch evicts the idle user's anchors") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    val state = TestGroupState.create[Streaming.FunnelState](
+      optionalState = org.apache.spark.api.java.Optional.of(
+        Streaming.FunnelState(Seq(1000L, -1L, -1L))),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout(),
+      batchProcessingTimeMs = 10000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = true)
+    val out = Streaming.funnelStep(Seq("view", "click", "purchase"),
+      windowMs = 1000L, armTimeout = true, evictMs = 1000L)(
+      1L, Iterator.empty, state).toSeq
+    assert(out.isEmpty, "eviction emits nothing — anchors are not sessions")
+    assert(state.isRemoved, "idle user's anchor state must be evicted")
+  }
+
   test("nearDupPairsStream matches the batch anchor-star; re-delivery adds nothing") {
     implicit val sqlCtx = spark.sqlContext
     val t0 = 1700000000000L
