@@ -24,6 +24,16 @@ object BenchFormat {
 
   def ms3(v: Double): String = f"$v%.3f"
 
+  /** Per-query entries carry centisecond precision: at 127 registered
+    * queries the 3-decimal map no longer fit the 2 KB tail next to the
+    * total line (footprint 1976 > 1900; measured), and 10 ms
+    * resolution on 0.1–15 s per-query walls is ±1–3% — noise-level
+    * against the ≥10% ambient drift the canary instrument documents.
+    * The total and canary lines keep 3 decimals (few chars, and the
+    * canary's ~0.15 s probes need them).
+    */
+  def ms2(v: Double): String = f"$v%.2f"
+
   /** The per-query timing map as 1..n JSON lines, each ≤ `maxLine`
     * chars. Every line is self-describing ({"metric":"per_query",
     * "part":"i/n",...}) so the driver can regex-recover all entries
@@ -43,7 +53,7 @@ object BenchFormat {
       s"compact bench keys must be unique, got collisions: " +
         keys.diff(keys.distinct).distinct.mkString(","))
     val entries = results.map { case (k, v) =>
-      "\"" + compactKey(k) + "\":" + ms3(v)
+      "\"" + compactKey(k) + "\":" + ms2(v)
     }
     // the fixed JSON skeleton around the entries; "part":"xx/xx" worst
     // case is bounded by 5 chars each side

@@ -40,12 +40,12 @@ class BenchFormatSpec extends AnyFunSuite {
   }
 
   test("every query's timing is regex-recoverable from the emitted lines") {
-    val entry = """"(q\d+)":(\d+\.\d{3})""".r
+    val entry = """"(q\d+)":(\d+\.\d{2})""".r
     val got = lines.flatMap(l => entry.findAllMatchIn(l)
       .map(m => m.group(1) -> m.group(2).toDouble)).toMap
     assert(got.keySet == names.map(BenchFormat.compactKey).toSet)
     for ((n, v) <- fake)
-      assert(math.abs(got(BenchFormat.compactKey(n)) - v) < 0.001)
+      assert(math.abs(got(BenchFormat.compactKey(n)) - v) < 0.005 + 1e-9)
   }
 
   test("every line is valid standalone JSON with the per_query marker") {
