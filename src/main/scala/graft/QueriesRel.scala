@@ -568,9 +568,43 @@ object QueriesRel {
        |FROM l4 GROUP BY 1 ORDER BY community""".stripMargin
   }
 
+  // q130: join-key skew profile of lineitem's supplier key — the
+  // pre-join shuffle-planning readout (Analytics.keySkewProfile: salt
+  // or AQE-split when top-1% share / Gini run hot). Rank statistics
+  // WITHOUT a global key rank: the count-of-counts histogram collapses
+  // rank blocks exactly (see the operator doc), so the oracle can
+  // afford the naive formulation — it ranks every key directly and
+  // must agree to 6 decimals, which checks the block algebra, not just
+  // the plumbing.
+  def q130KeySkew(s: SparkSession, d: String): DataFrame =
+    graft.operators.Analytics.keySkewProfile(
+      lineitem(s, d).select("l_suppkey"), "l_suppkey")
+
+  val q130Sql: String =
+    """WITH kc AS (SELECT l_suppkey, count(*) AS cnt
+      |            FROM lineitem GROUP BY 1),
+      |r AS (SELECT cnt,
+      |  row_number() OVER (ORDER BY cnt, l_suppkey) AS i,
+      |  row_number() OVER (ORDER BY cnt DESC, l_suppkey) AS j
+      | FROM kc),
+      |t AS (SELECT count(*) AS n, sum(cnt) AS total,
+      |        sum(CAST(i AS DOUBLE) * cnt) AS sumix, max(cnt) AS mx
+      |      FROM r),
+      |top AS (SELECT sum(cnt) AS topsum FROM r
+      |        WHERE j <= greatest((SELECT n FROM t) // 100, 1))
+      |SELECT CAST(t.n AS BIGINT) AS n_keys,
+      | CAST(t.total AS BIGINT) AS total_rows,
+      | CAST(t.mx AS BIGINT) AS max_cnt,
+      | round(CAST(t.total AS DOUBLE) / t.n, 6) AS mean_cnt,
+      | round(CAST(top.topsum AS DOUBLE) / t.total, 6) AS top1pct_share,
+      | round(2.0 * t.sumix / (CAST(t.n AS DOUBLE) * t.total)
+      |   - (t.n + 1.0) / t.n, 6) AS gini
+      |FROM t, top""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_pagerank" -> (q121PageRank _),
     "q125_communities" -> (q125Communities _),
+    "q130_key_skew" -> (q130KeySkew _),
     "q113_fuzzy_join" -> (q113FuzzyJoin _),
     "q114_edit_join" -> (q114EditJoin _),
     "q115_entity_resolve" -> (q115EntityResolve _),
@@ -592,6 +626,7 @@ object QueriesRel {
   val oracle: Map[String, String] = Map(
     "q121_pagerank" -> q121Sql,
     "q125_communities" -> q125Sql,
+    "q130_key_skew" -> q130Sql,
     "q113_fuzzy_join" -> q113Sql,
     "q114_edit_join" -> q114Sql,
     "q115_entity_resolve" -> q115Sql,

@@ -253,6 +253,58 @@ object QueriesStream {
       |FROM s3""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q129: session path mining — the top within-session event-type
+  // trigrams (behavioral sequences: which 3-step paths dominate). The
+  // session boundary is q34's 30-minute gap; the trigram is built with
+  // LEADs over the SAME (user, ts) window that derives the session id,
+  // null-guarded by comparing the led session ids — so the whole
+  // row-level stage rides ONE user exchange (a second window
+  // partitioned by (user, session) would re-shuffle the corpus for
+  // nothing; plan-pinned). Then one count shuffle over trigram strings
+  // and a deterministic top-15 (count desc, path tie). Tie order at
+  // the cutoff is value-equal, so the selected set is engine-stable.
+  def q129SessionPaths(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val us = unix_micros(col("ts"))
+    val sid = sum(
+        (lag(us, 1).over(w).isNull || (us - lag(us, 1).over(w)) > 1800000000L)
+          .cast("int"))
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("sid", sid)
+      .withColumn("path",
+        when(lead(col("sid"), 1).over(w) === col("sid") &&
+             lead(col("sid"), 2).over(w) === col("sid"),
+          concat(col("event_type"), lit(">"),
+            lead(col("event_type"), 1).over(w), lit(">"),
+            lead(col("event_type"), 2).over(w))))
+      .filter(col("path").isNotNull)
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(15)
+  }
+
+  val q129Sql: String =
+    """WITH m AS (SELECT user_id, ts, event_id, event_type,
+      |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |       THEN 1 ELSE 0 END AS ns
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM m),
+      |t AS (SELECT CASE WHEN lead(sid, 1) OVER w2 = sid
+      |                   AND lead(sid, 2) OVER w2 = sid
+      |        THEN event_type || '>' || lead(event_type, 1) OVER w2
+      |             || '>' || lead(event_type, 2) OVER w2 END AS path
+      |      FROM s
+      |      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT path, count(*) AS n FROM t WHERE path IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 15""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q126: metric correlation matrix — pairwise Pearson r between the
   // five event types' daily value totals. Shape: ONE corpus scan into
   // a conditional-sum day rollup (no pivot operator — the type list is
@@ -416,6 +468,7 @@ object QueriesStream {
     "q126_corr_matrix" -> (q126CorrMatrix _),
     "q127_anomaly_days" -> (q127AnomalyDays _),
     "q128_ab_test" -> (q128AbTest _),
+    "q129_session_paths" -> (q129SessionPaths _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -429,5 +482,6 @@ object QueriesStream {
     "q126_corr_matrix" -> q126Sql,
     "q127_anomaly_days" -> q127Sql,
     "q128_ab_test" -> q128Sql,
+    "q129_session_paths" -> q129Sql,
   )
 }

@@ -56,6 +56,66 @@ object Analytics {
             (lit(scale) * col("mad"))))
   }
 
+  /** Join-key skew profile — the shuffle-planning diagnostic run BEFORE
+    * committing a 100 TB join: per-key row counts summarized as
+    * `(n_keys, total_rows, max_cnt, mean_cnt, top1pct_share, gini)`.
+    * A top-1% share near 1 or a Gini near 1 says "salt this key or
+    * AQE-skew-split it"; near-uniform says hash partitioning will
+    * balance.
+    *
+    * Scale shape — NO global rank over keys: Gini and top-share are
+    * rank statistics, but per-key counts collapse into a
+    * count-of-counts HISTOGRAM (count value c occurred f times) whose
+    * size is the number of DISTINCT count values — thousands at any
+    * corpus size (the [[Extents]] kernel argument). A block of f keys
+    * all equal to c occupies ranks R+1..R+f, so
+    * `Σ i·x_i = Σ_blocks c·(f·R + f(f+1)/2)` exactly, rank-tie order
+    * provably irrelevant. The corpus shuffles once (key groupBy, only
+    * the key + a partial count move), the per-key frame once more
+    * (tiny (c,f) groupBy), and the windows run over the checkpointed
+    * histogram — single-partition but histogram-sized. Top share takes
+    * the ⌈n/100⌉ (integer `div`, min 1) heaviest keys, split blocks
+    * pro-rated.
+    */
+  def keySkewProfile(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .groupBy("cnt").agg(count(lit(1)).as("f"))
+      .localCheckpoint(eager = true)
+    val prevAsc = Window.orderBy("cnt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prevDesc = Window.orderBy(col("cnt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val staged = hist
+      .withColumn("cb", coalesce(sum("f").over(prevAsc), lit(0L)))
+      .withColumn("cdb", coalesce(sum("f").over(prevDesc), lit(0L)))
+      .withColumn("n", sum("f").over(wAll))
+      // ⌈~1%⌉ of keys, at least one — integer arithmetic so both
+      // engines pick the identical cutoff (0.01·n in floats would ride
+      // the last ulp at exact-percent boundaries)
+      .withColumn("k1", greatest(expr("n div 100"), lit(1L)))
+      .withColumn("taken",
+        greatest(least(col("f"), col("k1") - col("cdb")), lit(0L)))
+    staged.agg(
+        sum("f").as("n_keys"),
+        sum(col("cnt") * col("f")).as("total_rows"),
+        max("cnt").as("max_cnt"),
+        sum(col("cnt").cast("double") *
+          (col("f").cast("double") * col("cb").cast("double") +
+           col("f").cast("double") * (col("f").cast("double") + 1) / 2.0))
+          .as("sumix"),
+        sum(col("cnt").cast("double") * col("taken").cast("double"))
+          .as("topsum"))
+      .select(col("n_keys"), col("total_rows"), col("max_cnt"),
+        round(col("total_rows") / col("n_keys"), 6).as("mean_cnt"),
+        round(col("topsum") / col("total_rows"), 6).as("top1pct_share"),
+        round(lit(2.0) * col("sumix") /
+            (col("n_keys").cast("double") * col("total_rows").cast("double")) -
+          (col("n_keys") + lit(1.0)) / col("n_keys"), 6).as("gini"))
+  }
+
   /** Welch's unequal-variance t statistic and Welch–Satterthwaite
     * degrees of freedom from per-arm sufficient statistics
     * `(n, mean, var_samp)` — pure column math, so the caller computes

@@ -168,6 +168,43 @@ class AnalyticsSpec extends AnyFunSuite with SharedSpark {
     assert(one(Seq(5.0, 5.0, 5.0), Seq(7.0, 7.0)).isEmpty, "zero pooled spread")
   }
 
+  test("keySkewProfile: uniform keys score zero Gini; a hot key dominates") {
+    val uni = (1 to 100).flatMap(k => Seq.fill(5)(Tuple1(s"k$k"))).toDF("key")
+    val u = Analytics.keySkewProfile(uni, "key").head()
+    assert(u.getAs[Long]("n_keys") == 100L &&
+      u.getAs[Long]("total_rows") == 500L)
+    assert(u.getAs[Double]("gini") == 0.0, "uniform ⇒ Gini 0")
+    assert(u.getAs[Double]("top1pct_share") == 0.01,
+      "top 1 of 100 uniform keys carries exactly 1% of rows")
+    val dom = (Seq.fill(901)("hot") ++ (1 to 99).map(i => s"c$i"))
+      .map(Tuple1(_)).toDF("key")
+    val dr = Analytics.keySkewProfile(dom, "key").head()
+    assert(dr.getAs[Double]("top1pct_share") == 0.901,
+      "the single ~1% key IS the hot key")
+    assert(dr.getAs[Double]("gini") > 0.8, s"hot-key Gini: $dr")
+    assert(dr.getAs[Long]("max_cnt") == 901L)
+  }
+
+  test("keySkewProfile: histogram block algebra matches the naive ranked formula") {
+    val rnd = new scala.util.Random(5)
+    // heavy duplication in count VALUES so rank blocks really form
+    val counts = (1 to 57).map(i => s"x$i" -> (1 + rnd.nextInt(8)).toLong)
+    val df = counts.flatMap { case (k, c) =>
+      Seq.fill(c.toInt)(Tuple1(k)) }.toDF("key")
+    val got = Analytics.keySkewProfile(df, "key").head()
+    val xs = counts.map(_._2).sorted
+    val n = xs.size
+    val tot = xs.sum.toDouble
+    val sumix = xs.zipWithIndex.map { case (x, i) => (i + 1).toDouble * x }.sum
+    val gini = 2 * sumix / (n * tot) - (n + 1.0) / n
+    assert(math.abs(got.getAs[Double]("gini") - gini) < 5e-7,
+      s"block-collapsed Gini must equal the ranked formula: $got vs $gini")
+    val topShare = xs.max / tot // k1 = max(57 div 100, 1) = 1
+    assert(math.abs(got.getAs[Double]("top1pct_share") - topShare) < 5e-7)
+    assert(got.getAs[Long]("n_keys") == n.toLong &&
+      got.getAs[Long]("total_rows") == tot.toLong)
+  }
+
   test("q126 on a planted fixture: perfect correlation and anti-correlation") {
     // days where click tracks view exactly and error mirrors it
     val rows = (0 until 8).flatMap { d =>

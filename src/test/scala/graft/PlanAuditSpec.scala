@@ -724,6 +724,24 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"map-side partials required:\n$p")
   }
 
+  test("q129: session ids AND trigram leads ride ONE user exchange") {
+    val p = plan("q129_session_paths")
+    assert(!p.contains("Join"), s"path mining must not self-join:\n$p")
+    val userEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(userEx == 1,
+      s"sid + leads must share one user shuffle (a (user,sid) window would re-shuffle), got $userEx:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-15 must not globally sort the trigram counts:\n$p")
+  }
+
+  test("q130: skew stats serve from the checkpointed histogram; corpus never rescans") {
+    val p = plan("q130_key_skew")
+    assert("FileScan parquet".r.findAllIn(p).isEmpty,
+      s"rank windows must run over the materialized count-of-counts histogram:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"the profile is windows + one aggregate over the tiny histogram:\n$p")
+  }
+
   test("q121: pagerank serving reads the checkpointed rank vector; no cartesians") {
     val p = plan("q121_pagerank")
     // after 5 checkpointed rounds the served plan is a flat scan of the
