@@ -232,6 +232,93 @@ object QueriesDedup {
        |ORDER BY a, b""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q131: MinHash estimator calibration — est-vs-exact Jaccard over the
+  // blocked pair population, rolled up by exact-Jaccard band. The
+  // near-dup tier ACTS on the signature estimate (bands hash sig
+  // slices); this audits how far the 12-component estimate sits from
+  // the exact shingle Jaccard it stands in for, per band — the
+  // sketch-honesty readout next to q94/q116's extent/bin sketches.
+  // Pairs = q25's scalable shape (explode + (source, shingle)
+  // equi-join ⇒ only pairs sharing ≥ 1 shingle materialize; both
+  // engines restrict identically) over a DETERMINISTIC 50% doc sample
+  // (seeded doc_id hash — the q39 split discipline): a calibration
+  // audit estimates error rates, it does not need the full pair
+  // population, and the shared-shingle pair count grows superlinearly
+  // in block size (measured 8× wall at 10× docs unsampled) — sampling
+  // docs at rate r cuts pairs by ~r², so the audit's cost knob is
+  // explicit instead of riding corpus growth. est = matching
+  // components / 12 — an exact small rational, so banding and
+  // averages are engine-stable; the oracle recomputes signatures with
+  // q23's affine-permutation SQL over the identical sample.
+  def q131MinhashCalibration(s: SparkSession, d: String): DataFrame = {
+    val sh = nearCorpus(s, d)
+      .filter(graft.operators.TextStats.hash60(
+        concat_ws(":", lit("cal1"), col("doc_id").cast("string"))) % 2 === 0)
+      .select(col("doc_id"), col("source"),
+        Dedup.hashedWordShingles("text", 3).as("sh"))
+      .cache()
+    val ex = sh.select(col("doc_id"), col("source"), explode(col("sh")).as("h"))
+    val inter = ex.as("x").join(ex.as("y"),
+        col("x.source") === col("y.source") && col("x.h") === col("y.h")
+          && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val stats = sh.select(col("doc_id"), size(col("sh")).as("n"),
+      Dedup.minhashSignatureArray(col("sh"), NumHashes).as("sig"))
+    inter
+      .join(broadcast(stats.select(col("doc_id").as("a"), col("n").as("na"),
+        col("sig").as("siga"))), "a")
+      .join(broadcast(stats.select(col("doc_id").as("b"), col("n").as("nb"),
+        col("sig").as("sigb"))), "b")
+      .withColumn("exact",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .withColumn("est",
+        expr("""aggregate(zip_with(siga, sigb,
+               |  (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),
+               |  0, (acc, v) -> acc + v)""".stripMargin)
+          .cast("double") / NumHashes)
+      .groupBy(round(floor(col("exact") * 5) / 5.0, 1).as("jband"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg("est"), 6).as("mean_est"),
+        round(avg("exact"), 6).as("mean_exact"),
+        round(avg(abs(col("est") - col("exact"))), 6).as("mean_abs_err"))
+      .orderBy("jband")
+  }
+
+  val q131Sql: String = {
+    val p = Dedup.MinhashP
+    val sigArray = (0 until NumHashes).map { i =>
+      val (a, b) = Dedup.minhashCoeffs(i)
+      s"list_min(list_transform(sh, h -> ((h % $p) * $a + $b) % $p))"
+    }.mkString("[", ",\n   ", "]")
+    s"""WITH corpus0 AS ($nearCorpusSql),
+       |corpus AS (SELECT * FROM corpus0
+       | WHERE CAST(('0x' || substr(md5('cal1:' || doc_id), 1, 15)) AS BIGINT)
+       |   % 2 = 0),
+       |sh AS (SELECT doc_id, source,
+       |  list_transform($shinglesSql,
+       |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS sh
+       | FROM corpus),
+       |sig AS (SELECT doc_id, source, sh, len(sh) AS n,
+       |  $sigArray AS sig
+       | FROM sh),
+       |pr AS (SELECT
+       |   len(list_intersect(x.sh, y.sh)) AS c, x.n AS na, y.n AS nb,
+       |   list_sum(list_transform(range(1, ${NumHashes + 1}),
+       |     i -> CASE WHEN x.sig[i] = y.sig[i] THEN 1 ELSE 0 END))
+       |     / ${NumHashes}.0 AS est
+       | FROM sig x JOIN sig y
+       |   ON x.source = y.source AND x.doc_id < y.doc_id
+       | WHERE len(list_intersect(x.sh, y.sh)) > 0),
+       |q AS (SELECT est, CAST(c AS DOUBLE) / (na + nb - c) AS exact FROM pr)
+       |SELECT round(floor(exact * 5) / 5.0, 1) AS jband,
+       | count(*) AS n_pairs, round(avg(est), 6) AS mean_est,
+       | round(avg(exact), 6) AS mean_exact,
+       | round(avg(abs(est - exact)), 6) AS mean_abs_err
+       |FROM q GROUP BY 1 ORDER BY jband""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Incremental dedup: a NEW BATCH verdicted against the PERSISTED
   // fingerprint registry of the existing corpus — the ingestion shape
   // at 100 TB (re-deduping the whole corpus per arriving batch is the
@@ -452,6 +539,7 @@ object QueriesDedup {
     "q52_dedup_xxhash" -> (q52DedupXxhash _),
     "q98_incremental_dedup" -> (q98IncrementalDedup _),
     "q107_intra_batch_dedup" -> (q107IntraBatchDedup _),
+    "q131_minhash_calibration" -> (q131MinhashCalibration _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -462,5 +550,6 @@ object QueriesDedup {
     "q98_incremental_dedup" -> q98Sql,
     "q107_intra_batch_dedup" ->
       incrementalSql(intraBatchCorpusSql, intraBatch = true),
+    "q131_minhash_calibration" -> q131Sql,
   )
 }

@@ -205,6 +205,26 @@ class AnalyticsSpec extends AnyFunSuite with SharedSpark {
       got.getAs[Long]("total_rows") == tot.toLong)
   }
 
+  test("q131 calibration: identical docs land in band 1.0 with zero error") {
+    val dir = java.nio.file.Files.createTempDirectory("calib_fx").toString
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // ids 1, 5, 6 all pass the cal1 50% sample gate; id 2 does NOT —
+    // its twin pairs must be invisible even though it shares shingles
+    Seq((1L, text, "s"), (5L, text, "s"), (2L, text, "s"),
+        (6L, "one two three four five six seven eight nine ten", "s"))
+      .toDF("doc_id", "text", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = QueriesDedup.q131MinhashCalibration(spark, dir).collect()
+    // (1,5) share everything; (x,6) share nothing; 2 is sampled out
+    assert(rows.length == 1, s"only the identical in-sample pair counts: ${rows.toSeq}")
+    val r = rows(0)
+    assert(r.getAs[Double]("jband") == 1.0 && r.getAs[Long]("n_pairs") == 1L)
+    assert(r.getAs[Double]("mean_est") == 1.0,
+      "identical shingle sets ⇒ identical signatures ⇒ est exactly 1")
+    assert(r.getAs[Double]("mean_exact") == 1.0 &&
+      r.getAs[Double]("mean_abs_err") == 0.0)
+  }
+
   test("q126 on a planted fixture: perfect correlation and anti-correlation") {
     // days where click tracks view exactly and error mirrors it
     val rows = (0 until 8).flatMap { d =>

@@ -742,6 +742,14 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"the profile is windows + one aggregate over the tiny histogram:\n$p")
   }
 
+  test("q131: calibration pairs stay a shingle equi-join; signatures broadcast") {
+    val p = plan("q131_minhash_calibration")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must be the (source, shingle) equi-join, never a product:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-doc signature/size frames broadcast onto the pair counts:\n$p")
+  }
+
   test("q121: pagerank serving reads the checkpointed rank vector; no cartesians") {
     val p = plan("q121_pagerank")
     // after 5 checkpointed rounds the served plan is a flat scan of the
