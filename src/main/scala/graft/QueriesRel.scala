@@ -568,6 +568,42 @@ object QueriesRel {
        |FROM l4 GROUP BY 1 ORDER BY community""".stripMargin
   }
 
+  // q133: explicit GROUPING SETS with grouping_id — the rollup's
+  // (q13) general form: includes the nation-only marginal a ROLLUP
+  // hierarchy cannot produce, and carries grouping_id so consumers
+  // tell a NULL group key from a NULL data value. Plans as the same
+  // single Expand + hash aggregate as q13 (one pass over the joined
+  // facts whatever the set count); SQL-path via temp view for the
+  // same Spark 4.1 self-join-detection workaround.
+  def q133GroupingSets(s: SparkSession, d: String): DataFrame = {
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name", "o_totalprice")
+      .createOrReplaceTempView("q133_base")
+    s.sql(
+      """SELECT coalesce(r_name, '(all)') AS region,
+        |       coalesce(n_name, '(all)') AS nation,
+        |       CAST(grouping(r_name) * 2 + grouping(n_name) AS BIGINT) AS gid,
+        |       round(sum(o_totalprice), 2) AS total, count(*) AS n_orders
+        |FROM q133_base
+        |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), (n_name), ())
+        |ORDER BY gid, region, nation""".stripMargin)
+  }
+
+  val q133Sql: String =
+    """SELECT coalesce(r_name, '(all)') AS region,
+      | coalesce(n_name, '(all)') AS nation,
+      | CAST(grouping(r_name) * 2 + grouping(n_name) AS BIGINT) AS gid,
+      | round(sum(o_totalprice), 2) AS total, count(*) AS n_orders
+      |FROM orders
+      | JOIN customer ON o_custkey = c_custkey
+      | JOIN nation ON c_nationkey = n_nationkey
+      | JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), (n_name), ())
+      |ORDER BY gid, region, nation""".stripMargin
+
   // q130: join-key skew profile of lineitem's supplier key — the
   // pre-join shuffle-planning readout (Analytics.keySkewProfile: salt
   // or AQE-split when top-1% share / Gini run hot). Rank statistics
@@ -605,6 +641,7 @@ object QueriesRel {
     "q121_pagerank" -> (q121PageRank _),
     "q125_communities" -> (q125Communities _),
     "q130_key_skew" -> (q130KeySkew _),
+    "q133_grouping_sets" -> (q133GroupingSets _),
     "q113_fuzzy_join" -> (q113FuzzyJoin _),
     "q114_edit_join" -> (q114EditJoin _),
     "q115_entity_resolve" -> (q115EntityResolve _),
@@ -627,6 +664,7 @@ object QueriesRel {
     "q121_pagerank" -> q121Sql,
     "q125_communities" -> q125Sql,
     "q130_key_skew" -> q130Sql,
+    "q133_grouping_sets" -> q133Sql,
     "q113_fuzzy_join" -> q113Sql,
     "q114_edit_join" -> q114Sql,
     "q115_entity_resolve" -> q115Sql,

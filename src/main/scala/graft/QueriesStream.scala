@@ -305,6 +305,52 @@ object QueriesStream {
       |GROUP BY 1 ORDER BY n DESC, path LIMIT 15""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q132: hopping-window trending — top-2 event types per overlapping
+  // 6-hour window sliding every 3 hours (the "what's trending NOW"
+  // readout that tumbling q06 can't give: a burst straddling a tumble
+  // boundary splits in half; overlap catches it whole). Spark expands
+  // each event into its dur/slide = 2 windows map-side (the Expand
+  // operator — no join, no per-window scan), then one aggregation and
+  // a rank-limited window. The oracle reproduces Spark's epoch-aligned
+  // window assignment arithmetic with an UNNEST(range(...)) over the
+  // same integer-micro floor divisions — both engines place boundary
+  // events identically because the math is integer end to end. This is
+  // also a VALID streaming aggregation: the same groupBy(window(...))
+  // under readStream with a watermark is the incremental form (the q06
+  // contract, sliding edition).
+  def q132HoppingTrending(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = events(s, d)
+      .groupBy(window(col("ts"), "6 hours", "3 hours").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+    val byN = Window.partitionBy(col("w"))
+      .orderBy(col("n").desc, col("event_type"))
+    agg.withColumn("rnk", row_number().over(byN))
+      .filter(col("rnk") <= 2)
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"), col("total"), col("rnk"))
+      .orderBy("w_start", "rnk", "event_type")
+  }
+
+  val q132Sql: String = {
+    val dur = 6L * 3600 * 1000000
+    val slide = 3L * 3600 * 1000000
+    s"""WITH e AS (SELECT event_type, value, epoch_us(ts) AS t FROM events),
+       |x AS (SELECT event_type, value, $slide * m AS ws
+       |  FROM e, UNNEST(range((e.t - $dur) // $slide + 1,
+       |                       e.t // $slide + 1)) AS u(m)),
+       |a AS (SELECT ws, event_type, count(*) AS n,
+       |        round(sum(value), 2) AS total
+       |      FROM x GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY ws
+       |        ORDER BY n DESC, event_type) AS rnk FROM a)
+       |SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS w_start,
+       |       event_type, n, total, rnk
+       |FROM r WHERE rnk <= 2 ORDER BY w_start, rnk, event_type""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q126: metric correlation matrix — pairwise Pearson r between the
   // five event types' daily value totals. Shape: ONE corpus scan into
   // a conditional-sum day rollup (no pivot operator — the type list is
@@ -469,6 +515,7 @@ object QueriesStream {
     "q127_anomaly_days" -> (q127AnomalyDays _),
     "q128_ab_test" -> (q128AbTest _),
     "q129_session_paths" -> (q129SessionPaths _),
+    "q132_hopping_trending" -> (q132HoppingTrending _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -483,5 +530,6 @@ object QueriesStream {
     "q127_anomaly_days" -> q127Sql,
     "q128_ab_test" -> q128Sql,
     "q129_session_paths" -> q129Sql,
+    "q132_hopping_trending" -> q132Sql,
   )
 }

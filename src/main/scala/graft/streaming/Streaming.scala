@@ -30,10 +30,15 @@ object Streaming {
     * incremental streaming aggregation (append mode after the watermark
     * passes), and with watermark = None it is exactly the batch q06 plan.
     */
-  def hourlyRollup(events: DataFrame, watermark: Option[String] = Some("2 hours"))
-      : DataFrame = {
+  def hourlyRollup(events: DataFrame, watermark: Option[String] = Some("2 hours"),
+      slide: Option[String] = None): DataFrame = {
     val src = watermark.map(w => events.withWatermark("ts", w)).getOrElse(events)
-    src.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+    // slide < duration ⇒ HOPPING windows (each event expands into
+    // duration/slide overlapping windows map-side) — the q132 shape;
+    // state-store keys grow by the same factor, still watermark-bounded
+    val w = slide.map(sl => window(col("ts"), "1 hour", sl))
+      .getOrElse(window(col("ts"), "1 hour"))
+    src.groupBy(w.as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("total"))

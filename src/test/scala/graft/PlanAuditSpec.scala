@@ -750,6 +750,24 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"per-doc signature/size frames broadcast onto the pair counts:\n$p")
   }
 
+  test("q132: hopping windows expand map-side; rank filter group-limits") {
+    val p = plan("q132_hopping_trending")
+    assert(p.contains("Expand"),
+      s"window assignment must be the map-side Expand, not a join:\n$p")
+    assert(!p.contains("Join"), s"no per-window scan or join:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"the top-2 filter must prune before the rank shuffle:\n$p")
+  }
+
+  test("q133: four grouping sets plan as ONE Expand + one aggregate pass") {
+    val p = plan("q133_grouping_sets")
+    assert("Expand".r.findAllIn(p).size >= 1 && p.contains("partial_sum"),
+      s"grouping sets must share one Expand + partial aggregate:\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 4,
+      s"one scan per table — the sets must NOT re-scan the facts per set, got $scans:\n$p")
+  }
+
   test("q121: pagerank serving reads the checkpointed rank vector; no cartesians") {
     val p = plan("q121_pagerank")
     // after 5 checkpointed rounds the served plan is a flat scan of the

@@ -42,6 +42,26 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       batch.map(r => (r.getString(0), r.getString(1))).toSet)
   }
 
+  test("hopping rollup (slide < duration): stream-final equals batch, events double-count") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(evts: _*)
+    val q = Streaming.hourlyRollup(stream.toDF(), watermark = Some("2 hours"),
+        slide = Some("30 minutes"))
+      .writeStream.format("memory").queryName("hop_out")
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("hop_out").collect()
+    // 1h windows every 30m: each event lands in exactly 2 windows
+    assert(rows.map(_.getAs[Long]("n")).sum == 8,
+      s"each of the 4 events must count in 2 overlapping windows: ${rows.toSeq}")
+    val batch = Streaming.hourlyRollup(evts.toDF(), watermark = None,
+      slide = Some("30 minutes")).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n"))).toSet ==
+      batch.map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n"))).toSet,
+      "hopping stream must fold to the exact batch rollup")
+  }
+
   test("rollup streams to a parquet file sink with checkpointing") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("stream").toString
