@@ -42,7 +42,11 @@ object BenchFormat {
   /** "/root/testdata/sf0.1" → "sf0.1" — the full dir path repeated on
     * every part line was pure skeleton cost inside the 2 KB tail; the
     * basename disambiguates identically (seconds are always the unit,
-    * declared once on the total line).
+    * declared once on the total line). At 133 queries even the tag
+    * came off the part lines (the total line still carries the full
+    * sf dir — one bench run is one sf, there is nothing to
+    * disambiguate per line); the canary line keeps the tag, it's one
+    * short line.
     */
   def sfTag(sf: String): String = sf.split('/').last
 
@@ -58,7 +62,7 @@ object BenchFormat {
     // the fixed JSON skeleton around the entries; "part":"xx/xx" worst
     // case is bounded by 5 chars each side
     val overhead =
-      s"""{"metric":"per_query","part":"99/99","sf":"${sfTag(sf)}","queries":{}}""".length
+      s"""{"metric":"per_query","part":"99/99","queries":{}}""".length
     val budget = math.max(maxLine - overhead, 40)
     val chunks = entries.foldLeft(Vector(Vector.empty[String])) { (acc, e) =>
       val cur = acc.last
@@ -69,7 +73,7 @@ object BenchFormat {
     }
     val n = chunks.size
     chunks.zipWithIndex.map { case (c, i) =>
-      s"""{"metric":"per_query","part":"${i + 1}/$n","sf":"${sfTag(sf)}","queries":{${c.mkString(",")}}}"""
+      s"""{"metric":"per_query","part":"${i + 1}/$n","queries":{${c.mkString(",")}}}"""
     }
   }
 

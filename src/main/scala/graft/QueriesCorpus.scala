@@ -79,6 +79,134 @@ object QueriesCorpus {
         "text", "doc_id", DecontamK)
       .orderBy("doc_id")
 
+  // ---------------------------------------------------------------------
+  // q134: Bloom false-positive calibration — the q131 discipline
+  // applied to the decontamination prefilter: measure the ACTUAL
+  // shingle- and doc-level FP rates of the q103 Bloom against exact
+  // membership, in two arms. 'production' sizes the filter exactly as
+  // the deployment path does (~16 bits/key from the eval cardinality);
+  // 'undersized' pins 2^11 bits — the saturated regime the audit
+  // exists to catch (a filter that stops fitting its key set fails
+  // SILENTLY toward more exact-confirm work, never toward missed
+  // contamination). No false negatives is the operator contract
+  // (spec-pinned); this measures the price paid on the other side.
+  //
+  // The oracle needs NO bit array: "all k probe positions set" ≡ "all
+  // k positions ∈ the eval probe-position SET", so DuckDB rebuilds
+  // membership with the same integer double-hash arithmetic and a
+  // position join — auditing the bit packing itself is BloomAnySpec's
+  // job. The production m is picked from an explicit power-of-two
+  // lookup (min p ≥ 16·n clamped to [2^14, 2^27]) in BOTH engines —
+  // integer-exact, no float log2 at power boundaries.
+  def q134BloomFpAudit(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.BloomAnyExpr.bloomAny
+    val probes = 7
+    val evalSh = evalDocs(s, d)
+      .select(explode(Dedup.hashedWordShingles("text", DecontamK)).as("h"))
+      .distinct().persist()
+    val tr = trainDocs(s, d)
+      .select(col("doc_id"),
+        Dedup.hashedWordShingles("text", DecontamK).as("shs"))
+      .persist()
+    val trSh = tr.select(explode(col("shs")).as("h")).distinct().persist()
+    // eval shingles and the confirmed-doc list are drop-list-sized by
+    // the q55 contract — broadcast them; the train side never shuffles
+    val docTrue = tr.select(col("doc_id"), explode(col("shs")).as("h"))
+      .join(broadcast(evalSh), "h").select("doc_id").distinct()
+      .withColumn("c", lit(1L))
+    val evCount = evalSh.agg(count(lit(1)).as("n_eval_sh"))
+
+    def arm(label: String, mOver: Option[Int]): DataFrame = {
+      val (bits, mBits) = Dedup.bloomBits(evalSh, "h", probes, mOver)
+      val sh = trSh
+        .join(broadcast(evalSh.withColumn("t", lit(1L))), Seq("h"), "left")
+        .select(
+          bloomAny(array(col("h")), bits, mBits, probes)
+            .cast("long").as("p"),
+          coalesce(col("t"), lit(0L)).as("tt"))
+        .agg(count(lit(1)).as("n_train_sh"), sum("p").as("n_sh_pos"),
+          sum("tt").as("n_sh_true"))
+      val doc = tr.join(broadcast(docTrue), Seq("doc_id"), "left")
+        .select(
+          bloomAny(col("shs"), bits, mBits, probes)
+            .cast("long").as("sus"),
+          coalesce(col("c"), lit(0L)).as("conf"))
+        .agg(count(lit(1)).as("n_docs"), sum("sus").as("n_suspect"),
+          sum("conf").as("n_confirmed"))
+      sh.crossJoin(doc).crossJoin(evCount)
+        .select(lit(label).as("sizing"), lit(mBits.toLong).as("m_bits"),
+          col("n_eval_sh"), col("n_train_sh"), col("n_sh_pos"),
+          col("n_sh_true"),
+          round((col("n_sh_pos") - col("n_sh_true")) /
+            (col("n_train_sh") - col("n_sh_true")), 6).as("sh_fp_rate"),
+          col("n_docs"), col("n_suspect"), col("n_confirmed"),
+          round((col("n_suspect") - col("n_confirmed")) /
+            (col("n_docs") - col("n_confirmed")), 6).as("doc_fp_rate"))
+    }
+
+    val out = arm("production", None)
+      .unionByName(arm("undersized", Some(1 << 11)))
+      .orderBy("sizing")
+    graft.operators.CacheRelease.afterUse(Seq(evalSh, tr, trSh), out)
+  }
+
+  val q134Sql: String = {
+    val shHash = s"""list_transform(${shinglesSql("text", DecontamK)},
+       |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))""".stripMargin
+    val pow2 = (14 to 27).map(i => s"(${1L << i}, $i)").mkString(", ")
+    def probe(h: String) =
+      s"(($h & (a.m - 1)) + i.i * ((($h >> a.lg) & (a.m - 1)) | 1)) & (a.m - 1)"
+    s"""WITH train AS ($trainSql),
+       |evsh AS (SELECT DISTINCT h FROM (
+       |  SELECT unnest($shHash) AS h
+       |  FROM documents WHERE doc_id % 97 = 0)),
+       |nv AS (SELECT count(*) AS n FROM evsh),
+       |p2(p, lg) AS (VALUES $pow2),
+       |prod AS (SELECT coalesce(min(p), ${1L << 27}) AS m
+       |  FROM p2 WHERE p >= greatest(16 * (SELECT n FROM nv), 1)),
+       |arms AS (
+       |  SELECT 'production' AS sizing, prod.m, p2.lg FROM prod
+       |    JOIN p2 ON p2.p = prod.m
+       |  UNION ALL SELECT 'undersized', 2048, 11),
+       |evpos AS (SELECT DISTINCT a.sizing, ${probe("evsh.h")} AS p
+       |  FROM evsh, arms a, UNNEST(range(0, 7)) AS i(i)),
+       |trsh AS (SELECT DISTINCT doc_id, h FROM (
+       |  SELECT doc_id, unnest($shHash) AS h FROM train)),
+       |tsh AS (SELECT DISTINCT h FROM trsh),
+       |shpos AS (SELECT sizing, h FROM (
+       |  SELECT a.sizing, t.h, count(*) AS hits
+       |  FROM tsh t, arms a, UNNEST(range(0, 7)) AS i(i)
+       |  JOIN evpos e ON e.sizing = a.sizing AND e.p = ${probe("t.h")}
+       |  GROUP BY 1, 2) WHERE hits = 7),
+       |shtrue AS (SELECT h FROM tsh WHERE h IN (SELECT h FROM evsh)),
+       |docsus AS (SELECT DISTINCT s.sizing, tr.doc_id
+       |  FROM trsh tr JOIN shpos s ON s.h = tr.h),
+       |doctrue AS (SELECT DISTINCT doc_id FROM trsh
+       |  WHERE h IN (SELECT h FROM evsh)),
+       |agg AS (SELECT a.sizing, a.m,
+       |  (SELECT n FROM nv) AS n_eval_sh,
+       |  (SELECT count(*) FROM tsh) AS n_train_sh,
+       |  (SELECT count(*) FROM shpos p WHERE p.sizing = a.sizing) AS n_sh_pos,
+       |  (SELECT count(*) FROM shtrue) AS n_sh_true,
+       |  (SELECT count(DISTINCT doc_id) FROM trsh) AS n_docs,
+       |  (SELECT count(*) FROM docsus dd WHERE dd.sizing = a.sizing) AS n_suspect,
+       |  (SELECT count(*) FROM doctrue) AS n_confirmed
+       | FROM arms a)
+       |SELECT sizing, CAST(m AS BIGINT) AS m_bits,
+       | CAST(n_eval_sh AS BIGINT) AS n_eval_sh,
+       | CAST(n_train_sh AS BIGINT) AS n_train_sh,
+       | CAST(n_sh_pos AS BIGINT) AS n_sh_pos,
+       | CAST(n_sh_true AS BIGINT) AS n_sh_true,
+       | round(CAST(n_sh_pos - n_sh_true AS DOUBLE)
+       |   / (n_train_sh - n_sh_true), 6) AS sh_fp_rate,
+       | CAST(n_docs AS BIGINT) AS n_docs,
+       | CAST(n_suspect AS BIGINT) AS n_suspect,
+       | CAST(n_confirmed AS BIGINT) AS n_confirmed,
+       | round(CAST(n_suspect - n_confirmed AS DOUBLE)
+       |   / (n_docs - n_confirmed), 6) AS doc_fp_rate
+       |FROM agg ORDER BY sizing""".stripMargin
+  }
+
   val q55Sql: String =
     s"""WITH train AS ($trainSql),
        |evsh AS (
@@ -834,6 +962,7 @@ object QueriesCorpus {
     "q80_cut_spans" -> (q80CutSpans _),
     "q55_decontaminate" -> (q55Decontaminate _),
     "q103_decontaminate_bloom" -> (q103DecontaminateBloom _),
+    "q134_bloom_fp_audit" -> (q134BloomFpAudit _),
     "q56_repetition" -> (q56Repetition _),
     "q57_source_balance" -> (q57SourceBalance _),
     "q58_boilerplate" -> (q58Boilerplate _),
@@ -854,6 +983,7 @@ object QueriesCorpus {
     "q80_cut_spans" -> q80Sql,
     "q55_decontaminate" -> q55Sql,
     "q103_decontaminate_bloom" -> q55Sql,
+    "q134_bloom_fp_audit" -> q134Sql,
     "q56_repetition" -> q56Sql,
     "q57_source_balance" -> q57Sql,
     "q58_boilerplate" -> q58Sql,

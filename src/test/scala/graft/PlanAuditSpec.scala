@@ -768,6 +768,14 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"one scan per table — the sets must NOT re-scan the facts per set, got $scans:\n$p")
   }
 
+  test("q134: membership flags broadcast; the train side never sort-merge-joins") {
+    val p = plan("q134_bloom_fp_audit")
+    assert(!p.contains("SortMergeJoin"),
+      s"eval shingles / confirmed docs are drop-list-sized — broadcast them:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"truth flags must ride broadcast joins:\n$p")
+  }
+
   test("q121: pagerank serving reads the checkpointed rank vector; no cartesians") {
     val p = plan("q121_pagerank")
     // after 5 checkpointed rounds the served plan is a flat scan of the
