@@ -207,6 +207,58 @@ object QueriesCorpus {
        |FROM agg ORDER BY sizing""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q135: snapshot diff — the corpus-versioning readout a pipeline runs
+  // between ingest generations: old vs new keyed by doc_id, rows
+  // classed added / removed / changed / unchanged by comparing content
+  // digests, rolled up per class with id extents. The new snapshot is
+  // derived deterministically (drops, additions, edits) so both
+  // engines diff identical inputs. Scale shape: each snapshot is
+  // scanned ONCE, digests computed map-side (only id + 32-char digest
+  // shuffle — never text, the q22/q58 discipline), one full-outer
+  // equi-join on the key; with both snapshots written bucketed on the
+  // key (S10) the join is zero-exchange SMJ.
+  def q135SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select("doc_id", "text")
+    val newSnap = docs.filter(col("doc_id") % 31 =!= 0)
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 600000).as("doc_id"), col("text")))
+      .withColumn("text",
+        when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    val o = docs.select(col("doc_id"), md5(col("text")).as("ho"))
+    val n = newSnap.select(col("doc_id"), md5(col("text")).as("hn"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("ho").isNull, "added")
+          .when(col("hn").isNull, "removed")
+          .when(col("ho") =!= col("hn"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("status")
+  }
+
+  val q135Sql: String =
+    """WITH old AS (SELECT doc_id, md5(text) AS ho FROM documents),
+      |ns AS (SELECT doc_id,
+      |   CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text
+      | FROM (SELECT doc_id, text FROM documents WHERE doc_id % 31 <> 0
+      |       UNION ALL
+      |       SELECT doc_id + 600000, text FROM documents
+      |       WHERE doc_id % 13 = 0)),
+      |nw AS (SELECT doc_id, md5(text) AS hn FROM ns),
+      |j AS (SELECT coalesce(old.doc_id, nw.doc_id) AS doc_id,
+      |  CASE WHEN old.doc_id IS NULL THEN 'added'
+      |       WHEN nw.doc_id IS NULL THEN 'removed'
+      |       WHEN ho <> hn THEN 'changed'
+      |       ELSE 'unchanged' END AS status
+      | FROM old FULL OUTER JOIN nw ON old.doc_id = nw.doc_id)
+      |SELECT status, count(*) AS n_docs,
+      | min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM j GROUP BY 1 ORDER BY status""".stripMargin
+
   val q55Sql: String =
     s"""WITH train AS ($trainSql),
        |evsh AS (
@@ -963,6 +1015,7 @@ object QueriesCorpus {
     "q55_decontaminate" -> (q55Decontaminate _),
     "q103_decontaminate_bloom" -> (q103DecontaminateBloom _),
     "q134_bloom_fp_audit" -> (q134BloomFpAudit _),
+    "q135_snapshot_diff" -> (q135SnapshotDiff _),
     "q56_repetition" -> (q56Repetition _),
     "q57_source_balance" -> (q57SourceBalance _),
     "q58_boilerplate" -> (q58Boilerplate _),
@@ -984,6 +1037,7 @@ object QueriesCorpus {
     "q55_decontaminate" -> q55Sql,
     "q103_decontaminate_bloom" -> q55Sql,
     "q134_bloom_fp_audit" -> q134Sql,
+    "q135_snapshot_diff" -> q135Sql,
     "q56_repetition" -> q56Sql,
     "q57_source_balance" -> q57Sql,
     "q58_boilerplate" -> q58Sql,

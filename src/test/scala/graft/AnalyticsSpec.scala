@@ -225,6 +225,25 @@ class AnalyticsSpec extends AnyFunSuite with SharedSpark {
       r.getAs[Double]("mean_abs_err") == 0.0)
   }
 
+  test("HLL calibration: approx_count_distinct within its rsd bound on q35's shape") {
+    // q35 serves approx_count_distinct at the default rsd 0.05; the
+    // KMV/MinHash/Bloom sketches each carry a measured-accuracy hook
+    // (q120 exact-under-k, q131, q134) — this is HLL's: DuckDB cannot
+    // reproduce Spark's HLL so no oracle row can exist, but the
+    // estimate is deterministic for fixed data, and 4 rsd is the same
+    // slack KmvSketchSpec grants its saturated estimator.
+    val df = (1 to 20000).map(i => (s"u${i % 7333}", i % 4)).toDF("u", "g")
+    val rows = df.groupBy("g")
+      .agg(countDistinct(col("u")).as("exact"),
+        approx_count_distinct(col("u"), 0.05).as("est"))
+      .collect()
+    for (r <- rows) {
+      val (exact, est) = (r.getAs[Long]("exact"), r.getAs[Long]("est"))
+      assert(math.abs(est - exact).toDouble / exact <= 4 * 0.05,
+        s"group ${r.get(0)}: est $est vs exact $exact exceeds 4·rsd")
+    }
+  }
+
   test("q126 on a planted fixture: perfect correlation and anti-correlation") {
     // days where click tracks view exactly and error mirrors it
     val rows = (0 until 8).flatMap { d =>

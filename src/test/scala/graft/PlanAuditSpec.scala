@@ -776,6 +776,23 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"truth flags must ride broadcast joins:\n$p")
   }
 
+  test("q135: snapshot diff — one scan per snapshot, digests shuffle, text does not") {
+    val p = plan("q135_snapshot_diff")
+    // 3 scans: the old snapshot, plus 2 for the new side's synthetic
+    // derivation (base-minus-removed + additions union). A real diff
+    // reads two materialized snapshots once each; what matters here is
+    // the count is FIXED — no per-class or per-status re-scan.
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 3, s"fixed scan count (old + derived-new union), got $scans:\n$p")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      s"the diff is a keyed full-outer merge:\n$p")
+    // the exchanges feeding the join must carry digests, not documents:
+    // no exchange output row should include the text column
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchangeLines.nonEmpty && exchangeLines.forall(!_.contains("text")),
+      s"only (doc_id, digest) may cross the shuffle:\n$p")
+  }
+
   test("q121: pagerank serving reads the checkpointed rank vector; no cartesians") {
     val p = plan("q121_pagerank")
     // after 5 checkpointed rounds the served plan is a flat scan of the
