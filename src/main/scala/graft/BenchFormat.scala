@@ -24,15 +24,17 @@ object BenchFormat {
 
   def ms3(v: Double): String = f"$v%.3f"
 
-  /** Per-query entries carry centisecond precision: at 127 registered
-    * queries the 3-decimal map no longer fit the 2 KB tail next to the
-    * total line (footprint 1976 > 1900; measured), and 10 ms
-    * resolution on 0.1–15 s per-query walls is ±1–3% — noise-level
-    * against the ≥10% ambient drift the canary instrument documents.
-    * The total and canary lines keep 3 decimals (few chars, and the
-    * canary's ~0.15 s probes need them).
+  /** Per-query entries are INTEGER CENTISECONDS, declared per line
+    * ("unit":"cs"): at 135 registered queries even 2-decimal seconds
+    * overflowed the 2 KB tail (the guard spec's history: 3-decimal
+    * broke at 127, 2-decimal at 135). Integers drop the fixed ".xx"
+    * cost — sub-second queries (most of the suite) go from 4 chars to
+    * 2 — and 10 ms resolution is noise-level against the ≥10% ambient
+    * drift the canary documents. The total and canary lines keep
+    * 3-decimal seconds (few chars; the canary's ~0.15 s probes need
+    * them).
     */
-  def ms2(v: Double): String = f"$v%.2f"
+  def cs(v: Double): String = math.round(v * 100).toString
 
   /** The per-query timing map as 1..n JSON lines, each ≤ `maxLine`
     * chars. Every line is self-describing ({"metric":"per_query",
@@ -57,12 +59,12 @@ object BenchFormat {
       s"compact bench keys must be unique, got collisions: " +
         keys.diff(keys.distinct).distinct.mkString(","))
     val entries = results.map { case (k, v) =>
-      "\"" + compactKey(k) + "\":" + ms2(v)
+      "\"" + compactKey(k) + "\":" + cs(v)
     }
     // the fixed JSON skeleton around the entries; "part":"xx/xx" worst
     // case is bounded by 5 chars each side
     val overhead =
-      s"""{"metric":"per_query","part":"99/99","queries":{}}""".length
+      s"""{"metric":"per_query","part":"99/99","unit":"cs","queries":{}}""".length
     val budget = math.max(maxLine - overhead, 40)
     val chunks = entries.foldLeft(Vector(Vector.empty[String])) { (acc, e) =>
       val cur = acc.last
@@ -73,7 +75,7 @@ object BenchFormat {
     }
     val n = chunks.size
     chunks.zipWithIndex.map { case (c, i) =>
-      s"""{"metric":"per_query","part":"${i + 1}/$n","queries":{${c.mkString(",")}}}"""
+      s"""{"metric":"per_query","part":"${i + 1}/$n","unit":"cs","queries":{${c.mkString(",")}}}"""
     }
   }
 

@@ -259,6 +259,56 @@ object QueriesCorpus {
       | min(doc_id) AS min_id, max(doc_id) AS max_id
       |FROM j GROUP BY 1 ORDER BY status""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q136: RAG chunking — documents split into overlapping token
+  // windows (W=40, stride S=30): the retrieval-corpus preparation step
+  // between cleaning and embedding. Chunk starts run 0, S, 2S, …; the
+  // LAST start is the smallest multiple of S reaching the tail
+  // (⌈(n−W)/S⌉·S, integer arithmetic), so every token lands in ≥ 1
+  // chunk and no start begins past the text; docs at or under W yield
+  // exactly one whole-doc chunk. One corpus scan, the expansion is a
+  // map-side explode over a computed start sequence (amplification
+  // bounded by ~n/S per doc), chunk text digested immediately — the
+  // emitted frame carries (ids, token count, 32-char digest), never
+  // chunk text. The only shuffle is the presentation sort.
+  private val ChunkW = 40
+  private val ChunkS = 30
+
+  def q136RagChunks(s: SparkSession, d: String): DataFrame = {
+    // integer ceil-division for the start count — `DIV`, not `/`
+    // (Spark's `/` on integrals is double division)
+    val nStarts = expr(
+      s"""1L + CASE WHEN size(toks) > $ChunkW
+         |  THEN (CAST(size(toks) - $ChunkW + ${ChunkS - 1} AS BIGINT))
+         |    DIV $ChunkS
+         |  ELSE 0L END""".stripMargin)
+    documents(s, d)
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .withColumn("ci", explode(sequence(lit(0L), nStarts - 1)))
+      .select(col("doc_id"), col("ci").as("chunk_idx"),
+        slice(col("toks"), (col("ci") * ChunkS + 1).cast("int"),
+          lit(ChunkW)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tok"),
+        md5(array_join(col("chunk"), " ").cast("binary")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val q136Sql: String =
+    s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+       |           FROM documents),
+       |x AS (SELECT doc_id, len(toks) AS n, toks,
+       |  unnest(range(0, 1 + CASE WHEN len(toks) > $ChunkW
+       |    THEN (len(toks) - $ChunkW + ${ChunkS - 1}) // $ChunkS
+       |    ELSE 0 END)) AS ci
+       | FROM t)
+       |SELECT doc_id, ci AS chunk_idx,
+       | CAST(len(toks[ci * $ChunkS + 1 : ci * $ChunkS + $ChunkW]) AS BIGINT)
+       |   AS n_tok,
+       | md5(array_to_string(toks[ci * $ChunkS + 1 : ci * $ChunkS + $ChunkW],
+       |   ' ')) AS chunk_md5
+       |FROM x ORDER BY doc_id, chunk_idx""".stripMargin
+
   val q55Sql: String =
     s"""WITH train AS ($trainSql),
        |evsh AS (
@@ -1016,6 +1066,7 @@ object QueriesCorpus {
     "q103_decontaminate_bloom" -> (q103DecontaminateBloom _),
     "q134_bloom_fp_audit" -> (q134BloomFpAudit _),
     "q135_snapshot_diff" -> (q135SnapshotDiff _),
+    "q136_rag_chunks" -> (q136RagChunks _),
     "q56_repetition" -> (q56Repetition _),
     "q57_source_balance" -> (q57SourceBalance _),
     "q58_boilerplate" -> (q58Boilerplate _),
@@ -1038,6 +1089,7 @@ object QueriesCorpus {
     "q103_decontaminate_bloom" -> q55Sql,
     "q134_bloom_fp_audit" -> q134Sql,
     "q135_snapshot_diff" -> q135Sql,
+    "q136_rag_chunks" -> q136Sql,
     "q56_repetition" -> q56Sql,
     "q57_source_balance" -> q57Sql,
     "q58_boilerplate" -> q58Sql,

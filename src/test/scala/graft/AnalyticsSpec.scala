@@ -244,6 +244,24 @@ class AnalyticsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("q136 chunking: boundary contract (W=40, S=30) — counts and coverage") {
+    val dir = java.nio.file.Files.createTempDirectory("chunk_fx").toString
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    Seq((1L, words(40), "s"), (2L, words(41), "s"), (3L, words(100), "s"),
+        (4L, words(3), "s"))
+      .toDF("doc_id", "text", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = QueriesCorpus.q136RagChunks(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def doc(id: Long) = rows.filter(_._1 == id).map(x => (x._2, x._3)).toSeq
+    assert(doc(1) == Seq((0L, 40L)), "n == W ⇒ exactly one full chunk")
+    assert(doc(2) == Seq((0L, 40L), (1L, 11L)),
+      "n == W+1 ⇒ a second chunk from start S covering the tail (30..40)")
+    assert(doc(3) == Seq((0L, 40L), (1L, 40L), (2L, 40L)),
+      "n = 100 ⇒ starts 0/30/60, last ends exactly at n")
+    assert(doc(4) == Seq((0L, 3L)), "short doc ⇒ one whole-doc chunk")
+  }
+
   test("q126 on a planted fixture: perfect correlation and anti-correlation") {
     // days where click tracks view exactly and error mirrors it
     val rows = (0 until 8).flatMap { d =>

@@ -40,12 +40,16 @@ class BenchFormatSpec extends AnyFunSuite {
   }
 
   test("every query's timing is regex-recoverable from the emitted lines") {
-    val entry = """"(q\d+)":(\d+\.\d{2})""".r
+    val entry = """"(q\d+)":(\d+)""".r
     val got = lines.flatMap(l => entry.findAllMatchIn(l)
-      .map(m => m.group(1) -> m.group(2).toDouble)).toMap
+      .map(m => m.group(1) -> m.group(2).toLong)).toMap
     assert(got.keySet == names.map(BenchFormat.compactKey).toSet)
-    for ((n, v) <- fake)
-      assert(math.abs(got(BenchFormat.compactKey(n)) - v) < 0.005 + 1e-9)
+    for ((n, v) <- fake) // centiseconds, declared "unit":"cs" per line
+      assert(math.abs(got(BenchFormat.compactKey(n)) - v * 100) <= 0.5 + 1e-9)
+  }
+
+  test("part lines declare the centisecond unit explicitly") {
+    for (l <- lines) assert(l.contains(""""unit":"cs""""), l)
   }
 
   test("every line is valid standalone JSON with the per_query marker") {

@@ -793,6 +793,18 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"only (doc_id, digest) may cross the shuffle:\n$p")
   }
 
+  test("q136: chunk expansion is a map-side Generate; only digests reach the sort") {
+    val p = plan("q136_rag_chunks")
+    assert(p.contains("Generate explode"),
+      s"the start sequence must explode map-side:\n$p")
+    assert(!p.contains("Join"), s"chunking is one pass, no join:\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"one corpus scan, got $scans:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(l => !l.contains("toks") && !l.contains("chunk#")),
+      s"token arrays must not cross the shuffle — digest first:\n$p")
+  }
+
   test("q121: pagerank serving reads the checkpointed rank vector; no cartesians") {
     val p = plan("q121_pagerank")
     // after 5 checkpointed rounds the served plan is a flat scan of the
