@@ -351,6 +351,72 @@ object QueriesStream {
   }
 
   // ---------------------------------------------------------------------
+  // q137: EWMA forecast monitor — each day's count scored against the
+  // exponentially-weighted average of the PRECEDING 14 days (λ=0.3 ⇒
+  // weights 0.7^j, truncated; available-lag renormalization so early
+  // days score against what history exists; day 1 scores nothing).
+  // Completes the monitoring family: q127's median/MAD catches level
+  // outliers, q111 catches distribution drift, EWMA catches trend
+  // breaks — a count drifting 5%/day never trips a static gate but
+  // walks away from its own forecast. Engine parity is by shared
+  // literals and shared shape: the weights are Scala-computed doubles
+  // embedded as round-trip decimal strings in BOTH engines, and both
+  // sum the 14 terms in the same left-to-right order, so forecasts are
+  // bit-identical before the cosmetic round. One corpus scan → tiny
+  // day frame; the 28 lag windows share one (type, day) sort.
+  private val EwmaLambda = 0.3
+  private val EwmaWindow = 14
+  private val ewmaWeights: Seq[Double] =
+    Iterator.iterate(1.0)(_ * (1.0 - EwmaLambda)).take(EwmaWindow).toSeq
+
+  def q137EwmaMonitor(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("day")
+    def lg(j: Int) = lag(col("cnt"), j + 1).over(w)
+    val num = ewmaWeights.zipWithIndex
+      .map { case (wj, j) => lit(wj) * coalesce(lg(j), lit(0.0)) }
+      .reduce(_ + _)
+    val den = ewmaWeights.zipWithIndex
+      .map { case (wj, j) =>
+        lit(wj) * when(lg(j).isNull, lit(0.0)).otherwise(lit(1.0)) }
+      .reduce(_ + _)
+    events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+      .withColumn("fc", when(den > 0, num / den))
+      .withColumn("dev", (col("cnt") - col("fc")) / col("fc"))
+      .groupBy(col("event_type"))
+      .agg(count(when(col("fc").isNotNull, 1)).as("n_scored"),
+        round(max(abs(col("dev"))), 6).as("max_abs_dev"),
+        sum(when(abs(col("dev")) > 0.25, 1L).otherwise(0L)).as("n_flags"),
+        round(max_by(col("fc"), col("day")), 6).as("last_forecast"))
+      .orderBy("event_type")
+  }
+
+  val q137Sql: String = {
+    val terms = ewmaWeights.zipWithIndex.map { case (wj, j) =>
+      s"$wj * coalesce(lag(cnt, ${j + 1}) OVER w, 0.0)" }.mkString("\n   + ")
+    val dens = ewmaWeights.zipWithIndex.map { case (wj, j) =>
+      s"$wj * (CASE WHEN lag(cnt, ${j + 1}) OVER w IS NULL THEN 0.0 ELSE 1.0 END)"
+    }.mkString("\n   + ")
+    s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+       |   CAST(count(*) AS DOUBLE) AS cnt FROM events GROUP BY 1, 2),
+       |f AS (SELECT event_type, day, cnt,
+       |  CASE WHEN ($dens) > 0
+       |    THEN ($terms) / ($dens) END AS fc
+       | FROM daily
+       | WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+       |sc AS (SELECT event_type, day, fc, (cnt - fc) / fc AS dev FROM f)
+       |SELECT event_type,
+       | count(CASE WHEN fc IS NOT NULL THEN 1 END) AS n_scored,
+       | round(max(abs(dev)), 6) AS max_abs_dev,
+       | CAST(sum(CASE WHEN abs(dev) > 0.25 THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_flags,
+       | round(max_by(fc, day), 6) AS last_forecast
+       |FROM sc GROUP BY 1 ORDER BY event_type""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q126: metric correlation matrix — pairwise Pearson r between the
   // five event types' daily value totals. Shape: ONE corpus scan into
   // a conditional-sum day rollup (no pivot operator — the type list is
@@ -516,6 +582,7 @@ object QueriesStream {
     "q128_ab_test" -> (q128AbTest _),
     "q129_session_paths" -> (q129SessionPaths _),
     "q132_hopping_trending" -> (q132HoppingTrending _),
+    "q137_ewma_monitor" -> (q137EwmaMonitor _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -531,5 +598,6 @@ object QueriesStream {
     "q128_ab_test" -> q128Sql,
     "q129_session_paths" -> q129Sql,
     "q132_hopping_trending" -> q132Sql,
+    "q137_ewma_monitor" -> q137Sql,
   )
 }

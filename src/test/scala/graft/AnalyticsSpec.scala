@@ -262,6 +262,30 @@ class AnalyticsSpec extends AnyFunSuite with SharedSpark {
     assert(doc(4) == Seq((0L, 3L)), "short doc ⇒ one whole-doc chunk")
   }
 
+  test("q137 EWMA: steady series never flags; a 2x level jump does") {
+    val D = 24L * H
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    // steady: 1 event/day for 20 days → forecast 1.0, dev 0 everywhere
+    for (d <- 0 until 20) rows += ((1L, "steady", d * D))
+    // jump: 1/day for 15 days, then 2/day — the break day deviates 100%
+    for (d <- 0 until 15) rows += ((2L, "jump", d * D))
+    for (d <- 15 until 20; k <- 0 until 2)
+      rows += ((2L, "jump", d * D + k * H))
+    val dir = writeEventsFixture(rows.toSeq)
+    val out = QueriesStream.q137EwmaMonitor(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val st = out("steady")
+    assert(st.getAs[Long]("n_scored") == 19, "day 1 has no history to score")
+    assert(st.getAs[Double]("max_abs_dev") == 0.0 &&
+      st.getAs[Long]("n_flags") == 0L, s"steady must not flag: $st")
+    val j = out("jump")
+    assert(j.getAs[Long]("n_flags") >= 1, s"the 2x break must flag: $j")
+    assert(j.getAs[Double]("max_abs_dev") >= 0.9,
+      "break-day deviation is ~100% against the pre-break forecast")
+    assert(j.getAs[Double]("last_forecast") > 1.2,
+      "the forecast must have walked toward the new level")
+  }
+
   test("q126 on a planted fixture: perfect correlation and anti-correlation") {
     // days where click tracks view exactly and error mirrors it
     val rows = (0 until 8).flatMap { d =>

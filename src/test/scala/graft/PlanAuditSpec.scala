@@ -805,6 +805,16 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"token arrays must not cross the shuffle — digest first:\n$p")
   }
 
+  test("q137: all 28 EWMA lags fold into ONE Window over the day frame") {
+    val p = plan("q137_ewma_monitor")
+    assert(!p.contains("Join"), s"the monitor is one pass, no join:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"one corpus scan into the day frame:\n$p")
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows == 1,
+      s"the 14 numerator + 14 denominator lags must share one Window, got $windows:\n$p")
+  }
+
   test("q121: pagerank serving reads the checkpointed rank vector; no cartesians") {
     val p = plan("q121_pagerank")
     // after 5 checkpointed rounds the served plan is a flat scan of the
