@@ -110,7 +110,7 @@ object Bench {
     // stdout tail, the calibration record survives in the driver log
     System.err.println(
       s"""{"canary_pre":${timesJson(canaryPre)},"canary_post":${timesJson(canaryPost)}}""")
-    BenchFormat.perQueryLines(results, sfDir).foreach(println)
+    BenchFormat.perQueryLines(results).foreach(println)
     println(BenchFormat.canaryLine(canary, sfDir))
     println(BenchFormat.totalLine(total, sfDir))
     spark.stop()

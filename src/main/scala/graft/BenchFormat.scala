@@ -36,23 +36,20 @@ object BenchFormat {
     */
   def cs(v: Double): String = math.round(v * 100).toString
 
-  /** The per-query timing map as 1..n JSON lines, each ≤ `maxLine`
-    * chars. Every line is self-describing ({"metric":"per_query",
-    * "part":"i/n",...}) so the driver can regex-recover all entries
-    * from the tail without needing one parseable super-line.
-    */
-  /** "/root/testdata/sf0.1" → "sf0.1" — the full dir path repeated on
-    * every part line was pure skeleton cost inside the 2 KB tail; the
-    * basename disambiguates identically (seconds are always the unit,
-    * declared once on the total line). At 133 queries even the tag
-    * came off the part lines (the total line still carries the full
-    * sf dir — one bench run is one sf, there is nothing to
-    * disambiguate per line); the canary line keeps the tag, it's one
-    * short line.
+  /** "/root/testdata/sf0.1" → "sf0.1" — used by the canary line; the
+    * per-query part lines carry no sf at all anymore (one bench run is
+    * one sf, the total line has the full dir — every repeated char was
+    * tail-budget cost).
     */
   def sfTag(sf: String): String = sf.split('/').last
 
-  def perQueryLines(results: Seq[(String, Double)], sf: String,
+  /** The per-query timing map as 1..n JSON lines, each ≤ `maxLine`
+    * chars. Every line is self-describing ({"metric":"per_query",
+    * "part":"i/n","unit":"cs",...}) so the driver can regex-recover
+    * all entries from the tail without needing one parseable
+    * super-line.
+    */
+  def perQueryLines(results: Seq[(String, Double)],
                     maxLine: Int = 900): Seq[String] = {
     val keys = results.map(r => compactKey(r._1))
     require(keys.distinct.size == keys.size,

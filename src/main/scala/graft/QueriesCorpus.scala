@@ -183,12 +183,15 @@ object QueriesCorpus {
        |  FROM trsh tr JOIN shpos s ON s.h = tr.h),
        |doctrue AS (SELECT DISTINCT doc_id FROM trsh
        |  WHERE h IN (SELECT h FROM evsh)),
+       |-- n_docs comes from the TRAIN table, not from unnested shingle
+       |-- rows: a hypothetical zero-shingle doc (empty text) would have
+       |-- no trsh row but IS counted by the Spark side's per-doc frame
        |agg AS (SELECT a.sizing, a.m,
        |  (SELECT n FROM nv) AS n_eval_sh,
        |  (SELECT count(*) FROM tsh) AS n_train_sh,
        |  (SELECT count(*) FROM shpos p WHERE p.sizing = a.sizing) AS n_sh_pos,
        |  (SELECT count(*) FROM shtrue) AS n_sh_true,
-       |  (SELECT count(DISTINCT doc_id) FROM trsh) AS n_docs,
+       |  (SELECT count(*) FROM train) AS n_docs,
        |  (SELECT count(*) FROM docsus dd WHERE dd.sizing = a.sizing) AS n_suspect,
        |  (SELECT count(*) FROM doctrue) AS n_confirmed
        | FROM arms a)

@@ -533,7 +533,10 @@ object QueriesRel {
         col("weight"))
       .unionAll(e0.select(col("sn").as("src"), col("cn").as("dst"),
         col("weight")))
-    graft.operators.Graph.labelPropagation(edges, iters = 4)
+    // edges doubled above — symmetric by construction, both coverage
+    // anti-joins provably redundant here (the q121 discipline)
+    graft.operators.Graph.labelPropagation(edges, iters = 4,
+        validateCoverage = false)
       .groupBy(col("label").as("community"))
       .agg(count(lit(1)).as("n_nodes"),
         sum(when(col("node").startsWith("c"), 1L).otherwise(0L))

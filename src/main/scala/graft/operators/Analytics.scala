@@ -74,7 +74,8 @@ object Analytics {
     * the key + a partial count move), the per-key frame once more
     * (tiny (c,f) groupBy), and the windows run over the checkpointed
     * histogram — single-partition but histogram-sized. Top share takes
-    * the ⌈n/100⌉ (integer `div`, min 1) heaviest keys, split blocks
+    * the ⌊n/100⌋ (integer `div`, min 1) heaviest keys — floor, matching
+    * the oracle's `//` and the spec's 57-key fixture — split blocks
     * pro-rated.
     */
   def keySkewProfile(df: DataFrame, keyCol: String): DataFrame = {

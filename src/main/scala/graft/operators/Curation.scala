@@ -359,6 +359,15 @@ object Curation {
     * rows per stratum, so the shuffle carries ~k·strata rows, not the
     * corpus. Non-positive weights are excluded (their E-S key is
     * undefined).
+    *
+    * Weight DOMAIN: E-S selection is weight-scale-invariant, but the
+    * nano fixed-point quantization is not — a weight below ~5e-9
+    * pushes `-ln(u)/w·1e9` past Long range, where the ANSI cast (and
+    * the oracle's CAST) raises. Callers with tiny normalized weights
+    * (probabilities over a large corpus) should pre-scale so the
+    * minimum weight is ≥ ~1e-6; scaling all weights by a constant
+    * does not change the drawn sample, only keeps the keys in range
+    * (q124 uses raw char counts ≥ 1 — comfortably inside).
     */
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
       stratumCol: String, k: Int, seed: String): DataFrame = {

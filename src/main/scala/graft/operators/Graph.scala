@@ -60,8 +60,17 @@ object Graph {
     * linear in rounds. The window's per-node row set is the node's
     * distinct incoming LABEL count (≤ degree), and the rank-1 filter
     * group-limits map-side.
+    *
+    * The coverage contract is VALIDATED by default (the [[pageRank]]
+    * discipline): on an asymmetric graph the node set would silently
+    * drift between rounds — each round's output is keyed by the
+    * dst-set, so src-only nodes vanish from the result and dst-only
+    * nodes never vote. Callers whose edges are symmetric BY
+    * CONSTRUCTION (q125 doubles every edge) may skip the two
+    * anti-join passes.
     */
-  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, iters: Int,
+      validateCoverage: Boolean = true): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val trans = edges
       .select(col("src"), col("dst"), col("weight").cast("double").as("w"))
@@ -69,6 +78,16 @@ object Graph {
       .localCheckpoint(eager = true)
     val nodes = trans.select(col("src").as("node")).distinct()
       .localCheckpoint(eager = true)
+    if (validateCoverage) {
+      require(trans.join(nodes, col("dst") === col("node"), "left_anti").isEmpty,
+        "labelPropagation requires every dst to also appear as a src " +
+          "(src-only/dst-only nodes drift out of the sync rounds — " +
+          "double the edges or add self-loops)")
+      require(nodes.join(trans.select(col("dst")).distinct(),
+          col("node") === col("dst"), "left_anti").isEmpty,
+        "labelPropagation requires every src to also appear as a dst " +
+          "(a node that never receives votes vanishes after round 1)")
+    }
 
     val byVote = org.apache.spark.sql.expressions.Window
       .partitionBy("dst").orderBy(col("wv").desc, col("label"))

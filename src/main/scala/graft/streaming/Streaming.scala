@@ -163,6 +163,16 @@ object Streaming {
     } else {
       def micros(t: Timestamp): Long =
         t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+      // the stages list is part of the query's identity: a restored
+      // anchor array of another length means the checkpoint was taken
+      // under a DIFFERENT funnel definition — fail loudly (an index
+      // walk over the stale array would either AIOOBE or silently
+      // misattribute anchors to reordered stages)
+      state.getOption.foreach(st =>
+        require(st.anchors.size == stages.size,
+          s"funnel stages changed across restart (state has " +
+            s"${st.anchors.size} anchors, query has ${stages.size}) — " +
+            "start a new checkpoint"))
       val anchors = state.getOption.map(_.anchors.toArray)
         .getOrElse(Array.fill(stages.size)(-1L))
       val out = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]

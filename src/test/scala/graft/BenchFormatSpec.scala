@@ -17,7 +17,7 @@ class BenchFormatSpec extends AnyFunSuite {
     n -> (i * 1.234 + 0.056)
   }
   private val sf = "/root/testdata/sf0.1"
-  private val lines = BenchFormat.perQueryLines(fake, sf)
+  private val lines = BenchFormat.perQueryLines(fake)
   private val total = BenchFormat.totalLine(fake.map(_._2).sum, sf)
 
   test("compact qNN keys are unique across the whole catalog") {

@@ -120,6 +120,23 @@ class GraphSpec extends AnyFunSuite with SharedSpark {
       "labels must be a pure function of the graph")
   }
 
+  test("labelPropagation: asymmetric graphs are rejected by the coverage check") {
+    // b never votes (dst-only) — without the check it would silently
+    // drift out of the sync rounds instead of failing loudly
+    val bad = Seq(("a", "b", 1.0)).toDF("src", "dst", "weight")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.labelPropagation(bad, 2)
+    }
+    assert(ex.getMessage.contains("every dst"))
+    // src-only/dst-only in the other direction: c emits but never receives
+    val bad2 = Seq(("a", "b", 1.0), ("b", "a", 1.0), ("c", "a", 1.0))
+      .toDF("src", "dst", "weight")
+    val ex2 = intercept[IllegalArgumentException] {
+      Graph.labelPropagation(bad2, 2)
+    }
+    assert(ex2.getMessage.contains("every src"))
+  }
+
   test("labelPropagation: lineage linear in rounds (constant exchange growth)") {
     val edges = Seq(("a", "b", 1.0), ("b", "a", 1.0), ("b", "c", 2.0),
       ("c", "b", 2.0)).toDF("src", "dst", "weight")
