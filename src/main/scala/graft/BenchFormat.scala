@@ -58,10 +58,11 @@ object BenchFormat {
     val entries = results.map { case (k, v) =>
       "\"" + compactKey(k) + "\":" + cs(v)
     }
-    // the fixed JSON skeleton around the entries; "part":"xx/xx" worst
-    // case is bounded by 5 chars each side
+    // the fixed JSON skeleton around the entries; the part label is
+    // budgeted at a conservative "999/999" so a 100+-chunk suite can
+    // never push an emitted line past maxLine
     val overhead =
-      s"""{"metric":"per_query","part":"99/99","unit":"cs","queries":{}}""".length
+      s"""{"metric":"per_query","part":"999/999","unit":"cs","queries":{}}""".length
     val budget = math.max(maxLine - overhead, 40)
     val chunks = entries.foldLeft(Vector(Vector.empty[String])) { (acc, e) =>
       val cur = acc.last

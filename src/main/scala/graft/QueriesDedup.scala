@@ -265,7 +265,7 @@ object QueriesDedup {
       .agg(count(lit(1)).as("c"))
     val stats = sh.select(col("doc_id"), size(col("sh")).as("n"),
       Dedup.minhashSignatureArray(col("sh"), NumHashes).as("sig"))
-    inter
+    val out = inter
       .join(broadcast(stats.select(col("doc_id").as("a"), col("n").as("na"),
         col("sig").as("siga"))), "a")
       .join(broadcast(stats.select(col("doc_id").as("b"), col("n").as("nb"),
@@ -283,6 +283,10 @@ object QueriesDedup {
         round(avg("exact"), 6).as("mean_exact"),
         round(avg(abs(col("est") - col("exact"))), 6).as("mean_abs_err"))
       .orderBy("jband")
+    // release the shingle barrier once the audit materializes (the
+    // q134 discipline) — repeated invocations in a long session must
+    // not accumulate cached shingle frames
+    graft.operators.CacheRelease.afterUse(Seq(sh), out)
   }
 
   val q131Sql: String = {

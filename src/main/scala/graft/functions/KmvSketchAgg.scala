@@ -190,14 +190,16 @@ object Kmv {
 
   /** Intersection estimate: inclusion fraction ρ of the union sketch's
     * values that appear in BOTH input sketches, scaled by the union
-    * estimate (the standard KMV/theta intersection). Exact while the
-    * union is unsaturated (then the union sketch is the full union and
-    * ρ·|∪| = |∩| identically — integer-exact via the `when` branch).
+    * estimate (the standard KMV/theta intersection). Exact while BOTH
+    * input sketches are unsaturated — each is then its set's complete
+    * hash list, so `array_intersect` IS the intersection, even when
+    * their union reaches k (the estimator is kept only when at least
+    * one side has actually dropped values).
     */
   def intersectEstimate(a: Column, b: Column, k: Int): Column = {
     val u = unionSketch(a, b, k)
     val inBoth = size(array_intersect(array_intersect(u, a), b))
-    when(size(array_union(a, b)) < k,
+    when(size(a) < k && size(b) < k,
         size(array_intersect(a, b)).cast("double"))
       .otherwise(inBoth.cast("double") / size(u) * unionEstimate(a, b, k))
   }

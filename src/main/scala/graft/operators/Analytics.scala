@@ -93,7 +93,7 @@ object Analytics {
       .withColumn("cb", coalesce(sum("f").over(prevAsc), lit(0L)))
       .withColumn("cdb", coalesce(sum("f").over(prevDesc), lit(0L)))
       .withColumn("n", sum("f").over(wAll))
-      // ⌈~1%⌉ of keys, at least one — integer arithmetic so both
+      // floor(n/100) keys, at least one — integer arithmetic so both
       // engines pick the identical cutoff (0.01·n in floats would ride
       // the last ulp at exact-percent boundaries)
       .withColumn("k1", greatest(expr("n div 100"), lit(1L)))

@@ -173,16 +173,21 @@ object Streaming {
           s"funnel stages changed across restart (state has " +
             s"${st.anchors.size} anchors, query has ${stages.size}) — " +
             "start a new checkpoint"))
+      // unset-stage sentinel: Long.MinValue, NOT -1 — a pre-1970
+      // event time is legitimate negative micros and must not read as
+      // "stage never anchored" (MinValue is unreachable: it would be
+      // year −290308, far outside Timestamp's range)
+      val Unset = Long.MinValue
       val anchors = state.getOption.map(_.anchors.toArray)
-        .getOrElse(Array.fill(stages.size)(-1L))
+        .getOrElse(Array.fill(stages.size)(Unset))
       val out = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
       for (e <- it.toSeq.sortBy(e => micros(e.ts))) {
         val i = stages.indexOf(e.event_type)
-        if (i >= 0 && anchors(i) < 0) {
+        if (i >= 0 && anchors(i) == Unset) {
           val t = micros(e.ts)
           val qualifies =
             if (i == 0) true
-            else anchors(i - 1) >= 0 && t > anchors(i - 1) &&
+            else anchors(i - 1) != Unset && t > anchors(i - 1) &&
               t <= anchors(i - 1) + windowMs * 1000L
           if (qualifies) {
             anchors(i) = t
