@@ -94,17 +94,79 @@ object Queries {
   // suite cost leader purely from that exactness; the documented scale
   // path for choropleth extents is the percentile_approx sketch
   // (constant memory per group, one pass, ~1e-4 relative accuracy —
-  // ample for scales needing ~1%). This entry carries the MEASURED
-  // number behind that claim instead of asserting it. Sketch estimates
-  // are engine-specific → no DuckDB oracle (rows-only check); the
-  // approx-vs-exact tolerance is spec-pinned (CoreOperatorsSpec
-  // "approximate extents stay within 2% of exact quantiles").
+  // ample for scales needing ~1%).
+  //
+  // Registry-split since round 14 (the q69 BPE / q73 PQ-codebook
+  // protocol): the sketch LEARNS its q1/q99 once per (corpus, ε) and
+  // persists them as a parquet fixture; the query APPLIES the stored
+  // estimates next to an exact one-pass vmin/vmax, and the DuckDB
+  // oracle applies the SAME fixture — so the whole application path
+  // (unpivot, numeric-or-null filter, min/max, rounding, ordering) is
+  // hash-checked end to end. This also makes the query deterministic:
+  // GK merge order varies with shuffle fetch order, so a re-learn per
+  // run could drift in the last ulp — the persisted artifact is the
+  // stable contract, exactly as a deployment would serve a trained
+  // discretizer. Accuracy vs exact stays spec-pinned
+  // (CoreOperatorsSpec "approximate extents stay within 2% of exact
+  // quantiles").
+  private val ExtFixtureDir = "/tmp/graft_fixtures/gk_extents_q1q99"
+
+  /** Registry READ path (the loadCodebook discipline): provenance
+    * columns pin the corpus dir — two scale factors could share a row
+    * count with different content — and the learn overwrites, so the
+    * oracle (which can only filter by count) always reads the
+    * artifact of the corpus just verified.
+    */
+  private def loadMetricDoubles(s: SparkSession, dir: String, n: Long,
+                                d: String, cols: Seq[String])
+      : Option[Seq[org.apache.spark.sql.Row]] =
+    graft.operators.ArtifactCache.parquetFixture(s, s"$dir/$n")
+      .filter(df => df.columns.contains("corpus_dir"))
+      .map(_.where(col("corpus_rows") === n && col("corpus_dir") === d)
+        .select(cols.map(col): _*).collect().toSeq)
+      .filter(_.size == extentCols.size) // torn/foreign dir: re-learn
+
+  private def extentQuantilesArtifact(s: SparkSession, d: String)
+      : Seq[(String, (Double, Double))] =
+    graft.operators.ArtifactCache.getOrLoadOrLearn(s"extq:$d:0.01:0.99") {
+      val n = lineitem(s, d).count()
+      loadMetricDoubles(s, ExtFixtureDir, n, d, Seq("metric", "q1", "q99"))
+        .map(_.map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+          .sortBy(_._1))
+    } {
+      val qs = Extents.approxExtentQuantiles(lineitem(s, d), extentCols)
+      val n = lineitem(s, d).count()
+      import s.implicits._
+      qs.map { case (m, (a, b)) => (m, a, b, n, d) }
+        .toDF("metric", "q1", "q99", "corpus_rows", "corpus_dir")
+        .coalesce(1).write.mode("overwrite").parquet(s"$ExtFixtureDir/$n")
+      qs
+    }
+
   def q94ExtentsApprox(s: SparkSession, d: String): DataFrame =
-    Extents.extents(lineitem(s, d), extentCols, approximate = true)
+    Extents.extentsWithFixedQuantiles(lineitem(s, d), extentCols,
+        extentQuantilesArtifact(s, d))
       .select(col("id"),
         round(col("vmin"), 6).as("vmin"), round(col("vmax"), 6).as("vmax"),
         round(col("q1"), 6).as("q1"), round(col("q99"), 6).as("q99"))
       .orderBy("id")
+
+  val q94Sql: String = {
+    val branches = extentCols
+      .map(c => s"SELECT '$c' AS id, CAST($c AS DOUBLE) AS value FROM lineitem")
+      .mkString(" UNION ALL ")
+    s"""WITH fx AS (
+       | SELECT metric, q1, q99 FROM read_parquet('$ExtFixtureDir/*/*.parquet')
+       | WHERE corpus_rows = (SELECT count(*) FROM lineitem)),
+       |long AS ($branches),
+       |r AS (
+       | SELECT id, min(value) AS vmin, max(value) AS vmax FROM long
+       | WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY id)
+       |SELECT r.id, round(r.vmin, 6) AS vmin, round(r.vmax, 6) AS vmax,
+       | round(fx.q1, 6) AS q1, round(fx.q99, 6) AS q99
+       |FROM r JOIN fx ON fx.metric = r.id
+       |ORDER BY id""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // P1/P3/P9 dictionary rename + projection + year-suffix slice.
@@ -314,11 +376,51 @@ object Queries {
   // sketch cut points (histogram-fed weighted sketch, ε = 1e-4) in
   // place of the exact cumulative-rank windows. Same ties-in-one-bin
   // semantics (bin = #cuts strictly below the value); bin balance off
-  // by ≤ 2ε·n + tie mass. Sketch cuts are engine-specific → rows-only
-  // driver check, no oracle (the q94 precedent); the accuracy contract
-  // is spec-pinned in CoreOperatorsSpec against the exact path.
+  // by ≤ 2ε·n + tie mass; accuracy vs exact spec-pinned in
+  // CoreOperatorsSpec. Registry-split like q94: the k−1 cuts per
+  // metric are learned once, persisted, and APPLIED — by the query
+  // (one scan, cuts as a broadcast literal, |metrics|·k-key shuffle)
+  // and by the DuckDB oracle over the same fixture, hash-checking the
+  // whole discretizer application end to end.
+  private val BinFixtureDir = "/tmp/graft_fixtures/gk_bin_cuts_k8"
+
+  private def binCutsArtifact(s: SparkSession, d: String)
+      : Seq[(String, Seq[Double])] =
+    graft.operators.ArtifactCache.getOrLoadOrLearn(s"bincuts:$d:$BinK") {
+      val n = lineitem(s, d).count()
+      loadMetricDoubles(s, BinFixtureDir, n, d, Seq("metric", "cuts"))
+        .map(_.map(r => r.getString(0) -> r.getSeq[Double](1).toSeq)
+          .sortBy(_._1))
+    } {
+      val cuts = Extents.approxBinCuts(lineitem(s, d), extentCols, BinK)
+      val n = lineitem(s, d).count()
+      import s.implicits._
+      cuts.map { case (m, cs) => (m, cs, n, d) }
+        .toDF("metric", "cuts", "corpus_rows", "corpus_dir")
+        .coalesce(1).write.mode("overwrite").parquet(s"$BinFixtureDir/$n")
+      cuts
+    }
+
   def q116QuantileBinsApprox(s: SparkSession, d: String): DataFrame =
-    Extents.approxQuantileBins(lineitem(s, d), extentCols, BinK)
+    Extents.binByCuts(lineitem(s, d), extentCols, binCutsArtifact(s, d))
+
+  val q116Sql: String = {
+    val branches = extentCols
+      .map(c => s"SELECT '$c' AS id, CAST($c AS DOUBLE) AS value FROM lineitem")
+      .mkString(" UNION ALL ")
+    s"""WITH fx AS (
+       | SELECT metric, cuts FROM read_parquet('$BinFixtureDir/*/*.parquet')
+       | WHERE corpus_rows = (SELECT count(*) FROM lineitem)),
+       |long AS ($branches),
+       |b AS (
+       | SELECT l.id AS metric,
+       |  CAST(len(list_filter(fx.cuts, x -> x < l.value)) AS INT) AS bin,
+       |  l.value AS value
+       | FROM long l JOIN fx ON fx.metric = l.id
+       | WHERE l.value IS NOT NULL AND NOT isnan(l.value))
+       |SELECT metric, bin, count(*) AS n_rows, min(value) AS lo, max(value) AS hi
+       |FROM b GROUP BY 1, 2 ORDER BY metric, bin""".stripMargin
+  }
 
   val q112Sql: String = {
     val branches = extentCols
@@ -359,6 +461,8 @@ object Queries {
 
   /** Registry: name -> DuckDB oracle SQL. */
   val oracle: Map[String, String] = Map(
+    "q94_extents_approx" -> q94Sql,
+    "q116_quantile_bins_approx" -> q116Sql,
     "q44_extents_by_group" -> q44Sql,
     "q101_profile" -> q101Sql,
     "q111_profile_drift" -> q111Sql,

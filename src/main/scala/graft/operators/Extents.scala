@@ -390,6 +390,106 @@ object Extents {
     unpersistAfterUse(hist, out)
   }
 
+  /** LEARN half of the registry-split approximate binning: the k−1
+    * GK cut points per metric, as a bounded driver-side artifact
+    * (≤ (k−1)·|metricCols| doubles — the PQ-codebook class of load).
+    * Persist-and-apply callers (q116) route this through
+    * [[ArtifactCache]]: GK merge order varies with shuffle fetch
+    * order, so the learned cuts are only STABLE once persisted — the
+    * apply pass and the external oracle must both read the same
+    * stored artifact, never re-learn.
+    */
+  def approxBinCuts(df: DataFrame, metricCols: Seq[String], k: Int,
+                    accuracy: Int = 10000): Seq[(String, Seq[Double])] = {
+    require(k >= 2, s"cut learning needs k >= 2, got $k")
+    val stackExpr = explodeToLong(metricCols)
+    val long = df.select(stackExpr: _*)
+      .select(col("id"), numericOrNull(col("value")).as("value"))
+      .filter(col("value").isNotNull)
+    long.groupBy(col("id"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("id"))
+      .agg(graft.functions.WeightedPercentileApprox.wpa(
+        col("value"), col("cnt"),
+        (1 until k).map(_.toDouble / k), accuracy).as("cuts"))
+      .collect()
+      .map(r => metricCols(r.getInt(0)) -> r.getSeq[Double](1).toSeq)
+      .sortBy(_._1).toSeq
+  }
+
+  /** APPLY half: bin every row by a FIXED cut list (bin = #cuts
+    * strictly below the value — the ties-in-one-bin contract, now a
+    * pure literal function of the value). One scan, one tiny-key
+    * shuffle (|metrics|·k groups with map-side partials); the cuts
+    * ride the plan as a broadcast literal array-of-arrays aligned
+    * with the metric index — no join, no second pass. This is the
+    * serving path a deployment runs once a discretizer is trained:
+    * the sketch never re-runs per query.
+    */
+  def binByCuts(df: DataFrame, metricCols: Seq[String],
+                cuts: Seq[(String, Seq[Double])]): DataFrame = {
+    val byName = cuts.toMap
+    require(metricCols.forall(byName.contains),
+      s"missing cuts for ${metricCols.filterNot(byName.contains).mkString(",")}")
+    val stackExpr = explodeToLong(metricCols)
+    val long = df.select(stackExpr: _*)
+      .select(col("id"), numericOrNull(col("value")).as("value"))
+      .filter(col("value").isNotNull)
+    val names = array(metricCols.map(lit): _*)
+    val cutsArr = array(metricCols.map(m =>
+      array(byName(m).map(lit): _*)): _*)
+    long
+      .withColumn("bin", size(filter(element_at(cutsArr, col("id") + 1),
+        c => c < col("value"))))
+      .groupBy(col("id"), col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("value").as("lo"), max("value").as("hi"))
+      .withColumn("metric", element_at(names, col("id") + 1))
+      .select("metric", "bin", "n_rows", "lo", "hi")
+      .orderBy("metric", "bin")
+  }
+
+  /** LEARN half of the registry-split approximate extents (q94): the
+    * raw (unrounded) sketch q-lo/q-hi per metric. Same rationale as
+    * [[approxBinCuts]] — the GK estimate is persisted once and then
+    * only APPLIED, because re-learning is neither free nor
+    * merge-order-stable.
+    */
+  def approxExtentQuantiles(df: DataFrame, metricCols: Seq[String],
+                            lo: Double = 0.01, hi: Double = 0.99)
+      : Seq[(String, (Double, Double))] =
+    extents(df, metricCols, lo, hi, approximate = true)
+      .select("id", "q1", "q99")
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+
+  /** APPLY half for extents: exact vmin/vmax from one grouped pass
+    * over the data, sketch q-lo/q-hi joined in as literals aligned
+    * with the metric index.
+    */
+  def extentsWithFixedQuantiles(df: DataFrame, metricCols: Seq[String],
+                                qs: Seq[(String, (Double, Double))])
+      : DataFrame = {
+    val byName = qs.toMap
+    require(metricCols.forall(byName.contains),
+      s"missing quantiles for ${metricCols.filterNot(byName.contains).mkString(",")}")
+    val stackExpr = explodeToLong(metricCols)
+    val long = df.select(stackExpr: _*)
+      .select(col("id"), numericOrNull(col("value")).as("value"))
+      .filter(col("value").isNotNull)
+    val names = array(metricCols.map(lit): _*)
+    val q1s = array(metricCols.map(m => lit(byName(m)._1)): _*)
+    val q99s = array(metricCols.map(m => lit(byName(m)._2)): _*)
+    long.groupBy(col("id"))
+      .agg(min("value").as("vmin"), max("value").as("vmax"))
+      .select(element_at(names, col("id") + 1).as("id"),
+        col("vmin"), col("vmax"),
+        element_at(q1s, col("id") + 1).as("q1"),
+        element_at(q99s, col("id") + 1).as("q99"))
+      .orderBy("id")
+  }
+
   /** Releases the cached histogram once the first action consuming
     * `out` completes — see [[CacheRelease]] (shared with the LSH
     * pipeline's shingle barriers) for the full release/self-expiry

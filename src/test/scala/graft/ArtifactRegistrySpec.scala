@@ -52,6 +52,22 @@ class ArtifactRegistrySpec extends AnyFunSuite with SharedSpark {
     assert(a.toSeq == b.toSeq, "table-served dedup must equal the built one")
   }
 
+  test("the GK extent/bin-cut fixtures serve q94/q116 cold (r14 registry artifacts)") {
+    val d = "/root/testdata/sf0.001"
+    // pass 1 learns the sketch artifacts (or loads a prior round's)
+    val a94 = SparkEntry.queries("q94_extents_approx")(spark, d).collect()
+    val a116 = SparkEntry.queries("q116_quantile_bins_approx")(spark, d).collect()
+    ArtifactCache.clear()
+    val learnsBefore = ArtifactCache.learnCount
+    val b94 = SparkEntry.queries("q94_extents_approx")(spark, d).collect()
+    val b116 = SparkEntry.queries("q116_quantile_bins_approx")(spark, d).collect()
+    assert(ArtifactCache.learnCount == learnsBefore,
+      "persisted GK quantiles/cuts must serve both queries with zero " +
+        "sketch learns — the oracle applies the same fixtures")
+    assert(a94.toSeq == b94.toSeq, "extent serve must equal learn pass")
+    assert(a116.toSeq == b116.toSeq, "bin serve must equal learn pass")
+  }
+
   test("the SQ8 ranges + code table serve q88/q90 cold (r9 registry artifacts)") {
     val d = "/root/testdata/sf0.001"
     // pass 1 builds (or loads) the ranges fixture and the code table

@@ -532,18 +532,22 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       "no single-partition exchange in quantile binning")
   }
 
-  test("q116: approx binning runs no rank windows — one sketch pass") {
+  test("q116: approx binning serves stored cuts — no windows, no joins") {
     val p = plan("q116_quantile_bins_approx")
-    // the whole point of the approx twin: after the shared histogram
-    // there is ONE sketch aggregation and a broadcast of ≤ k−1 cuts —
+    // the registry-split serving shape: the k−1 learned cuts per
+    // metric ride the plan as LITERALS (no join side at all), binning
+    // is one scan + one tiny-key (|metrics|·k) hash aggregation —
     // none of the exact path's per-bucket offset/cumulative-rank
     // windows, and nothing single-partitions
     assert(!p.contains("Window"),
       s"approx binning must not run the exact path's rank windows:\n$p")
     assert(!p.contains("SinglePartition"),
       s"no single-partition exchange in approx binning:\n$p")
-    assert(p.contains("BroadcastHashJoin"),
-      s"the k-1-cuts-per-metric side must broadcast:\n$p")
+    assert(!p.contains("Join"),
+      s"stored-cut application must not join — cuts are literals:\n$p")
+    assert(p.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("lineitem")) <= 1,
+      s"cut application is ONE pass over the fact table:\n$p")
   }
 
   test("q111: drift profiles both slices in one fact-table pass") {
