@@ -12,6 +12,25 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Node-count ceiling under which the per-round |N|-row vector
+    * (ranks / labels / inflow) is BROADCAST into its joins instead of
+    * shuffled: the transition matrix is already partitioned and
+    * checkpointed, so broadcasting the small side makes each round's
+    * vector join exchange-free — one shuffle per round (the inflow /
+    * vote groupBy) instead of two-to-three. 500k nodes ≈ tens of MB
+    * serialized (string id + double), inside the executor broadcast
+    * comfort zone; a web-scale host graph above it falls back to the
+    * plain equi-join plan automatically.
+    */
+  val BroadcastNodeLimit = 500000L
+
+  /** Rounds actually executed by the LAST pageRank / labelPropagation
+    * call in this JVM — the early-exit observable for specs and dev
+    * tools (the operators return only the final vector).
+    */
+  private[graft] val lastPageRankIters = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] val lastLpaIters = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Weighted PageRank, a FIXED number of power iterations.
     *
     * `edges` = (src, dst, weight); ranks flow along edge direction,
@@ -28,8 +47,10 @@ object Graph {
     *    `src` and localCheckpointed: every iteration's rank join
     *    re-uses that partitioning, so only the |N|-row rank vector
     *    moves per round, never the |E|-row edge list;
-    *  - each iteration is exactly two shuffles (rank join on src,
-    *    inflow groupBy on dst), both equi-keyed;
+    *  - below [[BroadcastNodeLimit]] nodes, the per-round rank vector
+    *    and inflow table BROADCAST into their joins — ONE equi-keyed
+    *    shuffle per iteration (the inflow groupBy on dst); above it,
+    *    each iteration is exactly two equi-keyed shuffles;
     *  - each round localCheckpoints the new rank vector, so lineage —
     *    and the executed plan — stays LINEAR in rounds (the q50
     *    connected-components discipline; an unpersisted loop doubles
@@ -70,7 +91,8 @@ object Graph {
     * anti-join passes.
     */
   def labelPropagation(edges: DataFrame, iters: Int,
-      validateCoverage: Boolean = true): DataFrame = {
+      validateCoverage: Boolean = true,
+      maxChanged: Long = -1L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val trans = edges
       .select(col("src"), col("dst"), col("weight").cast("double").as("w"))
@@ -88,26 +110,44 @@ object Graph {
         "labelPropagation requires every src to also appear as a dst " +
           "(a node that never receives votes vanishes after round 1)")
     }
+    val small = nodes.count() <= BroadcastNodeLimit
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
 
     val byVote = org.apache.spark.sql.expressions.Window
       .partitionBy("dst").orderBy(col("wv").desc, col("label"))
     var labels = nodes.withColumn("label", col("node").cast("string"))
+    // convergence-aware early exit (maxChanged >= 0): after each SYNC
+    // round, one |N|-row join counts nodes whose label changed; at or
+    // below the threshold the loop stops — a converged LPA round
+    // reproduces itself exactly, so the early-exit output is
+    // IDENTICAL to running the remaining rounds (spec-pinned). The
+    // default (-1) keeps fixed-round semantics for oracle-checked
+    // callers (q125's DuckDB twin unrolls exactly 4 rounds).
+    var changed = Long.MaxValue
     var i = 0
-    while (i < iters) {
-      labels = trans.join(labels, col("src") === col("node"))
+    while (i < iters && (maxChanged < 0 || changed > maxChanged)) {
+      val next = trans.join(bc(labels), col("src") === col("node"))
         .groupBy(col("dst"), col("label"))
         .agg(sum(col("w")).as("wv"))
         .withColumn("rn", row_number().over(byVote))
         .filter(col("rn") === 1)
         .select(col("dst").as("node"), col("label"))
         .localCheckpoint(eager = true)
+      if (maxChanged >= 0)
+        changed = next.join(
+            labels.select(col("node").as("n0"), col("label").as("l0")),
+            col("node") === col("n0"))
+          .filter(col("label") =!= col("l0")).count()
+      labels = next
       i += 1
     }
+    lastLpaIters.set(i)
     labels
   }
 
   def pageRank(edges: DataFrame, iters: Int, damping: Double,
-      validateNoDangling: Boolean = true): DataFrame = {
+      validateNoDangling: Boolean = true,
+      tol: Double = 0.0): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
 
@@ -128,21 +168,37 @@ object Graph {
         "pageRank requires every dst to also appear as a src " +
           "(add reverse edges or self-loops for dangling nodes)")
     val n = nodes.count()
+    val small = n <= BroadcastNodeLimit
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
 
     var ranks = nodes.withColumn("r", lit(1.0 / n))
+    // convergence-aware early exit (tol > 0): after each iteration,
+    // one |N|-row join computes the L1 delta ‖r_t − r_{t−1}‖₁ and the
+    // loop stops below tol — the deployment mode (a web-scale rank
+    // usually converges long before a conservative fixed budget). The
+    // default (0.0) keeps fixed-iteration semantics for oracle-checked
+    // callers (q121's DuckDB twin unrolls exactly 5 iterations).
+    var delta = Double.MaxValue
     var i = 0
-    while (i < iters) {
-      val inflow = trans.join(ranks, col("src") === col("node"))
+    while (i < iters && (tol <= 0 || delta >= tol)) {
+      val inflow = trans.join(bc(ranks), col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(sum(col("p") * col("r")).as("inflow"))
-      ranks = nodes
-        .join(inflow, nodes("node") === inflow("dst"), "left")
+      val next = nodes
+        .join(bc(inflow), nodes("node") === inflow("dst"), "left")
         .select(col("node"),
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("inflow"), lit(0.0))).as("r"))
         .localCheckpoint(eager = true)
+      if (tol > 0)
+        delta = next.join(
+            ranks.select(col("node").as("n0"), col("r").as("r0")),
+            col("node") === col("n0"))
+          .agg(sum(abs(col("r") - col("r0")))).head().getDouble(0)
+      ranks = next
       i += 1
     }
+    lastPageRankIters.set(i)
     ranks
   }
 }

@@ -150,6 +150,42 @@ class GraphSpec extends AnyFunSuite with SharedSpark {
       s"exchange growth must be constant per round: $e2, $e3, $e4")
   }
 
+  test("pageRank: tolerance stop exits early with identical output on a converged fixture") {
+    // 3-cycle with equal weights: uniform is the exact fixpoint, so
+    // the L1 delta is 0 after round 1 and the tolerance loop must
+    // stop at round 2 (the round that MEASURES convergence) — with
+    // output bit-identical to the full fixed budget
+    val cyc = Seq(("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0))
+      .toDF("src", "dst", "weight")
+    val full = Graph.pageRank(cyc, iters = 20, damping = 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val tolRun = Graph.pageRank(cyc, iters = 20, damping = 0.85, tol = 1e-12)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(Graph.lastPageRankIters.get() < 20,
+      s"tolerance run must exit early, ran ${Graph.lastPageRankIters.get()}")
+    assert(tolRun == full, s"early exit changed the fixpoint: $tolRun vs $full")
+    // tol = 0 (default) keeps the fixed budget — the oracle contract
+    Graph.pageRank(cyc, iters = 4, damping = 0.85).collect()
+    assert(Graph.lastPageRankIters.get() == 4,
+      "default run must execute the full fixed budget")
+  }
+
+  test("labelPropagation: converged-stop exits early with identical labels") {
+    def clique(ns: Seq[String]) = for {
+      a <- ns; b <- ns if a != b
+    } yield (a, b, 5.0)
+    val edges = (clique(Seq("a", "b", "c")) ++ clique(Seq("d", "e", "f")) ++
+      Seq(("c", "d", 1.0), ("d", "c", 1.0))).toDF("src", "dst", "weight")
+    val full = Graph.labelPropagation(edges, iters = 20)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val stopped = Graph.labelPropagation(edges, iters = 20, maxChanged = 0)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Graph.lastLpaIters.get() < 20,
+      s"converged LPA must exit early, ran ${Graph.lastLpaIters.get()}")
+    assert(stopped == full,
+      s"early exit changed the partition: $stopped vs $full")
+  }
+
   test("q121 graph at sf0.001: suppliers with more trade rank higher on average") {
     val out = QueriesRel.q121PageRank(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
