@@ -12,12 +12,25 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.ScaleUp <srcSfDir> <outDir> <factor> [tables...]
   * (default tables: customer, lineitem — the q48/q44 inputs)
+  *
+  * A table spec may carry the `:const` suffix (`events:const`): the
+  * ENTITY key shifts alongside the row key, so entity count scales
+  * with the data and per-entity density stays CONSTANT — the
+  * realistic growth regime (more users, not denser users). The bare
+  * `events` spec keeps the r13 density-multiplied worst case (same
+  * users, `factor`× the events each) for adversarial window-family
+  * measurements.
   */
 object ScaleUp {
   private val keyCols = Map(
     "customer" -> "c_custkey", "lineitem" -> "l_orderkey",
     "orders" -> "o_orderkey", "documents" -> "doc_id",
     "embeddings" -> "vec_id", "events" -> "event_id")
+
+  /** Entity keys shifted only under `:const` — per-entity density
+    * stays flat as the table grows.
+    */
+  private val entityCols = Map("events" -> Seq("user_id"))
 
   def main(args: Array[String]): Unit = {
     val Array(src, out, factorS, rest @ _*) = args
@@ -33,16 +46,22 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (t <- tables) {
+    for (spec <- tables) {
+      val (t, const) = spec.split(':') match {
+        case Array(n, "const") => (n, true)
+        case Array(n) => (n, false)
+        case _ => sys.error(s"bad table spec: $spec")
+      }
       val df = spark.read.parquet(s"$src/$t.parquet")
+      val shiftCols = keyCols.get(t).toSeq ++
+        (if (const) entityCols.getOrElse(t, Nil) else Nil)
       val shifted = (0 until factor).map { i =>
-        keyCols.get(t) match {
-          case Some(k) => df.withColumn(k, col(k) + lit(i * 100000000L))
-          case None => df
-        }
+        shiftCols.foldLeft(df)((acc, k) =>
+          acc.withColumn(k, col(k) + lit(i * 100000000L)))
       }.reduce(_ unionByName _)
       shifted.write.mode("overwrite").parquet(s"$out/$t.parquet")
-      println(s"[scaleup] $t x$factor -> $out/$t.parquet")
+      println(s"[scaleup] $t x$factor${if (const) " (const-density)" else ""}" +
+        s" -> $out/$t.parquet")
     }
     spark.stop()
   }

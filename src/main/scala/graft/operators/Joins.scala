@@ -59,6 +59,64 @@ object Joins {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** The profile's executable verdict: salt or not, plus the inputs
+    * the thresholds fired on (for logs / specs / the SaltAb tool).
+    */
+  case class SkewVerdict(salt: Boolean, top1Share: Double,
+                         maxOverMean: Double, gini: Double)
+
+  /** Last verdict computed by [[skewAwareJoin]] in this JVM — the
+    * decision observable (the join returns only rows).
+    */
+  private[graft] val lastSkewVerdict =
+    new java.util.concurrent.atomic.AtomicReference[SkewVerdict]()
+
+  /** Decide from [[Analytics.keySkewProfile]]'s one-row readout
+    * whether a shuffle join keyed on `key` needs salting: either the
+    * top 1% of keys carry ≥ `topShareHot` of the rows (a hot HEAD —
+    * many reducers idle while a few drown) or the single hottest key
+    * is ≥ `maxOverMeanHot`× the mean (one pathological key — the
+    * null-heavy-foreign-key shape AQE's split sometimes misses when
+    * the stage's other partitions are also large). Thresholds default
+    * to fire well above uniform hash noise (uniform keys profile at
+    * top1pct_share ≈ 0.01–0.05, max/mean ≈ 1–3).
+    *
+    * One profiling pass over `big`'s key column (count-of-counts
+    * collapse — see the q130 operator): a deployment profiles a
+    * table's join keys ONCE per snapshot and stores the verdicts next
+    * to the table statistics, not per query — route through
+    * [[ArtifactCache]] when calling repeatedly on an immutable
+    * corpus.
+    */
+  def skewVerdict(big: DataFrame, key: String,
+                  topShareHot: Double = 0.2,
+                  maxOverMeanHot: Double = 50.0): SkewVerdict = {
+    val r = Analytics.keySkewProfile(big, key).head()
+    val top = r.getAs[Double]("top1pct_share")
+    val mom = r.getAs[Long]("max_cnt").toDouble /
+      math.max(r.getAs[Double]("mean_cnt"), 1e-12)
+    SkewVerdict(top >= topShareHot || mom >= maxOverMeanHot,
+      top, mom, r.getAs[Double]("gini"))
+  }
+
+  /** Skew-profile-driven equi-join — the wiring from q130's readout
+    * to an executable plan choice: profile `big`'s key distribution,
+    * then run [[saltedJoin]] when the verdict says hot and the plain
+    * equi-join otherwise. Result rows are IDENTICAL either way
+    * (salting only re-buckets the shuffle; CoreOperatorsSpec pins
+    * parity on a deliberately hot fixture), so the decision is purely
+    * a latency/stability choice and safe to automate.
+    */
+  def skewAwareJoin(big: DataFrame, small: DataFrame, key: String,
+                    saltBy: String, factor: Int,
+                    topShareHot: Double = 0.2,
+                    maxOverMeanHot: Double = 50.0): DataFrame = {
+    val v = skewVerdict(big, key, topShareHot, maxOverMeanHot)
+    lastSkewVerdict.set(v)
+    if (v.salt) saltedJoin(big, small, key, saltBy, factor)
+    else big.join(small, Seq(key))
+  }
+
   /** Banded range join: pairs (l, r) with the same key and
     * `r.ts ∈ [l.ts, l.ts + maxDelta]` (microsecond columns).
     *

@@ -157,6 +157,28 @@ class CoreOperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(salted.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
   }
 
+  test("skewAwareJoin: hot key salts, uniform key doesn't, rows identical") {
+    import graft.operators.Joins
+    // hot fixture: one key carries half the rows — the q130 profile
+    // must trip the salt decision, and the salted rows must equal the
+    // plain join's exactly (the decision is latency-only)
+    val hot = (1 to 400).map(i =>
+      (if (i % 2 == 0) 1L else (i % 50).toLong, s"p$i")).toDF("k", "payload")
+    val uniform = (1 to 400).map(i => ((i % 100).toLong, s"p$i"))
+      .toDF("k", "payload")
+    val small = (0L to 100L).map(k => (k, s"d$k")).toDF("k", "dim")
+    val plain = hot.join(small, Seq("k")).orderBy("payload").collect()
+    val auto = Joins.skewAwareJoin(hot, small, "k", "payload", 4)
+      .orderBy("payload").collect()
+    assert(Joins.lastSkewVerdict.get().salt,
+      s"half-mass key must trip the verdict: ${Joins.lastSkewVerdict.get()}")
+    assert(auto.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq,
+      "salted decision must not change the joined rows")
+    Joins.skewAwareJoin(uniform, small, "k", "payload", 4).collect()
+    assert(!Joins.lastSkewVerdict.get().salt,
+      s"uniform keys must not salt: ${Joins.lastSkewVerdict.get()}")
+  }
+
   test("rangeJoin matches the naive inequality join across bucket edges") {
     val left = Seq((1L, 100L), (1L, 1000L), (2L, 500L)).toDF("k", "lts")
     val right = Seq((1L, 100L), (1L, 150L), (1L, 1099L), (1L, 1101L), (2L, 400L))
