@@ -644,7 +644,75 @@ object QueriesRel {
       |   - (t.n + 1.0) / t.n, 6) AS gini
       |FROM t, top""".stripMargin
 
+  // q138: the skew→salt decision as an ORACLE-CHECKED query — q130
+  // profiles, q138 acts (the r13 verdict's "the profiler informs
+  // nothing executable", closed end to end). A deterministic hot-key
+  // fixture (90% of lineitem rows re-point at supplier 1 via
+  // `l_orderkey % 10`, reproducible in ANSI SQL — no engine hash) is
+  // profiled by Joins.skewVerdict; the verdict picks saltedJoin or the
+  // plain equi-join; the output row carries the decision inputs, the
+  // decision itself, and the joined rollup in integer micros — so the
+  // oracle recomputes the profile (naive full-rank formulation), the
+  // threshold comparison, AND the join result, hash-checking that
+  // salting didn't change a single row. Thresholds are the measured
+  // defaults (SaltAb: uniform profiles at top1≈0.01/mom≈1.2, the hot
+  // fixture at 0.90/900; the A/B wins 1.4–1.7× salted).
+  def q138SaltDecision(s: SparkSession, d: String): DataFrame = {
+    val big = lineitem(s, d).select(
+      when(col("l_orderkey") % 10 =!= 0, lit(1L))
+        .otherwise(col("l_suppkey")).as("hot_key"),
+      col("l_orderkey"), col("l_quantity"))
+    val small = lineitem(s, d).select(col("l_suppkey").as("hot_key")).distinct()
+    val v = graft.operators.Joins.skewVerdict(big, "hot_key")
+    val joined =
+      if (v.salt)
+        graft.operators.Joins.saltedJoin(big, small, "hot_key",
+          saltBy = "l_orderkey", factor = 8)
+      else big.join(small, Seq("hot_key"))
+    joined.agg(count(lit(1)).as("n_joined"),
+        sum(expr("CAST(round(l_quantity * 1000000) AS BIGINT)"))
+          .as("qty_micro"))
+      .select(lit(v.salt).as("salted"),
+        lit(v.top1Share).as("top1pct_share"),
+        lit(math.round(v.maxOverMean * 1e6) / 1e6).as("max_over_mean"),
+        lit(v.gini).as("gini"),
+        col("n_joined"), col("qty_micro"))
+  }
+
+  val q138Sql: String =
+    """WITH big AS (
+      | SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 1 ELSE l_suppkey END AS hot_key,
+      |        l_quantity
+      | FROM lineitem),
+      |small AS (SELECT DISTINCT l_suppkey AS hot_key FROM lineitem),
+      |kc AS (SELECT hot_key, count(*) AS cnt FROM big GROUP BY 1),
+      |r AS (SELECT cnt,
+      |  row_number() OVER (ORDER BY cnt, hot_key) AS i,
+      |  row_number() OVER (ORDER BY cnt DESC, hot_key) AS j
+      | FROM kc),
+      |t AS (SELECT count(*) AS n, sum(cnt) AS total,
+      |        sum(CAST(i AS DOUBLE) * cnt) AS sumix, max(cnt) AS mx
+      |      FROM r),
+      |top AS (SELECT sum(cnt) AS topsum FROM r
+      |        WHERE j <= greatest((SELECT n FROM t) // 100, 1)),
+      |p AS (SELECT
+      |  round(CAST(top.topsum AS DOUBLE) / t.total, 6) AS top1,
+      |  round(CAST(t.mx AS DOUBLE)
+      |    / round(CAST(t.total AS DOUBLE) / t.n, 6), 6) AS mom,
+      |  round(2.0 * t.sumix / (CAST(t.n AS DOUBLE) * t.total)
+      |    - (t.n + 1.0) / t.n, 6) AS gini
+      | FROM t, top),
+      |j AS (SELECT count(*) AS n_joined,
+      |  CAST(sum(CAST(round(l_quantity * 1000000) AS BIGINT)) AS BIGINT)
+      |    AS qty_micro
+      | FROM big JOIN small USING (hot_key))
+      |SELECT (p.top1 >= 0.2 OR p.mom >= 50.0) AS salted,
+      | p.top1 AS top1pct_share, p.mom AS max_over_mean, p.gini,
+      | j.n_joined, j.qty_micro
+      |FROM p, j""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_salt_decision" -> (q138SaltDecision _),
     "q121_pagerank" -> (q121PageRank _),
     "q125_communities" -> (q125Communities _),
     "q130_key_skew" -> (q130KeySkew _),
@@ -668,6 +736,7 @@ object QueriesRel {
   )
 
   val oracle: Map[String, String] = Map(
+    "q138_salt_decision" -> q138Sql,
     "q121_pagerank" -> q121Sql,
     "q125_communities" -> q125Sql,
     "q130_key_skew" -> q130Sql,

@@ -569,7 +569,161 @@ object QueriesStream {
        |      + pow(var_b / n_b, 2) / (n_b - 1)), 2) AS df
        |FROM s""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q139: rolling 7-day active users (WAU) per day — the sliding
+  // DISTINCT-count staple of event analytics. Scale shape: the corpus
+  // collapses FIRST to the distinct (day, user) frame (one shuffle
+  // with map-side distinct partials — the only stage that sees raw
+  // event volume), then each (day, user) row fans out to the ≤ 7
+  // window endpoints it contributes to — 7·|day×user| rows, corpus-
+  // size-independent — and the per-day distinct rolls up on that tiny
+  // frame. A per-day range self-join over raw events would re-scan
+  // the corpus 7×; a RANGE window can't do sliding DISTINCT at all.
+  // Target days are semi-joined to OBSERVED days so the output never
+  // invents empty trailing days.
+  def q139RollingWau(s: SparkSession, d: String): DataFrame = {
+    // the collapsed (day, user) frame feeds BOTH the fan-out and the
+    // observed-day grid — materialize it (the q111/q127 discipline;
+    // Catalyst re-executes a shared lazy subplan per consumer, which
+    // here means scanning the corpus twice), so the raw event volume
+    // is read exactly once and everything downstream works on the
+    // |days×users| frame
+    val du = events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .localCheckpoint()
+    val days = du.select(col("day")).distinct()
+    du.select(col("user_id"),
+        explode(expr("sequence(day, date_add(day, 6))")).as("day"))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy("day")
+      .agg(countDistinct("user_id").as("wau"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("wau"))
+      .orderBy("day")
+  }
+
+  val q139Sql: String =
+    """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |days AS (SELECT DISTINCT day FROM du),
+      |exp AS (
+      | SELECT du.user_id, days.day
+      | FROM du JOIN days ON days.day BETWEEN du.day AND du.day + INTERVAL 6 DAY)
+      |SELECT strftime(day, '%Y-%m-%d') AS day,
+      | count(DISTINCT user_id) AS wau
+      |FROM exp GROUP BY 1 ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q140: leave-one-out SMOOTHED TARGET ENCODING of event_type against
+  // the value column — the categorical-feature encoder of a training
+  // pipeline (LOO so a row never sees its own target; m-estimate
+  // smoothing toward the global prior so rare categories don't
+  // memorize). enc_i = (Σ_cat − v_i + m·prior) / (n_cat − 1 + m).
+  // Integer-micro discipline end to end (the q101/q67 rule): sums and
+  // the prior live in exact integer micros, so the encoding is
+  // identical across engines AND partition merge orders; the single
+  // double division of two exact integers is IEEE-deterministic. One
+  // groupBy(category) + a broadcast of |categories| rows + a one-row
+  // global prior — the corpus is scanned once and never shuffled by
+  // row. (BIGINT micros hold to ~9·10¹⁸ — a corpus-scale sum of a
+  // LARGE-valued column moves to DECIMAL(38,0), the q101 escalation.)
+  private val TeM = 10 // m-estimate smoothing weight
+
+  def q140TargetEncode(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_id"), col("event_type"),
+      expr("CAST(round(value * 1000000) AS BIGINT)").as("vmic"))
+    // the |categories|-row stats frame feeds the broadcast join AND
+    // the global prior — materialize it so the corpus stats pass runs
+    // once (the q111 discipline), leaving the join-side scan as the
+    // only other corpus read
+    val st = ev.groupBy("event_type")
+      .agg(sum("vmic").as("tsum"), count(lit(1)).as("tcnt"))
+      .localCheckpoint()
+    // the global prior folds out of the per-category stats (exact
+    // integer algebra) — no third corpus scan
+    val g = st.agg(expr("CAST(sum(tsum) div sum(tcnt) AS BIGINT)")
+      .as("prior_mic"))
+    ev.join(broadcast(st), "event_type")
+      .crossJoin(broadcast(g))
+      .select(col("event_id"), col("event_type"),
+        round((col("tsum") - col("vmic") + lit(TeM) * col("prior_mic"))
+            .cast("double")
+          / ((col("tcnt") - 1 + TeM).cast("double") * lit(1000000.0)), 6)
+          .as("enc"))
+      .orderBy("event_id")
+  }
+
+  val q140Sql: String =
+    s"""WITH ev AS (
+       | SELECT event_id, event_type,
+       |  CAST(round(value * 1000000) AS BIGINT) AS vmic
+       | FROM events),
+       |st AS (SELECT event_type, CAST(sum(vmic) AS BIGINT) AS tsum,
+       |        count(*) AS tcnt
+       |       FROM ev GROUP BY 1),
+       |g AS (SELECT CAST(CAST(sum(tsum) AS BIGINT) // sum(tcnt) AS BIGINT)
+       |        AS prior_mic FROM st)
+       |SELECT ev.event_id, ev.event_type,
+       | round(CAST(st.tsum - ev.vmic + $TeM * g.prior_mic AS DOUBLE)
+       |   / (CAST(st.tcnt - 1 + $TeM AS DOUBLE) * 1000000.0), 6) AS enc
+       |FROM ev JOIN st USING (event_type) CROSS JOIN g
+       |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q141: LAST-TOUCH ATTRIBUTION — each purchase attributes to the
+  // most recent same-user click within 24 h, rolled up per day. The
+  // as-of lookup is ONE running-max window over the user's event
+  // stream (last click time so far, event-time order with event_id
+  // tiebreak — deterministic in both engines), not a per-purchase
+  // backward join: the corpus crosses the shuffle once, partitioned
+  // by user, and the per-user cost is the q129/q34 window-family
+  // shape (measured at 100× both density regimes, SURVEY §6.1).
+  private val AttrWindowUs = 86400000000L // 24 h in micros
+
+  def q141Attribution(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(s, d).select(col("user_id"), col("event_type"),
+      col("event_id"), expr("unix_micros(ts)").as("tus"),
+      to_date(col("ts")).as("day"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tus"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_click",
+        max(when(col("event_type") === "click", col("tus"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("purchases"),
+        sum(when(col("last_click").isNotNull &&
+            col("tus") - col("last_click") <= AttrWindowUs, 1L)
+          .otherwise(0L)).as("attributed"))
+      .withColumn("attach_rate",
+        round(col("attributed").cast("double") / col("purchases"), 6))
+      .orderBy("day")
+  }
+
+  val q141Sql: String =
+    s"""WITH ev AS (
+       | SELECT user_id, event_type, event_id, epoch_us(ts) AS tus,
+       |        CAST(ts AS DATE) AS day
+       | FROM events),
+       |wc AS (
+       | SELECT *, max(CASE WHEN event_type = 'click' THEN tus END)
+       |   OVER (PARTITION BY user_id ORDER BY tus, event_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |   AS last_click
+       | FROM ev),
+       |agg AS (
+       | SELECT strftime(day, '%Y-%m-%d') AS day, count(*) AS purchases,
+       |  CAST(sum(CASE WHEN last_click IS NOT NULL
+       |        AND tus - last_click <= $AttrWindowUs
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS attributed
+       | FROM wc WHERE event_type = 'purchase' GROUP BY 1)
+       |SELECT day, purchases, attributed,
+       | round(CAST(attributed AS DOUBLE) / purchases, 6) AS attach_rate
+       |FROM agg ORDER BY day""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_rolling_wau" -> (q139RollingWau _),
+    "q140_target_encode" -> (q140TargetEncode _),
+    "q141_attribution" -> (q141Attribution _),
     "q34_sessionize" -> (q34Sessionize _),
     "q35_count_distinct" -> (q35CountDistinct _),
     "q45_json_extract" -> (q45JsonExtract _),
@@ -586,6 +740,9 @@ object QueriesStream {
   )
 
   val oracle: Map[String, String] = Map(
+    "q139_rolling_wau" -> q139Sql,
+    "q140_target_encode" -> q140Sql,
+    "q141_attribution" -> q141Sql,
     "q34_sessionize" -> q34Sql,
     "q35_count_distinct" -> q35Sql,
     "q45_json_extract" -> q45Sql,

@@ -550,6 +550,41 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"cut application is ONE pass over the fact table:\n$p")
   }
 
+  test("q139: WAU collapses to (day,user) before the window fan-out — one events scan") {
+    val p = plan("q139_rolling_wau")
+    assert(p.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("events")) <= 1,
+      s"the day grid must derive from the collapsed frame, not re-scan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the observed-days semi-join must broadcast:\n$p")
+    assert(!p.contains("Window"),
+      s"sliding distinct is explode+groupBy, never a window sort:\n$p")
+  }
+
+  test("q140: target encoding is one corpus join pass + broadcast stats") {
+    val p = plan("q140_target_encode")
+    // the stats frame is checkpointed (it feeds the broadcast AND the
+    // prior), so the served plan's only corpus read is the join side
+    assert(p.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("events")) <= 1,
+      s"encoding must not scan events beyond the join pass:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the |categories|-row stats side must broadcast:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-row encoding must not shuffle the corpus:\n$p")
+  }
+
+  test("q141: attribution is one user-window pass — no backward join") {
+    val p = plan("q141_attribution")
+    assert(p.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("events")) <= 1,
+      s"last-touch lookup must ride one scan:\n$p")
+    assert(!p.contains("Join"),
+      s"attribution must be a running window, not a per-purchase join:\n$p")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size <= 1,
+      s"the corpus crosses the shuffle once, keyed by user:\n$p")
+  }
+
   test("q111: drift profiles both slices in one fact-table pass") {
     val p = plan("q111_profile_drift")
     // the sliced profile is checkpointed before the drift self-join:
