@@ -26,7 +26,18 @@ import graft.operators.Similarity
   * geometry trades some cross-pair recall for bounded pair work, and
   * the trade is only honest with both numbers on the table.
   *
-  * Usage: runMain graft.SemScale [sfDir ...]
+  * A dir argument of the form `synth:<n>` (r14) generates — once,
+  * deterministically — an n-vector DISTINCT-mass corpus: 500 cluster
+  * centers, each member = center + per-id noise at one of three
+  * amplitudes (pair cosines ≈ 0.98 / 0.94 / 0.89 — straddling
+  * tau = 0.95), every vector unique. The ×100 ScaleUp corpus is
+  * duplicate-heavy (100 exact copies of each base vector), where
+  * cap-bound anchors already catch almost all drops; the synth corpus
+  * is the geometry's VALUE case — hundreds of distinct vectors
+  * crowding each cell, far past the 64-anchor cap, where only
+  * occupancy control can keep the pair stage honest.
+  *
+  * Usage: runMain graft.SemScale [sfDir | synth:<n> ...]
   *        (default: /root/testdata/sf0.1 /tmp/scale100)
   */
 object SemScale {
@@ -35,6 +46,32 @@ object SemScale {
   private val SemCap = 64
   private val TargetOcc = 16
   private val SubDir = "/tmp/graft_fixtures/sem_subclusters"
+
+  /** Build (once) the deterministic distinct-mass corpus: components
+    * are hash-derived uniforms — no Random, no Date — so every rerun
+    * reads back the identical table.
+    */
+  private def synthDir(spark: SparkSession, n: Long): String = {
+    val dir = s"/tmp/graft_synth/emb_$n"
+    val path = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) {
+      val centers = 500
+      spark.range(n).select(col("id").as("vec_id"))
+        .select(col("vec_id"),
+          expr(s"""transform(sequence(0, 63), j -> CAST(
+                  |  (pmod(xxhash64(pmod(vec_id, $centers), j), 2000001)
+                  |     / 1000000.0 - 1.0)
+                  |  + (0.15 + 0.1 * pmod(vec_id, 3)) *
+                  |    (pmod(xxhash64(vec_id, j, 7), 2000001)
+                  |       / 1000000.0 - 1.0)
+                  |AS FLOAT))""".stripMargin).as("embedding"),
+          pmod(col("vec_id"), lit(10)).cast("int").as("label"))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      println(s"[semscale] synthesized $n distinct vectors -> $dir")
+    }
+    dir
+  }
 
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq
@@ -46,7 +83,10 @@ object SemScale {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    for (d <- dirs) {
+    for (d0 <- dirs) {
+      val d = if (d0.startsWith("synth:")) {
+        synthDir(spark, d0.stripPrefix("synth:").toLong)
+      } else d0
       val coarse = QueriesSim.semClusters(spark, d).localCheckpoint()
       val n = coarse.count()
       val k1 = QueriesSim.pqResidualCoarse(spark, d).size
