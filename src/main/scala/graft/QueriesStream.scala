@@ -720,7 +720,97 @@ object QueriesStream {
        | round(CAST(attributed AS DOUBLE) / purchases, 6) AS attach_rate
        |FROM agg ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q142: SESSION-DURATION distribution per day — a pure composition
+  // of two existing kernels (the engine-maturity test: sessionize's
+  // output feeds the exact grouped-quantile machinery unchanged):
+  // sessionizeBatch (q34, one user-window pass over the corpus) →
+  // per-day min/max/median/p90 of session length via Extents.extentsBy
+  // (the q44 range-bucketed R-7 kernel — no percentile buffer, no
+  // single-partition sort, however many sessions a day has). Durations
+  // are exact micro differences divided by 1e6 — bit-identical doubles
+  // in both engines, so the R-7 interpolation hashes cleanly (the q03
+  // precedent).
+  def q142SessionDurations(s: SparkSession, d: String): DataFrame = {
+    val sess = Streaming.sessionizeBatch(
+        events(s, d).select("user_id", "ts", "value"),
+        gapMs = 30 * 60 * 1000L)
+      .select(date_format(col("session_start"), "yyyy-MM-dd").as("day"),
+        ((unix_micros(col("session_end")) - unix_micros(col("session_start")))
+          / lit(1000000.0)).as("dur_s"))
+    graft.operators.Extents.extentsBy(sess, "day", Seq("dur_s"),
+        lo = 0.5, hi = 0.9)
+      .select(col("day"),
+        round(col("vmin"), 6).as("dmin"), round(col("vmax"), 6).as("dmax"),
+        round(col("q1"), 6).as("p50"), round(col("q99"), 6).as("p90"))
+      .orderBy("day")
+  }
+
+  val q142Sql: String =
+    """WITH m AS (
+      | SELECT user_id, ts,
+      |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |       THEN 1 ELSE 0 END AS new_session
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      | SELECT user_id, ts,
+      |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      | FROM m),
+      |sess AS (
+      | SELECT strftime(min(ts), '%Y-%m-%d') AS day,
+      |  (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS dur_s
+      | FROM s GROUP BY user_id, session_id)
+      |SELECT day,
+      | round(min(dur_s), 6) AS dmin, round(max(dur_s), 6) AS dmax,
+      | round(quantile_cont(dur_s, 0.5), 6) AS p50,
+      | round(quantile_cont(dur_s, 0.9), 6) AS p90
+      |FROM sess GROUP BY day ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q143: first-order MARKOV transition matrix over per-user event
+  // streams — the behavioral sequence model next to q129's trigram
+  // mining: P(next type | type) with counts. One lead() on the SAME
+  // (user, ts, event_id) window family as q141 (the corpus crosses
+  // the shuffle once), then the probability normalization runs on the
+  // ≤ |types|² aggregated frame — corpus-size-independent past the
+  // first aggregation.
+  def q143MarkovTransitions(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tus"), col("event_id"))
+    val wSrc = Window.partitionBy("src")
+    events(s, d).select(col("user_id"), col("event_type"),
+        col("event_id"), expr("unix_micros(ts)").as("tus"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round(col("n").cast("double") / sum("n").over(wSrc), 6))
+      .orderBy("src", "dst")
+  }
+
+  val q143Sql: String =
+    """WITH ev AS (
+      | SELECT user_id, event_type, event_id, epoch_us(ts) AS tus
+      | FROM events),
+      |nx AS (
+      | SELECT event_type AS src,
+      |  lead(event_type) OVER (PARTITION BY user_id
+      |    ORDER BY tus, event_id) AS dst
+      | FROM ev),
+      |c AS (SELECT src, dst, count(*) AS n FROM nx
+      |      WHERE dst IS NOT NULL GROUP BY 1, 2)
+      |SELECT src, dst, n,
+      | round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src), 6) AS p
+      |FROM c ORDER BY src, dst""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_session_durations" -> (q142SessionDurations _),
+    "q143_markov_transitions" -> (q143MarkovTransitions _),
     "q139_rolling_wau" -> (q139RollingWau _),
     "q140_target_encode" -> (q140TargetEncode _),
     "q141_attribution" -> (q141Attribution _),
@@ -740,6 +830,8 @@ object QueriesStream {
   )
 
   val oracle: Map[String, String] = Map(
+    "q142_session_durations" -> q142Sql,
+    "q143_markov_transitions" -> q143Sql,
     "q139_rolling_wau" -> q139Sql,
     "q140_target_encode" -> q140Sql,
     "q141_attribution" -> q141Sql,

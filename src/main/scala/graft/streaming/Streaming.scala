@@ -219,6 +219,67 @@ object Streaming {
         funnelStep(stages, windowMs, arm, evictMs))
   }
 
+  case class AttrState(lastClickUs: Long)
+  case class AttributionHit(user_id: Long, ts: Timestamp,
+                            attributed: Boolean)
+
+  /** One state step of the streaming last-touch attribution (q141's
+    * §2.9 face): per-user state is ONE long — the latest click's
+    * event-time micros seen so far (Long.MinValue = none, the funnel
+    * sentinel discipline) — so state is bounded by active users
+    * whatever the event volume; each conversion emits one append-mode
+    * row with its attribution verdict. Stream ≡ batch under
+    * event-time-ordered delivery (the funnelStream contract): within
+    * a batch events process in ts order, so the running max IS the
+    * batch window's running max; a late-arriving click behind an
+    * already-emitted conversion does not retro-attribute — the batch
+    * twin is the backfill corrector.
+    */
+  def attributionStep(clickType: String, convType: String, windowUs: Long,
+      armTimeout: Boolean, evictMs: Long)(
+      userId: Long, it: Iterator[Event], state: GroupState[AttrState])
+      : Iterator[AttributionHit] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      def micros(t: Timestamp): Long =
+        t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+      val Unset = Long.MinValue
+      var last = state.getOption.map(_.lastClickUs).getOrElse(Unset)
+      val out = scala.collection.mutable.ArrayBuffer.empty[AttributionHit]
+      for (e <- it.toSeq.sortBy(e => micros(e.ts))) {
+        val t = micros(e.ts)
+        if (e.event_type == clickType) {
+          last = if (last == Unset) t else math.max(last, t)
+        } else if (e.event_type == convType) {
+          out += AttributionHit(userId, e.ts,
+            last != Unset && t >= last && t - last <= windowUs)
+        }
+      }
+      state.update(AttrState(last))
+      if (armTimeout) state.setTimeoutDuration(evictMs)
+      out.iterator
+    }
+  }
+
+  /** Streaming last-touch attribution — conversions stream out with
+    * their verdict as they arrive; timeout handling mirrors
+    * [[sessionize]] (tests pass `NoTimeout` so `processAllAvailable`
+    * settles).
+    */
+  def attributionStream(events: Dataset[Event], clickType: String,
+      convType: String, windowUs: Long, evictMs: Long,
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout())
+      : Dataset[AttributionHit] = {
+    import events.sparkSession.implicits._
+    val arm = timeout == GroupStateTimeout.ProcessingTimeTimeout()
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, AttributionHit](
+        OutputMode.Append(), timeout)(
+        attributionStep(clickType, convType, windowUs, arm, evictMs))
+  }
+
   /** Streaming exact dedup — the §2.9 face of
     * [[graft.operators.Dedup.exactDedup]]: re-deliveries of the same
     * normalized-text digest are dropped within the watermark horizon

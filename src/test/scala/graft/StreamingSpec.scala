@@ -232,6 +232,59 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(state.isRemoved, "idle user's state must be evicted")
   }
 
+  test("attributionStream: cross-batch last-click state matches the batch rollup") {
+    implicit val sqlCtx = spark.sqlContext
+    val H = 3600L * 1000
+    val t0 = 1700000000000L
+    def e(u: Long, t: String, off: Long) =
+      Event(u, new Timestamp(t0 + off), t, 1.0)
+    // u1: click then purchase inside 24h (attributed), later purchase
+    // 30h after the SECOND click... u2: purchase with no click ever;
+    // u3: click in batch 1, purchase in batch 2 within window (the
+    // cross-batch state case); u3's second purchase outside 24h
+    val b1 = Seq(e(1, "click", 0), e(1, "purchase", 2 * H),
+      e(2, "purchase", 1 * H), e(3, "click", 3 * H))
+    val b2 = Seq(e(1, "click", 5 * H), e(1, "purchase", 40 * H),
+      e(3, "purchase", 20 * H), e(3, "purchase", 40 * H))
+    val stream = MemoryStream[Event]
+    val q = Streaming.attributionStream(stream.toDS(),
+        clickType = "click", convType = "purchase",
+        windowUs = 24 * H * 1000L, evictMs = 24 * H,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(b1: _*)
+      q.processAllAvailable()
+      stream.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val hits = spark.table("attr_out").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("ts").getTime - t0, r.getAs[Boolean]("attributed")))
+      .toSet
+    assert(hits == Set((1L, 2 * H, true), (1L, 40 * H, false),
+      (2L, 1 * H, false), (3L, 20 * H, true), (3L, 40 * H, false)),
+      s"per-conversion verdicts: $hits")
+    // batch twin: q141's per-day rollup over the same rows must agree
+    val dir = java.nio.file.Files.createTempDirectory("attr_stream").toString
+    (b1 ++ b2).toDF()
+      .selectExpr("monotonically_increasing_id() AS event_id", "ts",
+        "user_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = QueriesStream.q141Attribution(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val streamRollup = spark.table("attr_out").collect()
+      .map(r => (new java.text.SimpleDateFormat("yyyy-MM-dd") {
+        setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      }.format(r.getAs[Timestamp]("ts")),
+        r.getAs[Boolean]("attributed")))
+      .groupBy(_._1).map { case (day, xs) =>
+        (day, xs.length.toLong, xs.count(_._2).toLong) }.toSet
+    assert(streamRollup == batch,
+      s"stream rollup $streamRollup must equal batch $batch")
+  }
+
   test("funnelStream: cross-batch anchors + re-delivery match the batch funnel") {
     implicit val sqlCtx = spark.sqlContext
     val H = 3600L * 1000
