@@ -113,35 +113,77 @@ object Queries {
 
   /** Registry READ path (the loadCodebook discipline): provenance
     * columns pin the corpus dir — two scale factors could share a row
-    * count with different content — and the learn overwrites, so the
-    * oracle (which can only filter by count) always reads the
+    * count with different content — AND the learn hyperparameters
+    * (`params`): a fixture learned under a different k / quantile pair
+    * / sketch accuracy must re-learn, never serve, or a constant
+    * change would silently serve stale cuts that the oracle (applying
+    * the same stale fixture) could not catch. The learn overwrites, so
+    * the oracle — which can only filter by count — always reads the
     * artifact of the corpus just verified.
     */
   private def loadMetricDoubles(s: SparkSession, dir: String, n: Long,
-                                d: String, cols: Seq[String])
+                                d: String, params: String,
+                                cols: Seq[String])
       : Option[Seq[org.apache.spark.sql.Row]] =
     graft.operators.ArtifactCache.parquetFixture(s, s"$dir/$n")
-      .filter(df => df.columns.contains("corpus_dir"))
-      .map(_.where(col("corpus_rows") === n && col("corpus_dir") === d)
+      .filter(df => df.columns.contains("corpus_dir") &&
+        df.columns.contains("learn_params"))
+      .map(_.where(col("corpus_rows") === n && col("corpus_dir") === d &&
+          col("learn_params") === params)
         .select(cols.map(col): _*).collect().toSeq)
       .filter(_.size == extentCols.size) // torn/foreign dir: re-learn
 
+  /** Which corpus dir's learn last touched each fixture DIRECTORY in
+    * this JVM — closes the A-B-A gap between the in-memory artifact
+    * cache and the overwrite-on-learn disk protocol: if corpus B
+    * (same row count, different dir) overwrote the fixture after
+    * corpus A's artifact was cached, A's next access must NOT serve
+    * from memory while the oracle reads B's fixture — the owner
+    * mismatch invalidates A's cache entry, the load path rejects B's
+    * provenance, and the re-learn restores A's fixture. Tracking at
+    * DIR granularity (not per-count subdir) keeps the memory-hit path
+    * zero-job — different-count corpora that never collide on disk
+    * merely trigger a harmless fixture reload on alternation.
+    * Cross-JVM writers can't race the single-process driver.
+    */
+  private val fixtureOwner =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def ownedFixtureArtifact[A <: AnyRef](cacheKey: String,
+      fixtureDir: String, d: String)(load: => Option[A])(learn: => A): A = {
+    if (!fixtureOwner.get(fixtureDir).forall(_ == d))
+      graft.operators.ArtifactCache.invalidate(cacheKey)
+    val v = graft.operators.ArtifactCache
+      .getOrLoadOrLearn(cacheKey)(load)(learn)
+    fixtureOwner(fixtureDir) = d
+    v
+  }
+
+  private val ExtParams = "lo0.01:hi0.99:acc10000"
+
   private def extentQuantilesArtifact(s: SparkSession, d: String)
-      : Seq[(String, (Double, Double))] =
-    graft.operators.ArtifactCache.getOrLoadOrLearn(s"extq:$d:0.01:0.99") {
-      val n = lineitem(s, d).count()
-      loadMetricDoubles(s, ExtFixtureDir, n, d, Seq("metric", "q1", "q99"))
+      : Seq[(String, (Double, Double))] = {
+    // one count shared by the load and learn closures (both only run
+    // on a memory miss; the memory-hit path runs zero jobs)
+    var nMemo = -1L
+    def n: Long = {
+      if (nMemo < 0) nMemo = lineitem(s, d).count(); nMemo
+    }
+    ownedFixtureArtifact(s"extq:$d:$ExtParams", ExtFixtureDir, d) {
+      loadMetricDoubles(s, ExtFixtureDir, n, d, ExtParams,
+          Seq("metric", "q1", "q99"))
         .map(_.map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
           .sortBy(_._1))
     } {
       val qs = Extents.approxExtentQuantiles(lineitem(s, d), extentCols)
-      val n = lineitem(s, d).count()
       import s.implicits._
-      qs.map { case (m, (a, b)) => (m, a, b, n, d) }
-        .toDF("metric", "q1", "q99", "corpus_rows", "corpus_dir")
+      qs.map { case (m, (a, b)) => (m, a, b, n, d, ExtParams) }
+        .toDF("metric", "q1", "q99", "corpus_rows", "corpus_dir",
+          "learn_params")
         .coalesce(1).write.mode("overwrite").parquet(s"$ExtFixtureDir/$n")
       qs
     }
+  }
 
   def q94ExtentsApprox(s: SparkSession, d: String): DataFrame =
     Extents.extentsWithFixedQuantiles(lineitem(s, d), extentCols,
@@ -384,22 +426,28 @@ object Queries {
   // whole discretizer application end to end.
   private val BinFixtureDir = "/tmp/graft_fixtures/gk_bin_cuts_k8"
 
+  private val BinParams = s"k$BinK:acc10000"
+
   private def binCutsArtifact(s: SparkSession, d: String)
-      : Seq[(String, Seq[Double])] =
-    graft.operators.ArtifactCache.getOrLoadOrLearn(s"bincuts:$d:$BinK") {
-      val n = lineitem(s, d).count()
-      loadMetricDoubles(s, BinFixtureDir, n, d, Seq("metric", "cuts"))
+      : Seq[(String, Seq[Double])] = {
+    var nMemo = -1L
+    def n: Long = {
+      if (nMemo < 0) nMemo = lineitem(s, d).count(); nMemo
+    }
+    ownedFixtureArtifact(s"bincuts:$d:$BinParams", BinFixtureDir, d) {
+      loadMetricDoubles(s, BinFixtureDir, n, d, BinParams,
+          Seq("metric", "cuts"))
         .map(_.map(r => r.getString(0) -> r.getSeq[Double](1).toSeq)
           .sortBy(_._1))
     } {
       val cuts = Extents.approxBinCuts(lineitem(s, d), extentCols, BinK)
-      val n = lineitem(s, d).count()
       import s.implicits._
-      cuts.map { case (m, cs) => (m, cs, n, d) }
-        .toDF("metric", "cuts", "corpus_rows", "corpus_dir")
+      cuts.map { case (m, cs) => (m, cs, n, d, BinParams) }
+        .toDF("metric", "cuts", "corpus_rows", "corpus_dir", "learn_params")
         .coalesce(1).write.mode("overwrite").parquet(s"$BinFixtureDir/$n")
       cuts
     }
+  }
 
   def q116QuantileBinsApprox(s: SparkSession, d: String): DataFrame =
     Extents.binByCuts(lineitem(s, d), extentCols, binCutsArtifact(s, d))

@@ -623,26 +623,35 @@ object QueriesRel {
     graft.operators.Analytics.keySkewProfile(
       lineitem(s, d).select("l_suppkey"), "l_suppkey")
 
+  /** Shared DuckDB CTE block for the count-of-counts skew profile —
+    * the single SQL formulation of `Analytics.keySkewProfile`'s
+    * algebra, consumed by both q130 (the profile readout) and q138
+    * (the decision wire): one hand-maintained copy, so a formulation
+    * fix can never make the two oracles disagree about the same
+    * profile. `src`/`key` are the profiled relation and key column.
+    */
+  private def skewProfileCtes(src: String, key: String): String =
+    s"""kc AS (SELECT $key, count(*) AS cnt FROM $src GROUP BY 1),
+       |r AS (SELECT cnt,
+       |  row_number() OVER (ORDER BY cnt, $key) AS i,
+       |  row_number() OVER (ORDER BY cnt DESC, $key) AS j
+       | FROM kc),
+       |t AS (SELECT count(*) AS n, sum(cnt) AS total,
+       |        sum(CAST(i AS DOUBLE) * cnt) AS sumix, max(cnt) AS mx
+       |      FROM r),
+       |top AS (SELECT sum(cnt) AS topsum FROM r
+       |        WHERE j <= greatest((SELECT n FROM t) // 100, 1))""".stripMargin
+
   val q130Sql: String =
-    """WITH kc AS (SELECT l_suppkey, count(*) AS cnt
-      |            FROM lineitem GROUP BY 1),
-      |r AS (SELECT cnt,
-      |  row_number() OVER (ORDER BY cnt, l_suppkey) AS i,
-      |  row_number() OVER (ORDER BY cnt DESC, l_suppkey) AS j
-      | FROM kc),
-      |t AS (SELECT count(*) AS n, sum(cnt) AS total,
-      |        sum(CAST(i AS DOUBLE) * cnt) AS sumix, max(cnt) AS mx
-      |      FROM r),
-      |top AS (SELECT sum(cnt) AS topsum FROM r
-      |        WHERE j <= greatest((SELECT n FROM t) // 100, 1))
-      |SELECT CAST(t.n AS BIGINT) AS n_keys,
-      | CAST(t.total AS BIGINT) AS total_rows,
-      | CAST(t.mx AS BIGINT) AS max_cnt,
-      | round(CAST(t.total AS DOUBLE) / t.n, 6) AS mean_cnt,
-      | round(CAST(top.topsum AS DOUBLE) / t.total, 6) AS top1pct_share,
-      | round(2.0 * t.sumix / (CAST(t.n AS DOUBLE) * t.total)
-      |   - (t.n + 1.0) / t.n, 6) AS gini
-      |FROM t, top""".stripMargin
+    s"""WITH ${skewProfileCtes("lineitem", "l_suppkey")}
+       |SELECT CAST(t.n AS BIGINT) AS n_keys,
+       | CAST(t.total AS BIGINT) AS total_rows,
+       | CAST(t.mx AS BIGINT) AS max_cnt,
+       | round(CAST(t.total AS DOUBLE) / t.n, 6) AS mean_cnt,
+       | round(CAST(top.topsum AS DOUBLE) / t.total, 6) AS top1pct_share,
+       | round(2.0 * t.sumix / (CAST(t.n AS DOUBLE) * t.total)
+       |   - (t.n + 1.0) / t.n, 6) AS gini
+       |FROM t, top""".stripMargin
 
   // q138: the skew→salt decision as an ORACLE-CHECKED query — q130
   // profiles, q138 acts (the r13 verdict's "the profiler informs
@@ -680,36 +689,27 @@ object QueriesRel {
   }
 
   val q138Sql: String =
-    """WITH big AS (
-      | SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 1 ELSE l_suppkey END AS hot_key,
-      |        l_quantity
-      | FROM lineitem),
-      |small AS (SELECT DISTINCT l_suppkey AS hot_key FROM lineitem),
-      |kc AS (SELECT hot_key, count(*) AS cnt FROM big GROUP BY 1),
-      |r AS (SELECT cnt,
-      |  row_number() OVER (ORDER BY cnt, hot_key) AS i,
-      |  row_number() OVER (ORDER BY cnt DESC, hot_key) AS j
-      | FROM kc),
-      |t AS (SELECT count(*) AS n, sum(cnt) AS total,
-      |        sum(CAST(i AS DOUBLE) * cnt) AS sumix, max(cnt) AS mx
-      |      FROM r),
-      |top AS (SELECT sum(cnt) AS topsum FROM r
-      |        WHERE j <= greatest((SELECT n FROM t) // 100, 1)),
-      |p AS (SELECT
-      |  round(CAST(top.topsum AS DOUBLE) / t.total, 6) AS top1,
-      |  round(CAST(t.mx AS DOUBLE)
-      |    / round(CAST(t.total AS DOUBLE) / t.n, 6), 6) AS mom,
-      |  round(2.0 * t.sumix / (CAST(t.n AS DOUBLE) * t.total)
-      |    - (t.n + 1.0) / t.n, 6) AS gini
-      | FROM t, top),
-      |j AS (SELECT count(*) AS n_joined,
-      |  CAST(sum(CAST(round(l_quantity * 1000000) AS BIGINT)) AS BIGINT)
-      |    AS qty_micro
-      | FROM big JOIN small USING (hot_key))
-      |SELECT (p.top1 >= 0.2 OR p.mom >= 50.0) AS salted,
-      | p.top1 AS top1pct_share, p.mom AS max_over_mean, p.gini,
-      | j.n_joined, j.qty_micro
-      |FROM p, j""".stripMargin
+    s"""WITH big AS (
+       | SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 1 ELSE l_suppkey END AS hot_key,
+       |        l_quantity
+       | FROM lineitem),
+       |small AS (SELECT DISTINCT l_suppkey AS hot_key FROM lineitem),
+       |${skewProfileCtes("big", "hot_key")},
+       |p AS (SELECT
+       |  round(CAST(top.topsum AS DOUBLE) / t.total, 6) AS top1,
+       |  round(CAST(t.mx AS DOUBLE)
+       |    / round(CAST(t.total AS DOUBLE) / t.n, 6), 6) AS mom,
+       |  round(2.0 * t.sumix / (CAST(t.n AS DOUBLE) * t.total)
+       |    - (t.n + 1.0) / t.n, 6) AS gini
+       | FROM t, top),
+       |j AS (SELECT count(*) AS n_joined,
+       |  CAST(sum(CAST(round(l_quantity * 1000000) AS BIGINT)) AS BIGINT)
+       |    AS qty_micro
+       | FROM big JOIN small USING (hot_key))
+       |SELECT (p.top1 >= 0.2 OR p.mom >= 50.0) AS salted,
+       | p.top1 AS top1pct_share, p.mom AS max_over_mean, p.gini,
+       | j.n_joined, j.qty_micro
+       |FROM p, j""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q138_salt_decision" -> (q138SaltDecision _),

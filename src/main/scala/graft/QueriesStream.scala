@@ -579,8 +579,10 @@ object QueriesStream {
   // size-independent — and the per-day distinct rolls up on that tiny
   // frame. A per-day range self-join over raw events would re-scan
   // the corpus 7×; a RANGE window can't do sliding DISTINCT at all.
-  // Target days are semi-joined to OBSERVED days so the output never
-  // invents empty trailing days.
+  // Target days are the DENSE grid [first event day, last event day]:
+  // an interior day with no events still has a well-defined trailing
+  // WAU (its active predecessors' fan-outs cover it), while days past
+  // the data's end are excluded.
   def q139RollingWau(s: SparkSession, d: String): DataFrame = {
     // the collapsed (day, user) frame feeds BOTH the fan-out and the
     // observed-day grid — materialize it (the q111/q127 discipline;
@@ -591,7 +593,8 @@ object QueriesStream {
     val du = events(s, d)
       .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
       .localCheckpoint()
-    val days = du.select(col("day")).distinct()
+    val days = du.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("day"))
     du.select(col("user_id"),
         explode(expr("sequence(day, date_add(day, 6))")).as("day"))
       .join(days, Seq("day"), "left_semi")
@@ -603,7 +606,9 @@ object QueriesStream {
 
   val q139Sql: String =
     """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
-      |days AS (SELECT DISTINCT day FROM du),
+      |days AS (SELECT CAST(unnest(generate_series(
+      |  (SELECT min(day) FROM du), (SELECT max(day) FROM du),
+      |  INTERVAL 1 DAY)) AS DATE) AS day),
       |exp AS (
       | SELECT du.user_id, days.day
       | FROM du JOIN days ON days.day BETWEEN du.day AND du.day + INTERVAL 6 DAY)

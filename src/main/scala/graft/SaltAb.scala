@@ -13,7 +13,7 @@ import graft.operators.Joins
   * timing both arms on the same data.
   *
   * Fixture: lineitem at `factor`× (in-memory key-shifted union, the
-  * ScaleUp recipe), with HALF of all rows re-pointed at one supplier
+  * ScaleUp recipe), with 90% of all rows re-pointed at one supplier
   * key (deterministic hash split, not rand()) — the null-heavy /
   * default-value foreign-key shape that drowns one reducer at 100 TB.
   * The small side is the distinct supplier table with a payload.

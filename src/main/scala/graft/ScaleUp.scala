@@ -52,6 +52,11 @@ object ScaleUp {
         case Array(n) => (n, false)
         case _ => sys.error(s"bad table spec: $spec")
       }
+      if (const)
+        require(entityCols.contains(t),
+          s"':const' has no entity-key mapping for '$t' — it would " +
+            "silently behave like the plain spec; add the table to " +
+            "entityCols or drop the suffix")
       val df = spark.read.parquet(s"$src/$t.parquet")
       val shiftCols = keyCols.get(t).toSeq ++
         (if (const) entityCols.getOrElse(t, Nil) else Nil)

@@ -91,6 +91,14 @@ private[graft] object ArtifactCache {
   private[graft] def learnTimes: Map[String, Double] = learnWall.toMap
   private[graft] def loadTimes: Map[String, Double] = loadWall.toMap
 
+  /** Drop one key — for callers that can PROVE the cached value no
+    * longer matches its persisted fixture (e.g. another corpus with
+    * the same row count overwrote the fixture path in this JVM — the
+    * A-B-A case the owner-map in Queries tracks). The next access
+    * re-loads or re-learns and re-persists.
+    */
+  private[graft] def invalidate(key: String): Unit = cache.remove(key)
+
   /** Test hook. */
   private[graft] def clear(): Unit = cache.clear()
 }

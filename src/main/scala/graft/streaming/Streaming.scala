@@ -176,9 +176,17 @@ object Streaming {
       // unset-stage sentinel: Long.MinValue, NOT -1 — a pre-1970
       // event time is legitimate negative micros and must not read as
       // "stage never anchored" (MinValue is unreachable: it would be
-      // year −290308, far outside Timestamp's range)
+      // year −290308, far outside Timestamp's range). MIGRATION: a
+      // checkpoint written before this change stored -1 for unset
+      // stages (and, because -1 then MEANT unset, never as a real
+      // anchor) — map restored -1 anchors to the new sentinel so old
+      // state resumes correctly. Cost: an anchor at exactly
+      // 1969-12-31T23:59:59.999999 written by the NEW code is
+      // indistinguishable from the legacy sentinel on restart; that
+      // single microsecond is accepted and documented.
       val Unset = Long.MinValue
-      val anchors = state.getOption.map(_.anchors.toArray)
+      val anchors = state.getOption
+        .map(_.anchors.map(a => if (a == -1L) Unset else a).toArray)
         .getOrElse(Array.fill(stages.size)(Unset))
       val out = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
       for (e <- it.toSeq.sortBy(e => micros(e.ts))) {
