@@ -44,6 +44,32 @@ object Streaming {
         col("event_type"), col("n"), col("total"))
   }
 
+  /** Streaming rolling-WAU — q139's §2.9 face: sliding 7-day
+    * event-time windows (1-day hop) carrying an HLL distinct-user
+    * estimate per window. EXACT sliding distinct in a stream needs
+    * per-(window, user) state — two chained stateful dedups whose
+    * state grows with users; the streaming-native answer is the
+    * bounded sketch (one HLL register set per open window,
+    * watermark-evicted), the same approximate-face division as q35's
+    * approx_count_distinct scale path (accuracy hook: AnalyticsSpec's
+    * 4·rsd HLL bound). q139 is the exact batch twin / backfill
+    * corrector. `day` = the last day the window covers (q139's
+    * trailing-window key); the stream also emits trailing windows
+    * past the last event day — a monitoring consumer wants those
+    * (activity is still inside the horizon), a backfill report uses
+    * the batch twin's dense grid.
+    */
+  def wauStream(events: DataFrame,
+                watermark: Option[String] = Some("2 days"),
+                rsd: Double = 0.02): DataFrame = {
+    val src = watermark.map(w => events.withWatermark("ts", w))
+      .getOrElse(events)
+    src.groupBy(window(col("ts"), "7 days", "1 day").as("w"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("wau_approx"))
+      .select(date_format(expr("w.end - INTERVAL 1 DAY"), "yyyy-MM-dd")
+        .as("day"), col("wau_approx"))
+  }
+
   case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   case class SessionState(start: Long, lastSeen: Long, nEvents: Long, total: Double)
   case class SessionOut(user_id: Long, session_start: Timestamp,

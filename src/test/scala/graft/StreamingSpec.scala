@@ -232,6 +232,45 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(state.isRemoved, "idle user's state must be evicted")
   }
 
+  test("wauStream: sliding-window HLL estimates track exact trailing WAU") {
+    implicit val sqlCtx = spark.sqlContext
+    val day = 24 * 3600L * 1000
+    val t0 = 1700000000000L - (1700000000000L % day) // midnight-aligned
+    // 5 users across 10 days with revisits and an interior gap day
+    val fixture = for {
+      (u, ds) <- Seq(1L -> Seq(0, 1, 8), 2L -> Seq(0, 4), 3L -> Seq(1, 9),
+        4L -> Seq(4), 5L -> Seq(8, 9))
+      dd <- ds
+    } yield Event(u, new Timestamp(t0 + dd * day + 3600 * 1000), "view", 1.0)
+    val stream = MemoryStream[Event]
+    stream.addData(fixture: _*)
+    val q = Streaming.wauStream(stream.toDF())
+      .writeStream.format("memory").queryName("wau_out")
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("wau_out").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact trailing-7-day WAU per day, scala-side
+    val byDay = fixture.groupBy(e =>
+      ((e.ts.getTime - t0) / day).toInt).view.mapValues(_.map(_.user_id).toSet)
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    for (d <- 0 to 9) {
+      val exact = (math.max(0, d - 6) to d).flatMap(x =>
+        byDay.getOrElse(x, Set.empty)).toSet.size.toLong
+      val key = fmt.format(new java.util.Date(t0 + d * day))
+      if (exact > 0) {
+        val est = got.getOrElse(key, fail(s"stream missing day $key: $got"))
+        assert(math.abs(est - exact) <= math.max(1L, math.ceil(4 * 0.02 * exact).toLong),
+          s"day $key: est $est vs exact $exact")
+      }
+    }
+    // the interior gap day (d=2: no events, but d0/d1 users in horizon)
+    val gapKey = fmt.format(new java.util.Date(t0 + 2 * day))
+    assert(got.contains(gapKey),
+      "a zero-event day inside the horizon must still report a window")
+  }
+
   test("attributionStream: cross-batch last-click state matches the batch rollup") {
     implicit val sqlCtx = spark.sqlContext
     val H = 3600L * 1000
