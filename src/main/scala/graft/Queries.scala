@@ -490,8 +490,39 @@ object Queries {
        |FROM c GROUP BY 1, 2 ORDER BY metric, bin""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q144: exact QUANTILE NORMALIZATION (rank→CDF feature scaling, the
+  // sklearn QuantileTransformer shape) of the q03 metric columns —
+  // the third member of the learned-feature-transform family next to
+  // q112's binning and q140's target encoding. Emits the per-distinct-
+  // value mapping table a deployment broadcasts back onto rows; ties
+  // share one midrank cdf. Same range-bucketed histogram kernel as
+  // the exact extents — the oracle recomputes the identical integer
+  // cumsum and the one double division.
+  def q144QuantileNormalize(s: SparkSession, d: String): DataFrame =
+    Extents.cdfTransform(lineitem(s, d), Seq("l_quantity", "l_discount", "l_tax"))
+
+  val q144Sql: String = {
+    val branches = Seq("l_quantity", "l_discount", "l_tax")
+      .map(c => s"SELECT '$c' AS id, CAST($c AS DOUBLE) AS value FROM lineitem")
+      .mkString(" UNION ALL ")
+    s"""WITH long AS ($branches),
+       |h AS (
+       | SELECT id, value, count(*) AS cnt FROM long
+       | WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY id, value),
+       |c AS (
+       | SELECT id, value, cnt,
+       |  sum(cnt) OVER (PARTITION BY id ORDER BY value) - cnt AS cum_before,
+       |  sum(cnt) OVER (PARTITION BY id) AS n
+       | FROM h)
+       |SELECT id AS metric, value, CAST(cnt AS BIGINT) AS n_rows,
+       | round((cum_before + cnt * 0.5) / n, 6) AS cdf
+       |FROM c ORDER BY metric, value""".stripMargin
+  }
+
   /** Registry: name -> query. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_quantile_normalize" -> (q144QuantileNormalize _),
     "q111_profile_drift" -> (q111ProfileDrift _),
     "q112_quantile_bins" -> (q112QuantileBins _),
     "q116_quantile_bins_approx" -> (q116QuantileBinsApprox _),
@@ -509,6 +540,7 @@ object Queries {
 
   /** Registry: name -> DuckDB oracle SQL. */
   val oracle: Map[String, String] = Map(
+    "q144_quantile_normalize" -> q144Sql,
     "q94_extents_approx" -> q94Sql,
     "q116_quantile_bins_approx" -> q116Sql,
     "q44_extents_by_group" -> q44Sql,

@@ -390,6 +390,38 @@ object Extents {
     unpersistAfterUse(hist, out)
   }
 
+  /** QUANTILE NORMALIZATION — the rank→CDF feature transform
+    * (sklearn's QuantileTransformer shape, exact): every distinct
+    * value maps to its MIDRANK cdf position (cum_before + cnt/2)/n,
+    * so ties share one position (a transformer must map equal values
+    * equally — the quantileBins tie discipline), the output is
+    * uniform on (0,1) up to tie mass, and downstream models see a
+    * scale-free feature whatever the raw distribution. Rides the
+    * same range-bucketed cumulative histogram as the exact extents
+    * and binning — duplicates collapse map-side, no whole-metric
+    * sort on one task — and emits the per-DISTINCT-VALUE mapping
+    * table (metric, value, n_rows, cdf): the artifact a deployment
+    * broadcasts back onto rows (values repeat heavily in real fact
+    * tables, so the mapping is far smaller than the corpus). All
+    * inputs to the one double division are exact integers —
+    * engine-identical, merge-order-free.
+    */
+  def cdfTransform(df: DataFrame, metricCols: Seq[String],
+                   fewGroups: Boolean = true): DataFrame = {
+    val stackExpr = explodeToLong(metricCols)
+    val long = df.select(stackExpr: _*)
+      .select(col("id"), numericOrNull(col("value")).as("value"))
+      .filter(col("value").isNotNull)
+    val names = array(metricCols.map(lit): _*)
+    val (hist, bucketed, offs) = cumulativeHistogram(long, Seq("id"), fewGroups)
+    val out = cumFrom(bucketed, offs, Seq("id"), fewGroups)
+      .select(element_at(names, col("id") + 1).as("metric"),
+        col("value"), col("cnt").as("n_rows"),
+        round((col("cum_before") + col("cnt") * 0.5) / col("n"), 6).as("cdf"))
+      .orderBy("metric", "value")
+    unpersistAfterUse(hist, out)
+  }
+
   /** LEARN half of the registry-split approximate binning: the k−1
     * GK cut points per metric, as a bounded driver-side artifact
     * (≤ (k−1)·|metricCols| doubles — the PQ-codebook class of load).

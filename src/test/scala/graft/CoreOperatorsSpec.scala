@@ -157,6 +157,20 @@ class CoreOperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(salted.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
   }
 
+  test("cdfTransform: midrank CDF, ties share a position, mean is 1/2") {
+    import graft.operators.Extents
+    // values 1,2,2,3 → cdfs: 1→0.125, 2→(1+1)/4=0.5 (both ties), 3→0.875
+    val df = Seq(1.0, 2.0, 2.0, 3.0).toDF("a")
+    val got = Extents.cdfTransform(df, Seq("a")).collect()
+      .map(r => (r.getDouble(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1.0, 1L, 0.125), (2.0, 2L, 0.5), (3.0, 1L, 0.875)),
+      s"midrank mapping: ${got.toSeq}")
+    // the midrank construction's invariant: the cnt-weighted mean cdf
+    // is exactly 1/2 whatever the distribution
+    val wmean = got.map { case (_, n, c) => n * c }.sum / got.map(_._2).sum
+    assert(math.abs(wmean - 0.5) < 1e-12, s"weighted mean cdf $wmean")
+  }
+
   test("skewAwareJoin: hot key salts, uniform key doesn't, rows identical") {
     import graft.operators.Joins
     // hot fixture: one key carries half the rows — the q130 profile
