@@ -109,7 +109,12 @@ object Queries {
   // discretizer. Accuracy vs exact stays spec-pinned
   // (CoreOperatorsSpec "approximate extents stay within 2% of exact
   // quantiles").
-  private val ExtFixtureDir = "/tmp/graft_fixtures/gk_extents_q1q99"
+  // _v2: the learn_params provenance column changed the fixture
+  // schema — a bumped dir keeps old-schema subdirs out of the
+  // oracle's read_parquet glob (DuckDB has no union_by_name here; a
+  // mixed-schema glob fails even for the corpus just re-learned).
+  // The repo precedent: pq_codebooks_s16.
+  private val ExtFixtureDir = "/tmp/graft_fixtures/gk_extents_q1q99_v2"
 
   /** Registry READ path (the loadCodebook discipline): provenance
     * columns pin the corpus dir — two scale factors could share a row
@@ -133,32 +138,6 @@ object Queries {
         .select(cols.map(col): _*).collect().toSeq)
       .filter(_.size == extentCols.size) // torn/foreign dir: re-learn
 
-  /** Which corpus dir's learn last touched each fixture DIRECTORY in
-    * this JVM — closes the A-B-A gap between the in-memory artifact
-    * cache and the overwrite-on-learn disk protocol: if corpus B
-    * (same row count, different dir) overwrote the fixture after
-    * corpus A's artifact was cached, A's next access must NOT serve
-    * from memory while the oracle reads B's fixture — the owner
-    * mismatch invalidates A's cache entry, the load path rejects B's
-    * provenance, and the re-learn restores A's fixture. Tracking at
-    * DIR granularity (not per-count subdir) keeps the memory-hit path
-    * zero-job — different-count corpora that never collide on disk
-    * merely trigger a harmless fixture reload on alternation.
-    * Cross-JVM writers can't race the single-process driver.
-    */
-  private val fixtureOwner =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-
-  private def ownedFixtureArtifact[A <: AnyRef](cacheKey: String,
-      fixtureDir: String, d: String)(load: => Option[A])(learn: => A): A = {
-    if (!fixtureOwner.get(fixtureDir).forall(_ == d))
-      graft.operators.ArtifactCache.invalidate(cacheKey)
-    val v = graft.operators.ArtifactCache
-      .getOrLoadOrLearn(cacheKey)(load)(learn)
-    fixtureOwner(fixtureDir) = d
-    v
-  }
-
   private val ExtParams = "lo0.01:hi0.99:acc10000"
 
   private def extentQuantilesArtifact(s: SparkSession, d: String)
@@ -169,7 +148,11 @@ object Queries {
     def n: Long = {
       if (nMemo < 0) nMemo = lineitem(s, d).count(); nMemo
     }
-    ownedFixtureArtifact(s"extq:$d:$ExtParams", ExtFixtureDir, d) {
+    // owned protocol: closes the same-JVM A-B-A gap between the
+    // in-memory artifact and the overwrite-on-learn fixture (see
+    // ArtifactCache.getOrLoadOrLearnOwned)
+    graft.operators.ArtifactCache.getOrLoadOrLearnOwned(
+        s"extq:$d:$ExtParams", ExtFixtureDir, d) {
       loadMetricDoubles(s, ExtFixtureDir, n, d, ExtParams,
           Seq("metric", "q1", "q99"))
         .map(_.map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
@@ -424,7 +407,7 @@ object Queries {
   // (one scan, cuts as a broadcast literal, |metrics|·k-key shuffle)
   // and by the DuckDB oracle over the same fixture, hash-checking the
   // whole discretizer application end to end.
-  private val BinFixtureDir = "/tmp/graft_fixtures/gk_bin_cuts_k8"
+  private val BinFixtureDir = "/tmp/graft_fixtures/gk_bin_cuts_v2"
 
   private val BinParams = s"k$BinK:acc10000"
 
@@ -434,7 +417,8 @@ object Queries {
     def n: Long = {
       if (nMemo < 0) nMemo = lineitem(s, d).count(); nMemo
     }
-    ownedFixtureArtifact(s"bincuts:$d:$BinParams", BinFixtureDir, d) {
+    graft.operators.ArtifactCache.getOrLoadOrLearnOwned(
+        s"bincuts:$d:$BinParams", BinFixtureDir, d) {
       loadMetricDoubles(s, BinFixtureDir, n, d, BinParams,
           Seq("metric", "cuts"))
         .map(_.map(r => r.getString(0) -> r.getSeq[Double](1).toSeq)
@@ -492,18 +476,25 @@ object Queries {
 
   // ---------------------------------------------------------------------
   // q144: exact QUANTILE NORMALIZATION (rank→CDF feature scaling, the
-  // sklearn QuantileTransformer shape) of the q03 metric columns —
-  // the third member of the learned-feature-transform family next to
-  // q112's binning and q140's target encoding. Emits the per-distinct-
-  // value mapping table a deployment broadcasts back onto rows; ties
-  // share one midrank cdf. Same range-bucketed histogram kernel as
-  // the exact extents — the oracle recomputes the identical integer
+  // sklearn QuantileTransformer shape) of the REPEAT-HEAVY metric
+  // columns — the third member of the learned-feature-transform
+  // family next to q112's binning and q140's target encoding.
+  // l_extendedprice is DELIBERATELY excluded: its values are
+  // near-unique, so its mapping table would approach corpus size and
+  // stop being the broadcastable artifact this transform exists to
+  // produce (a deployment normalizes such a column with the GK-cut
+  // fixture instead, the q116 path). Emits the per-distinct-value
+  // mapping table a deployment broadcasts back onto rows; ties share
+  // one midrank cdf. Same range-bucketed histogram kernel as the
+  // exact extents — the oracle recomputes the identical integer
   // cumsum and the one double division.
+  private val NormCols = Seq("l_quantity", "l_discount", "l_tax")
+
   def q144QuantileNormalize(s: SparkSession, d: String): DataFrame =
-    Extents.cdfTransform(lineitem(s, d), Seq("l_quantity", "l_discount", "l_tax"))
+    Extents.cdfTransform(lineitem(s, d), NormCols)
 
   val q144Sql: String = {
-    val branches = Seq("l_quantity", "l_discount", "l_tax")
+    val branches = NormCols
       .map(c => s"SELECT '$c' AS id, CAST($c AS DOUBLE) AS value FROM lineitem")
       .mkString(" UNION ALL ")
     s"""WITH long AS ($branches),

@@ -47,7 +47,8 @@ object QueriesBpe {
     * the persisted-model-registry pattern a deployment uses.
     */
   private def learnAndFixture(s: SparkSession, d: String): Seq[Bpe.Merge] =
-    graft.operators.ArtifactCache.getOrLoadOrLearn(s"bpe:$d:$NumMerges") {
+    graft.operators.ArtifactCache.getOrLoadOrLearnOwned(
+        s"bpe:$d:$NumMerges", FixtureDir, d) {
       // registry READ path: a persisted merge table for this corpus
       // size serves the encoder with zero learning jobs (rank order is
       // the table's semantics — restore it exactly)

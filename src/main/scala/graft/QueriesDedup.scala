@@ -364,8 +364,8 @@ object QueriesDedup {
     * from-scratch re-derivation is the load ≡ learn proof.
     */
   private def fpRegistry(s: SparkSession, d: String): DataFrame = {
-    val path = graft.operators.ArtifactCache.getOrLoadOrLearn(
-        s"fpreg:$d:3:$NumHashes:$Bands:$RowsPerBand") {
+    val path = graft.operators.ArtifactCache.getOrLoadOrLearnOwned(
+        s"fpreg:$d:3:$NumHashes:$Bands:$RowsPerBand", FpRegistryDir, d) {
       val n = documents(s, d).count()
       val p = s"$FpRegistryDir/$n"
       graft.operators.ArtifactCache.parquetFixture(s, p)

@@ -335,8 +335,9 @@ object QueriesSim {
 
   private def pqCodebook(s: SparkSession, d: String)
       : Seq[(Int, Int, Array[Double])] =
-    graft.operators.ArtifactCache.getOrLoadOrLearn(
-        s"pq:$d:$PqM:$PqK:$PqIters:s${graft.operators.Pq.trainCap(PqK)}") {
+    graft.operators.ArtifactCache.getOrLoadOrLearnOwned(
+        s"pq:$d:$PqM:$PqK:$PqIters:s${graft.operators.Pq.trainCap(PqK)}",
+        PqFixtureDir, d) {
       val n = embeddings(s, d).count()
       loadCodebook(s, PqFixtureDir, n, d, Some("sub"),
         graft.operators.Pq.trainCap(PqK))
@@ -837,8 +838,8 @@ object QueriesSim {
 
   private[graft] def pqResidualCoarse(s: SparkSession, d: String)
       : Seq[(Int, Int, Array[Double])] =
-    graft.operators.ArtifactCache.getOrLoadOrLearn(
-        s"pqcoarse:$d:derived:$CoarseIters") {
+    graft.operators.ArtifactCache.getOrLoadOrLearnOwned(
+        s"pqcoarse:$d:derived:$CoarseIters", PqCoarseFixtureDir, d) {
       val n = embeddings(s, d).count()
       loadCodebook(s, PqCoarseFixtureDir, n, d, subCol = None,
         graft.operators.Pq.trainCap(graft.operators.Pq.coarseListCount(n)))
@@ -861,8 +862,9 @@ object QueriesSim {
     */
   private def pqResidualCodebook(s: SparkSession, d: String)
       : Seq[(Int, Int, Array[Double])] =
-    graft.operators.ArtifactCache.getOrLoadOrLearn(
-        s"pqresid:$d:$PqM:$PqK:$PqIters:derived:s${graft.operators.Pq.trainCap(PqK)}") {
+    graft.operators.ArtifactCache.getOrLoadOrLearnOwned(
+        s"pqresid:$d:$PqM:$PqK:$PqIters:derived:s${graft.operators.Pq.trainCap(PqK)}",
+        PqResidFixtureDir, d) {
       val n = embeddings(s, d).count()
       loadCodebook(s, PqResidFixtureDir, n, d, Some("sub"),
         graft.operators.Pq.trainCap(PqK))
@@ -897,8 +899,8 @@ object QueriesSim {
     // stale codes against a re-learned codebook fixture would be an
     // index/model version skew
     val tr = graft.operators.Pq.trainCap(PqK).toLong
-    val path = graft.operators.ArtifactCache.getOrLoadOrLearn(
-        s"pqcodesidx:$d:s$tr") {
+    val path = graft.operators.ArtifactCache.getOrLoadOrLearnOwned(
+        s"pqcodesidx:$d:s$tr", PqCodesFixtureDir, d) {
       val n = embeddings(s, d).count()
       val p = s"$PqCodesFixtureDir/$n"
       graft.operators.ArtifactCache.parquetFixture(s, p)
@@ -1229,8 +1231,8 @@ object QueriesSim {
       graft.operators.Pq.coarseListCount(embeddings(s, d).count())).toLong
 
   private[graft] def semClusters(s: SparkSession, d: String): DataFrame = {
-    val path = graft.operators.ArtifactCache.getOrLoadOrLearn(
-        s"semclusters:$d:$CoarseIters:coarsetrain") {
+    val path = graft.operators.ArtifactCache.getOrLoadOrLearnOwned(
+        s"semclusters:$d:$CoarseIters:coarsetrain", SemClustersDir, d) {
       val tr = semClustersTrainRows(s, d)
       val n = neardupCorpus(s, d).count()
       val p = s"$SemClustersDir/$n"
@@ -1389,7 +1391,8 @@ object QueriesSim {
     * fixture rather than silently serving stale endpoints.
     */
   private def sqRanges(s: SparkSession, d: String): graft.operators.Sq.Ranges =
-    graft.operators.ArtifactCache.getOrLoadOrLearn(s"sq8:$d") {
+    graft.operators.ArtifactCache.getOrLoadOrLearnOwned(s"sq8:$d",
+        SqRangesFixtureDir, d) {
       val n = embeddings(s, d).count()
       graft.operators.ArtifactCache
         .parquetFixture(s, s"$SqRangesFixtureDir/$n")
@@ -1429,8 +1432,8 @@ object QueriesSim {
     * range discipline rebuilds with it.
     */
   private def sqCodesTable(s: SparkSession, d: String): DataFrame = {
-    val path = graft.operators.ArtifactCache.getOrLoadOrLearn(
-        s"sqcodesidx:$d") {
+    val path = graft.operators.ArtifactCache.getOrLoadOrLearnOwned(
+        s"sqcodesidx:$d", SqCodesFixtureDir, d) {
       val n = embeddings(s, d).count()
       val p = s"$SqCodesFixtureDir/$n"
       graft.operators.ArtifactCache.parquetFixture(s, p)
@@ -1966,7 +1969,8 @@ object QueriesSim {
     * never shadow a full-corpus ranges fixture).
     */
   private def sqEvenRanges(s: SparkSession, d: String): graft.operators.Sq.Ranges =
-    graft.operators.ArtifactCache.getOrLoadOrLearn(s"sq8even:$d") {
+    graft.operators.ArtifactCache.getOrLoadOrLearnOwned(s"sq8even:$d",
+        SqRangesFixtureDir, d) {
       val nE = evenEmb(s, d).count()
       graft.operators.ArtifactCache
         .parquetFixture(s, s"$SqRangesFixtureDir/even$nE")
@@ -2002,8 +2006,8 @@ object QueriesSim {
     */
   private def coarseEven(s: SparkSession, d: String)
       : Seq[(Int, Int, Array[Double])] =
-    graft.operators.ArtifactCache.getOrLoadOrLearn(
-        s"pqcoarseeven:$d:$CoarseIters") {
+    graft.operators.ArtifactCache.getOrLoadOrLearnOwned(
+        s"pqcoarseeven:$d:$CoarseIters", PqCoarseFixtureDir, d) {
       val nE = evenEmb(s, d).count()
       loadCodebook(s, PqCoarseFixtureDir, nE, d, subCol = None,
         graft.operators.Pq.trainCap(graft.operators.Pq.coarseListCount(nE)))
@@ -2033,8 +2037,8 @@ object QueriesSim {
     * never joined.
     */
   private[graft] def sqMergedIndex(s: SparkSession, d: String): DataFrame = {
-    val path = graft.operators.ArtifactCache.getOrLoadOrLearn(
-        s"sqmergedidx:$d") {
+    val path = graft.operators.ArtifactCache.getOrLoadOrLearnOwned(
+        s"sqmergedidx:$d", SqMergedFixtureDir, d) {
       val n = embeddings(s, d).count()
       val p = s"$SqMergedFixtureDir/$n"
       graft.operators.ArtifactCache.parquetFixture(s, p)
@@ -2321,8 +2325,8 @@ object QueriesSim {
   private val SemRefinedDir = "/tmp/graft_fixtures/sem_refined"
 
   private[graft] def semRefined(s: SparkSession, d: String): DataFrame = {
-    val path = graft.operators.ArtifactCache.getOrLoadOrLearn(
-        s"semrefined:$d:$SemTargetOcc:$CoarseIters") {
+    val path = graft.operators.ArtifactCache.getOrLoadOrLearnOwned(
+        s"semrefined:$d:$SemTargetOcc:$CoarseIters", SemRefinedDir, d) {
       val n = neardupCorpus(s, d).count()
       val p = s"$SemRefinedDir/$n"
       graft.operators.ArtifactCache.parquetFixture(s, p)

@@ -581,8 +581,10 @@ object QueriesStream {
   // the corpus 7×; a RANGE window can't do sliding DISTINCT at all.
   // Target days are the DENSE grid [first event day, last event day]:
   // an interior day with no events still has a well-defined trailing
-  // WAU (its active predecessors' fan-outs cover it), while days past
-  // the data's end are excluded.
+  // WAU — covered by its active predecessors' fan-outs when any fall
+  // inside the horizon, reported as wau = 0 (grid LEFT join) when a
+  // gap exceeds the whole 7-day window; days past the data's end are
+  // excluded.
   def q139RollingWau(s: SparkSession, d: String): DataFrame = {
     // the collapsed (day, user) frame feeds BOTH the fan-out and the
     // observed-day grid — materialize it (the q111/q127 discipline;
@@ -595,12 +597,13 @@ object QueriesStream {
       .localCheckpoint()
     val days = du.agg(min("day").as("lo"), max("day").as("hi"))
       .select(explode(expr("sequence(lo, hi)")).as("day"))
-    du.select(col("user_id"),
+    val counts = du.select(col("user_id"),
         explode(expr("sequence(day, date_add(day, 6))")).as("day"))
-      .join(days, Seq("day"), "left_semi")
       .groupBy("day")
       .agg(countDistinct("user_id").as("wau"))
-      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("wau"))
+    days.join(counts, Seq("day"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("wau"), lit(0L)).as("wau"))
       .orderBy("day")
   }
 
@@ -608,13 +611,12 @@ object QueriesStream {
     """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
       |days AS (SELECT CAST(unnest(generate_series(
       |  (SELECT min(day) FROM du), (SELECT max(day) FROM du),
-      |  INTERVAL 1 DAY)) AS DATE) AS day),
-      |exp AS (
-      | SELECT du.user_id, days.day
-      | FROM du JOIN days ON days.day BETWEEN du.day AND du.day + INTERVAL 6 DAY)
-      |SELECT strftime(day, '%Y-%m-%d') AS day,
-      | count(DISTINCT user_id) AS wau
-      |FROM exp GROUP BY 1 ORDER BY day""".stripMargin
+      |  INTERVAL 1 DAY)) AS DATE) AS day)
+      |SELECT strftime(days.day, '%Y-%m-%d') AS day,
+      | count(DISTINCT du.user_id) AS wau
+      |FROM days LEFT JOIN du
+      |  ON days.day BETWEEN du.day AND du.day + INTERVAL 6 DAY
+      |GROUP BY 1 ORDER BY day""".stripMargin
 
   // ---------------------------------------------------------------------
   // q140: leave-one-out SMOOTHED TARGET ENCODING of event_type against

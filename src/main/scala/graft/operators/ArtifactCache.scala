@@ -92,12 +92,41 @@ private[graft] object ArtifactCache {
   private[graft] def loadTimes: Map[String, Double] = loadWall.toMap
 
   /** Drop one key — for callers that can PROVE the cached value no
-    * longer matches its persisted fixture (e.g. another corpus with
-    * the same row count overwrote the fixture path in this JVM — the
-    * A-B-A case the owner-map in Queries tracks). The next access
-    * re-loads or re-learns and re-persists.
+    * longer matches its persisted fixture. The next access re-loads
+    * or re-learns and re-persists.
     */
   private[graft] def invalidate(key: String): Unit = cache.remove(key)
+
+  // -- the OWNED fixture protocol ------------------------------------
+  // Which corpus (owner tag, usually the corpus dir) last wrote each
+  // fixture DIRECTORY in this JVM. Overwrite-on-learn fixtures share
+  // an on-disk subdir keyed by corpus ROW COUNT, so two same-count
+  // corpora collide on disk (the sf0.001/sf0.01 embeddings both hold
+  // 500 vectors); the load path rejects a foreign fixture via its
+  // corpus_dir provenance, but a MEMORY hit never re-reads disk — an
+  // A-B-A alternation would serve A's cached artifact while the
+  // external oracle reads B's overwritten fixture. The owner map
+  // closes that gap at O(1): an owner mismatch invalidates the cache
+  // entry, the load path rejects the foreign fixture, and the
+  // re-learn restores it. Per-dir locking makes check→get→publish
+  // atomic — two corpora racing their FIRST access would otherwise
+  // interleave learn and owner-publish and leave the map claiming A
+  // owns a dir whose fixture B wrote last (concurrent learns of one
+  // dir serialize; same-dir steady-state accesses only contend on
+  // the brief memory-hit critical section).
+  private val owners = TrieMap.empty[String, String]
+  private val ownerLocks = TrieMap.empty[String, Object]
+
+  def getOrLoadOrLearnOwned[A <: AnyRef](key: String, fixtureDir: String,
+      ownerTag: String)(load: => Option[A])(learn: => A): A = {
+    val lock = ownerLocks.getOrElseUpdate(fixtureDir, new Object)
+    lock.synchronized {
+      if (!owners.get(fixtureDir).forall(_ == ownerTag)) cache.remove(key)
+      val v = getOrLoadOrLearn(key)(load)(learn)
+      owners(fixtureDir) = ownerTag
+      v
+    }
+  }
 
   /** Test hook. */
   private[graft] def clear(): Unit = cache.clear()

@@ -49,15 +49,23 @@ object Streaming {
     * estimate per window. EXACT sliding distinct in a stream needs
     * per-(window, user) state — two chained stateful dedups whose
     * state grows with users; the streaming-native answer is the
-    * bounded sketch (one HLL register set per open window,
-    * watermark-evicted), the same approximate-face division as q35's
-    * approx_count_distinct scale path (accuracy hook: AnalyticsSpec's
-    * 4·rsd HLL bound). q139 is the exact batch twin / backfill
-    * corrector. `day` = the last day the window covers (q139's
-    * trailing-window key); the stream also emits trailing windows
-    * past the last event day — a monitoring consumer wants those
-    * (activity is still inside the horizon), a backfill report uses
-    * the batch twin's dense grid.
+    * bounded sketch (one HLL register set per window), the same
+    * approximate-face division as q35's approx_count_distinct scale
+    * path (accuracy hook: AnalyticsSpec's 4·rsd HLL bound). q139 is
+    * the exact batch twin / backfill corrector. `day` = the last day
+    * the window covers (q139's trailing-window key); the stream also
+    * emits trailing windows past the last event day — a monitoring
+    * consumer wants those (activity is still inside the horizon), a
+    * backfill report uses the batch twin's dense grid.
+    *
+    * OUTPUT-MODE contract (state boundedness depends on it): in
+    * APPEND mode the watermark EVICTS each window's registers once it
+    * closes — state is bounded by open windows (~9 at a 2-day
+    * watermark), at the price of each day's row emitting only after
+    * the watermark passes its window end. In COMPLETE mode (the
+    * snapshot shape the spec uses for deterministic assertion) every
+    * window ever opened stays in the state store — fine for tests and
+    * bounded replays, NOT the unbounded-production mode.
     */
   def wauStream(events: DataFrame,
                 watermark: Option[String] = Some("2 days"),

@@ -52,6 +52,39 @@ class ArtifactRegistrySpec extends AnyFunSuite with SharedSpark {
     assert(a.toSeq == b.toSeq, "table-served dedup must equal the built one")
   }
 
+  test("owned protocol: a same-rowcount corpus alternation re-learns instead of serving stale memory") {
+    // two corpora with IDENTICAL lineitem row counts but different
+    // content/dirs — the on-disk fixture subdir (keyed by count)
+    // collides, which is exactly the A-B-A case the owner map closes:
+    // after B's learn overwrites A's fixture, A's next access must
+    // invalidate its memory hit and restore its own fixture (the
+    // oracle globs the fixture by count and would otherwise read B's)
+    val base = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val dirA = java.nio.file.Files.createTempDirectory("aba_a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("aba_b").toString
+    base.write.mode("overwrite").parquet(s"$dirA/lineitem.parquet")
+    base.withColumn("l_quantity",
+        org.apache.spark.sql.functions.col("l_quantity") + 1.0)
+      .write.mode("overwrite").parquet(s"$dirB/lineitem.parquet")
+    val q = SparkEntry.queries("q116_quantile_bins_approx")
+    val a1 = q(spark, dirA).collect().toSeq
+    val learnsAfterA = ArtifactCache.learnCount
+    // same-dir re-access: memory hit, zero learns
+    assert(q(spark, dirA).collect().toSeq == a1)
+    assert(ArtifactCache.learnCount == learnsAfterA,
+      "a same-dir re-access must serve from memory without learning")
+    // B learns (same row count, different dir) and overwrites the fixture
+    val b1 = q(spark, dirB).collect().toSeq
+    assert(b1 != a1, "the nudged corpus must bin differently")
+    // A again: the owner mismatch must force a re-learn that restores
+    // A's fixture — identical output, learnCount strictly up
+    val learnsBeforeA2 = ArtifactCache.learnCount
+    val a2 = q(spark, dirA).collect().toSeq
+    assert(a2 == a1, "restored artifact must reproduce A's bins")
+    assert(ArtifactCache.learnCount > learnsBeforeA2,
+      "the foreign overwrite must invalidate A's memory hit")
+  }
+
   test("the GK extent/bin-cut fixtures serve q94/q116 cold (r14 registry artifacts)") {
     val d = "/root/testdata/sf0.001"
     // pass 1 learns the sketch artifacts (or loads a prior round's)
