@@ -44,10 +44,14 @@ object BenchFormat {
   def sfTag(sf: String): String = sf.split('/').last
 
   /** The per-query timing map as 1..n JSON lines, each ≤ `maxLine`
-    * chars. Every line is self-describing ({"metric":"per_query",
-    * "part":"i/n","unit":"cs",...}) so the driver can regex-recover
-    * all entries from the tail without needing one parseable
-    * super-line.
+    * chars. Every line is self-describing — the metric name
+    * `per_query_cs` declares the unit, and each line is standalone
+    * JSON — so the driver can regex-recover all entries from the tail
+    * without needing one parseable super-line. The r14 tail levers
+    * (the catalog crossed the previous skeleton's budget at 144
+    * queries): the `part` label is gone (the driver never consumed
+    * it — lines are position-independent), and the per-line unit
+    * field folded into the metric name.
     */
   def perQueryLines(results: Seq[(String, Double)],
                     maxLine: Int = 900): Seq[String] = {
@@ -58,11 +62,8 @@ object BenchFormat {
     val entries = results.map { case (k, v) =>
       "\"" + compactKey(k) + "\":" + cs(v)
     }
-    // the fixed JSON skeleton around the entries; the part label is
-    // budgeted at a conservative "999/999" so a 100+-chunk suite can
-    // never push an emitted line past maxLine
     val overhead =
-      s"""{"metric":"per_query","part":"999/999","unit":"cs","queries":{}}""".length
+      s"""{"metric":"per_query_cs","queries":{}}""".length
     val budget = math.max(maxLine - overhead, 40)
     val chunks = entries.foldLeft(Vector(Vector.empty[String])) { (acc, e) =>
       val cur = acc.last
@@ -71,9 +72,8 @@ object BenchFormat {
         acc :+ Vector(e)
       else acc.init :+ (cur :+ e)
     }
-    val n = chunks.size
-    chunks.zipWithIndex.map { case (c, i) =>
-      s"""{"metric":"per_query","part":"${i + 1}/$n","unit":"cs","queries":{${c.mkString(",")}}}"""
+    chunks.map { c =>
+      s"""{"metric":"per_query_cs","queries":{${c.mkString(",")}}}"""
     }
   }
 

@@ -1062,7 +1062,44 @@ object QueriesCorpus {
        | (CAST(sum(lw) AS BIGINT) > 0) AS selected
        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q145: ORDER-FREE SHARD FINGERPRINTS — the anti-entropy primitive
+  // next to q135's snapshot diff: per shard (source), a content
+  // checksum two sides can compare WITHOUT sorting, shipping, or
+  // row-aligning anything — fingerprint = Σ per-row 60-bit content
+  // hashes, and addition commutes, so the result is independent of
+  // row order, partitioning, and merge schedule (the property a
+  // cross-cluster corpus-sync check needs; a concatenated/ordered
+  // digest would force a global sort first). One scan, map-side
+  // hashing, |shards|-key shuffle; the sum accumulates in
+  // DECIMAL(38,0) and ships as its canonical digit string (the q101
+  // discipline — 2^60-sized terms overflow a signed 64-bit sum after
+  // only ~8 rows, and DECIMAL hash canonicalization diverged between
+  // engines once before). Collision bound: forging an equal
+  // sum needs a deliberate preimage — honest divergence (a dropped,
+  // duplicated, or edited row) moves the sum with probability
+  // 1 − 2⁻⁶⁰.
+  def q145ShardFingerprints(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("source"),
+        TextStats.hash60(concat_ws("|",
+          col("doc_id"), col("text"), col("lang"))).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("h").cast("decimal(38,0)")).as("fp"))
+      .select(col("source"), col("n_docs"),
+        col("fp").cast("string").as("fingerprint"))
+      .orderBy("source")
+
+  val q145Sql: String =
+    """SELECT source, count(*) AS n_docs,
+      | CAST(CAST(sum(CAST(('0x' || substr(
+      |   md5(concat_ws('|', doc_id, text, lang)), 1, 15)) AS BIGINT))
+      |   AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_shard_fingerprints" -> (q145ShardFingerprints _),
     "q85_dsir_weights" -> (q85DsirWeights _),
     "q80_cut_spans" -> (q80CutSpans _),
     "q55_decontaminate" -> (q55Decontaminate _),
@@ -1086,6 +1123,7 @@ object QueriesCorpus {
   )
 
   val oracle: Map[String, String] = Map(
+    "q145_shard_fingerprints" -> q145Sql,
     "q85_dsir_weights" -> q85Sql,
     "q80_cut_spans" -> q80Sql,
     "q55_decontaminate" -> q55Sql,

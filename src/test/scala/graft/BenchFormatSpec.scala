@@ -48,15 +48,14 @@ class BenchFormatSpec extends AnyFunSuite {
       assert(math.abs(got(BenchFormat.compactKey(n)) - v * 100) <= 0.5 + 1e-9)
   }
 
-  test("part lines declare the centisecond unit explicitly") {
-    for (l <- lines) assert(l.contains(""""unit":"cs""""), l)
+  test("per-query lines declare the centisecond unit in the metric name") {
+    for (l <- lines) assert(l.contains(""""metric":"per_query_cs""""), l)
   }
 
-  test("every line is valid standalone JSON with the per_query marker") {
+  test("every line is valid standalone JSON with the per_query_cs marker") {
     // no JSON lib on the unmanaged classpath — structural smoke checks
-    for ((l, i) <- lines.zipWithIndex) {
-      assert(l.startsWith("""{"metric":"per_query","part":"""))
-      assert(l.contains(s""""part":"${i + 1}/${lines.size}""""))
+    for (l <- lines) {
+      assert(l.startsWith("""{"metric":"per_query_cs","queries":{"""))
       assert(l.endsWith("}}"))
       assert(l.count(_ == '{') == l.count(_ == '}'))
     }
