@@ -471,9 +471,17 @@ object QueriesRel {
     * the data, exactly like the PQ codebook / GK cut fixtures.
     * Doubling makes the edges symmetric by construction, so both
     * operators' coverage anti-joins are provably redundant.
+    *
+    * Unlike every other registry artifact (paths, Seqs of doubles),
+    * the cached value is a DataFrame whose localCheckpoint blocks
+    * live in the SparkContext's block manager — it dies with the
+    * context. The cache key therefore carries the applicationId: a
+    * harness that stops and recreates the context in one JVM learns a
+    * fresh edge frame instead of being served a dead checkpoint.
     */
   private def tradeEdges(s: SparkSession, d: String): DataFrame =
-    graft.operators.ArtifactCache.getOrLearn(s"tradeedges:$d") {
+    graft.operators.ArtifactCache.getOrLearn(
+        s"tradeedges:$d:${s.sparkContext.applicationId}") {
       val e0 = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
         .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
           col("l_orderkey") === col("o_orderkey"))
@@ -675,8 +683,14 @@ object QueriesRel {
     val v = graft.operators.Joins.skewVerdict(big, "hot_key")
     val joined =
       if (v.salt)
+        // fan-out sized from the MEASURED skew (max/mean ≈ 900 on this
+        // fixture → capped at the shuffle partition count), not a
+        // constant — the oracle is factor-invariant (salting never
+        // changes rows), so the decision inputs still hash-check
         graft.operators.Joins.saltedJoin(big, small, "hot_key",
-          saltBy = "l_orderkey", factor = 8)
+          saltBy = "l_orderkey",
+          factor = graft.operators.Joins.derivedSaltFactor(v.maxOverMean,
+            s.sessionState.conf.numShufflePartitions))
       else big.join(small, Seq("hot_key"))
     joined.agg(count(lit(1)).as("n_joined"),
         sum(expr("CAST(round(l_quantity * 1000000) AS BIGINT)"))

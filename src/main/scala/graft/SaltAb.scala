@@ -18,10 +18,14 @@ import graft.operators.Joins
   * default-value foreign-key shape that drowns one reducer at 100 TB.
   * The small side is the distinct supplier table with a payload.
   *
-  * Arms (both fully evaluated via noop write, warm min-of-two — the
+  * Arms (all fully evaluated via noop write, warm min-of-two — the
   * OneQ protocol):
-  *  - plain:  big ⋈ small on the hot key;
-  *  - salted: [[Joins.saltedJoin]] factor 16 on the same inputs.
+  *  - plain:   big ⋈ small on the hot key;
+  *  - salted8: [[Joins.saltedJoin]] at the legacy hardcoded factor 8;
+  *  - derived: [[Joins.saltedJoin]] at [[Joins.derivedSaltFactor]] —
+  *    fan-out sized from the measured max/mean, capped at shuffle
+  *    partitions (the r14 verdict's "the decision wire should carry
+  *    the magnitude too", measured rather than asserted).
   * Each arm runs with AQE skew-split ON (the default — Spark may
   * already mitigate; the honest baseline) and OFF (the regime where
   * only explicit salting helps: skew split applies to sort-merge
@@ -37,7 +41,7 @@ import graft.operators.Joins
   */
 object SaltAb {
 
-  private val SaltFactor = 16
+  private val LegacyFactor = 8
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -90,13 +94,19 @@ object SaltAb {
     // test is the SHUFFLE join (a broadcast join has no reducers to
     // drown — and real 100 TB dims often exceed the broadcast budget)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val derived = Joins.derivedSaltFactor(hot.maxOverMean,
+      spark.sessionState.conf.numShufflePartitions)
+    println(s"[saltab] derivedSaltFactor=$derived (legacy=$LegacyFactor)")
     for (aqeSkew <- Seq(true, false)) {
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", aqeSkew)
       val plain = timed(consume(big.join(small, Seq("l_suppkey"))))
-      val salted = timed(consume(
-        Joins.saltedJoin(big, small, "l_suppkey", "l_orderkey", SaltFactor)))
+      val salted8 = timed(consume(
+        Joins.saltedJoin(big, small, "l_suppkey", "l_orderkey", LegacyFactor)))
+      val saltedD = timed(consume(
+        Joins.saltedJoin(big, small, "l_suppkey", "l_orderkey", derived)))
       println(f"[saltab] aqeSkew=$aqeSkew plain=$plain%.2f s " +
-        f"salted=$salted%.2f s ratio=${plain / salted}%.2f")
+        f"salted8=$salted8%.2f s saltedD=$saltedD%.2f s " +
+        f"ratio8=${plain / salted8}%.2f ratioD=${plain / saltedD}%.2f")
     }
     spark.stop()
   }

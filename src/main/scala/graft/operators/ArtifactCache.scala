@@ -116,12 +116,21 @@ private[graft] object ArtifactCache {
   // the brief memory-hit critical section).
   private val owners = TrieMap.empty[String, String]
   private val ownerLocks = TrieMap.empty[String, Object]
+  // Every cache key ever registered under a fixture dir. Some dirs
+  // host MULTIPLE key families (sq8/sq8even, pqcoarse/pqcoarseeven):
+  // an owner flip must evict ALL of them, not just the caller's key —
+  // otherwise an A-B-A corpus alternation flips the owner back to A
+  // via family 1 and family 2's next access sees a matching owner and
+  // serves A's stale memory value against B's on-disk overwrite.
+  private val dirKeys = TrieMap.empty[String, Set[String]]
 
   def getOrLoadOrLearnOwned[A <: AnyRef](key: String, fixtureDir: String,
       ownerTag: String)(load: => Option[A])(learn: => A): A = {
     val lock = ownerLocks.getOrElseUpdate(fixtureDir, new Object)
     lock.synchronized {
-      if (!owners.get(fixtureDir).forall(_ == ownerTag)) cache.remove(key)
+      if (!owners.get(fixtureDir).forall(_ == ownerTag))
+        dirKeys.getOrElse(fixtureDir, Set.empty).foreach(cache.remove)
+      dirKeys(fixtureDir) = dirKeys.getOrElse(fixtureDir, Set.empty) + key
       val v = getOrLoadOrLearn(key)(load)(learn)
       owners(fixtureDir) = ownerTag
       v

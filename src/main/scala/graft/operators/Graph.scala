@@ -94,6 +94,15 @@ object Graph {
       validateCoverage: Boolean = true,
       maxChanged: Long = -1L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // the knob is a CONVERGENCE stop, not a tolerance: only
+    // maxChanged == 0 carries the identical-output guarantee below (a
+    // positive threshold would stop while labels are still mutating
+    // and diverge from the fixed-round run), so positive values are
+    // rejected rather than silently weakening the contract
+    require(maxChanged <= 0L,
+      s"maxChanged must be -1 (fixed rounds) or 0 (stop when " +
+        s"converged); a positive threshold loses the " +
+        s"identical-output guarantee, got $maxChanged")
     val trans = edges
       .select(col("src"), col("dst"), col("weight").cast("double").as("w"))
       .repartition(col("src"))
@@ -116,11 +125,12 @@ object Graph {
     val byVote = org.apache.spark.sql.expressions.Window
       .partitionBy("dst").orderBy(col("wv").desc, col("label"))
     var labels = nodes.withColumn("label", col("node").cast("string"))
-    // convergence-aware early exit (maxChanged >= 0): after each SYNC
-    // round, one |N|-row join counts nodes whose label changed; at or
-    // below the threshold the loop stops — a converged LPA round
-    // reproduces itself exactly, so the early-exit output is
-    // IDENTICAL to running the remaining rounds (spec-pinned). The
+    // convergence-aware early exit (maxChanged == 0, the only value
+    // the require above admits besides -1): after each SYNC round,
+    // one |N|-row join counts nodes whose label changed; at zero the
+    // loop stops — a converged LPA round reproduces itself exactly,
+    // so the early-exit output is IDENTICAL to running the remaining
+    // rounds (spec-pinned; the guarantee holds ONLY at zero). The
     // default (-1) keeps fixed-round semantics for oracle-checked
     // callers (q125's DuckDB twin unrolls exactly 4 rounds).
     var changed = Long.MaxValue

@@ -99,6 +99,22 @@ object Joins {
       top, mom, r.getAs[Double]("gini"))
   }
 
+  /** Salt fan-out sized FROM the measured skew, not a constant: the
+    * hottest key holds ~max/mean reducer-loads of rows, so spreading
+    * it back to ~mean load needs ~max/mean sub-keys — rounded up to a
+    * power of two (hash-mod spreads evenly over powers of two), then
+    * capped at the shuffle partition count (beyond one sub-key per
+    * reducer there is nothing left to spread over, and the small
+    * side's replication cost keeps growing). Floor of 2: a derived
+    * factor is only requested when the verdict already said hot.
+    */
+  def derivedSaltFactor(maxOverMean: Double, shufflePartitions: Int): Int = {
+    val pow = math.ceil(
+      math.log(math.max(maxOverMean, 2.0)) / math.log(2.0)).toInt
+    math.max(2, math.min(1 << math.min(pow, 30),
+      math.max(shufflePartitions, 2)))
+  }
+
   /** Skew-profile-driven equi-join — the wiring from q130's readout
     * to an executable plan choice: profile `big`'s key distribution,
     * then run [[saltedJoin]] when the verdict says hot and the plain
@@ -106,15 +122,26 @@ object Joins {
     * (salting only re-buckets the shuffle; CoreOperatorsSpec pins
     * parity on a deliberately hot fixture), so the decision is purely
     * a latency/stability choice and safe to automate.
+    *
+    * `factor` ≤ 0 (the default) derives the fan-out from the measured
+    * profile via [[derivedSaltFactor]] — the decision wire carries
+    * the MAGNITUDE of the skew, not just its existence (an
+    * adversarially hot key fans to min(2^⌈log₂(max/mean)⌉, shuffle
+    * partitions) sub-keys instead of a hardcoded constant). Pass an
+    * explicit positive factor to pin it.
     */
   def skewAwareJoin(big: DataFrame, small: DataFrame, key: String,
-                    saltBy: String, factor: Int,
+                    saltBy: String, factor: Int = 0,
                     topShareHot: Double = 0.2,
                     maxOverMeanHot: Double = 50.0): DataFrame = {
     val v = skewVerdict(big, key, topShareHot, maxOverMeanHot)
     lastSkewVerdict.set(v)
-    if (v.salt) saltedJoin(big, small, key, saltBy, factor)
-    else big.join(small, Seq(key))
+    if (v.salt) {
+      val f = if (factor > 0) factor
+        else derivedSaltFactor(v.maxOverMean,
+          big.sparkSession.sessionState.conf.numShufflePartitions)
+      saltedJoin(big, small, key, saltBy, f)
+    } else big.join(small, Seq(key))
   }
 
   /** Banded range join: pairs (l, r) with the same key and

@@ -275,7 +275,17 @@ object Streaming {
     * a batch events process in ts order, so the running max IS the
     * batch window's running max; a late-arriving click behind an
     * already-emitted conversion does not retro-attribute — the batch
-    * twin is the backfill corrector.
+    * twin is the backfill corrector. SAME-MICROSECOND exclusion
+    * (funnelStep's documented-tie discipline): the batch twin q141
+    * breaks a click/conversion tie on the same microsecond by
+    * event_id, which `Event` does not carry; the stream instead
+    * processes ties DETERMINISTICALLY clicks-first (so a
+    * same-microsecond click is always visible to the conversion,
+    * matching the batch `t >= last` acceptance), rather than in
+    * arrival order. A corpus whose batch event_id orders a
+    * conversion BEFORE its same-microsecond click is the one case
+    * where the two faces may differ; the driver fixtures do not
+    * contain such a tie.
     */
   def attributionStep(clickType: String, convType: String, windowUs: Long,
       armTimeout: Boolean, evictMs: Long)(
@@ -290,7 +300,9 @@ object Streaming {
       val Unset = Long.MinValue
       var last = state.getOption.map(_.lastClickUs).getOrElse(Unset)
       val out = scala.collection.mutable.ArrayBuffer.empty[AttributionHit]
-      for (e <- it.toSeq.sortBy(e => micros(e.ts))) {
+      // deterministic tie order: (micros, clicks-first) — see scaladoc
+      for (e <- it.toSeq.sortBy(e =>
+          (micros(e.ts), if (e.event_type == clickType) 0 else 1))) {
         val t = micros(e.ts)
         if (e.event_type == clickType) {
           last = if (last == Unset) t else math.max(last, t)

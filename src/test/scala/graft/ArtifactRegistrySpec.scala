@@ -85,6 +85,40 @@ class ArtifactRegistrySpec extends AnyFunSuite with SharedSpark {
       "the foreign overwrite must invalidate A's memory hit")
   }
 
+  test("owned protocol: an owner flip evicts ALL key families of the fixture dir") {
+    // some fixture dirs host multiple key families (sq8/sq8even,
+    // pqcoarse/pqcoarseeven). The A-B-A hazard: B's overwrite is
+    // noticed by family 1's access (owner flips B→A, family 1
+    // re-learns), but if only the CALLER's key were evicted, family
+    // 2's next access would see a matching owner and serve A's stale
+    // memory value against B's on-disk fixture. The owner flip must
+    // evict every key ever registered under the dir.
+    val dir = s"memdir://multifam-${System.nanoTime()}"
+    var gen = 0
+    def access(key: String, owner: String): String = {
+      gen += 1
+      val fresh = s"$key-$owner-g$gen" // unique per actual learn
+      ArtifactCache.getOrLoadOrLearnOwned[String](key, dir, owner)(None)(fresh)
+    }
+    val f1a = access("fam1", "A")
+    val f2a = access("fam2", "A")
+    // steady state: same owner serves from memory
+    assert(access("fam1", "A") == f1a)
+    assert(access("fam2", "A") == f2a)
+    // B arrives via family 1 ONLY — the flip must also evict fam2
+    val f1b = access("fam1", "B")
+    assert(f1b != f1a, "owner flip must re-learn the touched family")
+    // A returns via family 1 (owner flips back to A)
+    val f1a2 = access("fam1", "A")
+    assert(f1a2 != f1b)
+    // family 2 now sees a MATCHING owner — it must still have been
+    // evicted at one of the two flips, not served stale from A's era
+    val f2a2 = access("fam2", "A")
+    assert(f2a2 != f2a,
+      "family 2 must re-learn after the dir's owner flipped, not serve " +
+        "the pre-flip memory value")
+  }
+
   test("the GK extent/bin-cut fixtures serve q94/q116 cold (r14 registry artifacts)") {
     val d = "/root/testdata/sf0.001"
     // pass 1 learns the sketch artifacts (or loads a prior round's)

@@ -193,6 +193,35 @@ class CoreOperatorsSpec extends AnyFunSuite with SharedSpark {
       s"uniform keys must not salt: ${Joins.lastSkewVerdict.get()}")
   }
 
+  test("derivedSaltFactor: sized from max/mean, pow2, capped at shuffle partitions") {
+    import graft.operators.Joins.derivedSaltFactor
+    // mild skew → next power of two above max/mean
+    assert(derivedSaltFactor(3.0, 32) == 4)
+    assert(derivedSaltFactor(8.0, 32) == 8)
+    assert(derivedSaltFactor(9.0, 32) == 16)
+    // the r14 hot fixture (max/mean ≈ 900) caps at the partition count
+    assert(derivedSaltFactor(900.0, 32) == 32)
+    // floor of 2 even for a degenerate profile (only reached when the
+    // verdict already fired)
+    assert(derivedSaltFactor(1.0, 32) == 2)
+    // cap never below 2
+    assert(derivedSaltFactor(900.0, 1) == 2)
+  }
+
+  test("skewAwareJoin default factor derives from the profile, rows identical") {
+    import graft.operators.Joins
+    val hot = (1 to 400).map(i =>
+      (if (i % 2 == 0) 1L else (i % 50).toLong, s"p$i")).toDF("k", "payload")
+    val small = (0L to 100L).map(k => (k, s"d$k")).toDF("k", "dim")
+    val plain = hot.join(small, Seq("k")).orderBy("payload").collect()
+    // no factor passed: the fan-out comes from the measured max/mean
+    val auto = Joins.skewAwareJoin(hot, small, "k", "payload")
+      .orderBy("payload").collect()
+    assert(Joins.lastSkewVerdict.get().salt)
+    assert(auto.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq,
+      "derived-factor salting must not change the joined rows")
+  }
+
   test("rangeJoin matches the naive inequality join across bucket edges") {
     val left = Seq((1L, 100L), (1L, 1000L), (2L, 500L)).toDF("k", "lts")
     val right = Seq((1L, 100L), (1L, 150L), (1L, 1099L), (1L, 1101L), (2L, 400L))

@@ -184,6 +184,13 @@ class GraphSpec extends AnyFunSuite with SharedSpark {
       s"converged LPA must exit early, ran ${Graph.lastLpaIters.get()}")
     assert(stopped == full,
       s"early exit changed the partition: $stopped vs $full")
+    // the knob is a convergence stop, not a tolerance: a positive
+    // threshold would stop mid-mutation and lose the identical-output
+    // guarantee, so it is rejected outright
+    val ex = intercept[IllegalArgumentException] {
+      Graph.labelPropagation(edges, iters = 20, maxChanged = 5)
+    }
+    assert(ex.getMessage.contains("maxChanged"))
   }
 
   test("q121 graph at sf0.001: suppliers with more trade rank higher on average") {
