@@ -1,0 +1,221 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.config.EtlConfig
+import graft.sources.Sources
+
+/** The composed reference pipeline measured END-TO-END at the
+  * reference's REAL largest input — the SURVEY §6 row the piecewise
+  * fixtures never provided (r14 verdict item 1).
+  *
+  * The reference's biggest region is US block groups: ≈217k geoids ×
+  * 19 years ≈ 4.1M long rows feeding a ~573-column pivot, two decade
+  * tilesets at z8–10 choropleth / z0–10 bubble (`BASELINE.md:19-20`,
+  * `build.sh:28,34-36,121-126,147-152`). This main synthesizes that
+  * region deterministically, then times [[Pipeline.runRegion]] doing
+  * everything the reference's `build.sh -e -t` does for it, as ONE
+  * Spark job graph in one session:
+  *
+  *   long CSV → shape (pivot) → wide CSV artifact → extents CSV
+  *   artifact → GeoJSON-lines geometry → polylabel interior points →
+  *   per-decade [bubble tiles + choropleth tiles + layer merge + pbf
+  *   tree]
+  *
+  * Synthesis (generate-once, hash-derived, no Random/now — SemScale
+  * discipline):
+  *  - geoids are an exact grid over the continental-US bbox, so
+  *    choropleth polygons are grid cells that genuinely SHARE borders
+  *    (the shared-border simplify path runs for real) and GEOIDs carry
+  *    leading zeros (P10);
+  *  - every (geoid, year, metric) cell is a deterministic function of
+  *    xxhash64, ~3% empty (P8), ~2% of parent_location empty (P6).
+  *
+  * Protocol: one untimed small-n warm-up (janino/codegen), then TWO
+  * timed full executions, each a complete cold pipeline over fresh
+  * persists (features and wide caches released between runs — nothing
+  * carries over but JIT state). Both walls print; min is the headline.
+  *
+  * Usage: runMain graft.PipeScale [nCells] [outBase]
+  *        defaults: 217000 /tmp/pipescale
+  */
+object PipeScale {
+
+  private val Bbox = (-124.0, 25.0, -67.0, 49.0) // continental US
+  private val Years = (2000 to 2018).map(_.toString)
+
+  /** Metric long-names in CSV column order (everything the raw map
+    * knows except the id columns).
+    */
+  private val metricLongNames: Seq[String] =
+    EtlConfig.columnMapRaw.map(_._1)
+      .filterNot(Seq("id", "name", "parent_location").contains)
+
+  /** Grid geometry for cell i of n: (x0, y0, x1, y1). */
+  private def gridExprs(n: Long): (Int, Int) = {
+    val (w, h) = (Bbox._3 - Bbox._1, Bbox._4 - Bbox._2)
+    val cols = math.ceil(math.sqrt(n * (w / h))).toInt
+    val rows = math.ceil(n.toDouble / cols).toInt
+    (cols, rows)
+  }
+
+  /** Write the long CSV (if absent): n cells × 19 years, header, column
+    * order = [[Sources.longSchema]](metricLongNames). `mutStep > 0`
+    * bumps population for every `mutStep`-th cell — the "tonight's
+    * delta" twin snapshot for the incremental-rebuild measurement.
+    */
+  private def genLongCsv(spark: SparkSession, n: Long, path: String,
+                         mutStep: Long = 0): Unit = {
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fs = fsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(fsPath)) return
+    val base = spark.range(n).select(col("id").as("cell"))
+      .crossJoin(spark.createDataFrame(Years.map(Tuple1(_))).toDF("year"))
+      .withColumn("id", format_string("%012d", col("cell")))
+      .withColumn("name", concat(lit("BG "), col("id")))
+      // ~2% missing parent_location exercises the pl default (P6)
+      .withColumn("parent_location",
+        when(pmod(xxhash64(col("id")), lit(50)) === 0, lit(null))
+          .otherwise(concat(lit("State "),
+            pmod(xxhash64(col("id")), lit(50)).cast("string"))))
+    val withMetrics = metricLongNames.zipWithIndex.foldLeft(base) {
+      case (df, (m, i)) =>
+        val h = xxhash64(col("id"), col("year"), lit(m))
+        val mut = if (mutStep > 0 && m == "population")
+          when(col("cell") % mutStep === 0, 1L).otherwise(0L) else lit(0L)
+        val v = m match {
+          case "population" => (pmod(h, lit(4900)) + 100 + mut).cast("string")
+          case "judgements" | "filings" | "filings_high" | "filings_low" |
+               "threatened" | "threatened_low" | "threatened_high" =>
+            pmod(h, lit(1000)).cast("string")
+          case "low_flag" => pmod(h, lit(2)).cast("string")
+          case _ => // rates / medians: 0.00 .. 99.99
+            format_string("%.2f", pmod(h, lit(10000)) / lit(100.0))
+        }
+        // ~3% empty cells (P8: empty ⇒ NULL at read)
+        df.withColumn(m, when(pmod(h, lit(33)) === i % 33, lit(null)).otherwise(v))
+    }
+    Sources.writeCsv(
+      withMetrics.select(("id" +: "year" +: "name" +: "parent_location" +:
+        metricLongNames).map(col): _*), path)
+    println(s"[pipescale] wrote long CSV: $n cells x ${Years.size} years -> $path")
+  }
+
+  /** Write the GeoJSON-lines geometry (if absent): one Polygon feature
+    * per grid cell; neighbours share edges exactly.
+    */
+  private def genGeoLines(spark: SparkSession, n: Long, path: String): Unit = {
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fs = fsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(fsPath)) return
+    val (cols, rows) = gridExprs(n)
+    val (w, h) = (Bbox._3 - Bbox._1, Bbox._4 - Bbox._2)
+    val (cw, ch) = (w / cols, h / rows)
+    val df = spark.range(n)
+      .withColumn("gx", col("id") % cols)
+      .withColumn("gy", col("id") / cols)
+      .withColumn("x0", lit(Bbox._1) + col("gx") * cw)
+      .withColumn("y0", lit(Bbox._2) + col("gy") * ch)
+      .withColumn("x1", col("x0") + cw)
+      .withColumn("y1", col("y0") + ch)
+      .select(format_string(
+        """{"type":"Feature","properties":{"GEOID":"%012d"},"geometry":""" +
+          """{"type":"Polygon","coordinates":[[[%.6f,%.6f],[%.6f,%.6f],""" +
+          """[%.6f,%.6f],[%.6f,%.6f],[%.6f,%.6f]]]}}""",
+        col("id"), col("x0"), col("y0"), col("x1"), col("y0"),
+        col("x1"), col("y1"), col("x0"), col("y1"),
+        col("x0"), col("y0")).as("value"))
+    df.write.mode("overwrite").text(path)
+    println(s"[pipescale] wrote geometry lines: $n cells -> $path")
+  }
+
+  /** One complete composed run; returns wall seconds. */
+  private def runOnce(spark: SparkSession, csv: String, geo: String,
+                      out: String): Double = {
+    val t0 = System.nanoTime()
+    val feats = Pipeline.geometryFeatures(Sources.readGeoJsonLines(spark, geo))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    Pipeline.runRegion(spark, csv, "raw", metricLongNames, "block-groups",
+      features = Some(feats), outDir = Some(out),
+      wideOut = Some(s"$out/build-csv"), extentsOut = Some(s"$out/extents-csv"))
+    feats.unpersist()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nCells = args.lift(0).map(_.toLong).getOrElse(217000L)
+    val outBase = args.lift(1).getOrElse("/tmp/pipescale")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val csv = s"$outBase/in/long_$nCells.csv"
+    val geo = s"$outBase/in/geo_$nCells.jsonl"
+    genLongCsv(spark, nCells, csv)
+    genGeoLines(spark, nCells, geo)
+
+    // small-n warm-up: same plan shapes, compiles the 573-wide pivot
+    // and tile codegen once outside the timed window
+    val warmN = math.min(nCells, 5000L)
+    val wCsv = s"$outBase/in/long_$warmN.csv"
+    val wGeo = s"$outBase/in/geo_$warmN.jsonl"
+    genLongCsv(spark, warmN, wCsv)
+    genGeoLines(spark, warmN, wGeo)
+    runOnce(spark, wCsv, wGeo, s"$outBase/warm")
+
+    val wall1 = runOnce(spark, csv, geo, s"$outBase/run1")
+    val wall2 = runOnce(spark, csv, geo, s"$outBase/run2")
+
+    // incremental rebuild measurement: a 0.1%-mutated twin snapshot
+    // rebuilt against run2's tree — the deployment delta the reference's
+    // `rm -rf _proc` rebuilds from scratch every night
+    val csvMut = s"$outBase/in/long_${nCells}_mut.csv"
+    genLongCsv(spark, nCells, csvMut, mutStep = 1000)
+    val featsI = Pipeline.geometryFeatures(Sources.readGeoJsonLines(spark, geo))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    featsI.count() // geometry is unchanged between snapshots: parse untimed
+    var stats: Incremental.Stats = null
+    val wallIncr = {
+      val t0 = System.nanoTime()
+      stats = Incremental.incrementalRegion(spark, csv, csvMut, "raw",
+        metricLongNames, "block-groups", featsI,
+        prevDir = s"$outBase/run2", outDir = s"$outBase/run_incr")
+      (System.nanoTime() - t0) / 1e9
+    }
+    featsI.unpersist()
+
+    // sanity: tiles on disk + artifact shapes (outside the timed walls)
+    def countPbf(dir: String): Long = {
+      val d = new java.io.File(dir)
+      if (!d.exists) 0L
+      else {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) f.listFiles.map(walk).sum
+          else if (f.getName.endsWith(".pbf")) 1L else 0L
+        walk(d)
+      }
+    }
+    val tiles00 = countPbf(s"$outBase/run2/block-groups/00")
+    val tiles10 = countPbf(s"$outBase/run2/block-groups/10")
+    val wideRows = spark.read.option("header", true)
+      .csv(s"$outBase/run2/build-csv").count()
+    val extRows = spark.read.option("header", true)
+      .csv(s"$outBase/run2/extents-csv").count()
+    println(f"""{"metric":"pipescale","cells":$nCells,""" +
+      f""""long_rows":${nCells * Years.size},"wide_rows":$wideRows,""" +
+      f""""extent_rows":$extRows,"tiles_00":$tiles00,"tiles_10":$tiles10,""" +
+      f""""wall1":$wall1%.1f,"wall2":$wall2%.1f,""" +
+      f""""wall_min":${math.min(wall1, wall2)}%.1f,""" +
+      f""""incr_wall":$wallIncr%.1f,"incr_changed":${stats.changed},""" +
+      f""""incr_affected_tiles":${stats.affectedTiles},""" +
+      f""""incr_contributors":${stats.contributors},"unit":"sec"}""")
+    spark.stop()
+  }
+}

@@ -113,26 +113,99 @@ object Pipeline {
     }
   }
 
+  /** The decade-independent choropleth GEOMETRY stage
+    * (`build.sh:139-160`: one base tileset, split per decade by
+    * `tile-join`), shared verbatim by [[runRegion]] and
+    * [[Incremental.incrementalRegion]] — byte parity between the two
+    * rebuild modes requires one code path. Crucially this runs over
+    * the full FEATURE table (before any attribute join): shared-border
+    * detection must see every neighbour, including features the
+    * current snapshot carries no data for — an attribute-join-first
+    * variant would silently unmark their shared edges and simplify
+    * borders differently (the IncrementalSpec r15 finding).
+    */
+  private[graft] def choroTileFeatures(features: DataFrame, region: String,
+                                       maxZ: Int): DataFrame = {
+    val zoom = EtlConfig.choroplethZoom(region)
+    val knobs = EtlConfig.choroplethBuild(region)
+    TileBuild.polygonTileFeatures(
+      features.withColumn("fid", col("GEOID").cast("long")), "fid", "polys",
+      zoom.minZoom, maxZ, simplifyPx = knobs.simplifyPx,
+      sharedBorders = knobs.sharedBorders)
+  }
+
+  /** One decade's choropleth attribute join + encode over a prepared
+    * [[choroTileFeatures]] frame (`tile-join --if-matched`,
+    * `build.sh:208-211`). Shared by both rebuild modes — see
+    * [[choroTileFeatures]].
+    */
+  private[graft] def choroDecadeEncode(wide: DataFrame, polyFeats: DataFrame,
+                                       inputType: String, decade: String,
+                                       region: String): DataFrame = {
+    val knobs = EtlConfig.choroplethBuild(region)
+    val fields = EtlConfig.decadeFields(
+      EtlConfig.choroplethVars(inputType), decade)
+      .filter(wide.columns.contains)
+    val slice = Shape.decadeSlice(wide, fields)
+    val attrCols = fields.filterNot(_ == "GEOID")
+    val attrPairs = attrCols.flatMap(c => Seq(lit(c), col(c).cast("string")))
+    val attrs = slice.select(col("GEOID").cast("long").as("fid"),
+      map(attrPairs: _*).as("attrs"))
+    TileBuild.encodePolygonTiles(polyFeats, attrs,
+      s"$region-$decade-choropleth", coalesce = knobs.coalesce)
+  }
+
   /** Full region run (`build.sh:69-233`): returns (wide, extents) and
     * writes tiles per decade under `outDir` when features are given.
     * With GeoJSON-derived features ([[geometryFeatures]]) both layers
     * build; with bare lon/lat points only the bubble layer can.
+    *
+    * SCAN-ONCE discipline (SURVEY §3.1's "one lazy plan, the only true
+    * barriers being the pivot shuffle and the tile groupBy shuffle"):
+    * when the run itself triggers more than one action over the wide
+    * frame — tiles for each decade, the stage-b/c CSV artifacts — the
+    * pivot output is persisted for the duration, so the long CSV is
+    * scanned exactly ONCE per region run and every downstream stage
+    * reads the cached wide rows (PipelineSpec pins this with a
+    * QueryExecutionListener over the composed run). The reference gets
+    * the same effect by materializing `data.wide.csv` between
+    * processes (`build.sh:80-81`); here it is one in-memory artifact
+    * with spill. Pure (wide, extents) callers stay fully lazy.
     *
     * @param extendBudget densest-tile feature budget driving the
     *                     `--extend-zooms-if-still-dropping` decision for
     *                     both layers (tippecanoe's default tile budget;
     *                     a test seam for forcing extension on small
     *                     fixtures)
+    * @param wideOut    stage-b artifact (`data.wide.csv` /
+    *                   `build/$REGION.csv`, `build.sh:81`): header CSV
+    *                   directory, written distributed (the reference's
+    *                   one-file-per-region is its 4 GB-heap limitation,
+    *                   not a format requirement)
+    * @param extentsOut stage-c artifact (`data.extents.csv`,
+    *                   `build.sh:84-88`): single-file header CSV — the
+    *                   frame is ~|metrics×years| rows, never large
     */
   def runRegion(spark: SparkSession, longCsvPath: String, inputType: String,
                 metricLongNames: Seq[String], region: String,
                 features: Option[DataFrame] = None,
                 outDir: Option[String] = None,
-                extendBudget: Int = 10000): (DataFrame, DataFrame) = {
+                extendBudget: Int = 10000,
+                wideOut: Option[String] = None,
+                extentsOut: Option[String] = None): (DataFrame, DataFrame) = {
     val long = Sources.readCsv(spark, longCsvPath,
       Sources.longSchema(metricLongNames))
-    val wide = shape(long, inputType)
+    val multiAction = (features.isDefined && outDir.isDefined) ||
+      wideOut.isDefined || extentsOut.isDefined
+    val wide = {
+      val w = shape(long, inputType)
+      if (multiAction)
+        w.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else w
+    }
+    wideOut.foreach(p => Sources.writeCsv(wide, p))
     val ext = extents(wide)
+    extentsOut.foreach(p => Sources.writeCsv(ext, p, singleFile = true))
     for (f <- features; out <- outDir) {
       val hasPolys = f.columns.contains("polys")
       // base choropleth GEOMETRY is decade-independent — built ONCE and
@@ -151,12 +224,8 @@ object Pipeline {
         Tiling.extendMaxZoom(f, "lon", "lat",
           zoom.maxZoom, zoom.maxZoom + 2, budget = extendBudget)
       else zoom.maxZoom
-      val polyFeats = if (hasPolys) Some(
-        TileBuild.polygonTileFeatures(
-          f.withColumn("fid", col("GEOID").cast("long")), "fid", "polys",
-          zoom.minZoom, choroMaxZ, simplifyPx = knobs.simplifyPx,
-          sharedBorders = knobs.sharedBorders)
-          .persist())
+      val polyFeats = if (hasPolys)
+        Some(choroTileFeatures(f, region, choroMaxZ).persist())
       else None
       // tileset bounds/center (decade-independent, one small aggregate):
       // tile-join's metadata.json carries them (`build.sh:220,226`) —
@@ -185,17 +254,7 @@ object Pipeline {
           maxZoomOverride = bubbleMaxZ)
         val choro = polyFeats match {
           case Some(tf) =>
-            val fields = EtlConfig.decadeFields(
-              EtlConfig.choroplethVars(inputType), decade)
-              .filter(wide.columns.contains)
-            val slice = Shape.decadeSlice(wide, fields)
-            val attrCols = fields.filterNot(_ == "GEOID")
-            val attrPairs = attrCols.flatMap(c => Seq(lit(c), col(c).cast("string")))
-            // inner join on fid = tile-join `--if-matched` (`build.sh:208`)
-            val attrs = slice.select(col("GEOID").cast("long").as("fid"),
-              map(attrPairs: _*).as("attrs"))
-            TileBuild.encodePolygonTiles(tf, attrs,
-              s"$region-$decade-choropleth", coalesce = knobs.coalesce)
+            choroDecadeEncode(wide, tf, inputType, decade, region)
           case None => bubble.limit(0)
         }
         // J3 layer union-merge (`tile-join` `build.sh:214`): align on
@@ -222,6 +281,9 @@ object Pipeline {
       }
       polyFeats.foreach(_.unpersist())
     }
+    // release the scan-once cache; the returned frames stay valid and
+    // simply recompute lazily if the caller evaluates them later
+    if (multiAction) wide.unpersist()
     (wide, ext)
   }
 }

@@ -92,7 +92,8 @@ object Graph {
     */
   def labelPropagation(edges: DataFrame, iters: Int,
       validateCoverage: Boolean = true,
-      maxChanged: Long = -1L): DataFrame = {
+      maxChanged: Long = -1L,
+      forceBroadcast: Option[Boolean] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     // the knob is a CONVERGENCE stop, not a tolerance: only
     // maxChanged == 0 carries the identical-output guarantee below (a
@@ -119,7 +120,11 @@ object Graph {
         "labelPropagation requires every src to also appear as a dst " +
           "(a node that never receives votes vanishes after round 1)")
     }
-    val small = nodes.count() <= BroadcastNodeLimit
+    // forceBroadcast overrides the size heuristic — the GraphScale
+    // measurement seam that prices the broadcast↔shuffle regimes on
+    // the SAME graph (output is identical either way; only the
+    // exchange count changes)
+    val small = forceBroadcast.getOrElse(nodes.count() <= BroadcastNodeLimit)
     def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
 
     val byVote = org.apache.spark.sql.expressions.Window
@@ -157,7 +162,8 @@ object Graph {
 
   def pageRank(edges: DataFrame, iters: Int, damping: Double,
       validateNoDangling: Boolean = true,
-      tol: Double = 0.0): DataFrame = {
+      tol: Double = 0.0,
+      forceBroadcast: Option[Boolean] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
 
@@ -178,7 +184,8 @@ object Graph {
         "pageRank requires every dst to also appear as a src " +
           "(add reverse edges or self-loops for dangling nodes)")
     val n = nodes.count()
-    val small = n <= BroadcastNodeLimit
+    // forceBroadcast: see labelPropagation — same-size regime A/B seam
+    val small = forceBroadcast.getOrElse(n <= BroadcastNodeLimit)
     def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
 
     var ranks = nodes.withColumn("r", lit(1.0 / n))

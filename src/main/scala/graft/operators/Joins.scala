@@ -28,11 +28,24 @@ object Joins {
   /** J1+J2: attach attribute columns to the feature side by key.
     * `ifMatched = true` reproduces `--if-matched` (inner); false keeps
     * unmatched features with null attributes (left outer).
+    *
+    * The broadcast hint is SIZE-GATED by Catalyst's own estimate of
+    * the attribute side: regional tables (the reference's common
+    * case — counties is ~3k rows) broadcast so the feature side never
+    * shuffles, but a national-scale slice (block groups: 217k rows ×
+    * ~213 decade columns, the PipeScale r15 OOM) stays unhinted — the
+    * optimizer plans the shuffle join, and AQE still runtime-converts
+    * to broadcast if the REAL built size turns out small. An
+    * unconditional hint at that width exhausts the driver; an
+    * unconditional shuffle wastes the small-region case.
     */
   def attributeJoin(features: DataFrame, attrs: DataFrame, key: String,
-                    ifMatched: Boolean = true): DataFrame =
-    features.join(broadcast(attrs), Seq(key),
-      if (ifMatched) "inner" else "left_outer")
+                    ifMatched: Boolean = true,
+                    broadcastBudget: Long = 64L << 20): DataFrame = {
+    val est = attrs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val side = if (est <= broadcastBudget) broadcast(attrs) else attrs
+    features.join(side, Seq(key), if (ifMatched) "inner" else "left_outer")
+  }
 
   /** J3: merge two layer tables on a shared key, keeping rows present in
     * either layer (full outer), with the key coalesced.

@@ -47,6 +47,77 @@ object Sources {
       .option("nullValue", "")
       .csv(path)
 
+  /** Quarantined S1 scan — the rejects channel the reference lacks.
+    * The reference's failure mode for malformed input is a crash
+    * (`README.md:149-153`: a misnamed column kills the whole build);
+    * fail-fast is the right default for schema drift, but a 100 TB
+    * batch job cannot lose a night to ONE ragged row among billions.
+    * This variant parses PERMISSIVE with `_corrupt_record` capture:
+    * clean rows flow on, malformed rows (wrong token count, unclosed
+    * quote, type-cast failure under a typed schema) land in
+    * `rejectsOut` as their raw line for offline triage, and the job
+    * still aborts — loudly, with counts — when the reject fraction
+    * crosses `maxRejectFraction` (mass rejection means the INPUT is
+    * wrong, e.g. a renamed column, and silently dropping 40% of a
+    * corpus is worse than crashing).
+    *
+    * Cost: one extra aggregate scan (+ one filtered scan when rejects
+    * are written). The clean frame is returned LAZY — downstream pays
+    * its own scan exactly as with [[readCsv]]; nothing corpus-sized is
+    * collected or cached here.
+    */
+  final case class QuarantinedRead(clean: DataFrame, rejected: Long,
+                                   total: Long)
+
+  def readCsvQuarantined(spark: SparkSession, path: String,
+                         schema: StructType,
+                         rejectsOut: Option[String] = None,
+                         maxRejectFraction: Double = 0.01): QuarantinedRead = {
+    val cc = "_graft_corrupt"
+    require(!schema.fieldNames.contains(cc), s"schema may not contain $cc")
+    val parsed = spark.read
+      .schema(schema.add(StructField(cc, StringType)))
+      .option("header", true)
+      .option("nullValue", "")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", cc)
+      .csv(path)
+    // CSV column pruning is a correctness trap here, not just a perf
+    // knob: univocity only parses the REQUESTED columns, so a query
+    // referencing (say) just id + the corrupt marker never notices a
+    // ragged tail or a bad cast in an unrequested column — the marker
+    // stays null and the row silently counts as clean. Every quarantine
+    // query below therefore references EVERY data column, forcing the
+    // full-width parse the gate's verdict is defined over.
+    val fullWidth = schema.fieldNames.toSeq.map(c => count(col(c)).as(s"__$c"))
+    val counts = parsed.agg(count(lit(1)).as("total"),
+      (count(col(cc)).as("bad") +: fullWidth): _*).head()
+    val (total, bad) = (counts.getLong(0), counts.getLong(1))
+    if (bad > 0) rejectsOut.foreach { out =>
+      // raw line plus whatever parsed partially — full column list keeps
+      // the parse full-width (see above) and helps triage
+      writeCsv(parsed.filter(col(cc).isNotNull)
+        .select(schema.fieldNames.map(col) :+ col(cc).as("raw_record"): _*),
+        out)
+    }
+    if (total > 0 && bad > maxRejectFraction * total)
+      throw new IllegalStateException(
+        f"quarantine threshold exceeded: $bad of $total rows malformed " +
+          f"(${bad.toDouble / total}%.4f > $maxRejectFraction%.4f) — " +
+          "refusing to continue; inspect the rejects channel" +
+          rejectsOut.fold("")(p => s" at $p"))
+    // the clean frame crosses an RDD barrier: a downstream projection
+    // would otherwise re-prune the parse and RE-ADMIT rows the gate
+    // just rejected (a ragged tail is invisible to a pruned parse).
+    // The price is that consumers always pay the full-width scan —
+    // that is the quarantine contract; pruning-sensitive paths that
+    // trust their input use readCsv.
+    val cleanPlan = parsed.filter(col(cc).isNull).drop(cc)
+    QuarantinedRead(
+      spark.createDataFrame(cleanPlan.rdd, StructType(schema.fields)),
+      bad, total)
+  }
+
   /** S3/S9: CSV sink with header; `singleFile` reproduces the
     * reference's one-file-per-region output, `gzip` the publish step
     * (`deploy-source.sh:41`).
@@ -101,6 +172,24 @@ object Sources {
         get_json_object(col("f"), "$.properties.GEOID").as("GEOID"),
         get_json_object(col("f"), "$.geometry.type").as("geom_type"),
         get_json_object(col("f"), "$.geometry").as("geometry_json"))
+
+  /** S5 file-reader twin of [[readGeoJson]]: one feature JSON object
+    * per line (the ndjson stream tippecanoe-json-tool emits,
+    * `build.sh:115-118`). A FeatureCollection is a single JSON document
+    * and forces one input row per FILE through `wholetext`; the
+    * line-delimited variant splits at newlines for free, so a
+    * continent-sized geometry corpus scans in parallel — this is the
+    * 100 TB path the [[readGeoJson]] scaladoc promises. Output schema
+    * is identical, so [[graft.Pipeline.geometryFeatures]] consumes
+    * either interchangeably.
+    */
+  def readGeoJsonLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .where(length(trim(col("value"))) > 0)
+      .select(
+        get_json_object(col("value"), "$.properties.GEOID").as("GEOID"),
+        get_json_object(col("value"), "$.geometry.type").as("geom_type"),
+        get_json_object(col("value"), "$.geometry").as("geometry_json"))
 
   /** Scale-path sink: parquet partitioned by the given columns with
     * rows sorted within partitions by `sortCol` — the 100 TB replacement

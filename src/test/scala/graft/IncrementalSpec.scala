@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental region rebuild ≡ full rebuild — the r14 verdict's item 4:
+  * q135's diff primitive wired to the composed pipeline must produce a
+  * tile tree BYTE-IDENTICAL to rebuilding everything, while touching
+  * only the changed GEOIDs' neighbourhood. The fixture is a 300-cell
+  * shared-border grid (block-groups knobs: coalesce + shared borders —
+  * the adversarial path, since border arcs depend on neighbours) with
+  * one changed, one removed, and one added GEOID between snapshots.
+  */
+class IncrementalSpec extends AnyFunSuite with SharedSpark {
+
+  private val Cols = 20
+  private val Rows = 15
+  private val NCells = Cols * Rows // 300
+  private val Years = (2000 to 2018).map(_.toString)
+  private val metricLongNames = Seq("population", "judgement_rate",
+    "filing_rate", "threatened_rate", "median_gross_rent")
+
+  private def geoid(cell: Int): String = f"$cell%012d"
+
+  /** Deterministic metric value; `bump` shifts a cell's values to make
+    * it "changed".
+    */
+  private def value(cell: Int, year: Int, m: Int, bump: Int): String =
+    (((cell * 31 + year * 7 + m * 13 + bump) % 97) + 1).toString
+
+  /** Write a long CSV for the given cells. */
+  private def writeLong(cells: Seq[Int], bumped: Set[Int]): String = {
+    val dir = Files.createTempDirectory("incr-long").toString
+    val sb = new StringBuilder("id,year,name,parent_location," +
+      metricLongNames.mkString(",") + "\n")
+    for (c <- cells; y <- Years) {
+      sb.append(geoid(c)).append(',').append(y).append(",Cell ").append(c)
+        .append(",Gridland")
+      val bump = if (bumped(c)) 1 else 0
+      for (m <- metricLongNames.indices)
+        sb.append(',').append(value(c, y.toInt, m, bump))
+      sb.append('\n')
+    }
+    val p = Paths.get(dir, "data.csv")
+    Files.write(p, sb.toString.getBytes("UTF-8"))
+    p.toString
+  }
+
+  /** 20×15 exact grid over a small bbox — neighbours share edges, so
+    * the shared-border arc machinery runs for real.
+    */
+  private lazy val features = {
+    val dir = Files.createTempDirectory("incr-geo").toString
+    val (lon0, lat0, cw, ch) = (-100.0, 30.0, 0.1, 0.1)
+    val sb = new StringBuilder
+    for (c <- 0 until NCells) {
+      val (gx, gy) = (c % Cols, c / Cols)
+      val (x0, y0) = (lon0 + gx * cw, lat0 + gy * ch)
+      val (x1, y1) = (x0 + cw, y0 + ch)
+      sb.append(s"""{"type":"Feature","properties":{"GEOID":"${geoid(c)}"},""" +
+        s""""geometry":{"type":"Polygon","coordinates":[[[$x0,$y0],[$x1,$y0],""" +
+        s"""[$x1,$y1],[$x0,$y1],[$x0,$y0]]]}}""").append('\n')
+    }
+    val p = Paths.get(dir, "features.jsonl")
+    Files.write(p, sb.toString.getBytes("UTF-8"))
+    val f = Pipeline.geometryFeatures(
+      graft.sources.Sources.readGeoJsonLines(spark, p.toString)).persist()
+    f.count()
+    f
+  }
+
+  private def md5tree(dir: String): Map[String, String] = {
+    val base = Paths.get(dir)
+    if (!Files.exists(base)) return Map.empty
+    val out = scala.collection.mutable.Map.empty[String, String]
+    Files.walk(base).filter(_.toString.endsWith(".pbf")).forEach { p =>
+      val d = MessageDigest.getInstance("MD5").digest(Files.readAllBytes(p))
+      out(base.relativize(p).toString) = d.map("%02x".format(_)).mkString
+    }
+    out.toMap
+  }
+
+  test("incremental rebuild is byte-identical to the full rebuild (1% mutation)") {
+    // old snapshot: cells 0..298 (299 is born later); new snapshot:
+    // cell 5 changed, cell 7 removed, cell 299 added
+    val oldCsv = writeLong((0 until NCells - 1), bumped = Set.empty)
+    val newCsv = writeLong((0 until NCells).filterNot(_ == 7), bumped = Set(5))
+
+    val dirOld = Files.createTempDirectory("incr-prev").toString
+    val dirFull = Files.createTempDirectory("incr-full").toString
+    val dirIncr = Files.createTempDirectory("incr-out").toString
+    Pipeline.runRegion(spark, oldCsv, "raw", metricLongNames, "block-groups",
+      features = Some(features), outDir = Some(dirOld))
+    Pipeline.runRegion(spark, newCsv, "raw", metricLongNames, "block-groups",
+      features = Some(features), outDir = Some(dirFull))
+    val stats = Incremental.incrementalRegion(spark, oldCsv, newCsv, "raw",
+      metricLongNames, "block-groups", features, prevDir = dirOld,
+      outDir = dirIncr)
+
+    assert(!stats.fullRebuild, s"3/300 GEOIDs must take the incremental path: $stats")
+    assert(stats.changed == 1 && stats.added == 1 && stats.removed == 1, stats.toString)
+    assert(stats.affectedTiles > 0 && stats.contributors >= 3, stats.toString)
+
+    for (decade <- Seq("00", "10")) {
+      val full = md5tree(s"$dirFull/block-groups/$decade")
+      val incr = md5tree(s"$dirIncr/block-groups/$decade")
+      assert(full.nonEmpty, s"full rebuild wrote no tiles for decade $decade")
+      assert(incr.keySet == full.keySet,
+        s"decade $decade tile SETS differ: only-full=" +
+          s"${(full.keySet -- incr.keySet).take(5)} only-incr=" +
+          s"${(incr.keySet -- full.keySet).take(5)}")
+      val mismatched = full.keys.filter(k => full(k) != incr(k)).toSeq
+      assert(mismatched.isEmpty,
+        s"decade $decade: ${mismatched.size} tiles differ, e.g. " +
+          s"${mismatched.take(5)}")
+      // the carry-over must be real: strictly fewer tiles rebuilt than exist
+      assert(stats.affectedTiles < full.size * 2L, // both decades share the tile set
+        s"affected=${stats.affectedTiles} of ${full.size} tiles/decade")
+      // metadata carried from the previous run
+      assert(Files.exists(Paths.get(dirIncr, "block-groups", decade, "metadata.json")))
+    }
+  }
+
+  test("mass change routes to the full-rebuild fallback") {
+    val oldCsv = writeLong(0 until 40, bumped = Set.empty)
+    val newCsv = writeLong(0 until 40, bumped = (0 until 20).toSet) // 50% changed
+    val dirOld = Files.createTempDirectory("incr-prev2").toString
+    val dirOut = Files.createTempDirectory("incr-out2").toString
+    Pipeline.runRegion(spark, oldCsv, "raw", metricLongNames, "block-groups",
+      features = Some(features.filter(org.apache.spark.sql.functions.col("GEOID") <
+        geoid(40))), outDir = Some(dirOld))
+    val stats = Incremental.incrementalRegion(spark, oldCsv, newCsv, "raw",
+      metricLongNames, "block-groups",
+      features.filter(org.apache.spark.sql.functions.col("GEOID") < geoid(40)),
+      prevDir = dirOld, outDir = dirOut)
+    assert(stats.fullRebuild && stats.changed == 20, stats.toString)
+    // the fallback still produced a complete tree
+    assert(md5tree(s"$dirOut/block-groups/00").nonEmpty)
+  }
+
+  test("geoidDiff classifies added/removed/changed and drops unchanged") {
+    val oldCsv = writeLong(0 until 10, bumped = Set.empty)
+    val newCsv = writeLong((0 until 11).filterNot(_ == 3), bumped = Set(4))
+    val schema = graft.sources.Sources.longSchema(metricLongNames)
+    val d = Incremental.geoidDiff(
+      graft.sources.Sources.readCsv(spark, oldCsv, schema),
+      graft.sources.Sources.readCsv(spark, newCsv, schema))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d == Map(geoid(3) -> "removed", geoid(4) -> "changed",
+      geoid(10) -> "added"), d.toString)
+  }
+}

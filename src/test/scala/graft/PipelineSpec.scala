@@ -219,6 +219,110 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     assert(bytes.sliding(2).exists(w => (w(0) & 0xff) == 0x18 && w(1) == 3))
   }
 
+  test("readGeoJsonLines: the splittable S5 reader matches the FeatureCollection scan") {
+    // same two features, one JSON object per line (the tippecanoe-json-tool
+    // stream shape) — the 100 TB geometry path must parse identically
+    val dir = Files.createTempDirectory("geolines").toString
+    val doc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(fixtureGeoJson)), "UTF-8").replaceAll("\n", "")
+    // slice the fixture's two features out of the collection document
+    val body = doc.substring(doc.indexOf("[") + 1, doc.lastIndexOf("]"))
+    val lines = body.split("""(?<=\}\}),""").mkString("\n")
+    val p = java.nio.file.Paths.get(dir, "features.jsonl")
+    java.nio.file.Files.write(p, lines.getBytes("UTF-8"))
+    val viaLines = Pipeline.geometryFeatures(
+      graft.sources.Sources.readGeoJsonLines(spark, p.toString))
+      .orderBy("GEOID").collect()
+    val viaDoc = Pipeline.geometryFeatures(
+      graft.sources.Sources.readGeoJson(spark, fixtureGeoJson))
+      .orderBy("GEOID").collect()
+    assert(viaLines.map(_.toSeq).toSeq == viaDoc.map(_.toSeq).toSeq)
+  }
+
+  test("shape pivot plan: one CSV scan; pivot hash + presentation sort only exchanges") {
+    val long = graft.sources.Sources.readCsv(spark, fixtureCsv,
+      graft.sources.Sources.longSchema(metricLongNames))
+    val p = Pipeline.shape(long, "raw").queryExecution.executedPlan.toString
+    assert("FileScan csv".r.findAllIn(p).size == 1,
+      "the long CSV must be read exactly once by the pivot plan")
+    val ex = p.linesIterator.filter(_.contains("Exchange ")).toSeq
+    assert(ex.size == 2, s"pivot must shuffle exactly twice:\n${ex.mkString("\n")}")
+    assert(ex.exists(_.contains("hashpartitioning(GEOID")),
+      "the pivot aggregation exchange must key on GEOID")
+    assert(ex.exists(_.contains("rangepartitioning")),
+      "the GEOID presentation sort is the only other exchange")
+    assert(p.contains("partial_max_by"), "pivot must partial-aggregate map-side")
+  }
+
+  test("composed runRegion is scan-once: every stage reuses one cached pivot (SURVEY §3.1)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    import scala.jdk.CollectionConverters._
+
+    val features = Pipeline.geometryFeatures(
+      graft.sources.Sources.readGeoJson(spark, fixtureGeoJson)).persist()
+    features.count() // geometry parse outside the capture window
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[SparkPlan]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
+        plans.add(qe.executedPlan)
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val out = Files.createTempDirectory("composed").toString
+    try {
+      Pipeline.runRegion(spark, fixtureCsv, "raw", metricLongNames, "counties",
+        features = Some(features), outDir = Some(out),
+        wideOut = Some(s"$out/wide-csv"), extentsOut = Some(s"$out/ext-csv"))
+      // the execution listener bus is async — poll until the capture
+      // count is stable for a second
+      var last = -1; var stable = 0
+      val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+      while (stable < 4 && System.nanoTime < deadline) {
+        if (plans.size == last) stable += 1 else { stable = 0; last = plans.size }
+        Thread.sleep(250)
+      }
+    } finally spark.listenerManager.unregister(listener)
+    features.unpersist()
+
+    // structural traversal: descend through AQE wrappers, STOP at
+    // InMemoryTableScan (its cached child plan executes once by the
+    // cache contract, not per consumer)
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(allNodes)
+    }
+    val all = plans.asScala.toSeq
+    // wide CSV, extents CSV, decade-00 pbf, decade-10 pbf + cache fills
+    assert(all.size >= 4, s"expected >=4 composed actions, saw ${all.size}")
+    val directCsv = all.flatMap(allNodes).collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths
+        .exists(_.toString.contains("data.csv")) => f
+    }
+    assert(directCsv.size <= 1,
+      s"the long CSV must feed ONE cache build, not per-stage re-scans; " +
+        s"found ${directCsv.size} direct scans")
+    // wide-table cache consumers: the stage-b artifact write, extents,
+    // and both decade tile builds all read metric-year columns from the
+    // InMemoryRelation, never from the file
+    val wideCacheConsumers = all.count(p => allNodes(p).exists {
+      case s: InMemoryTableScanExec =>
+        s.output.exists(_.name.matches("(er|p)-\\d\\d"))
+      case _ => false
+    })
+    assert(wideCacheConsumers >= 3,
+      s"stages must reuse the cached pivot, saw $wideCacheConsumers consumers")
+    assert(!all.flatMap(allNodes).exists(_.nodeName.contains("CartesianProduct")),
+      "no stage of the composed pipeline may plan a cartesian product")
+  }
+
   test("decadeTiles choropleth without polygon geometry fails fast") {
     val (wide, _) = Pipeline.runRegion(spark, fixtureCsv, "raw",
       metricLongNames, "counties")

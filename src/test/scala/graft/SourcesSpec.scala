@@ -25,6 +25,40 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
     assert(r.isNullAt(r.fieldIndex("population")))
   }
 
+  test("quarantined CSV: ragged/mistyped rows divert to rejects, clean rows flow") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("quar").toString
+    // typed schema so BOTH malformation classes occur: wrong token
+    // count (ragged) and a type-cast failure (mistyped int)
+    val schema = StructType(Seq(StructField("id", StringType),
+      StructField("n", IntegerType), StructField("v", StringType)))
+    Files.write(java.nio.file.Paths.get(dir, "d.csv"),
+      ("id,n,v\n" +
+        "01001,1,a\n" + // clean
+        "01003,notanint,b\n" + // mistyped -> corrupt
+        "01005,2\n" + // too few tokens -> corrupt
+        "01007,3,c,EXTRA\n" + // too many tokens -> corrupt
+        "01009,4,d\n" // clean
+        ).getBytes("UTF-8"))
+    val rejects = s"$dir/rejects"
+    val q = Sources.readCsvQuarantined(spark, s"$dir/d.csv", schema,
+      rejectsOut = Some(rejects), maxRejectFraction = 0.8)
+    assert(q.total == 5 && q.rejected == 3, s"${q.total}/${q.rejected}")
+    val clean = q.clean.orderBy("id").collect()
+    assert(clean.map(_.getString(0)).toSeq == Seq("01001", "01009"))
+    assert(!q.clean.columns.contains("_graft_corrupt"))
+    // rejects channel carries each raw line for triage
+    val raw = spark.read.option("header", true).csv(rejects)
+      .collect().map(_.getAs[String]("raw_record")).toSet
+    assert(raw == Set("01003,notanint,b", "01005,2", "01007,3,c,EXTRA"), raw)
+    // mass rejection aborts loudly instead of silently dropping the corpus
+    val e = intercept[IllegalStateException] {
+      Sources.readCsvQuarantined(spark, s"$dir/d.csv", schema,
+        maxRejectFraction = 0.1)
+    }
+    assert(e.getMessage.contains("3 of 5"), e.getMessage)
+  }
+
   test("CSV sink: gzip'd single-file write reads back identically (S2/S3/S8)") {
     val df = Seq(("01001", "a"), ("02013", "b")).toDF("GEOID", "n")
     val out = Files.createTempDirectory("gz").toString + "/out"

