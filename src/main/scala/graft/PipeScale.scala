@@ -67,7 +67,8 @@ object PipeScale {
     * delta" twin snapshot for the incremental-rebuild measurement.
     */
   private def genLongCsv(spark: SparkSession, n: Long, path: String,
-                         mutStep: Long = 0): Unit = {
+                         mutStep: Long = 0,
+                         mutRange: Option[(Long, Long)] = None): Unit = {
     val fsPath = new org.apache.hadoop.fs.Path(path)
     val fs = fsPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(fsPath)) return
@@ -83,8 +84,12 @@ object PipeScale {
     val withMetrics = metricLongNames.zipWithIndex.foldLeft(base) {
       case (df, (m, i)) =>
         val h = xxhash64(col("id"), col("year"), lit(m))
-        val mut = if (mutStep > 0 && m == "population")
-          when(col("cell") % mutStep === 0, 1L).otherwise(0L) else lit(0L)
+        val mut = if (m != "population") lit(0L) else {
+          val stepHit = if (mutStep > 0) col("cell") % mutStep === 0 else lit(false)
+          val rangeHit = mutRange.map { case (a, b) =>
+            col("cell") >= a && col("cell") < b }.getOrElse(lit(false))
+          when(stepHit || rangeHit, 1L).otherwise(0L)
+        }
         val v = m match {
           case "population" => (pmod(h, lit(4900)) + 100 + mut).cast("string")
           case "judgements" | "filings" | "filings_high" | "filings_low" |
@@ -170,25 +175,42 @@ object PipeScale {
     genGeoLines(spark, warmN, wGeo)
     runOnce(spark, wCsv, wGeo, s"$outBase/warm")
 
-    val wall1 = runOnce(spark, csv, geo, s"$outBase/run1")
-    val wall2 = runOnce(spark, csv, geo, s"$outBase/run2")
+    // "incr-only": reuse existing run1/run2 trees and re-measure only
+    // the incremental arms (the full-run walls print as -1)
+    val incrOnly = args.lift(2).contains("incr-only")
+    val wall1 = if (incrOnly) -1.0 else runOnce(spark, csv, geo, s"$outBase/run1")
+    val wall2 = if (incrOnly) -1.0 else runOnce(spark, csv, geo, s"$outBase/run2")
 
     // incremental rebuild measurement: a 0.1%-mutated twin snapshot
-    // rebuilt against run2's tree — the deployment delta the reference's
-    // `rm -rf _proc` rebuilds from scratch every night
+    // applied IN PLACE to run1's tree (outDir == prevDir — the live
+    // deployment mode: IO proportional to the delta) — the nightly
+    // delta the reference's `rm -rf _proc` rebuilds from scratch
     val csvMut = s"$outBase/in/long_${nCells}_mut.csv"
+    val csvMut2 = s"$outBase/in/long_${nCells}_mut2.csv"
+    val csvClust = s"$outBase/in/long_${nCells}_clust.csv"
     genLongCsv(spark, nCells, csvMut, mutStep = 1000)
+    // mut2 vs mut: cells ≡0 (mod 500) but not (mod 1000) newly change —
+    // the same 0.1% scattered delta SHAPE as arm A, but arm C runs it
+    // against run1's now-stored fingerprint artifact (no old-CSV scan)
+    genLongCsv(spark, nCells, csvMut2, mutStep = 500)
+    // clustered delta: one contiguous 217-cell block — the "one county
+    // re-reported" case, where the delta lands in O(1) z8 tiles
+    genLongCsv(spark, nCells, csvClust,
+      mutRange = Some((nCells / 2, nCells / 2 + 217)))
     val featsI = Pipeline.geometryFeatures(Sources.readGeoJsonLines(spark, geo))
       .persist(StorageLevel.MEMORY_AND_DISK)
     featsI.count() // geometry is unchanged between snapshots: parse untimed
-    var stats: Incremental.Stats = null
-    val wallIncr = {
+    def incr(oldCsv: String, newCsv: String, tree: String)
+        : (Double, Incremental.Stats) = {
       val t0 = System.nanoTime()
-      stats = Incremental.incrementalRegion(spark, csv, csvMut, "raw",
+      val st = Incremental.incrementalRegion(spark, oldCsv, newCsv, "raw",
         metricLongNames, "block-groups", featsI,
-        prevDir = s"$outBase/run2", outDir = s"$outBase/run_incr")
-      (System.nanoTime() - t0) / 1e9
+        prevDir = tree, outDir = tree)
+      ((System.nanoTime() - t0) / 1e9, st)
     }
+    val (wallA, statsA) = incr(csv, csvMut, s"$outBase/run1")     // scattered, cold fp
+    val (wallC, statsC) = incr(csvMut, csvMut2, s"$outBase/run1") // scattered, WARM fp
+    val (wallB, statsB) = incr(csv, csvClust, s"$outBase/run2")   // clustered, cold fp
     featsI.unpersist()
 
     // sanity: tiles on disk + artifact shapes (outside the timed walls)
@@ -213,9 +235,11 @@ object PipeScale {
       f""""extent_rows":$extRows,"tiles_00":$tiles00,"tiles_10":$tiles10,""" +
       f""""wall1":$wall1%.1f,"wall2":$wall2%.1f,""" +
       f""""wall_min":${math.min(wall1, wall2)}%.1f,""" +
-      f""""incr_wall":$wallIncr%.1f,"incr_changed":${stats.changed},""" +
-      f""""incr_affected_tiles":${stats.affectedTiles},""" +
-      f""""incr_contributors":${stats.contributors},"unit":"sec"}""")
+      f""""incr_scatter":$wallA%.1f,"incr_scatter_tiles":${statsA.affectedTiles},""" +
+      f""""incr_scatter_contrib":${statsA.contributors},""" +
+      f""""incr_warmfp":$wallC%.1f,""" +
+      f""""incr_cluster":$wallB%.1f,"incr_cluster_tiles":${statsB.affectedTiles},""" +
+      f""""incr_cluster_contrib":${statsB.contributors},"unit":"sec"}""")
     spark.stop()
   }
 }

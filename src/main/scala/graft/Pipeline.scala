@@ -149,8 +149,18 @@ object Pipeline {
     val slice = Shape.decadeSlice(wide, fields)
     val attrCols = fields.filterNot(_ == "GEOID")
     val attrPairs = attrCols.flatMap(c => Seq(lit(c), col(c).cast("string")))
-    val attrs = slice.select(col("GEOID").cast("long").as("fid"),
+    val attrsRaw = slice.select(col("GEOID").cast("long").as("fid"),
       map(attrPairs: _*).as("attrs"))
+    // size-gate on the SLICE, not the map projection: MapType's default
+    // per-row size estimate (~tens of bytes) hides the real ~payload of
+    // a 217k×110-attr map, so Catalyst would auto-broadcast a ~500 MB
+    // build and OOM the driver (the PipeScale r15 finding — same class
+    // as attributeJoin's gate). Small regions broadcast; national-scale
+    // slices pin the shuffle-hash join, which AQE only upgrades back to
+    // broadcast from REAL runtime sizes.
+    val est = slice.queryExecution.optimizedPlan.stats.sizeInBytes
+    val attrs = if (est <= (64L << 20)) broadcast(attrsRaw)
+      else attrsRaw.hint("shuffle_hash")
     TileBuild.encodePolygonTiles(polyFeats, attrs,
       s"$region-$decade-choropleth", coalesce = knobs.coalesce)
   }

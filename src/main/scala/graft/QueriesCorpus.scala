@@ -1098,7 +1098,76 @@ object QueriesCorpus {
       |   AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // q146: GROUPED-ENTITY SNAPSHOT DIFF — the multi-row generalization
+  // of q135 and the oracle face of Incremental.geoidDiff (the r15
+  // incremental-rebuild trigger): an entity (an order here; a GEOID's
+  // 19 year rows in the pipeline; a shard's documents in general) is
+  // MANY rows, and its change verdict must not depend on row order —
+  // CSV re-sharding reorders a group's rows without changing its
+  // content. Fingerprint = q145's commutative Σ of per-row 60-bit
+  // content hashes, per entity; two snapshots full-outer join on the
+  // entity key and classify added / removed / changed / unchanged.
+  // Scale shape: each snapshot scans once, hashes map-side, and only
+  // (key, 16-byte decimal) rows cross the shuffle — never the rows
+  // themselves; the rollup output is 4 rows.
+  def q146EntityDiff(s: SparkSession, d: String): DataFrame = {
+    val rows = lineitem(s, d).select(col("l_orderkey").as("okey"),
+      col("l_linenumber").as("ln"),
+      expr("CAST(round(l_quantity) AS BIGINT)").as("q"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("p"))
+    // derived second snapshot (both engines build it identically):
+    // drop okey%31, duplicate okey%13 under shifted keys, then bump
+    // quantity wherever the (possibly shifted) key hits %17
+    val newRows = rows.filter(col("okey") % 31 =!= 0)
+      .unionByName(rows.filter(col("okey") % 13 === 0)
+        .withColumn("okey", col("okey") + 900000000L))
+      .withColumn("q",
+        when(col("okey") % 17 === 0, col("q") + 1).otherwise(col("q")))
+    def fp(df: DataFrame, as: String): DataFrame = df
+      .select(col("okey"), TextStats.hash60(concat_ws("|",
+        col("okey"), col("ln"), col("q"), col("p"))).as("h"))
+      .groupBy("okey")
+      .agg(sum(col("h").cast("decimal(38,0)")).as(as))
+    fp(rows, "fpo").join(fp(newRows, "fpn"), Seq("okey"), "full_outer")
+      .select(col("okey"),
+        when(col("fpo").isNull, "added")
+          .when(col("fpn").isNull, "removed")
+          .when(col("fpo") =!= col("fpn"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_entities"),
+        min("okey").as("min_key"), max("okey").as("max_key"))
+      .orderBy("status")
+  }
+
+  val q146Sql: String =
+    """WITH rows0 AS (SELECT l_orderkey AS okey, l_linenumber AS ln,
+      |  CAST(round(l_quantity) AS BIGINT) AS q,
+      |  CAST(round(l_extendedprice * 100) AS BIGINT) AS p FROM lineitem),
+      |nr0 AS (SELECT okey, ln, q, p FROM rows0 WHERE okey % 31 <> 0
+      |        UNION ALL
+      |        SELECT okey + 900000000, ln, q, p FROM rows0
+      |        WHERE okey % 13 = 0),
+      |nr AS (SELECT okey, ln,
+      |  CASE WHEN okey % 17 = 0 THEN q + 1 ELSE q END AS q, p FROM nr0),
+      |fpo AS (SELECT okey, CAST(sum(CAST(('0x' || substr(
+      |  md5(concat_ws('|', okey, ln, q, p)), 1, 15)) AS BIGINT))
+      |  AS DECIMAL(38,0)) AS fp FROM rows0 GROUP BY okey),
+      |fpn AS (SELECT okey, CAST(sum(CAST(('0x' || substr(
+      |  md5(concat_ws('|', okey, ln, q, p)), 1, 15)) AS BIGINT))
+      |  AS DECIMAL(38,0)) AS fp FROM nr GROUP BY okey),
+      |j AS (SELECT coalesce(fpo.okey, fpn.okey) AS okey,
+      |  CASE WHEN fpo.okey IS NULL THEN 'added'
+      |       WHEN fpn.okey IS NULL THEN 'removed'
+      |       WHEN fpo.fp <> fpn.fp THEN 'changed'
+      |       ELSE 'unchanged' END AS status
+      | FROM fpo FULL OUTER JOIN fpn ON fpo.okey = fpn.okey)
+      |SELECT status, count(*) AS n_entities, min(okey) AS min_key,
+      |  max(okey) AS max_key
+      |FROM j GROUP BY status ORDER BY status""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_entity_diff" -> (q146EntityDiff _),
     "q145_shard_fingerprints" -> (q145ShardFingerprints _),
     "q85_dsir_weights" -> (q85DsirWeights _),
     "q80_cut_spans" -> (q80CutSpans _),
@@ -1123,6 +1192,7 @@ object QueriesCorpus {
   )
 
   val oracle: Map[String, String] = Map(
+    "q146_entity_diff" -> q146Sql,
     "q145_shard_fingerprints" -> q145Sql,
     "q85_dsir_weights" -> q85Sql,
     "q80_cut_spans" -> q80Sql,

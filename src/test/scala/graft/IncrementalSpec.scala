@@ -121,6 +121,30 @@ class IncrementalSpec extends AnyFunSuite with SharedSpark {
       // metadata carried from the previous run
       assert(Files.exists(Paths.get(dirIncr, "block-groups", decade, "metadata.json")))
     }
+
+    // IN-PLACE mode (outDir == prevDir, the live-deployment shape):
+    // clone the previous tree, update it in place, same byte parity —
+    // including DELETION of tiles the delta emptied
+    val dirLive = Files.createTempDirectory("incr-live").toString
+    Files.walk(Paths.get(dirOld)).forEach { p =>
+      val t = Paths.get(dirLive).resolve(Paths.get(dirOld).relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t)
+    }
+    val statsLive = Incremental.incrementalRegion(spark, oldCsv, newCsv, "raw",
+      metricLongNames, "block-groups", features, prevDir = dirLive,
+      outDir = dirLive)
+    assert(!statsLive.fullRebuild)
+    for (decade <- Seq("00", "10")) {
+      val full = md5tree(s"$dirFull/block-groups/$decade")
+      val live = md5tree(s"$dirLive/block-groups/$decade")
+      assert(live.keySet == full.keySet,
+        s"in-place decade $decade tile SETS differ: only-full=" +
+          s"${(full.keySet -- live.keySet).take(5)} only-live=" +
+          s"${(live.keySet -- full.keySet).take(5)}")
+      val mm = full.keys.filter(k => full(k) != live(k)).toSeq
+      assert(mm.isEmpty, s"in-place decade $decade: ${mm.size} differ ${mm.take(5)}")
+    }
   }
 
   test("mass change routes to the full-rebuild fallback") {
