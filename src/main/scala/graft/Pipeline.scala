@@ -202,7 +202,8 @@ object Pipeline {
                 outDir: Option[String] = None,
                 extendBudget: Int = 10000,
                 wideOut: Option[String] = None,
-                extentsOut: Option[String] = None): (DataFrame, DataFrame) = {
+                extentsOut: Option[String] = None,
+                mbtiles: Boolean = false): (DataFrame, DataFrame) = {
     val long = Sources.readCsv(spark, longCsvPath,
       Sources.longSchema(metricLongNames))
     val multiAction = (features.isDefined && outDir.isDefined) ||
@@ -277,17 +278,28 @@ object Pipeline {
             concat(coalesce(col("bubble_bytes"), lit(Array.empty[Byte])),
               coalesce(col("choro_bytes"), lit(Array.empty[Byte]))).as("tile_bytes"))
         val maxZoomOut = math.max(bubbleMaxZ.getOrElse(bz.maxZoom), choroMaxZ)
-        TileBuild.writePbfDirectory(merged, s"$out/$region/$decade",
-          Map("name" -> s"$region-$decade",
-            "type" -> "overlay",
-            "minzoom" -> math.min(bz.minZoom, zoom.minZoom).toString,
-            "maxzoom" -> maxZoomOut.toString,
-            "layers" -> (s"$region-$decade-bubble" +
-              (if (hasPolys) s",$region-$decade-choropleth" else "")))
-            ++ bounds.map { case (x0, y0, x1, y1) =>
-              Map("bounds" -> s"$x0,$y0,$x1,$y1",
-                "center" -> s"${(x0 + x1) / 2},${(y0 + y1) / 2},$maxZoomOut")
-            }.getOrElse(Map.empty))
+        val meta = Map("name" -> s"$region-$decade",
+          "type" -> "overlay",
+          "minzoom" -> math.min(bz.minZoom, zoom.minZoom).toString,
+          "maxzoom" -> maxZoomOut.toString,
+          "layers" -> (s"$region-$decade-bubble" +
+            (if (hasPolys) s",$region-$decade-choropleth" else ""))) ++
+          bounds.map { case (x0, y0, x1, y1) =>
+            Map("bounds" -> s"$x0,$y0,$x1,$y1",
+              "center" -> s"${(x0 + x1) / 2},${(y0 + y1) / 2},$maxZoomOut")
+          }.getOrElse(Map.empty)
+        // the mbtiles sink re-reads the merged tiles (the container is
+        // a second consumer): persist for the duration so the decade
+        // build runs once, not per sink
+        val out2 = if (mbtiles)
+          merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else merged
+        TileBuild.writePbfDirectory(out2, s"$out/$region/$decade", meta)
+        if (mbtiles) {
+          graft.sinks.Mbtiles.writeMbtiles(out2,
+            s"$out/$region/$decade.mbtiles", meta + ("format" -> "pbf"))
+          out2.unpersist()
+        }
       }
       polyFeats.foreach(_.unpersist())
     }

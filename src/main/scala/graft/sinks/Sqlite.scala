@@ -1,0 +1,346 @@
+package graft.sinks
+
+import java.io.RandomAccessFile
+
+/** Minimal single-writer SQLite 3 database file writer — just enough
+  * of the public file format (sqlite.org/fileformat2.html) to emit a
+  * valid `.mbtiles` container WITHOUT a JDBC driver (none is
+  * resolvable offline; this closes the one deviation SURVEY §1.4 has
+  * carried since r7). Write-only and bottom-up: leaves stream to disk
+  * as they fill, interiors build over their page numbers, page 1's
+  * header + `sqlite_master` are back-patched last. No freelist, no
+  * WAL, no pointer-map pages (auto-vacuum off), UTF-8 text encoding.
+  *
+  * Supported surface: table b-trees (rowid tables, arbitrarily large
+  * cell payloads via overflow chains) and UNIQUE index b-trees over
+  * pre-sorted entries (divider entries promoted to interiors exactly
+  * once, as the format requires — an index entry exists at ONE level
+  * of the tree). That is precisely the MBTiles schema: two rowid
+  * tables + one unique index.
+  *
+  * The lock-byte page (the 4096-byte page covering file offset 2^30,
+  * page 262145 at this page size) is skipped with a zero page when
+  * the database grows past 1 GiB, as the format mandates.
+  *
+  * Verification: MbtilesSpec walks the emitted file structurally AND
+  * cross-checks it against an independent implementation (the
+  * driver container's python sqlite3 stdlib) — every tile row and
+  * metadata row must round-trip byte-exactly.
+  */
+private[graft] object Sqlite {
+
+  val PageSize = 4096
+  private val LockBytePage = 262145 // (1 << 30) / PageSize + 1
+
+  // ---- SQL values and the record format -----------------------------
+
+  sealed trait SqlVal
+  final case class SqlInt(v: Long) extends SqlVal
+  final case class SqlText(v: String) extends SqlVal
+  final case class SqlBlob(v: Array[Byte]) extends SqlVal
+  case object SqlNull extends SqlVal
+
+  /** Big-endian 7-bit varint (1–9 bytes; 9th byte carries 8 bits). */
+  def varint(v0: Long): Array[Byte] = {
+    if (v0 >= 0 && v0 <= 127) return Array(v0.toByte)
+    // collect 7-bit groups little-end first; 9-byte case keeps low 8
+    val out = new Array[Byte](9)
+    var v = v0
+    if ((v >>> 56) != 0 || v < 0) { // needs all 9 bytes
+      out(8) = (v & 0xff).toByte
+      v >>>= 8
+      var i = 7
+      while (i >= 0) { out(i) = ((v & 0x7f) | 0x80).toByte; v >>>= 7; i -= 1 }
+      return out
+    }
+    var tmp = List.empty[Byte]
+    while (v != 0) { tmp = (v & 0x7f).toByte :: tmp; v >>>= 7 }
+    val arr = tmp.toArray
+    var i = 0
+    while (i < arr.length - 1) { arr(i) = (arr(i) | 0x80).toByte; i += 1 }
+    arr
+  }
+
+  private def intSerial(v: Long): (Long, Array[Byte]) = v match {
+    case 0 => (8L, Array.empty)
+    case 1 => (9L, Array.empty)
+    case _ =>
+      def be(n: Int): Array[Byte] =
+        (0 until n).map(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte).toArray
+      if (v >= -128 && v <= 127) (1L, be(1))
+      else if (v >= -32768 && v <= 32767) (2L, be(2))
+      else if (v >= -8388608 && v <= 8388607) (3L, be(3))
+      else if (v >= Int.MinValue && v <= Int.MaxValue) (4L, be(4))
+      else if (v >= -140737488355328L && v <= 140737488355327L) (6L, be(6))
+      else (8L, be(8))
+  }
+
+  /** Encode one record (row payload): header of serial types + body. */
+  def record(values: Seq[SqlVal]): Array[Byte] = {
+    val parts = values.map {
+      case SqlInt(v) => intSerial(v)
+      case SqlText(s) =>
+        val b = s.getBytes("UTF-8"); (13L + 2L * b.length, b)
+      case SqlBlob(b) => (12L + 2L * b.length, b)
+      case SqlNull => (0L, Array.empty[Byte])
+    }
+    val serials = parts.map(p => varint(p._1))
+    // header length includes its own varint — sizes here never push the
+    // varint across a length boundary twice (header ≤ a few KB)
+    var hlen = serials.map(_.length).sum
+    hlen += varint(hlen + 1).length
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(varint(hlen))
+    serials.foreach(out.write)
+    parts.foreach(p => out.write(p._2))
+    out.toByteArray
+  }
+
+  // ---- page sink -----------------------------------------------------
+
+  /** Sequential page allocator over a RandomAccessFile; page 1 is
+    * reserved for the header + sqlite_master and back-patched in
+    * [[finish]].
+    */
+  final class Sink(raf: RandomAccessFile) {
+    var nPages = 1
+    raf.setLength(PageSize.toLong)
+
+    /** Write one page, return its 1-based page number. */
+    def write(page: Array[Byte]): Int = {
+      require(page.length == PageSize)
+      nPages += 1
+      if (nPages == LockBytePage) { // format: the lock-byte page holds no data
+        raf.seek((nPages - 1L) * PageSize)
+        raf.write(new Array[Byte](PageSize))
+        nPages += 1
+      }
+      raf.seek((nPages - 1L) * PageSize)
+      raf.write(page)
+      nPages
+    }
+
+    def patchPage1(content: Array[Byte]): Unit = {
+      require(content.length == PageSize)
+      raf.seek(0); raf.write(content)
+    }
+  }
+
+  // ---- table b-tree (rowid) -------------------------------------------
+
+  private val U = PageSize // usable (reserved-per-page = 0)
+  private val TblMaxLocal = U - 35
+  private val TblMinLocal = (U - 12) * 32 / 255 - 23
+
+  /** Streaming bottom-up builder for one rowid-table b-tree. Rows must
+    * arrive in ascending rowid order.
+    */
+  final class TableBuilder(sink: Sink) {
+    private var cells = List.empty[Array[Byte]] // reversed
+    private var cellBytes = 0
+    private var nCells = 0
+    // (page, maxRowid) per flushed leaf, in order
+    private val leaves = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    private var lastRowid = Long.MinValue
+    private var leafMaxRowid = Long.MinValue
+
+    def addRow(rowid: Long, payload: Array[Byte]): Unit = {
+      require(rowid > lastRowid, s"rowids must ascend: $rowid after $lastRowid")
+      lastRowid = rowid
+      val p = payload.length.toLong
+      val cell = new java.io.ByteArrayOutputStream()
+      if (p <= TblMaxLocal) {
+        cell.write(varint(p)); cell.write(varint(rowid)); cell.write(payload)
+      } else {
+        val k = TblMinLocal + ((p - TblMinLocal) % (U - 4)).toInt
+        val local = if (k <= TblMaxLocal) k else TblMinLocal
+        // overflow chain first (their page numbers precede the leaf's —
+        // legal: pages may appear in any order)
+        val chunks = payload.drop(local).grouped(U - 4).toArray
+        var next = 0
+        for (i <- chunks.indices.reverse) {
+          val pg = new Array[Byte](PageSize)
+          writeBE32(pg, 0, next)
+          System.arraycopy(chunks(i), 0, pg, 4, chunks(i).length)
+          next = sink.write(pg)
+        }
+        cell.write(varint(p)); cell.write(varint(rowid))
+        cell.write(payload, 0, local)
+        val ov = new Array[Byte](4); writeBE32(ov, 0, next); cell.write(ov)
+      }
+      val c = cell.toByteArray
+      if (nCells > 0 && 8 + 2 * (nCells + 1) + cellBytes + c.length > PageSize)
+        flushLeaf()
+      cells ::= c; cellBytes += c.length; nCells += 1; leafMaxRowid = rowid
+    }
+
+    private def flushLeaf(): Unit = {
+      val page = assemblePage(0x0D, cells.reverse.toArray, rightMost = 0)
+      leaves += ((sink.write(page), leafMaxRowid))
+      cells = Nil; cellBytes = 0; nCells = 0
+    }
+
+    /** Flush and build interiors; returns the root page number. */
+    def finish(): Int = {
+      if (nCells > 0 || leaves.isEmpty) flushLeaf() // empty table = 1 empty leaf
+      buildTableInteriors(sink, leaves.toSeq)
+    }
+  }
+
+  private def buildTableInteriors(sink: Sink,
+                                  level: Seq[(Int, Long)]): Int = {
+    if (level.length == 1) return level.head._1
+    val next = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    var i = 0
+    while (i < level.length) {
+      // interior cell = 4B child + varint(maxRowid); ~560 fit per page,
+      // group conservatively at 400
+      val group = level.slice(i, math.min(i + 400, level.length))
+      i += group.length
+      val cells = group.dropRight(1).map { case (child, maxRid) =>
+        val b = new java.io.ByteArrayOutputStream()
+        val cb = new Array[Byte](4); writeBE32(cb, 0, child); b.write(cb)
+        b.write(varint(maxRid)); b.toByteArray
+      }.toArray
+      val page = assemblePage(0x05, cells, rightMost = group.last._1)
+      next += ((sink.write(page), group.last._2))
+    }
+    buildTableInteriors(sink, next.toSeq)
+  }
+
+  // ---- index b-tree (unique, pre-sorted entries) ----------------------
+
+  private val IdxMaxLocal = (U - 12) * 64 / 255 - 23
+
+  /** Bottom-up unique-index builder. Entries must arrive in index
+    * order; each entry lives at exactly ONE level (leaf, or promoted
+    * as a divider). Payloads must fit locally (≤ [[IdxMaxLocal]]) —
+    * MBTiles index keys are a few ints plus a rowid.
+    */
+  final class IndexBuilder(sink: Sink) {
+    private var cells = List.empty[Array[Byte]]
+    private var cellBytes = 0
+    private var nCells = 0
+    // (page, dividerRecordAfter) pairs; last leaf has no divider
+    private val leaves = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Option[Array[Byte]])]
+
+    def addEntry(payload: Array[Byte]): Unit = {
+      require(payload.length <= IdxMaxLocal,
+        s"index entry ${payload.length}B exceeds local max $IdxMaxLocal")
+      val cell = new java.io.ByteArrayOutputStream()
+      cell.write(varint(payload.length.toLong)); cell.write(payload)
+      val c = cell.toByteArray
+      if (nCells > 0 && 8 + 2 * (nCells + 1) + cellBytes + c.length > PageSize) {
+        // this entry becomes the DIVIDER above the leaf just closed
+        flushLeaf(divider = Some(payload))
+        return
+      }
+      cells ::= c; cellBytes += c.length; nCells += 1
+    }
+
+    private def flushLeaf(divider: Option[Array[Byte]]): Unit = {
+      val page = assemblePage(0x0A, cells.reverse.toArray, rightMost = 0)
+      leaves += ((sink.write(page), divider))
+      cells = Nil; cellBytes = 0; nCells = 0
+    }
+
+    def finish(): Int = {
+      if (nCells > 0 || leaves.isEmpty) flushLeaf(divider = None)
+      buildIndexInteriors(sink, leaves.toSeq)
+    }
+  }
+
+  private def buildIndexInteriors(sink: Sink,
+      level: Seq[(Int, Option[Array[Byte]])]): Int = {
+    if (level.length == 1) return level.head._1
+    val next = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Option[Array[Byte]])]
+    var i = 0
+    while (i < level.length) {
+      val group = level.slice(i, math.min(i + 200, level.length))
+      i += group.length
+      val cells = group.dropRight(1).map { case (child, div) =>
+        val payload = div.getOrElse(
+          // a divider-less child can only be the global last; it never
+          // sits left of a sibling, so this is unreachable mid-group
+          throw new IllegalStateException("missing divider mid-level"))
+        val b = new java.io.ByteArrayOutputStream()
+        val cb = new Array[Byte](4); writeBE32(cb, 0, child); b.write(cb)
+        b.write(varint(payload.length.toLong)); b.write(payload)
+        b.toByteArray
+      }.toArray
+      val page = assemblePage(0x02, cells, rightMost = group.last._1)
+      next += ((sink.write(page), group.last._2))
+    }
+    buildIndexInteriors(sink, next.toSeq)
+  }
+
+  // ---- page assembly ---------------------------------------------------
+
+  private def writeBE16(a: Array[Byte], off: Int, v: Int): Unit = {
+    a(off) = ((v >> 8) & 0xff).toByte; a(off + 1) = (v & 0xff).toByte
+  }
+  private def writeBE32(a: Array[Byte], off: Int, v: Int): Unit = {
+    a(off) = ((v >> 24) & 0xff).toByte; a(off + 1) = ((v >> 16) & 0xff).toByte
+    a(off + 2) = ((v >> 8) & 0xff).toByte; a(off + 3) = (v & 0xff).toByte
+  }
+
+  /** Assemble one b-tree page: header, cell pointer array ascending,
+    * cell content packed from the page end. `headerAt` > 0 only for
+    * page 1 (after the 100-byte file header).
+    */
+  def assemblePage(pageType: Int, cells: Array[Array[Byte]],
+                   rightMost: Int, headerAt: Int = 0): Array[Byte] = {
+    val page = new Array[Byte](PageSize)
+    val interior = pageType == 0x05 || pageType == 0x02
+    val hdrLen = if (interior) 12 else 8
+    page(headerAt) = pageType.toByte
+    writeBE16(page, headerAt + 3, cells.length)
+    if (interior) writeBE32(page, headerAt + 8, rightMost)
+    var content = PageSize
+    val ptrBase = headerAt + hdrLen
+    for (i <- cells.indices) {
+      content -= cells(i).length
+      System.arraycopy(cells(i), 0, page, content, cells(i).length)
+      writeBE16(page, ptrBase + 2 * i, content)
+    }
+    require(ptrBase + 2 * cells.length <= content,
+      s"page overflow: ${cells.length} cells, content at $content")
+    writeBE16(page, headerAt + 5, content)
+    page
+  }
+
+  // ---- file header + schema page --------------------------------------
+
+  /** Build page 1: the 100-byte header plus the sqlite_master table
+    * leaf holding the schema rows (type, name, tbl_name, rootpage,
+    * sql) — callers guarantee the handful of rows fits one page.
+    */
+  def buildPage1(nPages: Int,
+                 masterRows: Seq[(String, String, String, Int, String)])
+      : Array[Byte] = {
+    val cells = masterRows.zipWithIndex.map { case ((t, n, tn, root, sql), i) =>
+      val payload = record(Seq(SqlText(t), SqlText(n), SqlText(tn),
+        SqlInt(root.toLong), SqlText(sql)))
+      require(payload.length <= TblMaxLocal, "schema row too large")
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(varint(payload.length.toLong)); b.write(varint(i + 1L))
+      b.write(payload); b.toByteArray
+    }.toArray
+    val page = assemblePage(0x0D, cells, rightMost = 0, headerAt = 100)
+    val hdr = "SQLite format 3".getBytes("ISO-8859-1") :+ 0.toByte
+    System.arraycopy(hdr, 0, page, 0, 16)
+    writeBE16(page, 16, PageSize)
+    page(18) = 1; page(19) = 1 // legacy file format (no WAL)
+    page(21) = 64; page(22) = 32; page(23) = 32
+    writeBE32(page, 24, 1) // change counter
+    writeBE32(page, 28, nPages) // in-header db size
+    writeBE32(page, 40, 1) // schema cookie
+    writeBE32(page, 44, 4) // schema format
+    writeBE32(page, 56, 1) // UTF-8
+    writeBE32(page, 92, 1) // version-valid-for == change counter
+    writeBE32(page, 96, 3045000) // write-library version
+    page
+  }
+}

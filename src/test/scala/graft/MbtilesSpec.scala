@@ -1,0 +1,137 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The hand-written SQLite/MBTiles container ([[graft.sinks.Sqlite]],
+  * [[graft.sinks.Mbtiles]]) verified against an INDEPENDENT
+  * implementation: the container's python sqlite3 stdlib opens the
+  * file, runs `PRAGMA integrity_check` (sqlite's own deep structural
+  * validator: b-tree order, cell overlap, overflow chains, index↔table
+  * consistency), dumps every row, and exercises the UNIQUE-index
+  * lookup path. Tests cancel gracefully when python3 is unavailable.
+  */
+class MbtilesSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private def md5(b: Array[Byte]): String =
+    MessageDigest.getInstance("MD5").digest(b).map("%02x".format(_)).mkString
+
+  private lazy val python: Option[String] =
+    Seq("python3", "python").find { p =>
+      try {
+        new ProcessBuilder(p, "-c", "import sqlite3").start().waitFor() == 0
+      } catch { case _: java.io.IOException => false }
+    }
+
+  /** Run the python oracle over a .mbtiles file; returns its stdout
+    * lines: "ok" from integrity_check, one "T,z,x,row,md5" per tile,
+    * "M,name,value" per metadata row, one "L,md5" indexed lookup.
+    */
+  private def pyDump(db: String): Seq[String] = {
+    val script =
+      """import sqlite3, sys, hashlib
+        |db = sqlite3.connect(sys.argv[1])
+        |print(db.execute("PRAGMA integrity_check").fetchone()[0])
+        |rows = db.execute("select zoom_level, tile_column, tile_row, tile_data "
+        |                  "from tiles order by 1,2,3").fetchall()
+        |for z, x, r, b in rows:
+        |    print(f"T,{z},{x},{r},{hashlib.md5(b).hexdigest()}")
+        |for n, v in db.execute("select name, value from metadata order by name"):
+        |    print(f"M,{n},{v}")
+        |if rows:
+        |    z, x, r, _ = rows[len(rows) // 2]
+        |    got = db.execute("select tile_data from tiles where zoom_level=? "
+        |                     "and tile_column=? and tile_row=?", (z, x, r)).fetchone()
+        |    print(f"L,{hashlib.md5(got[0]).hexdigest()}")
+        |""".stripMargin
+    val f = Files.createTempFile("mbt", ".py")
+    Files.write(f, script.getBytes("UTF-8"))
+    val pb = new ProcessBuilder(python.get, f.toString, db)
+    pb.redirectErrorStream(true)
+    pb.environment().put("PYTHONIOENCODING", "utf-8")
+    val proc = pb.start()
+    val out = scala.io.Source.fromInputStream(proc.getInputStream, "UTF-8")
+      .getLines().toList
+    assert(proc.waitFor() == 0, s"python oracle failed:\n${out.mkString("\n")}")
+    out
+  }
+
+  test("hand-written sqlite passes integrity_check; rows round-trip via python") {
+    assume(python.isDefined, "python3 with sqlite3 not available")
+    // 2000 small tiles force multi-leaf table AND index b-trees with
+    // interior levels; 5 oversized blobs exercise overflow chains
+    val small = (0 until 2000).map { i =>
+      val z = 8 + i % 3
+      (z, (i / 3).toLong % (1L << z), (i % 97).toLong,
+        Array.fill[Byte](40 + i % 50)((i % 251).toByte))
+    }
+    val big = (0 until 5).map { i =>
+      (14, 9000L + i, 4000L + i,
+        Array.tabulate[Byte](12000 + i * 3000)(j => ((i * 7 + j) % 251).toByte))
+    }
+    val tiles = (small ++ big).toDF("z", "x", "y", "tile_bytes")
+      // the writer must tolerate duplicate-free arbitrary input order
+      .orderBy(rand(42))
+    val db = Files.createTempDirectory("mbt").resolve("t.mbtiles").toString
+    graft.sinks.Mbtiles.writeMbtiles(tiles, db,
+      Map("name" -> "fixture", "format" -> "pbf", "q" -> "vérité"))
+
+    val out = pyDump(db)
+    assert(out.head == "ok", s"integrity_check: ${out.head}")
+    // expected tile set (TMS-flipped rows), md5 per tile
+    val expected = (small ++ big).map { case (z, x, y, b) =>
+      s"T,$z,$x,${(1L << z) - 1 - y},${md5(b)}"
+    }.toSet
+    val gotTiles = out.filter(_.startsWith("T,")).toSet
+    assert(gotTiles == expected,
+      s"tiles differ: missing=${(expected -- gotTiles).take(3)} " +
+        s"extra=${(gotTiles -- expected).take(3)}")
+    assert(out.contains("M,format,pbf") && out.contains("M,name,fixture"))
+    assert(out.contains("M,q,vérité"), "UTF-8 text must round-trip")
+    // the UNIQUE-index lookup path returned a real blob
+    val lookup = out.find(_.startsWith("L,")).get.drop(2)
+    assert(expected.exists(_.endsWith(lookup)), "indexed lookup blob mismatch")
+  }
+
+  test("runRegion(mbtiles = true) ships the container next to the pbf tree") {
+    assume(python.isDefined, "python3 with sqlite3 not available")
+    val dir = Files.createTempDirectory("mbt-pipe").toString
+    val csv = {
+      val p = Paths.get(dir, "data.csv")
+      Files.write(p, ("id,year,name,parent_location,population\n" +
+        "01001,2000,A,Alabama,100\n01003,2001,B,Alabama,200\n").getBytes)
+      p.toString
+    }
+    import spark.implicits._
+    val features = Seq(("01001", -86.6, 32.5), ("01003", -87.1, 30.7))
+      .toDF("GEOID", "lon", "lat")
+    Pipeline.runRegion(spark, csv, "raw", Seq("population"), "counties",
+      features = Some(features), outDir = Some(dir), mbtiles = true)
+    for (decade <- Seq("00", "10")) {
+      val db = s"$dir/counties/$decade.mbtiles"
+      assert(Files.exists(Paths.get(db)), s"missing $db")
+      val out = pyDump(db)
+      assert(out.head == "ok")
+      // container contents ≡ the pbf tree, tile for tile, byte for byte
+      val pbf = Files.walk(Paths.get(s"$dir/counties/$decade")).iterator()
+      val onDisk = scala.collection.mutable.Map.empty[(Long, Long, Long), String]
+      pbf.forEachRemaining { p =>
+        val m = "/(\\d+)/(\\d+)/(\\d+)\\.pbf$".r.findFirstMatchIn(p.toString)
+        m.foreach { g =>
+          onDisk((g.group(1).toLong, g.group(2).toLong, g.group(3).toLong)) =
+            md5(Files.readAllBytes(p))
+        }
+      }
+      val expected = onDisk.map { case ((z, x, y), h) =>
+        s"T,$z,$x,${(1L << z) - 1 - y},$h"
+      }.toSet
+      assert(out.filter(_.startsWith("T,")).toSet == expected)
+      assert(out.contains(s"M,name,counties-$decade"))
+      assert(out.contains("M,format,pbf"))
+    }
+  }
+}
