@@ -47,7 +47,13 @@ import graft.sources.Sources
   * Geometry changes are out of scope by design: the census shape
   * tables the reference tiles change once a decade — a geometry delta
   * is the full-rebuild case, and [[incrementalRegion]]'s fraction
-  * gate already routes mass change there.
+  * gate already routes mass change there. Same scope note for
+  * `--extend-zooms-if-still-dropping`: a previous run that EXTENDED
+  * past the region's configured maxZoom (dense point regions) wrote
+  * deeper tiles than the default fan covers — incremental updates of
+  * an extension-deepened tree would need the same maxZoom override
+  * wired through; the national block-groups case this is built for
+  * does not extend (the density budget holds at z10).
   */
 object Incremental {
 
@@ -176,15 +182,29 @@ object Incremental {
     val (nChanged, nAdded, nRemoved) = (byStatus.getOrElse("changed", 0L),
       byStatus.getOrElse("added", 0L), byStatus.getOrElse("removed", 0L))
     val nTotal = newLong.select("id").distinct().count()
-    // persist the NEW fingerprints for the next delta (safe: diff is
-    // already materialized, and newFps derives from the new CSV)
-    newFps.write.mode("overwrite")
+    // the NEW fingerprints persist for the next delta at the END of
+    // each path (after the fallback's tree wipe, after the in-place
+    // updates) — newFps derives from the new CSV, so writing it late
+    // is always safe, and diff is already checkpoint-materialized
+    def persistFingerprints(): Unit = newFps.write.mode("overwrite")
       .parquet(s"$outDir/$region/fingerprints.parquet")
     if (nTotal == 0 ||
         (nChanged + nAdded + nRemoved).toDouble / nTotal > maxChangedFraction) {
       diff.unpersist()
+      // full rebuild into a dir that may hold the previous tree: clear
+      // the region subtree first (the reference's own `rm -rf _proc`
+      // semantics) — an overwrite-only rebuild would leave STALE tile
+      // files for (z,x,y)s the new data no longer produces
+      val regionDir = java.nio.file.Paths.get(outDir, region)
+      if (java.nio.file.Files.exists(regionDir)) {
+        val it = java.nio.file.Files.walk(regionDir)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator()
+        while (it.hasNext) java.nio.file.Files.delete(it.next())
+      }
       Pipeline.runRegion(spark, newCsvPath, inputType, metricLongNames,
         region, features = Some(features), outDir = Some(outDir))
+      persistFingerprints()
       return Stats(nChanged, nAdded, nRemoved, -1L, -1L, fullRebuild = true)
     }
 
@@ -261,7 +281,8 @@ object Incremental {
           java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
             outDir, region, decade, r.getAs[Int]("z").toString,
             r.getAs[Long]("x").toString, s"${r.getAs[Long]("y")}.pbf"))
-        TileBuild.writePbfDirectory(rebuilt, s"$outDir/$region/$decade")
+        TileBuild.writePbfDirectory(rebuilt, s"$outDir/$region/$decade",
+          writeMetadata = false) // the live metadata.json stays as-is
       } else {
         val carried = readPbfTree(spark, s"$prevDir/$region/$decade")
           .join(affectedTiles, Seq("z", "x", "y"), "left_anti")
@@ -275,6 +296,7 @@ object Incremental {
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
     }
+    persistFingerprints()
     polyFeats.foreach(_.unpersist())
     wideC.unpersist(); contributors.unpersist(); affectedTiles.unpersist()
     fan.unpersist(); diff.unpersist()

@@ -213,6 +213,18 @@ object PipeScale {
     val (wallB, statsB) = incr(csv, csvClust, s"$outBase/run2")   // clustered, cold fp
     featsI.unpersist()
 
+    // .mbtiles container write at the national tile count — single-
+    // writer by format (tippecanoe's constraint too): decade 00's tree
+    // streams back through toLocalIterator into one sqlite file
+    val wallMbt = {
+      val t0 = System.nanoTime()
+      graft.sinks.Mbtiles.writeMbtiles(
+        Incremental.readPbfTree(spark, s"$outBase/run2/block-groups/00"),
+        s"$outBase/run2/block-groups/00.mbtiles",
+        Map("name" -> "block-groups-00", "format" -> "pbf"))
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // sanity: tiles on disk + artifact shapes (outside the timed walls)
     def countPbf(dir: String): Long = {
       val d = new java.io.File(dir)
@@ -237,9 +249,10 @@ object PipeScale {
       f""""wall_min":${math.min(wall1, wall2)}%.1f,""" +
       f""""incr_scatter":$wallA%.1f,"incr_scatter_tiles":${statsA.affectedTiles},""" +
       f""""incr_scatter_contrib":${statsA.contributors},""" +
-      f""""incr_warmfp":$wallC%.1f,""" +
+      f""""incr_warmfp":$wallC%.1f,"incr_warmfp_tiles":${statsC.affectedTiles},""" +
       f""""incr_cluster":$wallB%.1f,"incr_cluster_tiles":${statsB.affectedTiles},""" +
-      f""""incr_cluster_contrib":${statsB.contributors},"unit":"sec"}""")
+      f""""incr_cluster_contrib":${statsB.contributors},""" +
+      f""""mbtiles_wall":$wallMbt%.1f,"unit":"sec"}""")
     spark.stop()
   }
 }

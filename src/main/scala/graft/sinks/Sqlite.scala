@@ -85,10 +85,15 @@ private[graft] object Sqlite {
       case SqlNull => (0L, Array.empty[Byte])
     }
     val serials = parts.map(p => varint(p._1))
-    // header length includes its own varint — sizes here never push the
-    // varint across a length boundary twice (header ≤ a few KB)
-    var hlen = serials.map(_.length).sum
-    hlen += varint(hlen + 1).length
+    // header length includes its own varint: solve the (tiny) fixpoint
+    // hlen = sum + len(varint(hlen)) instead of assuming one step —
+    // a one-shot adjustment goes wrong exactly at varint width
+    // boundaries (sum = 16382 would declare a 2-byte length that needs
+    // 3 bytes)
+    val sumSerials = serials.map(_.length).sum
+    var hlen = sumSerials + 1
+    while (hlen != sumSerials + varint(hlen.toLong).length)
+      hlen = sumSerials + varint(hlen.toLong).length
     val out = new java.io.ByteArrayOutputStream()
     out.write(varint(hlen))
     serials.foreach(out.write)

@@ -475,8 +475,15 @@ object TileBuild {
     * (`build.sh:219-228`). Executor-side writes; `outDir` must be a
     * shared filesystem on a real cluster.
     */
+  /** @param writeMetadata false for IN-PLACE tree updates
+    *                      ([[graft.Incremental]]): the live tree's
+    *                      metadata.json is decade-level and already
+    *                      correct — rewriting it from this call's
+    *                      (empty) map would clobber bounds/zooms/layers
+    */
   def writePbfDirectory(tiles: DataFrame, outDir: String,
-                        metadata: Map[String, String] = Map.empty): Unit = {
+                        metadata: Map[String, String] = Map.empty,
+                        writeMetadata: Boolean = true): Unit = {
     tiles.select("z", "x", "y", "tile_bytes").foreachPartition {
       (it: Iterator[Row]) =>
         it.foreach { r =>
@@ -488,9 +495,11 @@ object TileBuild {
             StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
         }
     }
-    val meta = (metadata + ("format" -> "pbf"))
-      .map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
-    Files.createDirectories(Paths.get(outDir))
-    Files.write(Paths.get(outDir, "metadata.json"), meta.getBytes("UTF-8"))
+    if (writeMetadata) {
+      val meta = (metadata + ("format" -> "pbf"))
+        .map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
+      Files.createDirectories(Paths.get(outDir))
+      Files.write(Paths.get(outDir, "metadata.json"), meta.getBytes("UTF-8"))
+    }
   }
 }

@@ -193,6 +193,27 @@ class CoreOperatorsSpec extends AnyFunSuite with SharedSpark {
       s"uniform keys must not salt: ${Joins.lastSkewVerdict.get()}")
   }
 
+  test("attributeJoin: broadcast hint is size-gated by the optimizer estimate") {
+    import graft.operators.Joins
+    val feats = spark.range(100)
+      .selectExpr("CAST(id AS STRING) AS GEOID", "id AS lon").toDF
+    // small attrs: the hint fires — attrs are ALWAYS the build side
+    val small = spark.range(100)
+      .selectExpr("CAST(id AS STRING) AS GEOID", "id * 2 AS v").toDF
+    val pSmall = Joins.attributeJoin(feats, small, "GEOID")
+      .queryExecution.executedPlan.toString
+    assert(pSmall.contains("BroadcastHashJoin") && pSmall.contains("BuildRight"),
+      s"regional attrs must broadcast:\n$pSmall")
+    // attrs whose Catalyst estimate exceeds the budget (20M rows ≈
+    // 160+ MB) must NOT be forced to build — the r15 PipeScale OOM
+    val big = spark.range(20000000L)
+      .selectExpr("CAST(id AS STRING) AS GEOID", "repeat('x', 100) AS v").toDF
+    val pBig = Joins.attributeJoin(feats, big, "GEOID")
+      .queryExecution.executedPlan.toString
+    assert(!pBig.contains("BuildRight"),
+      s"a national-scale slice must not be hinted onto the build side:\n$pBig")
+  }
+
   test("derivedSaltFactor: sized from max/mean, pow2, capped at shuffle partitions") {
     import graft.operators.Joins.derivedSaltFactor
     // mild skew → next power of two above max/mean

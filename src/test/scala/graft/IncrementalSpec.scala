@@ -131,10 +131,21 @@ class IncrementalSpec extends AnyFunSuite with SharedSpark {
       if (Files.isDirectory(p)) Files.createDirectories(t)
       else Files.copy(p, t)
     }
+    val metaBefore = new String(Files.readAllBytes(
+      Paths.get(dirLive, "block-groups", "00", "metadata.json")), "UTF-8")
     val statsLive = Incremental.incrementalRegion(spark, oldCsv, newCsv, "raw",
       metricLongNames, "block-groups", features, prevDir = dirLive,
       outDir = dirLive)
     assert(!statsLive.fullRebuild)
+    // the live tree's metadata (bounds/zooms/layers) must survive the
+    // in-place update untouched — an empty-map rewrite once clobbered it
+    val metaAfter = new String(Files.readAllBytes(
+      Paths.get(dirLive, "block-groups", "00", "metadata.json")), "UTF-8")
+    assert(metaAfter == metaBefore, s"metadata clobbered:\n$metaAfter")
+    assert(metaAfter.contains("bounds"), metaAfter)
+    // the next delta can start from the stored fingerprint artifact
+    assert(Files.exists(Paths.get(dirLive, "block-groups",
+      "fingerprints.parquet")))
     for (decade <- Seq("00", "10")) {
       val full = md5tree(s"$dirFull/block-groups/$decade")
       val live = md5tree(s"$dirLive/block-groups/$decade")
@@ -162,6 +173,27 @@ class IncrementalSpec extends AnyFunSuite with SharedSpark {
     assert(stats.fullRebuild && stats.changed == 20, stats.toString)
     // the fallback still produced a complete tree
     assert(md5tree(s"$dirOut/block-groups/00").nonEmpty)
+  }
+
+  test("diff plan: map-side partial fingerprints; one id-keyed shuffle per side") {
+    val oldCsv = writeLong(0 until 20, bumped = Set.empty)
+    val newCsv = writeLong(0 until 20, bumped = Set(3))
+    val schema = graft.sources.Sources.longSchema(metricLongNames)
+    val p = Incremental.geoidDiff(
+      graft.sources.Sources.readCsv(spark, oldCsv, schema),
+      graft.sources.Sources.readCsv(spark, newCsv, schema))
+      .queryExecution.executedPlan.toString
+    assert("FileScan csv".r.findAllIn(p).size == 2,
+      "each snapshot must scan exactly once")
+    assert(p.contains("partial_sum"),
+      "fingerprints must combine map-side — raw rows may not cross")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)
+    // the only shuffles are the two per-side fingerprint aggregations,
+    // keyed on the id: the rename to GEOID is alias-aware, so the join
+    // reuses the aggregation partitioning with NO third exchange
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ex.size == 2, s"expected 2 id-keyed exchanges:\n${ex.mkString("\n")}")
+    ex.foreach(l => assert(l.contains("(id#"), l))
   }
 
   test("geoidDiff classifies added/removed/changed and drops unchanged") {
