@@ -224,6 +224,15 @@ object PipeScale {
         Map("name" -> "block-groups-00", "format" -> "pbf"))
       (System.nanoTime() - t0) / 1e9
     }
+    // and the two-way door: the distributed container READ at the same
+    // scale (driver walks interiors; executors parse leaf ranges)
+    val (wallMbtRead, nMbt) = {
+      val t0 = System.nanoTime()
+      val n = graft.sinks.Mbtiles.readMbtiles(spark,
+        s"$outBase/run2/block-groups/00.mbtiles")
+        .selectExpr("count(*)", "sum(length(tile_bytes))").head.getLong(0)
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
 
     // sanity: tiles on disk + artifact shapes (outside the timed walls)
     def countPbf(dir: String): Long = {
@@ -252,7 +261,9 @@ object PipeScale {
       f""""incr_warmfp":$wallC%.1f,"incr_warmfp_tiles":${statsC.affectedTiles},""" +
       f""""incr_cluster":$wallB%.1f,"incr_cluster_tiles":${statsB.affectedTiles},""" +
       f""""incr_cluster_contrib":${statsB.contributors},""" +
-      f""""mbtiles_wall":$wallMbt%.1f,"unit":"sec"}""")
+      f""""mbtiles_wall":$wallMbt%.1f,""" +
+      f""""mbtiles_read_wall":$wallMbtRead%.1f,"mbtiles_tiles":$nMbt,""" +
+      f""""unit":"sec"}""")
     spark.stop()
   }
 }

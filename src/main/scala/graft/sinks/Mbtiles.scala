@@ -2,8 +2,9 @@ package graft.sinks
 
 import java.io.{File, RandomAccessFile}
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import Sqlite._
 
@@ -80,6 +81,71 @@ object Mbtiles {
         ("index", "tile_index", "tiles", idxRoot,
           "CREATE UNIQUE INDEX tile_index on tiles (zoom_level, " +
             "tile_column, tile_row)"))))
+    } finally raf.close()
+  }
+
+  /** Read an MBTiles container — whoever wrote it — back as the
+    * engine's tile frame (z, x, y, tile_bytes), XYZ y (TMS row flipped
+    * back). Ingesting the reference ecosystem's own artifacts is what
+    * makes the sink a two-way door: a tippecanoe-built tileset can
+    * re-attribute/merge/re-deploy through this engine.
+    *
+    * DISTRIBUTED scan: the driver walks only the table's INTERIOR
+    * pages (a handful even at GBs) to list leaf page numbers, then
+    * executors parse disjoint leaf ranges — overflow chains followed
+    * executor-side. The path must be visible from executors (local FS
+    * under local[*]; a shared mount or pre-distributed copy on a
+    * cluster — a .mbtiles is one file, the format's own constraint).
+    */
+  def readMbtiles(spark: SparkSession, path: String): DataFrame = {
+    val (leaves, pageSize, usable) = {
+      val raf = new RandomAccessFile(path, "r")
+      try {
+        val (ps, u) = readDbHeader(raf)
+        val root = readMaster(raf, ps, u)
+          .collectFirst { case ("table", "tiles", _, r) => r }
+          .getOrElse(throw new IllegalArgumentException(
+            s"$path has no 'tiles' table"))
+        (tableLeaves(raf, ps, root), ps, u)
+      } finally raf.close()
+    }
+    val schema = StructType(Seq(StructField("z", IntegerType),
+      StructField("x", LongType), StructField("y", LongType),
+      StructField("tile_bytes", BinaryType)))
+    val parts = math.max(1, math.min(leaves.size, 64))
+    val rdd = spark.sparkContext.parallelize(leaves, parts)
+      .mapPartitions { it =>
+        val raf = new RandomAccessFile(path, "r")
+        val rows = it.flatMap { leaf =>
+          leafRows(raf, pageSize, usable, leaf).map { case (_, payload) =>
+            val r = decodeRecord(payload)
+            val z = r(0).asInstanceOf[Long].toInt
+            val x = r(1).asInstanceOf[Long]
+            val row = r(2).asInstanceOf[Long]
+            Row(z, x, (1L << z) - 1L - row, r(3).asInstanceOf[Array[Byte]])
+          }
+        }
+        // exhaust before closing: flatMap is lazy over the partition
+        val out = rows.toVector
+        raf.close()
+        out.iterator
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** The metadata table of a container, driver-side (always tiny). */
+  def readMbtilesMetadata(path: String): Map[String, String] = {
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      val (ps, u) = readDbHeader(raf)
+      val root = readMaster(raf, ps, u)
+        .collectFirst { case ("table", "metadata", _, r) => r }
+        .getOrElse(return Map.empty)
+      tableLeaves(raf, ps, root).flatMap(leafRows(raf, ps, u, _))
+        .map { case (_, p) =>
+          val r = decodeRecord(p)
+          r(0).asInstanceOf[String] -> r(1).asInstanceOf[String]
+        }.toMap
     } finally raf.close()
   }
 }

@@ -316,6 +316,158 @@ private[graft] object Sqlite {
     page
   }
 
+  // ---- read side -------------------------------------------------------
+  // Enough of the format to WALK a database someone else wrote (the
+  // reference ecosystem's tippecanoe/tile-join emit these): header,
+  // table b-trees, overflow chains, record decoding. Index b-trees are
+  // ignored — ingest is a full table scan. WAL databases with
+  // un-checkpointed frames are out of scope (tippecanoe closes its
+  // databases; a closed db is fully in the main file).
+
+  /** (pageSize, usable bytes per page) from a database header. */
+  def readDbHeader(in: java.io.RandomAccessFile): (Int, Int) = {
+    val hdr = new Array[Byte](100)
+    in.seek(0); in.readFully(hdr)
+    require(new String(hdr, 0, 15, "ISO-8859-1") == "SQLite format 3",
+      "not a SQLite database")
+    val psRaw = ((hdr(16) & 0xff) << 8) | (hdr(17) & 0xff)
+    val pageSize = if (psRaw == 1) 65536 else psRaw
+    val reserved = hdr(20) & 0xff
+    (pageSize, pageSize - reserved)
+  }
+
+  def readPage(in: java.io.RandomAccessFile, pageSize: Int,
+               pageNo: Int): Array[Byte] = {
+    val b = new Array[Byte](pageSize)
+    in.seek((pageNo - 1L) * pageSize); in.readFully(b); b
+  }
+
+  /** Parse a varint at `off`; returns (value, bytes consumed). */
+  def parseVarint(b: Array[Byte], off: Int): (Long, Int) = {
+    var v = 0L; var i = 0
+    while (i < 8) {
+      val x = b(off + i) & 0xff
+      if ((x & 0x80) == 0) return (v << 7 | x, i + 1)
+      v = v << 7 | (x & 0x7f); i += 1
+    }
+    (v << 8 | (b(off + 8) & 0xff), 9)
+  }
+
+  /** Decode a record payload into column values: Long / Double /
+    * String / Array[Byte] / null.
+    */
+  def decodeRecord(p: Array[Byte]): IndexedSeq[Any] = {
+    val (hlen, h0) = parseVarint(p, 0)
+    var ho = h0
+    val serials = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (ho < hlen) {
+      val (s, n) = parseVarint(p, ho); serials += s; ho += n
+    }
+    var off = hlen.toInt
+    serials.map { s =>
+      def intN(n: Int): Long = {
+        var v = (p(off).toLong << 56) >> 56 // sign-extend first byte
+        for (i <- 1 until n) v = (v << 8) | (p(off + i) & 0xffL)
+        off += n; v
+      }
+      s match {
+        case 0 => null
+        case 1 => intN(1)
+        case 2 => intN(2)
+        case 3 => intN(3)
+        case 4 => intN(4)
+        case 5 => intN(6)
+        case 6 => intN(8)
+        case 7 =>
+          val v = java.lang.Double.longBitsToDouble(intN(8)); v
+        case 8 => 0L
+        case 9 => 1L
+        case t if t >= 13 && t % 2 == 1 =>
+          val n = ((t - 13) / 2).toInt
+          val v = new String(p, off, n, "UTF-8"); off += n; v
+        case t if t >= 12 && t % 2 == 0 =>
+          val n = ((t - 12) / 2).toInt
+          val v = java.util.Arrays.copyOfRange(p, off, off + n); off += n; v
+        case t => throw new IllegalStateException(s"serial type $t")
+      }
+    }.toIndexedSeq
+  }
+
+  /** All leaf page numbers of a table b-tree, left to right — the
+    * interior walk touches only interior pages (a driver-side handful
+    * even for GB-scale tables).
+    */
+  def tableLeaves(in: java.io.RandomAccessFile, pageSize: Int,
+                  root: Int): Seq[Int] = {
+    val page = readPage(in, pageSize, root)
+    val hdrAt = if (root == 1) 100 else 0
+    page(hdrAt) & 0xff match {
+      case 0x0D => Seq(root)
+      case 0x05 =>
+        val n = ((page(hdrAt + 3) & 0xff) << 8) | (page(hdrAt + 4) & 0xff)
+        val kids = (0 until n).map { i =>
+          val po = hdrAt + 12 + 2 * i
+          val cellAt = ((page(po) & 0xff) << 8) | (page(po + 1) & 0xff)
+          ((page(cellAt) & 0xff) << 24) | ((page(cellAt + 1) & 0xff) << 16) |
+            ((page(cellAt + 2) & 0xff) << 8) | (page(cellAt + 3) & 0xff)
+        } :+ (((page(hdrAt + 8) & 0xff) << 24) | ((page(hdrAt + 9) & 0xff) << 16) |
+          ((page(hdrAt + 10) & 0xff) << 8) | (page(hdrAt + 11) & 0xff))
+        kids.flatMap(tableLeaves(in, pageSize, _))
+      case t => throw new IllegalStateException(s"page type $t in table walk")
+    }
+  }
+
+  /** (rowid, reassembled payload) for every cell of one table leaf,
+    * following overflow chains.
+    */
+  def leafRows(in: java.io.RandomAccessFile, pageSize: Int, usable: Int,
+               leafNo: Int): Seq[(Long, Array[Byte])] = {
+    val maxLocal = usable - 35
+    val minLocal = (usable - 12) * 32 / 255 - 23
+    val page = readPage(in, pageSize, leafNo)
+    val hdrAt = if (leafNo == 1) 100 else 0
+    require((page(hdrAt) & 0xff) == 0x0D, s"page $leafNo is not a table leaf")
+    val n = ((page(hdrAt + 3) & 0xff) << 8) | (page(hdrAt + 4) & 0xff)
+    (0 until n).map { i =>
+      val po = hdrAt + 8 + 2 * i
+      var at = ((page(po) & 0xff) << 8) | (page(po + 1) & 0xff)
+      val (p, n1) = parseVarint(page, at); at += n1
+      val (rowid, n2) = parseVarint(page, at); at += n2
+      val local = if (p <= maxLocal) p.toInt else {
+        val k = minLocal + ((p - minLocal) % (usable - 4)).toInt
+        if (k <= maxLocal) k else minLocal
+      }
+      val payload = new Array[Byte](p.toInt)
+      System.arraycopy(page, at, payload, 0, local)
+      if (local < p) {
+        var next = ((page(at + local) & 0xff) << 24) |
+          ((page(at + local + 1) & 0xff) << 16) |
+          ((page(at + local + 2) & 0xff) << 8) | (page(at + local + 3) & 0xff)
+        var got = local
+        while (next != 0) {
+          val ov = readPage(in, pageSize, next)
+          next = ((ov(0) & 0xff) << 24) | ((ov(1) & 0xff) << 16) |
+            ((ov(2) & 0xff) << 8) | (ov(3) & 0xff)
+          val take = math.min(usable - 4, p.toInt - got)
+          System.arraycopy(ov, 4, payload, got, take)
+          got += take
+        }
+        require(got == p, s"overflow chain short: $got of $p")
+      }
+      (rowid, payload)
+    }
+  }
+
+  /** Decode sqlite_master: (type, name, tbl_name, rootpage). */
+  def readMaster(in: java.io.RandomAccessFile, pageSize: Int, usable: Int)
+      : Seq[(String, String, String, Int)] =
+    tableLeaves(in, pageSize, 1).flatMap(leafRows(in, pageSize, usable, _))
+      .map { case (_, payload) =>
+        val r = decodeRecord(payload)
+        (r(0).asInstanceOf[String], r(1).asInstanceOf[String],
+          r(2).asInstanceOf[String], r(3).asInstanceOf[Long].toInt)
+      }
+
   // ---- file header + schema page --------------------------------------
 
   /** Build page 1: the 100-byte header plus the sqlite_master table

@@ -147,7 +147,15 @@ object TileBuild {
     // fused single-pass plan (attrs ride the fan-out rows — NO join
     // unless sharedBorders adds the per-feature shared-segment join):
     // the split polygonTileFeatures/encodePolygonTiles pair exists for
-    // the per-decade reuse path where the geometry stage is persisted
+    // the per-decade reuse path where the geometry stage is persisted.
+    // CAVEAT (r15, found by IncrementalSpec): under sharedBorders the
+    // fused path detects shared segments over THIS frame — if callers
+    // pre-join attributes and thereby drop data-less features, those
+    // features' edges stop counting as shared and borders simplify
+    // differently than the split path (which runs geometry over the
+    // full feature table BEFORE the attribute join). Pipeline paths
+    // that must agree byte-for-byte use the split helpers
+    // (Pipeline.choroTileFeatures/choroDecadeEncode).
     val spark = polys.sparkSession
     import spark.implicits._
     val withShared =

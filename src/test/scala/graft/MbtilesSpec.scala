@@ -95,6 +95,58 @@ class MbtilesSpec extends AnyFunSuite with SharedSpark {
     // the UNIQUE-index lookup path returned a real blob
     val lookup = out.find(_.startsWith("L,")).get.drop(2)
     assert(expected.exists(_.endsWith(lookup)), "indexed lookup blob mismatch")
+    // and our own reader round-trips the container (writer ↔ reader)
+    val back = graft.sinks.Mbtiles.readMbtiles(spark, db).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)) ->
+        md5(r.getAs[Array[Byte]]("tile_bytes"))).toMap
+    val in = (small ++ big).map { case (z, x, y, b) =>
+      (z, x, y) -> md5(b) }.toMap
+    assert(back == in, "reader must invert the writer exactly")
+  }
+
+  test("readMbtiles ingests a container written by an INDEPENDENT implementation") {
+    assume(python.isDefined, "python3 with sqlite3 not available")
+    // python's sqlite3 (real SQLite) writes the container; our reader
+    // must parse its pages — multi-leaf, overflow blobs, real varints
+    val dir = Files.createTempDirectory("mbt-py").toString
+    val db = s"$dir/py.mbtiles"
+    val script =
+      s"""import sqlite3
+         |db = sqlite3.connect("$db")
+         |db.execute("CREATE TABLE metadata (name text, value text)")
+         |db.execute("CREATE TABLE tiles (zoom_level integer, tile_column integer, tile_row integer, tile_data blob)")
+         |db.execute("CREATE UNIQUE INDEX tile_index on tiles (zoom_level, tile_column, tile_row)")
+         |db.executemany("INSERT INTO metadata VALUES (?,?)",
+         |               [("name","pyset"),("format","pbf"),("accent","caf\\u00e9")])
+         |rows = []
+         |for i in range(700):
+         |    z = 5 + i % 3
+         |    size = 150000 if i % 233 == 0 else 60 + i % 90
+         |    blob = bytes((i * 7 + j) % 251 for j in range(size))
+         |    rows.append((z, i // 3, i % 29, blob))
+         |db.executemany("INSERT INTO tiles VALUES (?,?,?,?)", rows)
+         |db.commit(); db.close()
+         |""".stripMargin
+    val f = Files.createTempFile("mkmbt", ".py")
+    Files.write(f, script.getBytes("UTF-8"))
+    val proc = new ProcessBuilder(python.get, f.toString).inheritIO().start()
+    assert(proc.waitFor() == 0, "python writer failed")
+
+    val got = graft.sinks.Mbtiles.readMbtiles(spark, db).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)) ->
+        md5(r.getAs[Array[Byte]]("tile_bytes"))).toMap
+    val expected = (0 until 700).map { i =>
+      val z = 5 + i % 3
+      val size = if (i % 233 == 0) 150000 else 60 + i % 90
+      val blob = Array.tabulate[Byte](size)(j => ((i * 7 + j) % 251).toByte)
+      // reader flips TMS row back to XYZ y
+      (z, (i / 3).toLong, (1L << z) - 1 - (i % 29).toLong) -> md5(blob)
+    }.toMap
+    assert(got.size == 700 && got == expected,
+      s"mismatch: ${(expected.toSet -- got.toSet).take(3)}")
+    val meta = graft.sinks.Mbtiles.readMbtilesMetadata(db)
+    assert(meta == Map("name" -> "pyset", "format" -> "pbf",
+      "accent" -> "café"), meta.toString)
   }
 
   test("runRegion(mbtiles = true) ships the container next to the pbf tree") {
