@@ -98,39 +98,98 @@ object Mbtiles {
     * cluster — a .mbtiles is one file, the format's own constraint).
     */
   def readMbtiles(spark: SparkSession, path: String): DataFrame = {
+    val master = {
+      val raf = new RandomAccessFile(path, "r")
+      try { val (ps, u) = readDbHeader(raf); readMaster(raf, ps, u) }
+      finally raf.close()
+    }
+    def table(name: String) = master.collectFirst {
+      case ("table", `name`, _, root, sql) => (root, tableColumns(sql))
+    }
+    table("tiles") match {
+      case Some((root, cols)) =>
+        // direct layout — decode by the WRITER's column order
+        val idx = Seq("zoom_level", "tile_column", "tile_row", "tile_data")
+          .map(c => cols.indexOf(c))
+        require(idx.forall(_ >= 0), s"tiles schema incomplete: $cols")
+        scanTable(spark, path, root) { r =>
+          val z = r(idx(0)).asInstanceOf[Long].toInt
+          Row(z, r(idx(1)).asInstanceOf[Long],
+            (1L << z) - 1L - r(idx(2)).asInstanceOf[Long],
+            r(idx(3)).asInstanceOf[Array[Byte]])
+        }
+      case None =>
+        // deduplicated layout (newer tippecanoe): `tiles` is a VIEW over
+        // map(zoom_level,tile_column,tile_row,tile_id) ⋈
+        // images(tile_id,tile_data) — shared blobs stored once. Read
+        // both tables and join DISTRIBUTED (the map side is 4 small
+        // cells/row; blobs stay on the images side until the join).
+        val (mapRoot, mapCols) = table("map").getOrElse(
+          throw new IllegalArgumentException(
+            s"$path has neither a tiles table nor a map/images pair"))
+        val (imgRoot, imgCols) = table("images").getOrElse(
+          throw new IllegalArgumentException(s"$path has map but no images"))
+        val mi = Seq("zoom_level", "tile_column", "tile_row", "tile_id")
+          .map(c => mapCols.indexOf(c))
+        require(mi.forall(_ >= 0), s"map schema incomplete: $mapCols")
+        val ii = Seq("tile_id", "tile_data").map(c => imgCols.indexOf(c))
+        require(ii.forall(_ >= 0), s"images schema incomplete: $imgCols")
+        val mapDf = {
+          val schema = StructType(Seq(StructField("z", IntegerType),
+            StructField("x", LongType), StructField("y", LongType),
+            StructField("tid", StringType)))
+          val rdd = scanTableRdd(spark, path, mapRoot) { r =>
+            val z = r(mi(0)).asInstanceOf[Long].toInt
+            Row(z, r(mi(1)).asInstanceOf[Long],
+              (1L << z) - 1L - r(mi(2)).asInstanceOf[Long],
+              String.valueOf(r(mi(3))))
+          }
+          spark.createDataFrame(rdd, schema)
+        }
+        val imgDf = {
+          val schema = StructType(Seq(StructField("tid", StringType),
+            StructField("tile_bytes", BinaryType)))
+          val rdd = scanTableRdd(spark, path, imgRoot) { r =>
+            Row(String.valueOf(r(ii(0))), r(ii(1)).asInstanceOf[Array[Byte]])
+          }
+          spark.createDataFrame(rdd, schema)
+        }
+        mapDf.join(imgDf, Seq("tid")).select("z", "x", "y", "tile_bytes")
+    }
+  }
+
+  private def scanTable(spark: SparkSession, path: String, root: Int)(
+      build: IndexedSeq[Any] => Row): DataFrame = {
+    val schema = StructType(Seq(StructField("z", IntegerType),
+      StructField("x", LongType), StructField("y", LongType),
+      StructField("tile_bytes", BinaryType)))
+    spark.createDataFrame(scanTableRdd(spark, path, root)(build), schema)
+  }
+
+  /** Distributed table scan: driver lists leaf pages through the
+    * interior walk, executors decode disjoint leaf ranges.
+    */
+  private def scanTableRdd(spark: SparkSession, path: String, root: Int)(
+      build: IndexedSeq[Any] => Row)
+      : org.apache.spark.rdd.RDD[Row] = {
     val (leaves, pageSize, usable) = {
       val raf = new RandomAccessFile(path, "r")
       try {
         val (ps, u) = readDbHeader(raf)
-        val root = readMaster(raf, ps, u)
-          .collectFirst { case ("table", "tiles", _, r) => r }
-          .getOrElse(throw new IllegalArgumentException(
-            s"$path has no 'tiles' table"))
         (tableLeaves(raf, ps, root), ps, u)
       } finally raf.close()
     }
-    val schema = StructType(Seq(StructField("z", IntegerType),
-      StructField("x", LongType), StructField("y", LongType),
-      StructField("tile_bytes", BinaryType)))
     val parts = math.max(1, math.min(leaves.size, 64))
-    val rdd = spark.sparkContext.parallelize(leaves, parts)
-      .mapPartitions { it =>
-        val raf = new RandomAccessFile(path, "r")
-        val rows = it.flatMap { leaf =>
-          leafRows(raf, pageSize, usable, leaf).map { case (_, payload) =>
-            val r = decodeRecord(payload)
-            val z = r(0).asInstanceOf[Long].toInt
-            val x = r(1).asInstanceOf[Long]
-            val row = r(2).asInstanceOf[Long]
-            Row(z, x, (1L << z) - 1L - row, r(3).asInstanceOf[Array[Byte]])
-          }
-        }
-        // exhaust before closing: flatMap is lazy over the partition
-        val out = rows.toVector
-        raf.close()
-        out.iterator
-      }
-    spark.createDataFrame(rdd, schema)
+    spark.sparkContext.parallelize(leaves, parts).mapPartitions { it =>
+      val raf = new RandomAccessFile(path, "r")
+      // exhaust before closing: the per-leaf decode is lazy
+      val out = it.flatMap(leaf =>
+        leafRows(raf, pageSize, usable, leaf).map { case (_, payload) =>
+          build(decodeRecord(payload))
+        }).toVector
+      raf.close()
+      out.iterator
+    }
   }
 
   /** The metadata table of a container, driver-side (always tiny). */
@@ -138,13 +197,16 @@ object Mbtiles {
     val raf = new RandomAccessFile(path, "r")
     try {
       val (ps, u) = readDbHeader(raf)
-      val root = readMaster(raf, ps, u)
-        .collectFirst { case ("table", "metadata", _, r) => r }
+      val (root, cols) = readMaster(raf, ps, u)
+        .collectFirst { case ("table", "metadata", _, r, sql) =>
+          (r, tableColumns(sql)) }
         .getOrElse(return Map.empty)
+      val (ni, vi) = (cols.indexOf("name"), cols.indexOf("value"))
+      require(ni >= 0 && vi >= 0, s"metadata schema incomplete: $cols")
       tableLeaves(raf, ps, root).flatMap(leafRows(raf, ps, u, _))
         .map { case (_, p) =>
           val r = decodeRecord(p)
-          r(0).asInstanceOf[String] -> r(1).asInstanceOf[String]
+          r(ni).asInstanceOf[String] -> r(vi).asInstanceOf[String]
         }.toMap
     } finally raf.close()
   }

@@ -458,15 +458,42 @@ private[graft] object Sqlite {
     }
   }
 
-  /** Decode sqlite_master: (type, name, tbl_name, rootpage). */
+  /** Decode sqlite_master: (type, name, tbl_name, rootpage, sql).
+    * Views carry rootpage 0 (or NULL in some writers).
+    */
   def readMaster(in: java.io.RandomAccessFile, pageSize: Int, usable: Int)
-      : Seq[(String, String, String, Int)] =
+      : Seq[(String, String, String, Int, String)] =
     tableLeaves(in, pageSize, 1).flatMap(leafRows(in, pageSize, usable, _))
       .map { case (_, payload) =>
         val r = decodeRecord(payload)
         (r(0).asInstanceOf[String], r(1).asInstanceOf[String],
-          r(2).asInstanceOf[String], r(3).asInstanceOf[Long].toInt)
+          r(2).asInstanceOf[String],
+          Option(r(3)).map(_.asInstanceOf[Long].toInt).getOrElse(0),
+          Option(r(4)).map(_.asInstanceOf[String]).getOrElse(""))
       }
+
+  /** Column order of a stored `CREATE TABLE name (col type, …)`
+    * statement — readers must decode records by the WRITER's order,
+    * not an assumed one. Depth-aware comma split skips table-level
+    * constraint clauses (`primary key (…)` etc.).
+    */
+  def tableColumns(createSql: String): Seq[String] = {
+    val inner = createSql.substring(createSql.indexOf('(') + 1,
+      createSql.lastIndexOf(')'))
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; val cur = new StringBuilder
+    inner.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => parts += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    parts += cur.toString
+    val constraint = Set("primary", "unique", "check", "foreign", "constraint")
+    parts.toSeq.map(_.trim).filter(_.nonEmpty)
+      .map(_.split("[\\s(]+")(0).replaceAll("[\"'`\\[\\]]", "").toLowerCase)
+      .filterNot(constraint.contains)
+  }
 
   // ---- file header + schema page --------------------------------------
 

@@ -149,6 +149,49 @@ class MbtilesSpec extends AnyFunSuite with SharedSpark {
       "accent" -> "café"), meta.toString)
   }
 
+  test("readMbtiles handles the deduplicated map/images layout (tiles as a VIEW)") {
+    assume(python.isDefined, "python3 with sqlite3 not available")
+    // newer tippecanoe dedups identical tiles: map(z,x,row,tile_id) +
+    // images(tile_id,tile_data) with `tiles` as a view — and nothing
+    // guarantees the canonical column order, so this fixture scrambles
+    // the map table's columns too
+    val dir = Files.createTempDirectory("mbt-dedup").toString
+    val db = s"$dir/dedup.mbtiles"
+    val script =
+      s"""import sqlite3, hashlib
+         |db = sqlite3.connect("$db")
+         |db.execute("CREATE TABLE metadata (name text, value text)")
+         |db.execute("CREATE TABLE map (tile_id text, zoom_level integer, tile_column integer, tile_row integer)")
+         |db.execute("CREATE TABLE images (tile_data blob, tile_id text)")
+         |db.execute("CREATE VIEW tiles AS SELECT map.zoom_level AS zoom_level, map.tile_column AS tile_column, map.tile_row AS tile_row, images.tile_data AS tile_data FROM map JOIN images ON images.tile_id = map.tile_id")
+         |db.execute("INSERT INTO metadata VALUES ('name','dedup')")
+         |blobs = {}
+         |for i in range(300):
+         |    blob = bytes((i % 7) * 31 + j & 0xff for j in range(80))  # only 7 DISTINCT blobs
+         |    tid = hashlib.md5(blob).hexdigest()
+         |    blobs[tid] = blob
+         |    db.execute("INSERT INTO map VALUES (?,?,?,?)", (tid, 6, i % 64, i // 64))
+         |db.executemany("INSERT INTO images VALUES (?,?)",
+         |               [(b, t) for t, b in blobs.items()])
+         |db.commit(); db.close()
+         |""".stripMargin
+    val f = Files.createTempFile("mkdedup", ".py")
+    Files.write(f, script.getBytes("UTF-8"))
+    assert(new ProcessBuilder(python.get, f.toString).inheritIO()
+      .start().waitFor() == 0, "python writer failed")
+
+    val got = graft.sinks.Mbtiles.readMbtiles(spark, db).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)) ->
+        md5(r.getAs[Array[Byte]]("tile_bytes"))).toMap
+    val expected = (0 until 300).map { i =>
+      val blob = Array.tabulate[Byte](80)(j => (((i % 7) * 31 + j) & 0xff).toByte)
+      (6, (i % 64).toLong, (1L << 6) - 1 - (i / 64).toLong) -> md5(blob)
+    }.toMap
+    assert(got.size == 300 && got == expected,
+      s"dedup layout mismatch, e.g. ${(expected.toSet -- got.toSet).take(3)}")
+    assert(graft.sinks.Mbtiles.readMbtilesMetadata(db) == Map("name" -> "dedup"))
+  }
+
   test("runRegion(mbtiles = true) ships the container next to the pbf tree") {
     assume(python.isDefined, "python3 with sqlite3 not available")
     val dir = Files.createTempDirectory("mbt-pipe").toString
