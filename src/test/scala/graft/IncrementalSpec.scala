@@ -156,6 +156,28 @@ class IncrementalSpec extends AnyFunSuite with SharedSpark {
       val mm = full.keys.filter(k => full(k) != live(k)).toSeq
       assert(mm.isEmpty, s"in-place decade $decade: ${mm.size} differ ${mm.take(5)}")
     }
+
+    // CHAINED delta: the second in-place update diffs against the
+    // STORED fingerprint artifact (the first one hashed the old CSV —
+    // this is the only path that exercises stored-fp parity), and its
+    // result must equal a full rebuild of the third state
+    val thirdCsv = writeLong((0 until NCells).filterNot(_ == 7),
+      bumped = Set(5, 9))
+    val statsChain = Incremental.incrementalRegion(spark, newCsv, thirdCsv,
+      "raw", metricLongNames, "block-groups", features, prevDir = dirLive,
+      outDir = dirLive)
+    assert(!statsChain.fullRebuild && statsChain.changed == 1,
+      s"only cell 9 changes between states 2 and 3: $statsChain")
+    val dirFull3 = Files.createTempDirectory("incr-full3").toString
+    Pipeline.runRegion(spark, thirdCsv, "raw", metricLongNames,
+      "block-groups", features = Some(features), outDir = Some(dirFull3))
+    for (decade <- Seq("00", "10")) {
+      val full3 = md5tree(s"$dirFull3/block-groups/$decade")
+      val live3 = md5tree(s"$dirLive/block-groups/$decade")
+      assert(live3.keySet == full3.keySet, s"chained decade $decade set diff")
+      val mm3 = full3.keys.filter(k => full3(k) != live3(k)).toSeq
+      assert(mm3.isEmpty, s"chained decade $decade: ${mm3.size} differ ${mm3.take(5)}")
+    }
   }
 
   test("mass change routes to the full-rebuild fallback") {
