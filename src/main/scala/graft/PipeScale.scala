@@ -176,8 +176,11 @@ object PipeScale {
     runOnce(spark, wCsv, wGeo, s"$outBase/warm")
 
     // "incr-only": reuse existing run1/run2 trees and re-measure only
-    // the incremental arms (the full-run walls print as -1)
+    // the incremental arms (the full-run walls print as -1);
+    // "full-only": the composed-run walls alone (scaling-ratio runs at
+    // other cell counts don't need the delta arms re-priced)
     val incrOnly = args.lift(2).contains("incr-only")
+    val fullOnly = args.lift(2).contains("full-only")
     val wall1 = if (incrOnly) -1.0 else runOnce(spark, csv, geo, s"$outBase/run1")
     val wall2 = if (incrOnly) -1.0 else runOnce(spark, csv, geo, s"$outBase/run2")
 
@@ -208,15 +211,18 @@ object PipeScale {
         prevDir = tree, outDir = tree)
       ((System.nanoTime() - t0) / 1e9, st)
     }
-    val (wallA, statsA) = incr(csv, csvMut, s"$outBase/run1")     // scattered, cold fp
-    val (wallC, statsC) = incr(csvMut, csvMut2, s"$outBase/run1") // scattered, WARM fp
-    val (wallB, statsB) = incr(csv, csvClust, s"$outBase/run2")   // clustered, cold fp
+    val noStats = Incremental.Stats(-1, -1, -1, -1, -1, fullRebuild = false)
+    val ((wallA, statsA), (wallC, statsC), (wallB, statsB)) =
+      if (fullOnly) ((-1.0, noStats), (-1.0, noStats), (-1.0, noStats))
+      else (incr(csv, csvMut, s"$outBase/run1"),      // scattered, cold fp
+        incr(csvMut, csvMut2, s"$outBase/run1"),      // scattered, WARM fp
+        incr(csv, csvClust, s"$outBase/run2"))        // clustered, cold fp
     featsI.unpersist()
 
     // .mbtiles container write at the national tile count — single-
     // writer by format (tippecanoe's constraint too): decade 00's tree
     // streams back through toLocalIterator into one sqlite file
-    val wallMbt = {
+    val wallMbt = if (fullOnly) -1.0 else {
       val t0 = System.nanoTime()
       graft.sinks.Mbtiles.writeMbtiles(
         Incremental.readPbfTree(spark, s"$outBase/run2/block-groups/00"),
@@ -226,7 +232,7 @@ object PipeScale {
     }
     // and the two-way door: the distributed container READ at the same
     // scale (driver walks interiors; executors parse leaf ranges)
-    val (wallMbtRead, nMbt) = {
+    val (wallMbtRead, nMbt) = if (fullOnly) (-1.0, -1L) else {
       val t0 = System.nanoTime()
       val n = graft.sinks.Mbtiles.readMbtiles(spark,
         s"$outBase/run2/block-groups/00.mbtiles")
