@@ -59,11 +59,21 @@ object Mbtiles {
         .orderBy(col("z"), col("x"), col("y").desc)
         .toLocalIterator()
       var rowid = 0L
+      var prevKey: (Long, Long, Long) = null
       while (it.hasNext) {
         val r = it.next()
         rowid += 1
         val z = r.getLong(0); val x = r.getLong(1); val y = r.getLong(2)
         val row = (1L << z) - 1L - y
+        // the index is declared UNIQUE: a duplicate (z,x,y) input row
+        // would write duplicate keys into it — structurally walkable
+        // but schema-inconsistent, and downstream sqlite tooling may
+        // mishandle it silently. Input arrives sorted, so a duplicate
+        // is always adjacent: fail fast here instead.
+        val key = (z, x, row)
+        require(prevKey == null || key != prevKey,
+          s"duplicate tile key (z=$z, x=$x, y=$y) — tiles must be unique")
+        prevKey = key
         val bytes = r.getAs[Array[Byte]]("tile_bytes")
         tilesB.addRow(rowid,
           record(Seq(SqlInt(z), SqlInt(x), SqlInt(row), SqlBlob(bytes))))
@@ -179,18 +189,31 @@ object Mbtiles {
         (tableLeaves(raf, ps, root), ps, u)
       } finally raf.close()
     }
-    val parts = math.max(1, math.min(leaves.size, 64))
-    spark.sparkContext.parallelize(leaves, parts).mapPartitions { it =>
-      val raf = new RandomAccessFile(path, "r")
-      // exhaust before closing: the per-leaf decode is lazy
-      val out = it.flatMap(leaf =>
-        leafRows(raf, pageSize, usable, leaf).map { case (_, payload) =>
-          build(decodeRecord(payload))
-        }).toVector
-      raf.close()
-      out.iterator
-    }
+    spark.sparkContext.parallelize(leaves, leafPartitions(leaves.size))
+      .mapPartitions { it =>
+        // lazy decode: at most ONE leaf's rows are materialized at a
+        // time (a leaf is one page of cells plus its overflow chains),
+        // so per-task memory is bounded by the largest row, not the
+        // partition's share of the container. The file handle closes
+        // on task COMPLETION — including early termination under
+        // `limit` — instead of after full iteration.
+        val raf = new RandomAccessFile(path, "r")
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => raf.close()))
+        it.flatMap(leaf =>
+          leafRows(raf, pageSize, usable, leaf).map { case (_, payload) =>
+            build(decodeRecord(payload))
+          })
+      }
   }
+
+  /** Scan parallelism ∝ container size: ~256 leaf pages (≈1 MiB of
+    * b-tree) per task, so a 100 GB container fans out to ~100k-page ÷
+    * 256 tasks instead of the former hard 64-partition cap — the cap
+    * throttled read parallelism exactly when the file was largest.
+    */
+  private[graft] def leafPartitions(nLeaves: Int): Int =
+    math.max(1, (nLeaves + 255) / 256)
 
   /** The metadata table of a container, driver-side (always tiny). */
   def readMbtilesMetadata(path: String): Map[String, String] = {

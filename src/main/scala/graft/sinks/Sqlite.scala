@@ -194,23 +194,43 @@ private[graft] object Sqlite {
 
   private def buildTableInteriors(sink: Sink,
                                   level: Seq[(Int, Long)]): Int = {
+    def cell(e: (Int, Long)): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      val cb = new Array[Byte](4); writeBE32(cb, 0, e._1); b.write(cb)
+      b.write(varint(e._2)); b.toByteArray
+    }
+    buildInteriors[Long](sink, level, 0x05, cell)
+  }
+
+  /** One interior level, children packed by BYTE budget (12-byte
+    * header + 2 B pointer + cell bytes ≤ page) — a fixed cells-per-page
+    * count overflows the page as soon as the per-cell payload grows
+    * (index dividers at deep zooms, table rowids ≥ 2^28: the r15-review
+    * interior-overflow finding). Every page takes at least one cell
+    * plus the rightmost child (a single cell always fits: cells are
+    * ≤ ~1/4 page), so each level strictly shrinks.
+    */
+  private def buildInteriors[K](sink: Sink, level: Seq[(Int, K)],
+      pageType: Int, cell: ((Int, K)) => Array[Byte]): Int = {
     if (level.length == 1) return level.head._1
-    val next = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val next = scala.collection.mutable.ArrayBuffer.empty[(Int, K)]
     var i = 0
     while (i < level.length) {
-      // interior cell = 4B child + varint(maxRowid); ~560 fit per page,
-      // group conservatively at 400
-      val group = level.slice(i, math.min(i + 400, level.length))
-      i += group.length
-      val cells = group.dropRight(1).map { case (child, maxRid) =>
-        val b = new java.io.ByteArrayOutputStream()
-        val cb = new Array[Byte](4); writeBE32(cb, 0, child); b.write(cb)
-        b.write(varint(maxRid)); b.toByteArray
-      }.toArray
-      val page = assemblePage(0x05, cells, rightMost = group.last._1)
-      next += ((sink.write(page), group.last._2))
+      val cells = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var bytes = 0
+      var cur = level(i); i += 1
+      var open = true
+      while (open && i < level.length) {
+        val c = cell(cur)
+        if (12 + 2 * (cells.length + 1) + bytes + c.length <= PageSize) {
+          cells += c; bytes += c.length
+          cur = level(i); i += 1
+        } else open = false
+      }
+      val page = assemblePage(pageType, cells.toArray, rightMost = cur._1)
+      next += ((sink.write(page), cur._2))
     }
-    buildTableInteriors(sink, next.toSeq)
+    buildInteriors(sink, next.toSeq, pageType, cell)
   }
 
   // ---- index b-tree (unique, pre-sorted entries) ----------------------
@@ -223,7 +243,9 @@ private[graft] object Sqlite {
     * MBTiles index keys are a few ints plus a rowid.
     */
   final class IndexBuilder(sink: Sink) {
-    private var cells = List.empty[Array[Byte]]
+    // (cell bytes, raw payload) — payloads retained so the leaf's last
+    // entry can be promoted to a divider at the flush boundary
+    private var cells = List.empty[(Array[Byte], Array[Byte])]
     private var cellBytes = 0
     private var nCells = 0
     // (page, dividerRecordAfter) pairs; last leaf has no divider
@@ -237,15 +259,25 @@ private[graft] object Sqlite {
       cell.write(varint(payload.length.toLong)); cell.write(payload)
       val c = cell.toByteArray
       if (nCells > 0 && 8 + 2 * (nCells + 1) + cellBytes + c.length > PageSize) {
-        // this entry becomes the DIVIDER above the leaf just closed
-        flushLeaf(divider = Some(payload))
-        return
+        // promote the leaf's LAST buffered entry — not the incoming
+        // one — to the divider; the incoming entry then STARTS the new
+        // leaf. Promoting the incoming entry instead leaves a dangling
+        // divider when it is the build's final entry, and
+        // buildIndexInteriors would silently drop it at the root (the
+        // r15-review missing-index-row finding). The pop is always
+        // legal: entries are ≤ IdxMaxLocal (~1/4 page), so an
+        // overflowing leaf holds ≥ 4 cells, and the popped entry sorts
+        // after everything left in the leaf and before the incoming one.
+        val (lastCell, lastPayload) = cells.head
+        cells = cells.tail; cellBytes -= lastCell.length; nCells -= 1
+        flushLeaf(divider = Some(lastPayload))
       }
-      cells ::= c; cellBytes += c.length; nCells += 1
+      cells ::= ((c, payload)); cellBytes += c.length; nCells += 1
     }
 
     private def flushLeaf(divider: Option[Array[Byte]]): Unit = {
-      val page = assemblePage(0x0A, cells.reverse.toArray, rightMost = 0)
+      val page = assemblePage(0x0A, cells.reverse.map(_._1).toArray,
+        rightMost = 0)
       leaves += ((sink.write(page), divider))
       cells = Nil; cellBytes = 0; nCells = 0
     }
@@ -258,27 +290,17 @@ private[graft] object Sqlite {
 
   private def buildIndexInteriors(sink: Sink,
       level: Seq[(Int, Option[Array[Byte]])]): Int = {
-    if (level.length == 1) return level.head._1
-    val next = scala.collection.mutable.ArrayBuffer
-      .empty[(Int, Option[Array[Byte]])]
-    var i = 0
-    while (i < level.length) {
-      val group = level.slice(i, math.min(i + 200, level.length))
-      i += group.length
-      val cells = group.dropRight(1).map { case (child, div) =>
-        val payload = div.getOrElse(
-          // a divider-less child can only be the global last; it never
-          // sits left of a sibling, so this is unreachable mid-group
-          throw new IllegalStateException("missing divider mid-level"))
-        val b = new java.io.ByteArrayOutputStream()
-        val cb = new Array[Byte](4); writeBE32(cb, 0, child); b.write(cb)
-        b.write(varint(payload.length.toLong)); b.write(payload)
-        b.toByteArray
-      }.toArray
-      val page = assemblePage(0x02, cells, rightMost = group.last._1)
-      next += ((sink.write(page), group.last._2))
+    def cell(e: (Int, Option[Array[Byte]])): Array[Byte] = {
+      val payload = e._2.getOrElse(
+        // a divider-less child can only be the global last; it never
+        // becomes an interior CELL (only ever a rightmost pointer)
+        throw new IllegalStateException("missing divider mid-level"))
+      val b = new java.io.ByteArrayOutputStream()
+      val cb = new Array[Byte](4); writeBE32(cb, 0, e._1); b.write(cb)
+      b.write(varint(payload.length.toLong)); b.write(payload)
+      b.toByteArray
     }
-    buildIndexInteriors(sink, next.toSeq)
+    buildInteriors[Option[Array[Byte]]](sink, level, 0x02, cell)
   }
 
   // ---- page assembly ---------------------------------------------------
@@ -414,6 +436,52 @@ private[graft] object Sqlite {
           ((page(hdrAt + 10) & 0xff) << 8) | (page(hdrAt + 11) & 0xff))
         kids.flatMap(tableLeaves(in, pageSize, _))
       case t => throw new IllegalStateException(s"page type $t in table walk")
+    }
+  }
+
+  /** Every entry payload of an index b-tree, in index order — the
+    * in-order walk EMITS interior divider cells between their child
+    * subtrees (an index entry lives at exactly one level, so the walk
+    * is the only complete readout). Verification surface for
+    * [[IndexBuilder]]: a dropped or duplicated divider shows up as a
+    * missing/extra entry here before sqlite's integrity_check ever
+    * runs. Payloads must be local (no overflow chains) — true for
+    * everything this writer emits ([[IndexBuilder]] requires it).
+    */
+  def indexEntries(in: java.io.RandomAccessFile, pageSize: Int, usable: Int,
+                   root: Int): Seq[Array[Byte]] = {
+    val idxMaxLocal = (usable - 12) * 64 / 255 - 23
+    val page = readPage(in, pageSize, root)
+    val hdrAt = if (root == 1) 100 else 0
+    val n = ((page(hdrAt + 3) & 0xff) << 8) | (page(hdrAt + 4) & 0xff)
+    page(hdrAt) & 0xff match {
+      case 0x0A =>
+        (0 until n).map { i =>
+          val po = hdrAt + 8 + 2 * i
+          var at = ((page(po) & 0xff) << 8) | (page(po + 1) & 0xff)
+          val (p, n1) = parseVarint(page, at); at += n1
+          require(p <= idxMaxLocal, s"index payload $p overflows (unsupported)")
+          java.util.Arrays.copyOfRange(page, at, at + p.toInt)
+        }
+      case 0x02 =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        for (i <- 0 until n) {
+          val po = hdrAt + 12 + 2 * i
+          var at = ((page(po) & 0xff) << 8) | (page(po + 1) & 0xff)
+          val child = ((page(at) & 0xff) << 24) | ((page(at + 1) & 0xff) << 16) |
+            ((page(at + 2) & 0xff) << 8) | (page(at + 3) & 0xff)
+          at += 4
+          val (p, n1) = parseVarint(page, at); at += n1
+          require(p <= idxMaxLocal, s"index payload $p overflows (unsupported)")
+          out ++= indexEntries(in, pageSize, usable, child)
+          out += java.util.Arrays.copyOfRange(page, at, at + p.toInt)
+        }
+        val rightMost = ((page(hdrAt + 8) & 0xff) << 24) |
+          ((page(hdrAt + 9) & 0xff) << 16) |
+          ((page(hdrAt + 10) & 0xff) << 8) | (page(hdrAt + 11) & 0xff)
+        out ++= indexEntries(in, pageSize, usable, rightMost)
+        out.toSeq
+      case t => throw new IllegalStateException(s"page type $t in index walk")
     }
   }
 

@@ -104,6 +104,84 @@ class MbtilesSpec extends AnyFunSuite with SharedSpark {
     assert(back == in, "reader must invert the writer exactly")
   }
 
+  test("a container whose FINAL index entry lands on a leaf boundary keeps every tile") {
+    assume(python.isDefined, "python3 with sqlite3 not available")
+    // the r15-review high finding: when the last addEntry triggered a
+    // leaf flush, the old builder promoted it to a divider that
+    // buildIndexInteriors dropped at the root — one tile missing from
+    // the UNIQUE index, integrity_check "row missing from index".
+    // Find the first boundary N by replaying the packing arithmetic
+    // with the REAL record sizes, then build a container of exactly N
+    // tiles and let sqlite itself adjudicate.
+    import graft.sinks.Sqlite
+    val z = 12L; val row = (1L << z) - 1L // y = 0
+    def entryCell(rowid: Long): Int = {
+      val p = Sqlite.record(Seq(Sqlite.SqlInt(z), Sqlite.SqlInt(rowid),
+        Sqlite.SqlInt(row), Sqlite.SqlInt(rowid))).length
+      Sqlite.varint(p.toLong).length + p
+    }
+    var nCells = 0; var bytes = 0; var boundary = -1L; var i = 1L
+    while (boundary < 0) {
+      val c = entryCell(i)
+      if (nCells > 0 && 8 + 2 * (nCells + 1) + bytes + c > Sqlite.PageSize)
+        boundary = i
+      else { nCells += 1; bytes += c; i += 1 }
+    }
+    val n = boundary.toInt // the Nth entry is the first to force a flush
+    val tiles = (1 to n).map(i =>
+      (z, i.toLong, 0L, Array.fill[Byte](20)((i % 113).toByte)))
+      .toDF("z", "x", "y", "tile_bytes")
+    val db = Files.createTempDirectory("mbt-edge").resolve("e.mbtiles").toString
+    graft.sinks.Mbtiles.writeMbtiles(tiles, db, Map("name" -> "edge"))
+    val out = pyDump(db)
+    assert(out.head == "ok", s"integrity_check at boundary N=$n: ${out.head}")
+    assert(out.count(_.startsWith("T,")) == n,
+      s"container must hold all $n tiles")
+    // the LAST tile specifically — the one the old builder dropped —
+    // must be reachable through the UNIQUE index
+    assert(out.exists(_.startsWith(s"T,$z,$n,$row,")), s"last tile (x=$n) lost")
+  }
+
+  test("writeMbtiles fails fast on duplicate (z,x,y) keys") {
+    val tiles = Seq((5, 1L, 2L, Array[Byte](1)), (5, 1L, 2L, Array[Byte](2)))
+      .toDF("z", "x", "y", "tile_bytes")
+    val db = Files.createTempDirectory("mbt-dup").resolve("d.mbtiles").toString
+    val e = intercept[IllegalArgumentException] {
+      graft.sinks.Mbtiles.writeMbtiles(tiles, db, Map.empty)
+    }
+    assert(e.getMessage.contains("duplicate tile key"))
+  }
+
+  test("scan parallelism grows with leaf count; limit() terminates cleanly") {
+    // ~256 leaves per task, no hard cap: the r15-review scale finding
+    // (a 100 GB container was throttled to 64 partitions with each
+    // task materializing its whole share)
+    import graft.sinks.Mbtiles.leafPartitions
+    assert(leafPartitions(1) == 1 && leafPartitions(256) == 1)
+    assert(leafPartitions(257) == 2)
+    assert(leafPartitions(64 * 256 + 1) == 65, "must exceed the old 64 cap")
+    // wiring: a real container's frame carries exactly that many partitions
+    val tiles = (0 until 1500).map(i =>
+      (9, i.toLong % 512, i.toLong / 512, Array.fill[Byte](900)(i.toByte)))
+      .toDF("z", "x", "y", "tile_bytes")
+    val db = Files.createTempDirectory("mbt-par").resolve("p.mbtiles").toString
+    graft.sinks.Mbtiles.writeMbtiles(tiles, db, Map.empty)
+    import graft.sinks.Sqlite
+    val raf = new java.io.RandomAccessFile(db, "r")
+    val nLeaves = try {
+      val (ps, u) = Sqlite.readDbHeader(raf)
+      val root = Sqlite.readMaster(raf, ps, u)
+        .collectFirst { case ("table", "tiles", _, r, _) => r }.get
+      Sqlite.tableLeaves(raf, ps, root).size
+    } finally raf.close()
+    val df = graft.sinks.Mbtiles.readMbtiles(spark, db)
+    assert(df.rdd.getNumPartitions == leafPartitions(nLeaves))
+    // early termination: the task-completion listener (not iterator
+    // exhaustion) closes the file handle, so limit() is safe
+    assert(df.limit(1).collect().length == 1)
+    assert(df.count() == 1500)
+  }
+
   test("readMbtiles ingests a container written by an INDEPENDENT implementation") {
     assume(python.isDefined, "python3 with sqlite3 not available")
     // python's sqlite3 (real SQLite) writes the container; our reader
