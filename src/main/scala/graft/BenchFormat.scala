@@ -8,8 +8,8 @@ package graft
   *
   * Two levers (BENCH_r04–r08 history: full map on one line = truncated,
   * "parsed": null):
-  *  - COMPACT KEYS: "q01" not "q01_pricing_summary" — the qNN prefix is
-  *    unique across the catalog (spec-pinned) and joins back to the
+  *  - COMPACT KEYS: "01" not "q01_pricing_summary" — the digits are
+  *    unique across the catalog (spec-pinned) and join back to the
   *    full name via CORRECTNESS_r{N}.json.
   *  - CHUNKED LINES: the map is split across several part lines, each
   *    under `maxLine` chars, so every part plus the short total line
@@ -17,10 +17,15 @@ package graft
   */
 object BenchFormat {
 
-  /** "q01_pricing_summary" → "q01" (names without an underscore pass
-    * through whole).
+  /** "q01_pricing_summary" → "01" (names without an underscore pass
+    * through minus the prefix). The leading "q" was dropped as the r16
+    * tail lever — the digits alone are unique across the catalog
+    * (spec-pinned) and join back to full names via
+    * CORRECTNESS_r{N}.json's qNN prefixes; at 145+ queries that one
+    * character per entry is ~150 chars of the ~2000-char window.
     */
-  def compactKey(name: String): String = name.takeWhile(_ != '_')
+  def compactKey(name: String): String =
+    name.takeWhile(_ != '_').stripPrefix("q")
 
   def ms3(v: Double): String = f"$v%.3f"
 
@@ -62,8 +67,10 @@ object BenchFormat {
     val entries = results.map { case (k, v) =>
       "\"" + compactKey(k) + "\":" + cs(v)
     }
+    // "q" not "queries": the map label is repeated once per part line —
+    // the other half of the r16 tail lever
     val overhead =
-      s"""{"metric":"per_query_cs","queries":{}}""".length
+      s"""{"metric":"per_query_cs","q":{}}""".length
     val budget = math.max(maxLine - overhead, 40)
     val chunks = entries.foldLeft(Vector(Vector.empty[String])) { (acc, e) =>
       val cur = acc.last
@@ -73,7 +80,7 @@ object BenchFormat {
       else acc.init :+ (cur :+ e)
     }
     chunks.map { c =>
-      s"""{"metric":"per_query_cs","queries":{${c.mkString(",")}}}"""
+      s"""{"metric":"per_query_cs","q":{${c.mkString(",")}}}"""
     }
   }
 

@@ -47,19 +47,36 @@ import graft.sources.Sources
   * Geometry changes are out of scope by design: the census shape
   * tables the reference tiles change once a decade — a geometry delta
   * is the full-rebuild case, and [[incrementalRegion]]'s fraction
-  * gate already routes mass change there. Same scope note for
-  * `--extend-zooms-if-still-dropping`: a previous run that EXTENDED
-  * past the region's configured maxZoom (dense point regions) wrote
-  * deeper tiles than the default fan covers — incremental updates of
-  * an extension-deepened tree would need the same maxZoom override
-  * wired through; the national block-groups case this is built for
-  * does not extend (the density budget holds at z10).
+  * gate already routes mass change there. A tree deepened by
+  * `--extend-zooms-if-still-dropping` (a previous run that extended
+  * past the region's configured maxZoom) is likewise out of the fan's
+  * reach — [[incrementalRegion]] DETECTS it from the tree's own
+  * deepest z directory ([[treeMaxZoom]]) and routes to the full
+  * rebuild rather than silently stranding stale deep tiles; the
+  * national block-groups case this is built for does not extend (the
+  * density budget holds at z10).
   */
 object Incremental {
 
   final case class Stats(changed: Long, added: Long, removed: Long,
                          affectedTiles: Long, contributors: Long,
                          fullRebuild: Boolean)
+
+  /** Deepest z directory present in a previous tile tree (−1 when the
+    * tree is absent) — a driver-side depth-2 listing
+    * (region/decade/z), cheap at any tileset size. The incremental
+    * path refuses trees deeper than the configured fan: they were
+    * written with an extend-zooms override it cannot reproduce.
+    */
+  private[graft] def treeMaxZoom(regionDir: java.io.File): Int = {
+    val decades = Option(regionDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+    val zs = decades.flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      .filter(f => f.isDirectory && f.getName.nonEmpty &&
+        f.getName.forall(_.isDigit))
+      .map(_.getName.toInt)
+    if (zs.isEmpty) -1 else zs.max
+  }
 
   /** q135's diff keyed for the pipeline: per-GEOID fingerprint = the
     * order-free commutative sum of row hashes (q145's primitive — CSV
@@ -182,13 +199,27 @@ object Incremental {
     val (nChanged, nAdded, nRemoved) = (byStatus.getOrElse("changed", 0L),
       byStatus.getOrElse("added", 0L), byStatus.getOrElse("removed", 0L))
     val nTotal = newLong.select("id").distinct().count()
+    // a previous run that EXTENDED past the configured fan maxZoom
+    // (`--extend-zooms-if-still-dropping` on dense point regions)
+    // wrote deeper tiles than [[featureTileFan]] covers: affected deep
+    // tiles would be neither rebuilt nor deleted — a silently
+    // corrupted tree. Detect the condition from the tree's own
+    // deepest z directory and route to the full rebuild instead.
+    val fanMaxZ = {
+      val bz = EtlConfig.bubbleZoom(region).maxZoom
+      if (features.columns.contains("polys"))
+        math.max(bz, EtlConfig.choroplethZoom(region).maxZoom)
+      else bz
+    }
+    val treeDeeperThanFan =
+      treeMaxZoom(new java.io.File(s"$prevDir/$region")) > fanMaxZ
     // the NEW fingerprints persist for the next delta at the END of
     // each path (after the fallback's tree wipe, after the in-place
     // updates) — newFps derives from the new CSV, so writing it late
     // is always safe, and diff is already checkpoint-materialized
     def persistFingerprints(): Unit = newFps.write.mode("overwrite")
       .parquet(s"$outDir/$region/fingerprints.parquet")
-    if (nTotal == 0 ||
+    if (nTotal == 0 || treeDeeperThanFan ||
         (nChanged + nAdded + nRemoved).toDouble / nTotal > maxChangedFraction) {
       diff.unpersist()
       // full rebuild into a dir that may hold the previous tree: clear

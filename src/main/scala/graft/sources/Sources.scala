@@ -65,6 +65,17 @@ object Sources {
     * are written). The clean frame is returned LAZY — downstream pays
     * its own scan exactly as with [[readCsv]]; nothing corpus-sized is
     * collected or cached here.
+    *
+    * SHARP EDGE for wide tables consumed repeatedly: the clean frame
+    * crosses an RDD barrier that permanently disables column pruning
+    * (pruning would re-admit rejected rows — see the in-code note), so
+    * a 600-column quarantined read pays the full-width parse on EVERY
+    * consumer. The escape hatch is to land the clean frame once —
+    * `read.clean.write.parquet(staged)` — and point all consumers at
+    * the staged parquet, which prunes normally again (spec-pinned:
+    * SourcesSpec's landed-parquet case asserts the restored ReadSchema).
+    * The gate's verdict is already final at landing time; re-reading
+    * the staged file cannot re-admit anything.
     */
   final case class QuarantinedRead(clean: DataFrame, rejected: Long,
                                    total: Long)

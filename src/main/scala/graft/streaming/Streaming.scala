@@ -78,7 +78,12 @@ object Streaming {
         .as("day"), col("wau_approx"))
   }
 
-  case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+  /** `event_id` is the corpus's stable tie-breaker (same role as in
+    * q141's window order): only [[attributionStep]] consults it, so
+    * fixtures that exercise other operators may leave the default.
+    */
+  case class Event(user_id: Long, ts: Timestamp, event_type: String,
+                   value: Double, event_id: Long = 0L)
   case class SessionState(start: Long, lastSeen: Long, nEvents: Long, total: Double)
   case class SessionOut(user_id: Long, session_start: Timestamp,
                         session_end: Timestamp, n_events: Long, total: Double)
@@ -272,20 +277,15 @@ object Streaming {
     * whatever the event volume; each conversion emits one append-mode
     * row with its attribution verdict. Stream ≡ batch under
     * event-time-ordered delivery (the funnelStream contract): within
-    * a batch events process in ts order, so the running max IS the
-    * batch window's running max; a late-arriving click behind an
-    * already-emitted conversion does not retro-attribute — the batch
-    * twin is the backfill corrector. SAME-MICROSECOND exclusion
-    * (funnelStep's documented-tie discipline): the batch twin q141
-    * breaks a click/conversion tie on the same microsecond by
-    * event_id, which `Event` does not carry; the stream instead
-    * processes ties DETERMINISTICALLY clicks-first (so a
-    * same-microsecond click is always visible to the conversion,
-    * matching the batch `t >= last` acceptance), rather than in
-    * arrival order. A corpus whose batch event_id orders a
-    * conversion BEFORE its same-microsecond click is the one case
-    * where the two faces may differ; the driver fixtures do not
-    * contain such a tie.
+    * a batch events process in `(ts, event_id)` order — EXACTLY the
+    * batch twin q141's window order — so the running max IS the batch
+    * window's running max, including same-microsecond click/conversion
+    * ties (a click whose event_id precedes the conversion's is visible
+    * to it; one that follows is not — whichever way the corpus ordered
+    * them). A late-arriving click behind an already-emitted conversion
+    * does not retro-attribute — the batch twin is the backfill
+    * corrector; that cross-batch caveat is the only remaining
+    * divergence surface.
     */
   def attributionStep(clickType: String, convType: String, windowUs: Long,
       armTimeout: Boolean, evictMs: Long)(
@@ -300,9 +300,8 @@ object Streaming {
       val Unset = Long.MinValue
       var last = state.getOption.map(_.lastClickUs).getOrElse(Unset)
       val out = scala.collection.mutable.ArrayBuffer.empty[AttributionHit]
-      // deterministic tie order: (micros, clicks-first) — see scaladoc
-      for (e <- it.toSeq.sortBy(e =>
-          (micros(e.ts), if (e.event_type == clickType) 0 else 1))) {
+      // the batch twin's exact order: (micros, event_id) — see scaladoc
+      for (e <- it.toSeq.sortBy(e => (micros(e.ts), e.event_id))) {
         val t = micros(e.ts)
         if (e.event_type == clickType) {
           last = if (last == Unset) t else math.max(last, t)

@@ -8,7 +8,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * fits in the tail at once, and every registered query's timing is
   * recoverable from the emitted text. Uses the real SparkEntry query
   * catalog so a new query that would overflow the tail fails here
-  * before a round loses its bench.
+  * before a round loses its bench — plus a 170-query synthetic
+  * catalog, so the NEXT ~25 additions are pre-cleared (the r15 round's
+  * ask: spend the tail lever before the catalog grows, not after).
   */
 class BenchFormatSpec extends AnyFunSuite {
 
@@ -20,11 +22,13 @@ class BenchFormatSpec extends AnyFunSuite {
   private val lines = BenchFormat.perQueryLines(fake)
   private val total = BenchFormat.totalLine(fake.map(_._2).sum, sf)
 
-  test("compact qNN keys are unique across the whole catalog") {
+  test("compact numeric keys are unique across the whole catalog") {
     val keys = names.map(BenchFormat.compactKey)
     assert(keys.distinct.size == keys.size)
-    assert(keys.forall(_.matches("q\\d+")),
+    assert(names.forall(_.matches("q\\d+_.*")),
       "every catalog entry must carry a qNN_ prefix")
+    assert(keys.forall(_.matches("\\d+")),
+      "compact keys are the bare digits (the r16 tail lever)")
   }
 
   test("every emitted line is <= 900 chars; the total line is short") {
@@ -39,8 +43,25 @@ class BenchFormatSpec extends AnyFunSuite {
         "shrink keys or drop precision before adding more queries")
   }
 
+  test("a 170-query catalog still fits the tail (headroom for future rounds)") {
+    // conservative synthetic values: up to ~37 s per query (4-digit
+    // centiseconds) — an order past the real suite's worst entry
+    val synth = (1 to 170).map(i =>
+      f"q$i%02d_synthetic" -> ((i % 30) * 1.234 + 0.056))
+    val sLines = BenchFormat.perQueryLines(synth)
+    val sTotal = BenchFormat.totalLine(synth.map(_._2).sum, sf)
+    val footprint = (sLines :+ sTotal).map(_.length + 1).sum
+    assert(footprint <= 1900,
+      s"170 synthetic queries overflow at $footprint — next lever needed")
+    // and every timing still recovers
+    val entry = """"(\d+)":(\d+)""".r
+    val got = sLines.flatMap(l => entry.findAllMatchIn(l)
+      .map(m => m.group(1))).toSet
+    assert(got == synth.map(s => BenchFormat.compactKey(s._1)).toSet)
+  }
+
   test("every query's timing is regex-recoverable from the emitted lines") {
-    val entry = """"(q\d+)":(\d+)""".r
+    val entry = """"(\d+)":(\d+)""".r
     val got = lines.flatMap(l => entry.findAllMatchIn(l)
       .map(m => m.group(1) -> m.group(2).toLong)).toMap
     assert(got.keySet == names.map(BenchFormat.compactKey).toSet)
@@ -55,7 +76,7 @@ class BenchFormatSpec extends AnyFunSuite {
   test("every line is valid standalone JSON with the per_query_cs marker") {
     // no JSON lib on the unmanaged classpath — structural smoke checks
     for (l <- lines) {
-      assert(l.startsWith("""{"metric":"per_query_cs","queries":{"""))
+      assert(l.startsWith("""{"metric":"per_query_cs","q":{"""))
       assert(l.endsWith("}}"))
       assert(l.count(_ == '{') == l.count(_ == '}'))
     }

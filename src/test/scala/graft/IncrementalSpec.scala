@@ -197,6 +197,43 @@ class IncrementalSpec extends AnyFunSuite with SharedSpark {
     assert(md5tree(s"$dirOut/block-groups/00").nonEmpty)
   }
 
+  test("a tree deeper than the configured fan routes to the full rebuild") {
+    // an extend-zooms-deepened previous tree holds tiles the fan never
+    // covers: incremental updates would strand them stale. The guard
+    // reads the tree's own deepest z directory (block-groups fan max
+    // is z10; plant a z13 leaf) and must take the fallback — which
+    // wipes the region subtree, so the stale deep tile also vanishes.
+    val oldCsv = writeLong(0 until 40, bumped = Set.empty)
+    val newCsv = writeLong(0 until 40, bumped = Set(3)) // tiny delta
+    val feats40 = features.filter(
+      org.apache.spark.sql.functions.col("GEOID") < geoid(40))
+    val dirOld = Files.createTempDirectory("incr-deep").toString
+    val dirOut = Files.createTempDirectory("incr-deep-out").toString
+    Pipeline.runRegion(spark, oldCsv, "raw", metricLongNames, "block-groups",
+      features = Some(feats40), outDir = Some(dirOld))
+    val deep = Paths.get(dirOld, "block-groups", "00", "13", "4096")
+    Files.createDirectories(deep)
+    Files.write(deep.resolve("2048.pbf"), Array[Byte](1, 2, 3))
+    assert(Incremental.treeMaxZoom(
+      new java.io.File(s"$dirOld/block-groups")) == 13)
+
+    // copy mode: the fallback must fire despite the 1/40 delta
+    val stats = Incremental.incrementalRegion(spark, oldCsv, newCsv, "raw",
+      metricLongNames, "block-groups", feats40, prevDir = dirOld,
+      outDir = dirOut)
+    assert(stats.fullRebuild, s"deep tree must force the fallback: $stats")
+    assert(md5tree(s"$dirOut/block-groups/00").nonEmpty)
+    assert(!Files.exists(Paths.get(dirOut, "block-groups", "00", "13")),
+      "the fallback tree must not inherit the stale deep tiles")
+
+    // in-place mode: same guard, and the wipe removes the stale leaf
+    val statsLive = Incremental.incrementalRegion(spark, oldCsv, newCsv,
+      "raw", metricLongNames, "block-groups", feats40, prevDir = dirOld,
+      outDir = dirOld)
+    assert(statsLive.fullRebuild)
+    assert(!Files.exists(deep), "in-place fallback must wipe the deep leaf")
+  }
+
   test("diff plan: map-side partial fingerprints; one id-keyed shuffle per side") {
     val oldCsv = writeLong(0 until 20, bumped = Set.empty)
     val newCsv = writeLong(0 until 20, bumped = Set(3))

@@ -59,6 +59,37 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
     assert(e.getMessage.contains("3 of 5"), e.getMessage)
   }
 
+  test("quarantined CSV: landing the clean frame to parquet restores pruning") {
+    import org.apache.spark.sql.types._
+    // the barrier frame deliberately defeats column pruning (pruning
+    // would re-admit rejected rows); the documented escape hatch for
+    // wide repeatedly-consumed tables is to land the clean frame ONCE
+    // and read the staged parquet — which must prune normally again
+    val dir = Files.createTempDirectory("quar-land").toString
+    val schema = StructType(Seq(StructField("id", StringType),
+      StructField("a", IntegerType), StructField("b", IntegerType),
+      StructField("c", StringType)))
+    Files.write(java.nio.file.Paths.get(dir, "d.csv"),
+      ("id,a,b,c\n" + (0 until 50).map(i => s"r$i,$i,${i * 2},x$i\n").mkString +
+        "bad,notanint,0,y\n").getBytes("UTF-8"))
+    val q = Sources.readCsvQuarantined(spark, s"$dir/d.csv", schema,
+      maxRejectFraction = 0.5)
+    assert(q.rejected == 1)
+    // the barrier frame: a 2-column projection still parses full-width
+    val barrierScan = q.clean.select("id", "a")
+      .queryExecution.executedPlan.toString
+    assert(!barrierScan.contains("ReadSchema"),
+      "the quarantine frame must NOT be a prunable file scan")
+    // the escape hatch: land once, read staged — pruning is back
+    val staged = s"$dir/staged.parquet"
+    q.clean.write.parquet(staged)
+    val pruned = spark.read.parquet(staged).select("id", "a")
+      .queryExecution.executedPlan.toString
+    assert(pruned.contains("ReadSchema: struct<id:string,a:int>"),
+      s"staged parquet must prune to the projection:\n$pruned")
+    assert(spark.read.parquet(staged).count() == 50)
+  }
+
   test("CSV sink: gzip'd single-file write reads back identically (S2/S3/S8)") {
     val df = Seq(("01001", "a"), ("02013", "b")).toDF("GEOID", "n")
     val out = Files.createTempDirectory("gz").toString + "/out"

@@ -325,8 +325,11 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     implicit val sqlCtx = spark.sqlContext
     val H = 3600L * 1000
     val t0 = 1700000000000L
-    def e(u: Long, t: String, off: Long) =
-      Event(u, new Timestamp(t0 + off), t, 1.0)
+    var nextEid = 0L
+    def e(u: Long, t: String, off: Long) = {
+      nextEid += 1
+      Event(u, new Timestamp(t0 + off), t, 1.0, event_id = nextEid)
+    }
     // u1: click then purchase inside 24h (attributed), later purchase
     // 30h after the SECOND click... u2: purchase with no click ever;
     // u3: click in batch 1, purchase in batch 2 within window (the
@@ -358,8 +361,7 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     // batch twin: q141's per-day rollup over the same rows must agree
     val dir = java.nio.file.Files.createTempDirectory("attr_stream").toString
     (b1 ++ b2).toDF()
-      .selectExpr("monotonically_increasing_id() AS event_id", "ts",
-        "user_id", "event_type", "value")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
     val batch = QueriesStream.q141Attribution(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
@@ -372,6 +374,46 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
         (day, xs.length.toLong, xs.count(_._2).toLong) }.toSet
     assert(streamRollup == batch,
       s"stream rollup $streamRollup must equal batch $batch")
+  }
+
+  test("attributionStream: same-microsecond ties break by event_id, matching q141") {
+    // the r15 advice's remaining caveat, now a contract: a click and a
+    // conversion on the SAME microsecond resolve by event_id in both
+    // faces — u1's click precedes its purchase (attributed), u2's
+    // purchase precedes its click (not attributed). Delivered in
+    // REVERSED arrival order so only the (micros, event_id) sort — not
+    // arrival luck — can produce the verdicts.
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    val T = new Timestamp(t0)
+    val evs = Seq(
+      Event(1L, T, "click", 1.0, event_id = 10),
+      Event(1L, T, "purchase", 1.0, event_id = 11),
+      Event(2L, T, "purchase", 1.0, event_id = 20),
+      Event(2L, T, "click", 1.0, event_id = 21))
+    val stream = MemoryStream[Event]
+    val q = Streaming.attributionStream(stream.toDS(),
+        clickType = "click", convType = "purchase",
+        windowUs = 1000000L, evictMs = 60000L,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+      .writeStream.format("memory").queryName("attr_tie")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(evs.reverse: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val verdicts = spark.table("attr_tie").collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Boolean]("attributed"))
+      .toMap
+    assert(verdicts == Map(1L -> true, 2L -> false), verdicts.toString)
+    // and q141 over the same rows agrees: 2 purchases, 1 attributed
+    val dir = java.nio.file.Files.createTempDirectory("attr_tie").toString
+    evs.toDF().selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = QueriesStream.q141Attribution(spark, dir).collect()
+    assert(batch.length == 1 &&
+      batch(0).getLong(1) == 2L && batch(0).getLong(2) == 1L,
+      batch.mkString(";"))
   }
 
   test("funnelStream: cross-batch anchors + re-delivery match the batch funnel") {
