@@ -94,6 +94,38 @@ object Mbtiles {
     } finally raf.close()
   }
 
+  /** `tile-join` over CONTAINERS (`build.sh:189,210,214`): read every
+    * input tileset, align on (z,x,y), concatenate tile bytes in INPUT
+    * ORDER (MVT layers concatenate at the protobuf level — the same J3
+    * merge the frame-level pipeline applies per decade), and write the
+    * merged container. Metadata folds left-to-right across the inputs'
+    * metadata tables with the `metadata` argument overriding last.
+    *
+    * Scale shape: ONE shuffle regardless of input count (a grouped
+    * aggregate over the unioned frames, not a join chain), and the
+    * per-input reads are [[readMbtiles]]'s distributed leaf scans.
+    * Output layout is the direct MBTiles 1.3 `tiles` table — the
+    * map/images dedup layout stays READ-only by decision: dedup pays
+    * only when many tiles share identical bytes (ocean fills), which
+    * this engine's drop-densest/coalesce stages already avoid
+    * producing, and the direct layout is what the reference's own
+    * tooling exchanges.
+    */
+  def tileJoin(spark: SparkSession, inputs: Seq[String], out: String,
+               metadata: Map[String, String] = Map.empty): Unit = {
+    require(inputs.nonEmpty, "tileJoin needs at least one input")
+    val frames = inputs.zipWithIndex.map { case (p, i) =>
+      readMbtiles(spark, p).withColumn("ord", lit(i)) }
+    val merged = frames.reduce(_.unionByName(_))
+      .groupBy("z", "x", "y")
+      .agg(expr("aggregate(sort_array(collect_list(struct(ord, tile_bytes)))" +
+        ", cast('' as binary), (acc, t) -> concat(acc, t.tile_bytes))")
+        .as("tile_bytes"))
+    val meta = inputs.map(readMbtilesMetadata)
+      .foldLeft(Map.empty[String, String])(_ ++ _) ++ metadata
+    writeMbtiles(merged, out, meta)
+  }
+
   /** Read an MBTiles container — whoever wrote it — back as the
     * engine's tile frame (z, x, y, tile_bytes), XYZ y (TMS row flipped
     * back). Ingesting the reference ecosystem's own artifacts is what

@@ -270,6 +270,77 @@ class MbtilesSpec extends AnyFunSuite with SharedSpark {
     assert(graft.sinks.Mbtiles.readMbtilesMetadata(db) == Map("name" -> "dedup"))
   }
 
+  test("per-layer containers tile-join to the exact frame-level merged container") {
+    assume(python.isDefined, "python3 with sqlite3 not available")
+    // the reference's decade loop in CONTAINER form (`build.sh:163-214`):
+    // bubble and choropleth tilesets ship as separate .mbtiles, get
+    // re-read, and tile-join into the decade container — which must be
+    // tile-for-tile byte-identical to the frame-level J3 merge
+    // runRegion ships, and pass sqlite's own integrity_check.
+    import graft.sinks.Mbtiles
+    val dir = Files.createTempDirectory("mbt-join").toString
+    def geoid(c: Int) = f"$c%05d"
+    val cells = 0 until 30 // 6x5 shared-border polygon grid
+    val gj = cells.map { c =>
+      val (gx, gy) = (c % 6, c / 6)
+      val (x0, y0) = (-100.0 + gx * 0.4, 30.0 + gy * 0.4)
+      val (x1, y1) = (x0 + 0.4, y0 + 0.4)
+      s"""{"type":"Feature","properties":{"GEOID":"${geoid(c)}"},""" +
+        s""""geometry":{"type":"Polygon","coordinates":[[[$x0,$y0],""" +
+        s"""[$x1,$y0],[$x1,$y1],[$x0,$y1],[$x0,$y0]]]}}"""
+    }.mkString("\n")
+    Files.write(Paths.get(dir, "f.jsonl"), gj.getBytes("UTF-8"))
+    val features = Pipeline.geometryFeatures(
+      graft.sources.Sources.readGeoJsonLines(spark, s"$dir/f.jsonl"))
+    val metrics = Seq("population", "filing_rate")
+    val csv = new StringBuilder(
+      "id,year,name,parent_location,population,filing_rate\n")
+    for (c <- cells; y <- 2000 to 2018)
+      csv.append(s"${geoid(c)},$y,Cell $c,Gridland," +
+        s"${(c * 31 + y) % 97 + 1},${(c * 7 + y) % 13 + 1}\n")
+    Files.write(Paths.get(dir, "data.csv"), csv.toString.getBytes("UTF-8"))
+
+    // reference output: the frame-level merge shipped by the pipeline
+    Pipeline.runRegion(spark, s"$dir/data.csv", "raw", metrics, "counties",
+      features = Some(features), outDir = Some(dir), mbtiles = true)
+
+    // container flow: rebuild each LAYER with the pipeline's own
+    // building blocks (counties: bubble never extends, choropleth
+    // coalesces so extension is skipped — both deterministic twins of
+    // what runRegion computed), ship each as its own container, join
+    val long = graft.sources.Sources.readCsv(spark, s"$dir/data.csv",
+      graft.sources.Sources.longSchema(metrics))
+    val wide = Pipeline.shape(long, "raw")
+    val choroMaxZ = graft.config.EtlConfig.choroplethZoom("counties").maxZoom
+    val polyFeats = Pipeline.choroTileFeatures(features, "counties", choroMaxZ)
+    for (decade <- Seq("00", "10")) {
+      val bubble = Pipeline.decadeTiles(wide, features, "raw", decade,
+        "bubble", "counties")
+      val choro = Pipeline.choroDecadeEncode(wide, polyFeats, "raw", decade,
+        "counties")
+      val bPath = s"$dir/$decade-bubble.mbtiles"
+      val cPath = s"$dir/$decade-choro.mbtiles"
+      Mbtiles.writeMbtiles(bubble, bPath, Map("name" -> s"bubble-$decade"))
+      Mbtiles.writeMbtiles(choro, cPath, Map("name" -> s"choro-$decade"))
+      val joined = s"$dir/$decade-joined.mbtiles"
+      Mbtiles.tileJoin(spark, Seq(bPath, cPath), joined,
+        Map("name" -> s"counties-$decade"))
+      assert(pyDump(joined).head == "ok", s"integrity_check decade $decade")
+      def tileMap(path: String) = Mbtiles.readMbtiles(spark, path).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)) ->
+          md5(r.getAs[Array[Byte]]("tile_bytes"))).toMap
+      val ref = tileMap(s"$dir/counties/$decade.mbtiles")
+      val got = tileMap(joined)
+      assert(ref.nonEmpty && got == ref,
+        s"decade $decade container join differs: " +
+          s"missing=${(ref.keySet -- got.keySet).take(3)} " +
+          s"changed=${ref.count { case (k, v) => got.get(k).exists(_ != v) }}")
+      // metadata folds inputs then applies the override
+      val meta = Mbtiles.readMbtilesMetadata(joined)
+      assert(meta("name") == s"counties-$decade", meta.toString)
+    }
+  }
+
   test("runRegion(mbtiles = true) ships the container next to the pbf tree") {
     assume(python.isDefined, "python3 with sqlite3 not available")
     val dir = Files.createTempDirectory("mbt-pipe").toString
