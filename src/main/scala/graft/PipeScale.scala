@@ -49,7 +49,7 @@ object PipeScale {
   /** Metric long-names in CSV column order (everything the raw map
     * knows except the id columns).
     */
-  private val metricLongNames: Seq[String] =
+  private[graft] val metricLongNames: Seq[String] =
     EtlConfig.columnMapRaw.map(_._1)
       .filterNot(Seq("id", "name", "parent_location").contains)
 
@@ -66,7 +66,7 @@ object PipeScale {
     * bumps population for every `mutStep`-th cell — the "tonight's
     * delta" twin snapshot for the incremental-rebuild measurement.
     */
-  private def genLongCsv(spark: SparkSession, n: Long, path: String,
+  private[graft] def genLongCsv(spark: SparkSession, n: Long, path: String,
                          mutStep: Long = 0,
                          mutRange: Option[(Long, Long)] = None): Unit = {
     val fsPath = new org.apache.hadoop.fs.Path(path)
@@ -111,7 +111,7 @@ object PipeScale {
   /** Write the GeoJSON-lines geometry (if absent): one Polygon feature
     * per grid cell; neighbours share edges exactly.
     */
-  private def genGeoLines(spark: SparkSession, n: Long, path: String): Unit = {
+  private[graft] def genGeoLines(spark: SparkSession, n: Long, path: String): Unit = {
     val fsPath = new org.apache.hadoop.fs.Path(path)
     val fs = fsPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(fsPath)) return
@@ -136,16 +136,22 @@ object PipeScale {
     println(s"[pipescale] wrote geometry lines: $n cells -> $path")
   }
 
-  /** One complete composed run; returns wall seconds. */
+  /** One complete composed run; returns wall seconds. `tiles = false`
+    * runs only the scan→pivot→artifact half (no geometry, no tile
+    * fan) — the diagnostic split for scaling-ratio points: which half
+    * owns a super-linear wall.
+    */
   private def runOnce(spark: SparkSession, csv: String, geo: String,
-                      out: String): Double = {
+                      out: String, tiles: Boolean = true): Double = {
     val t0 = System.nanoTime()
-    val feats = Pipeline.geometryFeatures(Sources.readGeoJsonLines(spark, geo))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val feats = if (tiles)
+      Some(Pipeline.geometryFeatures(Sources.readGeoJsonLines(spark, geo))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    else None
     Pipeline.runRegion(spark, csv, "raw", metricLongNames, "block-groups",
-      features = Some(feats), outDir = Some(out),
+      features = feats, outDir = if (tiles) Some(out) else None,
       wideOut = Some(s"$out/build-csv"), extentsOut = Some(s"$out/extents-csv"))
-    feats.unpersist()
+    feats.foreach(_.unpersist())
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -161,6 +167,48 @@ object PipeScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // modes combine: e.g. "full-once profile"
+    val modes = args.drop(2).toSet
+    // "profile": per-stage task-time attribution for scaling-ratio
+    // diagnosis — which stage owns a super-linear wall (the r16 4×
+    // investigation instrument)
+    val profile = modes("profile")
+    val stageTimes =
+      new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    if (profile) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        // stage-level callsites are useless under AQE (every shuffle
+        // stage materializes inside withThreadLocalCaptured): attribute
+        // at the JOB level instead — a job's callsite is the ACTION
+        // that triggered it, and all its AQE stages inherit it
+        private val stageToAction =
+          new java.util.concurrent.ConcurrentHashMap[Int, String]()
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val action = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short")))
+            .getOrElse("unknown")
+          j.stageIds.foreach(id => stageToAction.put(id, action))
+        }
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = {
+          val info = sc.stageInfo
+          // best-effort: job callsite (absent on AQE-internal jobs) →
+          // first graft frame in the stage details → stage name. Under
+          // AQE most shuffle stages still land in one opaque bucket;
+          // the instrument's reliable output is the RESULT stages
+          val key = Option(stageToAction.get(info.stageId))
+            .filter(_ != "unknown")
+            .orElse(info.details.linesIterator
+              .find(l => l.contains("graft.") && !l.contains("PipeScale"))
+              .map(_.trim.take(120)))
+            .getOrElse(info.name.take(80))
+          stageTimes.merge(key, info.taskMetrics.executorRunTime,
+            (a, b) => a + b)
+        }
+      })
+
     val csv = s"$outBase/in/long_$nCells.csv"
     val geo = s"$outBase/in/geo_$nCells.jsonl"
     genLongCsv(spark, nCells, csv)
@@ -173,16 +221,23 @@ object PipeScale {
     val wGeo = s"$outBase/in/geo_$warmN.jsonl"
     genLongCsv(spark, warmN, wCsv)
     genGeoLines(spark, warmN, wGeo)
-    runOnce(spark, wCsv, wGeo, s"$outBase/warm")
+    runOnce(spark, wCsv, wGeo, s"$outBase/warm", tiles = !modes("pivot-only"))
 
     // "incr-only": reuse existing run1/run2 trees and re-measure only
     // the incremental arms (the full-run walls print as -1);
     // "full-only": the composed-run walls alone (scaling-ratio runs at
-    // other cell counts don't need the delta arms re-priced)
-    val incrOnly = args.lift(2).contains("incr-only")
-    val fullOnly = args.lift(2).contains("full-only")
-    val wall1 = if (incrOnly) -1.0 else runOnce(spark, csv, geo, s"$outBase/run1")
-    val wall2 = if (incrOnly) -1.0 else runOnce(spark, csv, geo, s"$outBase/run2")
+    // other cell counts don't need the delta arms re-priced);
+    // "full-once": ONE timed run — large-n ratio points whose two
+    // trees would not fit the host disk (the 4× point writes ~14 GB
+    // per tree)
+    val incrOnly = modes("incr-only")
+    val fullOnce = modes("full-once")
+    val pivotOnly = modes("pivot-only")
+    val fullOnly = fullOnce || pivotOnly || modes("full-only")
+    val wall1 = if (incrOnly) -1.0
+      else runOnce(spark, csv, geo, s"$outBase/run1", tiles = !pivotOnly)
+    val wall2 = if (incrOnly || fullOnce || pivotOnly) -1.0
+      else runOnce(spark, csv, geo, s"$outBase/run2")
 
     // incremental rebuild measurement: a 0.1%-mutated twin snapshot
     // applied IN PLACE to run1's tree (outDir == prevDir — the live
@@ -191,18 +246,23 @@ object PipeScale {
     val csvMut = s"$outBase/in/long_${nCells}_mut.csv"
     val csvMut2 = s"$outBase/in/long_${nCells}_mut2.csv"
     val csvClust = s"$outBase/in/long_${nCells}_clust.csv"
-    genLongCsv(spark, nCells, csvMut, mutStep = 1000)
-    // mut2 vs mut: cells ≡0 (mod 500) but not (mod 1000) newly change —
-    // the same 0.1% scattered delta SHAPE as arm A, but arm C runs it
-    // against run1's now-stored fingerprint artifact (no old-CSV scan)
-    genLongCsv(spark, nCells, csvMut2, mutStep = 500)
-    // clustered delta: one contiguous 217-cell block — the "one county
-    // re-reported" case, where the delta lands in O(1) z8 tiles
-    genLongCsv(spark, nCells, csvClust,
-      mutRange = Some((nCells / 2, nCells / 2 + 217)))
-    val featsI = Pipeline.geometryFeatures(Sources.readGeoJsonLines(spark, geo))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    featsI.count() // geometry is unchanged between snapshots: parse untimed
+    if (!fullOnly) {
+      genLongCsv(spark, nCells, csvMut, mutStep = 1000)
+      // mut2 vs mut: cells ≡0 (mod 500) but not (mod 1000) newly change —
+      // the same 0.1% scattered delta SHAPE as arm A, but arm C runs it
+      // against run1's now-stored fingerprint artifact (no old-CSV scan)
+      genLongCsv(spark, nCells, csvMut2, mutStep = 500)
+      // clustered delta: one contiguous 217-cell block — the "one county
+      // re-reported" case, where the delta lands in O(1) z8 tiles
+      genLongCsv(spark, nCells, csvClust,
+        mutRange = Some((nCells / 2, nCells / 2 + 217)))
+    }
+    lazy val featsI = {
+      val f = Pipeline.geometryFeatures(Sources.readGeoJsonLines(spark, geo))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      f.count() // geometry is unchanged between snapshots: parse untimed
+      f
+    }
     def incr(oldCsv: String, newCsv: String, tree: String)
         : (Double, Incremental.Stats) = {
       val t0 = System.nanoTime()
@@ -217,7 +277,7 @@ object PipeScale {
       else (incr(csv, csvMut, s"$outBase/run1"),      // scattered, cold fp
         incr(csvMut, csvMut2, s"$outBase/run1"),      // scattered, WARM fp
         incr(csv, csvClust, s"$outBase/run2"))        // clustered, cold fp
-    featsI.unpersist()
+    if (!fullOnly) featsI.unpersist() // lazy: untouched on full-only runs
 
     // .mbtiles container write at the national tile count — single-
     // writer by format (tippecanoe's constraint too): decade 00's tree
@@ -251,17 +311,27 @@ object PipeScale {
         walk(d)
       }
     }
-    val tiles00 = countPbf(s"$outBase/run2/block-groups/00")
-    val tiles10 = countPbf(s"$outBase/run2/block-groups/10")
+    val sanityBase = if (fullOnce || pivotOnly) s"$outBase/run1"
+      else s"$outBase/run2"
+    val tiles00 = countPbf(s"$sanityBase/block-groups/00")
+    val tiles10 = countPbf(s"$sanityBase/block-groups/10")
     val wideRows = spark.read.option("header", true)
-      .csv(s"$outBase/run2/build-csv").count()
+      .csv(s"$sanityBase/build-csv").count()
     val extRows = spark.read.option("header", true)
-      .csv(s"$outBase/run2/extents-csv").count()
+      .csv(s"$sanityBase/extents-csv").count()
+    if (profile) {
+      import scala.jdk.CollectionConverters._
+      val top = stageTimes.asScala.toSeq.sortBy(-_._2).take(14)
+      for ((name, ms) <- top)
+        println(f"""{"metric":"stage_profile","sec":${ms / 1000.0}%.1f,"stage":"${
+          name.replace("\"", "'").replace("\n", " ")}"}""")
+    }
     println(f"""{"metric":"pipescale","cells":$nCells,""" +
       f""""long_rows":${nCells * Years.size},"wide_rows":$wideRows,""" +
       f""""extent_rows":$extRows,"tiles_00":$tiles00,"tiles_10":$tiles10,""" +
       f""""wall1":$wall1%.1f,"wall2":$wall2%.1f,""" +
-      f""""wall_min":${math.min(wall1, wall2)}%.1f,""" +
+      f""""wall_min":${if (fullOnce || pivotOnly) wall1
+        else math.min(wall1, wall2)}%.1f,""" +
       f""""incr_scatter":$wallA%.1f,"incr_scatter_tiles":${statsA.affectedTiles},""" +
       f""""incr_scatter_contrib":${statsA.contributors},""" +
       f""""incr_warmfp":$wallC%.1f,"incr_warmfp_tiles":${statsC.affectedTiles},""" +
