@@ -297,6 +297,83 @@ object QueriesCorpus {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  // ---------------------------------------------------------------------
+  // q148: token-distribution shift between corpus snapshots — the
+  // VOCABULARY face of drift monitoring next to q111's numeric-profile
+  // face: per source, the Jensen–Shannon divergence between the old and
+  // new snapshots' unigram distributions (JS over KL because it is
+  // symmetric, bounded by ln 2, and defined when either side has
+  // tokens the other lacks — exactly the added/removed-vocabulary case
+  // a real ingest generation produces). The new snapshot is q135's
+  // deterministic derivation (drops, additions, edits), so both engines
+  // diff identical inputs. Float discipline is the q75/BM25 pattern:
+  // each token's JS contribution is rounded to integer PICOS before the
+  // per-source sum — integer summation is exact and order-independent,
+  // so `js_pico` itself is cross-engine hash-stable, not just a rounded
+  // projection of it. Scale shape: each snapshot's counts are one
+  // map-side-combined groupBy bounded by vocab×sources (the inherent
+  // exact-distribution price — the q147 CM sketch is the fixed-memory
+  // stand-in when even the vocabulary is too large to shuffle); the
+  // (source, tok) full-outer join joins two already-aggregated frames
+  // on their own grouping key; per-source totals broadcast; text never
+  // shuffles.
+  def q148TokenJsShift(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select("doc_id", "source", "text")
+    // the q135 derivation in ONE scan: each doc emits its surviving old
+    // id and/or its shifted duplicate id through one explode (vs the
+    // two-arm union, which scans the corpus twice)
+    val newSnap = docs
+      .select(col("source"), col("text"), explode(filter(array(
+          when(col("doc_id") % 31 =!= 0, col("doc_id")),
+          when(col("doc_id") % 13 === 0, col("doc_id") + 600000)),
+        x => x.isNotNull)).as("doc_id"))
+      .withColumn("text",
+        when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    TextStats.tokenJsShift(docs, newSnap, "source", "text")
+      .orderBy("source")
+  }
+
+  val q148Sql: String =
+    """WITH ns AS (SELECT doc_id, source,
+      |   CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text
+      | FROM (SELECT doc_id, source, text FROM documents WHERE doc_id % 31 <> 0
+      |       UNION ALL
+      |       SELECT doc_id + 600000, source, text FROM documents
+      |       WHERE doc_id % 13 = 0)),
+      |ta AS (SELECT source, tok, count(*) AS co FROM (
+      |   SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE tok <> '' GROUP BY 1, 2),
+      |tb AS (SELECT source, tok, count(*) AS cn FROM (
+      |   SELECT source, unnest(string_split(text, ' ')) AS tok FROM ns)
+      |  WHERE tok <> '' GROUP BY 1, 2),
+      |na AS (SELECT source, CAST(sum(co) AS BIGINT) AS n_tok_old,
+      |       count(*) AS n_vocab_old FROM ta GROUP BY 1),
+      |nb AS (SELECT source, CAST(sum(cn) AS BIGINT) AS n_tok_new,
+      |       count(*) AS n_vocab_new FROM tb GROUP BY 1),
+      |j AS (SELECT coalesce(ta.source, tb.source) AS source, co, cn
+      |      FROM ta FULL OUTER JOIN tb
+      |        ON ta.source = tb.source AND ta.tok = tb.tok),
+      |pq AS (SELECT j.source, co, cn,
+      |   CAST(co AS DOUBLE) / n_tok_old AS p,
+      |   CAST(cn AS DOUBLE) / n_tok_new AS q
+      | FROM j JOIN na ON j.source = na.source JOIN nb ON j.source = nb.source),
+      |c AS (SELECT source,
+      |   CAST(round((
+      |     CASE WHEN co IS NOT NULL THEN
+      |       0.5 * p * ln(p * 2.0 / (coalesce(p, 0.0) + coalesce(q, 0.0)))
+      |     ELSE 0.0 END +
+      |     CASE WHEN cn IS NOT NULL THEN
+      |       0.5 * q * ln(q * 2.0 / (coalesce(p, 0.0) + coalesce(q, 0.0)))
+      |     ELSE 0.0 END) * 1e12) AS BIGINT) AS pico
+      | FROM pq)
+      |SELECT c.source, n_tok_old, n_tok_new, n_vocab_old, n_vocab_new,
+      | CAST(sum(pico) AS BIGINT) AS js_pico,
+      | round(CAST(sum(pico) AS BIGINT) / 1e12, 6) AS js_div
+      |FROM c JOIN na ON c.source = na.source JOIN nb ON c.source = nb.source
+      |GROUP BY 1, 2, 3, 4, 5
+      |ORDER BY c.source""".stripMargin
+
   val q136Sql: String =
     s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS toks
        |           FROM documents),
@@ -1176,6 +1253,7 @@ object QueriesCorpus {
     "q134_bloom_fp_audit" -> (q134BloomFpAudit _),
     "q135_snapshot_diff" -> (q135SnapshotDiff _),
     "q136_rag_chunks" -> (q136RagChunks _),
+    "q148_token_js_shift" -> (q148TokenJsShift _),
     "q56_repetition" -> (q56Repetition _),
     "q57_source_balance" -> (q57SourceBalance _),
     "q58_boilerplate" -> (q58Boilerplate _),
@@ -1201,6 +1279,7 @@ object QueriesCorpus {
     "q134_bloom_fp_audit" -> q134Sql,
     "q135_snapshot_diff" -> q135Sql,
     "q136_rag_chunks" -> q136Sql,
+    "q148_token_js_shift" -> q148Sql,
     "q56_repetition" -> q56Sql,
     "q57_source_balance" -> q57Sql,
     "q58_boilerplate" -> q58Sql,

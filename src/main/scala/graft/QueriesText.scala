@@ -416,8 +416,63 @@ object QueriesText {
        |HAVING count(*) * $HhTheta >= n
        |ORDER BY cnt DESC, word""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q147: Count–Min point-frequency estimates next to their exact
+  // values — the sketch family's frequency face
+  // ([[graft.functions.CountMinSketchAgg]]) audited the way q131 audits
+  // MinHash: the estimate the 100 TB plan would ACT on, measured against
+  // the truth it stands in for. The sketch is ONE global aggregation
+  // whose buffer is a fixed d·w long array (map-side partial, only
+  // d·w·8 bytes cross the shuffle however many distinct tokens stream
+  // through); the probe set is q110's exact θ-frequent words — the MG
+  // two-pass keeps that side's shuffles bounded too, and makes the set
+  // deterministic so the oracle can recompute the whole result
+  // relationally (cells = a (row, bucket) GROUP BY; estimate = min over
+  // rows). CM error is one-sided — est ≥ exact always, est ≤ exact +
+  // (e/w)·N w.p. ≥ 1−e^−d — so `over_frac = est/exact − 1` is the
+  // audit's readable error column.
+  private val CmD = 4
+  private val CmW = 1021 // prime: no pow-2 interaction with the odd KM step
+
+  def q147CmFrequency(s: SparkSession, d: String): DataFrame = {
+    val sketch = q110Words(s, d)
+      .agg(graft.functions.CountMinSketchAgg
+        .cm(col("word"), lit(1L), CmD, CmW).as("cells"))
+    // heavy hitters (word, cnt) is itself two bounded-shuffle passes;
+    // the sketch is one row — broadcast by construction
+    q110HeavyHitters(s, d)
+      .crossJoin(broadcast(sketch))
+      .select(col("word"), col("cnt"),
+        graft.functions.CountMinSketchAgg
+          .estimate(col("cells"), col("word"), CmD, CmW).as("cm_est"))
+      .withColumn("over_frac",
+        round(col("cm_est").cast("double") / col("cnt") - 1.0, 6))
+      .orderBy(desc("cnt"), col("word"))
+  }
+
+  val q147Sql: String = {
+    val b = graft.functions.CountMinSketchAgg.bucketSql("word", "r", CmW)
+    val bp = graft.functions.CountMinSketchAgg.bucketSql("h.word", "t3.r", CmW)
+    s"""WITH w AS (
+       | SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |ww AS (SELECT word FROM w WHERE word <> ''),
+       |t AS (SELECT count(*) AS n FROM ww),
+       |hh AS (SELECT word, count(*) AS cnt FROM ww, t GROUP BY word, n
+       |       HAVING count(*) * $HhTheta >= n),
+       |cells AS (SELECT r, $b AS b, count(*) AS c
+       |          FROM ww CROSS JOIN range($CmD) AS t2(r) GROUP BY 1, 2),
+       |est AS (SELECT h.word, h.cnt, min(c.c) AS cm_est
+       |        FROM hh h CROSS JOIN range($CmD) AS t3(r)
+       |        JOIN cells c ON c.r = t3.r AND c.b = $bp
+       |        GROUP BY 1, 2)
+       |SELECT word, cnt, cm_est,
+       | round(CAST(cm_est AS DOUBLE) / cnt - 1.0, 6) AS over_frac
+       |FROM est ORDER BY cnt DESC, word""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q110_heavy_hitters" -> (q110HeavyHitters _),
+    "q147_cm_frequency" -> (q147CmFrequency _),
     "q18_token_stats" -> (q18TokenStats _),
     "q19_quality_score" -> (q19QualityScore _),
     "q20_lang_id" -> (q20LangId _),
@@ -433,6 +488,7 @@ object QueriesText {
 
   val oracle: Map[String, String] = Map(
     "q110_heavy_hitters" -> q110Sql,
+    "q147_cm_frequency" -> q147Sql,
     "q18_token_stats" -> q18Sql,
     "q19_quality_score" -> q19Sql,
     "q20_lang_id" -> q20Sql,

@@ -52,6 +52,16 @@ object Md5Hash60Expr {
   /** Top 60 bits of md5(bytes) as a non-negative long. */
   def hash(bytes: Array[Byte]): Long = hashRange(bytes, 0, bytes.length)
 
+  /** The raw 16-byte digest — for callers deriving more than one hash
+    * value from a single md5 ([[CountMinSketchAgg.hashPair]]).
+    */
+  def digest(bytes: Array[Byte]): Array[Byte] = {
+    val m = md.get()
+    m.reset()
+    m.update(bytes, 0, bytes.length)
+    m.digest()
+  }
+
   /** Same over a byte range — zero-copy slice hashing for shingles. */
   def hashRange(bytes: Array[Byte], off: Int, len: Int): Long = {
     val m = md.get()

@@ -529,4 +529,60 @@ object TextStats {
     }
     when(best === 0, lit("und")).otherwise(firstMax)
   }
+
+  /** Per-group Jensen–Shannon divergence between two corpus snapshots'
+    * unigram token distributions — the VOCABULARY face of drift
+    * monitoring next to `Extents.profileColumnsBy`'s numeric face (JS
+    * over KL: symmetric, bounded by ln 2, defined when either snapshot
+    * holds tokens the other lacks — the added/removed-vocabulary case a
+    * real ingest generation produces). Output per group: old/new token
+    * totals, old/new vocabulary sizes, `js_pico` (the divergence in
+    * exact integer picos) and `js_div` (rounded to 6).
+    *
+    * Float discipline (the BM25 pattern): each token's JS contribution
+    * is rounded to integer picos BEFORE the per-group sum, so the sum
+    * is exact integer arithmetic — order-independent and cross-engine
+    * stable; `js_pico` itself is hash-checkable, not just a rounded
+    * projection. Each snapshot tokenizes once into a (group, token)
+    * count frame that checkpoints (vocab×groups rows — the bounded
+    * summary) so neither corpus re-scans per consumer; the full-outer
+    * vocab join and the per-group totals window both run at summary
+    * size. At the regime where even the vocabulary is too large to
+    * shuffle, the CM sketch ([[graft.functions.CountMinSketchAgg]]) is
+    * the fixed-memory stand-in for these exact distributions.
+    */
+  def tokenJsShift(oldSnap: DataFrame, newSnap: DataFrame,
+                   groupCol: String, textCol: String): DataFrame = {
+    def tokCounts(df: DataFrame): DataFrame = df
+      .select(col(groupCol), explode(split(col(textCol), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy(groupCol, "tok").agg(count(lit(1)).as("cnt"))
+    val a = tokCounts(oldSnap).withColumnRenamed("cnt", "co").localCheckpoint()
+    val b = tokCounts(newSnap).withColumnRenamed("cnt", "cn").localCheckpoint()
+    // per-group totals as windows over the joined vocab frame: the
+    // groupBy that follows re-uses the same partitioning, so totals
+    // cost no extra scan, join, or job
+    val wSrc = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    val p = col("co").cast("double") / col("n_tok_old")
+    val q = col("cn").cast("double") / col("n_tok_new")
+    val termP = when(col("co").isNotNull,
+      lit(0.5) * p * log(p * lit(2.0) / (coalesce(p, lit(0.0)) +
+        coalesce(q, lit(0.0))))).otherwise(lit(0.0))
+    val termQ = when(col("cn").isNotNull,
+      lit(0.5) * q * log(q * lit(2.0) / (coalesce(p, lit(0.0)) +
+        coalesce(q, lit(0.0))))).otherwise(lit(0.0))
+    a.join(b, Seq(groupCol, "tok"), "full_outer")
+      .select(col(groupCol), col("co"), col("cn"),
+        sum(coalesce(col("co"), lit(0L))).over(wSrc).as("n_tok_old"),
+        sum(coalesce(col("cn"), lit(0L))).over(wSrc).as("n_tok_new"),
+        count(col("co")).over(wSrc).as("n_vocab_old"),
+        count(col("cn")).over(wSrc).as("n_vocab_new"))
+      .select(col(groupCol), col("n_tok_old"), col("n_tok_new"),
+        col("n_vocab_old"), col("n_vocab_new"),
+        round((termP + termQ) * 1e12).cast("long").as("pico"))
+      .groupBy(groupCol, "n_tok_old", "n_tok_new",
+        "n_vocab_old", "n_vocab_new")
+      .agg(sum("pico").as("js_pico"))
+      .withColumn("js_div", round(col("js_pico") / 1e12, 6))
+  }
 }

@@ -689,6 +689,22 @@ object Streaming {
     items.groupBy(col(groupCol))
       .agg(graft.functions.Kmv.sketch(xxhash64(col(hashCol)), k).as("sk"))
 
+  /** Streaming per-group Count–Min sketches
+    * ([[graft.functions.CountMinSketchAgg]], complete/update mode) —
+    * the frequency face next to [[kmvSketchStream]]'s distinct face and
+    * [[heavyHitterCandidatesStream]]'s candidate face. State per group
+    * is the fixed d·w cell array — bounded however long the stream runs
+    * and however many distinct items pass — and because the cells are
+    * element-wise additive, any snapshot of the output merges with
+    * batch-built shard sketches by plain vector add (q147's audit
+    * arithmetic applies unchanged to the streamed cells).
+    */
+  def cmSketchStream(items: DataFrame, groupCol: String, itemCol: String,
+                     d: Int, w: Int): DataFrame =
+    items.groupBy(col(groupCol))
+      .agg(graft.functions.CountMinSketchAgg
+        .cm(col(itemCol), lit(1L), d, w).as("cells"))
+
   /** Stream-STREAM interval join — the q43 attribution semantics
     * (each left event pairs with the right events of the same key
     * whose timestamp lands in `[leftTs, leftTs + maxDelta]`) when

@@ -11,6 +11,50 @@ import graft.operators.{Curation, Dedup, Scrub, TextStats}
 class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
   import spark.implicits._
 
+  test("tokenJsShift: identical snapshots diverge by exactly zero") {
+    val snap = Seq(("g1", "a b b c"), ("g1", "c d"), ("g2", "x y"))
+      .toDF("grp", "text")
+    val out = TextStats.tokenJsShift(snap, snap, "grp", "text")
+      .orderBy("grp")
+      .select("grp", "js_pico", "n_tok_old", "n_tok_new",
+        "n_vocab_old", "n_vocab_new")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(("g1", 0L, 6L, 6L, 4L, 4L),
+      ("g2", 0L, 2L, 2L, 2L, 2L)))
+  }
+
+  test("tokenJsShift: disjoint vocabularies hit the ln 2 ceiling") {
+    val a = Seq(("g", "a a b")).toDF("grp", "text")
+    val b = Seq(("g", "x y y y")).toDF("grp", "text")
+    val row = TextStats.tokenJsShift(a, b, "grp", "text")
+      .select("js_div").as[Double].head()
+    assert(row == BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      s"disjoint snapshots must measure the JS maximum ln 2, got $row")
+  }
+
+  test("tokenJsShift matches the closed form on a hand fixture") {
+    // old: P(a)=3/4, P(b)=1/4 ; new: Q(a)=1/4, Q(b)=3/4
+    val a = Seq(("g", "a a a b")).toDF("grp", "text")
+    val b = Seq(("g", "a b b b")).toDF("grp", "text")
+    val got = TextStats.tokenJsShift(a, b, "grp", "text")
+      .select("js_div").as[Double].head()
+    def kl(p: Double, m: Double) = p * math.log(p / m)
+    val want = 0.5 * (kl(0.75, 0.5) + kl(0.25, 0.5)) +
+      0.5 * (kl(0.25, 0.5) + kl(0.75, 0.5))
+    assert(math.abs(got - want) < 1e-6, s"got $got want $want")
+  }
+
+  test("tokenJsShift: vocabulary deltas surface in the vocab columns") {
+    val a = Seq(("g", "a b"), ("g", "c")).toDF("grp", "text")
+    val b = Seq(("g", "a b"), ("g", "c d")).toDF("grp", "text")
+    val (vOld, vNew, js) = TextStats.tokenJsShift(a, b, "grp", "text")
+      .select("n_vocab_old", "n_vocab_new", "js_pico")
+      .as[(Long, Long, Long)].head()
+    assert((vOld, vNew) == (3L, 4L))
+    assert(js > 0, "an added token is a positive divergence")
+  }
+
   test("contaminatedIds flags exactly the docs sharing a k-gram with eval") {
     val eval = Seq((1L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")

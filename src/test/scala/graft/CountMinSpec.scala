@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.CountMinSketchAgg
+
+/** Count–Min sketch properties the q147 audit relies on: the one-sided
+  * error guarantee (estimate ≥ exact, always — not probabilistically),
+  * partition invariance of the cell array (integer vector addition
+  * commutes, so the sketch itself is hash-checkable), mergeability of
+  * per-group sketches into the global one, and bucket parity between
+  * the native update path and the SQL formulation the DuckDB oracle
+  * transcribes.
+  */
+class CountMinSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private val D = 4
+  private val W = 1021
+
+  // zipf-ish stream: item i appears ceil(600/i) times, i = 1..80
+  private def zipf: Seq[String] =
+    (1 to 80).flatMap(i => Seq.fill(math.ceil(600.0 / i).toInt)(s"item$i"))
+  private def exact: Map[String, Long] =
+    zipf.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+  private def sketchOf(parts: Int): Array[Long] =
+    zipf.toDF("w").repartition(parts)
+      .agg(CountMinSketchAgg.cm(col("w"), lit(1L), D, W).as("c"))
+      .select(col("c")).as[Seq[Long]].head().toArray
+
+  test("estimate >= exact for every key; each row's cells sum to N") {
+    val cells = sketchOf(8)
+    val n = zipf.size.toLong
+    (0 until D).foreach { r =>
+      assert(cells.slice(r * W, (r + 1) * W).sum == n,
+        s"row $r must conserve total mass")
+    }
+    exact.foreach { case (item, cnt) =>
+      val (h1, h2) = CountMinSketchAgg.hashPair(item.getBytes("UTF-8"))
+      val est = (0 until D)
+        .map(r => cells(r * W + CountMinSketchAgg.bucket(h1, h2, r, W))).min
+      assert(est >= cnt, s"$item: CM may never underestimate ($est < $cnt)")
+    }
+  }
+
+  test("cell array is partition-invariant (serde + merge path exercised)") {
+    assert(sketchOf(1).toSeq == sketchOf(8).toSeq)
+  }
+
+  test("per-group sketches merge by vector add into the global sketch") {
+    val grouped = zipf.zipWithIndex
+      .map { case (w, i) => (w, s"g${i % 3}") }.toDF("w", "g")
+      .groupBy("g")
+      .agg(CountMinSketchAgg.cm(col("w"), lit(1L), D, W).as("c"))
+      .select(col("c")).as[Seq[Long]].collect()
+    val summed = grouped.reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
+    assert(summed == sketchOf(4).toSeq,
+      "sum of per-group sketches must equal the whole-corpus sketch")
+  }
+
+  test("native buckets match the oracle SQL arithmetic") {
+    // non-circular parity pin: recompute h1/h2/bucket through Spark's own
+    // md5-hex + conv path (the exact expression the DuckDB twin uses) and
+    // compare against the digest-byte fast path
+    val items = Seq("alpha", "beta", "", "çédille ünïcode", "a b  c\td")
+    val viaSql = items.toDF("w").select(col("w"),
+      conv(substring(md5(col("w").cast("binary")), 1, 15), 16, 10)
+        .cast("long").as("h1"),
+      conv(substring(md5(col("w").cast("binary")), 16, 15), 16, 10)
+        .cast("long").as("h2"))
+      .as[(String, Long, Long)].collect()
+    viaSql.foreach { case (w, h1s, h2s) =>
+      val (h1, h2) = CountMinSketchAgg.hashPair(w.getBytes("UTF-8"))
+      assert((h1, h2) == (h1s, h2s), s"hash pair mismatch for '$w'")
+      (0 until D).foreach { r =>
+        val sqlBucket = ((h1s + r * (2 * (h2s % CountMinSketchAgg.StepMod) + 1))
+          % W).toInt
+        assert(CountMinSketchAgg.bucket(h1, h2, r, W) == sqlBucket)
+      }
+    }
+  }
+
+  test("estimate column reads the same values the buffer arithmetic gives") {
+    val sketch = zipf.toDF("w")
+      .agg(CountMinSketchAgg.cm(col("w"), lit(1L), D, W).as("c"))
+    val probes = Seq("item1", "item2", "item40").toDF("w")
+    val got = probes.crossJoin(broadcast(sketch))
+      .select(col("w"),
+        CountMinSketchAgg.estimate(col("c"), col("w"), D, W).as("est"))
+      .as[(String, Long)].collect().toMap
+    val cells = sketchOf(1)
+    Seq("item1", "item2", "item40").foreach { item =>
+      val (h1, h2) = CountMinSketchAgg.hashPair(item.getBytes("UTF-8"))
+      val want = (0 until D)
+        .map(r => cells(r * W + CountMinSketchAgg.bucket(h1, h2, r, W))).min
+      assert(got(item) == want, s"estimate() disagrees with buffer for $item")
+      assert(got(item) >= exact(item))
+    }
+  }
+
+  test("null items and non-positive weights are skipped") {
+    val cells = Seq((Some("x"), 5L), (None, 100L), (Some("y"), 0L), (Some("y"), -3L))
+      .toDF("w", "n")
+      .agg(CountMinSketchAgg.cm(col("w"), col("n"), D, W).as("c"))
+      .select(col("c")).as[Seq[Long]].head()
+    assert(cells.sum == 5L * D, "only the (x, 5) row may contribute")
+  }
+}

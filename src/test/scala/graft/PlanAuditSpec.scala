@@ -620,6 +620,24 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"the raw token stream must never shuffle on the token key:\n$sp")
   }
 
+  test("q147: CM sketch partial-aggregates map-side; probes ride a broadcast") {
+    val p = plan("q147_cm_frequency")
+    // the sketch pass: ObjectHashAggregate with a map-side partial —
+    // only the d·w cell array crosses the one-row merge exchange,
+    // never an exchange keyed on the raw token
+    assert(p.contains("partial_cm_sketch"),
+      s"CM sketch must have a map-side partial phase:\n$p")
+    // (the probe side reuses q110's plan, whose own audit pins that the
+    // raw token stream never shuffles — here only candidate occurrences
+    // group on the token key, partial-combined map-side)
+    // the 1-row sketch and the ≤k probe set both broadcast; nothing
+    // sort-merges or goes cartesian (the crossJoin is 1-row broadcast)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q147 must stay broadcast-shaped:\n$p")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      s"sketch row and candidate set must broadcast:\n$p")
+  }
+
   test("q108: tombstone anti-join broadcasts the delete set pre-distance") {
     val p = plan("q108_tombstoned_serve")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),

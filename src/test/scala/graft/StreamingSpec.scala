@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, explode, expr, xxhash64}
+import org.apache.spark.sql.functions.{col, explode, expr, lit, xxhash64}
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -214,6 +214,37 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       "micro-batched state must fold to the exact batch sketch")
     // group b saw 45 distinct ids < k: the sketch is exact there
     assert(got("b").size == 45)
+  }
+
+  test("cmSketchStream: stream-final cells equal the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val (d, w) = (3, 97)
+    val stream = MemoryStream[(String, String)]
+    val q = Streaming.cmSketchStream(
+        stream.toDF().toDF("grp", "item"), "grp", "item", d, w)
+      .writeStream.format("memory").queryName("cm_out")
+      .outputMode(OutputMode.Complete()).start()
+    val b1 = (1 to 60).map(i => ("a", s"tok${i % 15}")) ++
+      (1 to 25).map(i => ("b", s"tok${i % 7}"))
+    val b2 = (1 to 40).map(i => ("a", s"tok${i % 25}"))
+    try {
+      stream.addData(b1: _*)
+      q.processAllAvailable()
+      stream.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cm_out")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val batch = (b1 ++ b2).toDF("grp", "item")
+      .groupBy("grp")
+      .agg(graft.functions.CountMinSketchAgg
+        .cm(col("item"), lit(1L), d, w).as("cells"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(got == batch,
+      "micro-batched CM state must fold to the exact batch cells")
+    // mass conservation per row over the streamed state
+    assert((0 until d).forall(r =>
+      got("a").slice(r * w, (r + 1) * w).sum == 100L))
   }
 
   test("sessionStep timeout branch flushes the open session and evicts state") {
