@@ -374,6 +374,82 @@ object QueriesCorpus {
       |GROUP BY 1, 2, 3, 4, 5
       |ORDER BY c.source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q149: q148's divergence served from Count–Min sketches
+  // ([[TextStats.cmTokenJsShift]]) — the fixed-memory path for the
+  // regime where even the (source, token) count frame is too large to
+  // shuffle: each snapshot reduces to ONE d·w cell array per source.
+  // By the data processing inequality the cell-level JS is a LOWER
+  // bound on the exact token JS for every hash row; the output maxes
+  // over the d rows (tightest bound). Same pico fixed-point discipline,
+  // so the oracle — which recomputes the cells relationally exactly as
+  // q147's does — hash-matches the bound itself, not a tolerance of it.
+  private val CmJsD = 4
+  private val CmJsW = 1021
+
+  def q149CmJsShift(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select("doc_id", "source", "text")
+    val newSnap = docs
+      .select(col("source"), col("text"), explode(filter(array(
+          when(col("doc_id") % 31 =!= 0, col("doc_id")),
+          when(col("doc_id") % 13 === 0, col("doc_id") + 600000)),
+        x => x.isNotNull)).as("doc_id"))
+      .withColumn("text",
+        when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    TextStats.cmTokenJsShift(docs, newSnap, "source", "text", CmJsD, CmJsW)
+      .orderBy("source")
+  }
+
+  val q149Sql: String = {
+    val bo = graft.functions.CountMinSketchAgg.bucketSql("tok", "r", CmJsW)
+    s"""WITH ns AS (SELECT doc_id, source,
+       |   CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text
+       | FROM (SELECT doc_id, source, text FROM documents WHERE doc_id % 31 <> 0
+       |       UNION ALL
+       |       SELECT doc_id + 600000, source, text FROM documents
+       |       WHERE doc_id % 13 = 0)),
+       |wo AS (SELECT source, tok FROM (
+       |   SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  WHERE tok <> ''),
+       |wn AS (SELECT source, tok FROM (
+       |   SELECT source, unnest(string_split(text, ' ')) AS tok FROM ns)
+       |  WHERE tok <> ''),
+       |no AS (SELECT source, count(*) AS n_tok_old FROM wo GROUP BY 1),
+       |nn AS (SELECT source, count(*) AS n_tok_new FROM wn GROUP BY 1),
+       |co AS (SELECT source, r, $bo AS b, count(*) AS co
+       |       FROM wo CROSS JOIN range($CmJsD) AS t(r) GROUP BY 1, 2, 3),
+       |cn AS (SELECT source, r, $bo AS b, count(*) AS cn
+       |       FROM wn CROSS JOIN range($CmJsD) AS t(r) GROUP BY 1, 2, 3),
+       |j AS (SELECT coalesce(co.source, cn.source) AS source,
+       |       coalesce(co.r, cn.r) AS r,
+       |       coalesce(co.co, 0) AS co, coalesce(cn.cn, 0) AS cn
+       |      FROM co FULL OUTER JOIN cn
+       |        ON co.source = cn.source AND co.r = cn.r AND co.b = cn.b),
+       |pq AS (SELECT j.source, r,
+       |   CAST(round((
+       |    CASE WHEN co > 0 THEN
+       |     0.5 * (CAST(co AS DOUBLE) / n_tok_old)
+       |      * ln((CAST(co AS DOUBLE) / n_tok_old) * 2.0
+       |        / ((CAST(co AS DOUBLE) / n_tok_old)
+       |           + (CAST(cn AS DOUBLE) / n_tok_new)))
+       |    ELSE 0.0 END +
+       |    CASE WHEN cn > 0 THEN
+       |     0.5 * (CAST(cn AS DOUBLE) / n_tok_new)
+       |      * ln((CAST(cn AS DOUBLE) / n_tok_new) * 2.0
+       |        / ((CAST(co AS DOUBLE) / n_tok_old)
+       |           + (CAST(cn AS DOUBLE) / n_tok_new)))
+       |    ELSE 0.0 END) * 1e12) AS BIGINT) AS pico
+       | FROM j JOIN no ON j.source = no.source JOIN nn ON j.source = nn.source),
+       |rowjs AS (SELECT source, r, CAST(sum(pico) AS BIGINT) AS js_r
+       |          FROM pq GROUP BY 1, 2),
+       |m AS (SELECT source, max(js_r) AS js_cm_pico FROM rowjs GROUP BY 1)
+       |SELECT m.source, n_tok_old, n_tok_new, js_cm_pico,
+       | round(js_cm_pico / 1e12, 6) AS js_cm
+       |FROM m JOIN no ON m.source = no.source JOIN nn ON m.source = nn.source
+       |ORDER BY m.source""".stripMargin
+  }
+
   val q136Sql: String =
     s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS toks
        |           FROM documents),
@@ -1254,6 +1330,7 @@ object QueriesCorpus {
     "q135_snapshot_diff" -> (q135SnapshotDiff _),
     "q136_rag_chunks" -> (q136RagChunks _),
     "q148_token_js_shift" -> (q148TokenJsShift _),
+    "q149_cm_js_shift" -> (q149CmJsShift _),
     "q56_repetition" -> (q56Repetition _),
     "q57_source_balance" -> (q57SourceBalance _),
     "q58_boilerplate" -> (q58Boilerplate _),
@@ -1280,6 +1357,7 @@ object QueriesCorpus {
     "q135_snapshot_diff" -> q135Sql,
     "q136_rag_chunks" -> q136Sql,
     "q148_token_js_shift" -> q148Sql,
+    "q149_cm_js_shift" -> q149Sql,
     "q56_repetition" -> q56Sql,
     "q57_source_balance" -> q57Sql,
     "q58_boilerplate" -> q58Sql,

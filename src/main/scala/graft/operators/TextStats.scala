@@ -585,4 +585,62 @@ object TextStats {
       .agg(sum("pico").as("js_pico"))
       .withColumn("js_div", round(col("js_pico") / 1e12, 6))
   }
+
+  /** [[tokenJsShift]]'s fixed-memory deploy face: the same per-group
+    * snapshot divergence read off Count–Min sketch cells
+    * ([[graft.functions.CountMinSketchAgg]]) instead of exact token
+    * counts. Each snapshot reduces to ONE d·w cell array per group —
+    * nothing vocabulary-sized ever shuffles, the regime where even the
+    * (group, token) count frame of the exact path is too large.
+    *
+    * The estimate is a LOWER bound by construction: hashing tokens into
+    * buckets is a channel, and JS is an f-divergence, so the data
+    * processing inequality gives JS(cells_r) ≤ JS(tokens) for every
+    * row r; the output takes the MAX over the d rows — the tightest of
+    * the d lower bounds. Each row's JS uses the same pico fixed-point
+    * discipline as the exact path (per-bucket contributions rounded to
+    * integer picos, integer-summed inside an `aggregate` fold), so
+    * `js_cm_pico` is cross-engine exact. Collisions only merge
+    * probability mass — the bound degrades smoothly as vocab/w grows,
+    * never inverts.
+    */
+  def cmTokenJsShift(oldSnap: DataFrame, newSnap: DataFrame,
+                     groupCol: String, textCol: String,
+                     d: Int = 4, w: Int = 1021): DataFrame = {
+    def cells(df: DataFrame, out: String): DataFrame = df
+      .select(col(groupCol), explode(split(col(textCol), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy(groupCol)
+      .agg(graft.functions.CountMinSketchAgg
+        .cm(col("tok"), lit(1L), d, w).as(out))
+    // contribution lambda shared textually with the DuckDB twin: p and
+    // q spelled inline so every double op sequence matches the oracle's
+    def picoContrib = (co: String, cn: String) =>
+      s"""CAST(round((
+         | CASE WHEN $co > 0 THEN
+         |  0.5 * (CAST($co AS DOUBLE) / n_tok_old)
+         |   * ln((CAST($co AS DOUBLE) / n_tok_old) * 2.0
+         |     / ((CAST($co AS DOUBLE) / n_tok_old)
+         |        + (CAST($cn AS DOUBLE) / n_tok_new)))
+         | ELSE 0.0 END +
+         | CASE WHEN $cn > 0 THEN
+         |  0.5 * (CAST($cn AS DOUBLE) / n_tok_new)
+         |   * ln((CAST($cn AS DOUBLE) / n_tok_new) * 2.0
+         |     / ((CAST($co AS DOUBLE) / n_tok_old)
+         |        + (CAST($cn AS DOUBLE) / n_tok_new)))
+         | ELSE 0.0 END) * 1e12) AS BIGINT)""".stripMargin
+    val rowJs = (r: Int) => expr(
+      s"""aggregate(zip_with(
+         |  slice(cells_o, ${r * w + 1}, $w), slice(cells_n, ${r * w + 1}, $w),
+         |  (co, cn) -> ${picoContrib("co", "cn")}),
+         | 0L, (acc, x) -> acc + x)""".stripMargin)
+    cells(oldSnap, "cells_o").join(cells(newSnap, "cells_n"), groupCol)
+      .withColumn("n_tok_old",
+        expr(s"aggregate(slice(cells_o, 1, $w), 0L, (acc, x) -> acc + x)"))
+      .withColumn("n_tok_new",
+        expr(s"aggregate(slice(cells_n, 1, $w), 0L, (acc, x) -> acc + x)"))
+      .select(col(groupCol), col("n_tok_old"), col("n_tok_new"),
+        greatest((0 until d).map(rowJs): _*).as("js_cm_pico"))
+      .withColumn("js_cm", round(col("js_cm_pico") / 1e12, 6))
+  }
 }

@@ -55,6 +55,48 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
     assert(js > 0, "an added token is a positive divergence")
   }
 
+  test("cmTokenJsShift: identical snapshots bound at exactly zero") {
+    val snap = Seq(("g1", "a b b c"), ("g2", "x y")).toDF("grp", "text")
+    val out = TextStats.cmTokenJsShift(snap, snap, "grp", "text", 3, 97)
+      .orderBy("grp")
+      .select("grp", "js_cm_pico", "n_tok_old", "n_tok_new")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(("g1", 0L, 4L, 4L), ("g2", 0L, 2L, 2L)))
+  }
+
+  test("cmTokenJsShift is a DPI lower bound on the exact divergence") {
+    // a real shift with enough vocab that rows could collide: the bound
+    // must never exceed the exact value, whatever the hash layout
+    val a = (1 to 40).map(i => ("g", s"tok$i tok${i % 7} filler common"))
+      .toDF("grp", "text")
+    val b = (25 to 70).map(i => ("g", s"tok$i tok${i % 5} other common"))
+      .toDF("grp", "text")
+    val exact = TextStats.tokenJsShift(a, b, "grp", "text")
+      .select("js_pico").as[Long].head()
+    for (w <- Seq(11, 97, 1021)) {
+      val bound = TextStats.cmTokenJsShift(a, b, "grp", "text", 4, w)
+        .select("js_cm_pico").as[Long].head()
+      // pico rounding can differ by at most one ulp per occupied bucket
+      assert(bound <= exact + 2 * w,
+        s"w=$w: DPI bound $bound must not exceed exact $exact")
+      assert(bound > 0, s"w=$w: a real shift must register a positive bound")
+    }
+  }
+
+  test("cmTokenJsShift: collision-free sketch recovers the exact value") {
+    // tiny vocab, huge w: every token occupies its own bucket in every
+    // row w.h.p. — then the cell distribution IS the token distribution
+    // and the bound is tight (up to per-token pico rounding)
+    val a = Seq(("g", "a a a b")).toDF("grp", "text")
+    val b = Seq(("g", "a b b b")).toDF("grp", "text")
+    val exact = TextStats.tokenJsShift(a, b, "grp", "text")
+      .select("js_pico").as[Long].head()
+    val bound = TextStats.cmTokenJsShift(a, b, "grp", "text", 4, 8191)
+      .select("js_cm_pico").as[Long].head()
+    assert(math.abs(bound - exact) <= 4,
+      s"collision-free bound $bound must match exact $exact")
+  }
+
   test("contaminatedIds flags exactly the docs sharing a k-gram with eval") {
     val eval = Seq((1L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")
