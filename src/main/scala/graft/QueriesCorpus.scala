@@ -429,16 +429,16 @@ object QueriesCorpus {
        |pq AS (SELECT j.source, r,
        |   CAST(round((
        |    CASE WHEN co > 0 THEN
-       |     0.5 * (CAST(co AS DOUBLE) / n_tok_old)
-       |      * ln((CAST(co AS DOUBLE) / n_tok_old) * 2.0
-       |        / ((CAST(co AS DOUBLE) / n_tok_old)
-       |           + (CAST(cn AS DOUBLE) / n_tok_new)))
+       |     0.5 * (CASE WHEN co > 0 THEN CAST(co AS DOUBLE) / n_tok_old ELSE 0.0 END)
+       |      * ln((CASE WHEN co > 0 THEN CAST(co AS DOUBLE) / n_tok_old ELSE 0.0 END) * 2.0
+       |        / ((CASE WHEN co > 0 THEN CAST(co AS DOUBLE) / n_tok_old ELSE 0.0 END)
+       |           + (CASE WHEN cn > 0 THEN CAST(cn AS DOUBLE) / n_tok_new ELSE 0.0 END)))
        |    ELSE 0.0 END +
        |    CASE WHEN cn > 0 THEN
-       |     0.5 * (CAST(cn AS DOUBLE) / n_tok_new)
-       |      * ln((CAST(cn AS DOUBLE) / n_tok_new) * 2.0
-       |        / ((CAST(co AS DOUBLE) / n_tok_old)
-       |           + (CAST(cn AS DOUBLE) / n_tok_new)))
+       |     0.5 * (CASE WHEN cn > 0 THEN CAST(cn AS DOUBLE) / n_tok_new ELSE 0.0 END)
+       |      * ln((CASE WHEN cn > 0 THEN CAST(cn AS DOUBLE) / n_tok_new ELSE 0.0 END) * 2.0
+       |        / ((CASE WHEN co > 0 THEN CAST(co AS DOUBLE) / n_tok_old ELSE 0.0 END)
+       |           + (CASE WHEN cn > 0 THEN CAST(cn AS DOUBLE) / n_tok_new ELSE 0.0 END)))
        |    ELSE 0.0 END) * 1e12) AS BIGINT) AS pico
        | FROM j JOIN no ON j.source = no.source JOIN nn ON j.source = nn.source),
        |rowjs AS (SELECT source, r, CAST(sum(pico) AS BIGINT) AS js_r

@@ -537,7 +537,12 @@ object TextStats {
     * holds tokens the other lacks — the added/removed-vocabulary case a
     * real ingest generation produces). Output per group: old/new token
     * totals, old/new vocabulary sizes, `js_pico` (the divergence in
-    * exact integer picos) and `js_div` (rounded to 6).
+    * exact integer picos) and `js_div` (rounded to 6). A group present
+    * in only ONE snapshot (a dropped or newly-arrived source) still
+    * surfaces, at the one-KL-term extension value ½·ln 2 — the empty
+    * side is the zero measure, so only the surviving side's
+    * KL(·‖mid) term exists; disjoint-vocabulary groups with BOTH
+    * sides populated measure the full ln 2.
     *
     * Float discipline (the BM25 pattern): each token's JS contribution
     * is rounded to integer picos BEFORE the per-group sum, so the sum
@@ -614,27 +619,39 @@ object TextStats {
       .agg(graft.functions.CountMinSketchAgg
         .cm(col("tok"), lit(1L), d, w).as(out))
     // contribution lambda shared textually with the DuckDB twin: p and
-    // q spelled inline so every double op sequence matches the oracle's
-    def picoContrib = (co: String, cn: String) =>
+    // q spelled inline so every double op sequence matches the oracle's.
+    // Each division hides behind its own count-positive CASE (a
+    // positive count implies a positive side total): a one-sided group
+    // has n_tok = 0 on its empty side, and ANSI mode raises on 0/0
+    // where the guarded form yields the 0.0 the math wants
+    def picoContrib = (co: String, cn: String) => {
+      val p = s"(CASE WHEN $co > 0 THEN CAST($co AS DOUBLE) / n_tok_old" +
+        " ELSE 0.0 END)"
+      val q = s"(CASE WHEN $cn > 0 THEN CAST($cn AS DOUBLE) / n_tok_new" +
+        " ELSE 0.0 END)"
       s"""CAST(round((
          | CASE WHEN $co > 0 THEN
-         |  0.5 * (CAST($co AS DOUBLE) / n_tok_old)
-         |   * ln((CAST($co AS DOUBLE) / n_tok_old) * 2.0
-         |     / ((CAST($co AS DOUBLE) / n_tok_old)
-         |        + (CAST($cn AS DOUBLE) / n_tok_new)))
+         |  0.5 * $p * ln($p * 2.0 / ($p + $q))
          | ELSE 0.0 END +
          | CASE WHEN $cn > 0 THEN
-         |  0.5 * (CAST($cn AS DOUBLE) / n_tok_new)
-         |   * ln((CAST($cn AS DOUBLE) / n_tok_new) * 2.0
-         |     / ((CAST($co AS DOUBLE) / n_tok_old)
-         |        + (CAST($cn AS DOUBLE) / n_tok_new)))
+         |  0.5 * $q * ln($q * 2.0 / ($p + $q))
          | ELSE 0.0 END) * 1e12) AS BIGINT)""".stripMargin
+    }
     val rowJs = (r: Int) => expr(
       s"""aggregate(zip_with(
          |  slice(cells_o, ${r * w + 1}, $w), slice(cells_n, ${r * w + 1}, $w),
          |  (co, cn) -> ${picoContrib("co", "cn")}),
          | 0L, (acc, x) -> acc + x)""".stripMargin)
-    cells(oldSnap, "cells_o").join(cells(newSnap, "cells_n"), groupCol)
+    // FULL outer: a group present in only one snapshot (a dropped or
+    // newly-arrived source) must surface at the ln 2 boundary exactly
+    // as the exact path does, not silently vanish; its missing side is
+    // the all-zero sketch
+    cells(oldSnap, "cells_o").join(cells(newSnap, "cells_n"),
+        Seq(groupCol), "full_outer")
+      .withColumn("cells_o",
+        coalesce(col("cells_o"), expr(s"array_repeat(0L, ${d * w})")))
+      .withColumn("cells_n",
+        coalesce(col("cells_n"), expr(s"array_repeat(0L, ${d * w})")))
       .withColumn("n_tok_old",
         expr(s"aggregate(slice(cells_o, 1, $w), 0L, (acc, x) -> acc + x)"))
       .withColumn("n_tok_new",

@@ -97,6 +97,29 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
       s"collision-free bound $bound must match exact $exact")
   }
 
+  test("one-sided groups surface at the ln 2 boundary in both JS paths") {
+    // group "gone" exists only in the old snapshot, "new" only in the
+    // new one — a dropped and an arrived source; neither may vanish
+    val a = Seq(("both", "a b"), ("gone", "x x y")).toDF("grp", "text")
+    val b = Seq(("both", "a b"), ("new", "z w")).toDF("grp", "text")
+    // a one-sided group has only ONE KL term (the empty side is the
+    // zero measure, not a distribution), so the formula's natural
+    // extension reports ½·ln 2 — still the documented maximum for that
+    // shape, distinct from ln 2 (two DISJOINT distributions)
+    val half = BigDecimal(0.5 * math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exact = TextStats.tokenJsShift(a, b, "grp", "text")
+      .select("grp", "js_div").as[(String, Double)].collect().toMap
+    assert(exact.keySet == Set("both", "gone", "new"))
+    assert(exact("both") == 0.0 && exact("gone") == half &&
+      exact("new") == half)
+    val cm = TextStats.cmTokenJsShift(a, b, "grp", "text", 3, 97)
+      .select("grp", "js_cm").as[(String, Double)].collect().toMap
+    assert(cm.keySet == Set("both", "gone", "new"),
+      "a one-sided group must not vanish from the sketch path")
+    assert(cm("both") == 0.0 && cm("gone") == half && cm("new") == half)
+  }
+
   test("contaminatedIds flags exactly the docs sharing a k-gram with eval") {
     val eval = Seq((1L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")
