@@ -638,6 +638,44 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"sketch row and candidate set must broadcast:\n$p")
   }
 
+  test("q148: divergence runs at vocab-summary size; totals ride one window") {
+    // the corpus-sized work is inside the two checkpointed count frames
+    // (audited by their own build: map-side partial counts); the plan
+    // that remains joins the summaries and must never re-scan parquet
+    // or go cartesian
+    val p = plan("q148_token_js_shift")
+    assert(!p.contains("FileScan parquet"),
+      s"post-checkpoint divergence must run off the summaries:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // three exchanges, all at summary size: the vocab join hashes both
+    // count frames on (source, tok); the totals window re-keys on
+    // source ALONE exactly once, and the 5-key rollup reuses that
+    // partitioning (source is a subset of its keys) — no 4th exchange
+    val joinKeyed = "Exchange hashpartitioning\\(source#\\d+, tok#\\d+"
+      .r.findAllIn(p).size
+    val srcAlone = "Exchange hashpartitioning\\(source#\\d+, \\d+"
+      .r.findAllIn(p).size
+    assert(joinKeyed == 2, s"vocab join hashes both summaries, got $joinKeyed:\n$p")
+    assert(srcAlone == 1,
+      s"window and rollup must share one source-alone exchange, got $srcAlone:\n$p")
+  }
+
+  test("q149: sketch pass shuffles fixed-size cells, never the token key") {
+    val p = plan("q149_cm_js_shift")
+    // both snapshots reduce map-side to one cell array per source
+    assert("partial_cm_sketch".r.findAllIn(p).size >= 2,
+      s"both snapshot sketches must partial-aggregate map-side:\n$p")
+    assert(!p.contains("hashpartitioning(tok"),
+      s"the token stream must never shuffle on the token key:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // the cells FULL-outer join (broadcast full-outer doesn't exist)
+    // must ride the sketch aggs' own source partitioning: the only
+    // exchanges in the whole plan are the two agg merges
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2,
+      s"only the two sketch-agg exchanges may shuffle, got $exchanges:\n$p")
+  }
+
   test("q108: tombstone anti-join broadcasts the delete set pre-distance") {
     val p = plan("q108_tombstoned_serve")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
