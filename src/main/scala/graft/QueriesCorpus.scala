@@ -375,6 +375,73 @@ object QueriesCorpus {
       |ORDER BY c.source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q150: the drift DRILL-DOWN — q148 answers HOW MUCH each source's
+  // token distribution moved; this answers WHAT moved: the top-3
+  // tokens per source by JS contribution (the rows of q148's own sum,
+  // so a mover's pico is exactly the mass it adds to js_pico), with
+  // old/new counts. Same summary-sized plan as q148 with the rollup
+  // swapped for a rank window the optimizer GROUP-LIMITS (map tasks
+  // forward ≤ k rows per source).
+  private val MoversK = 3
+
+  def q150JsMovers(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select("doc_id", "source", "text")
+    val newSnap = docs
+      .select(col("source"), col("text"), explode(filter(array(
+          when(col("doc_id") % 31 =!= 0, col("doc_id")),
+          when(col("doc_id") % 13 === 0, col("doc_id") + 600000)),
+        x => x.isNotNull)).as("doc_id"))
+      .withColumn("text",
+        when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    TextStats.tokenJsMovers(docs, newSnap, "source", "text", MoversK)
+      .orderBy("source", "rank")
+  }
+
+  val q150Sql: String =
+    s"""WITH ns AS (SELECT doc_id, source,
+       |   CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text
+       | FROM (SELECT doc_id, source, text FROM documents WHERE doc_id % 31 <> 0
+       |       UNION ALL
+       |       SELECT doc_id + 600000, source, text FROM documents
+       |       WHERE doc_id % 13 = 0)),
+       |ta AS (SELECT source, tok, count(*) AS co FROM (
+       |   SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  WHERE tok <> '' GROUP BY 1, 2),
+       |tb AS (SELECT source, tok, count(*) AS cn FROM (
+       |   SELECT source, unnest(string_split(text, ' ')) AS tok FROM ns)
+       |  WHERE tok <> '' GROUP BY 1, 2),
+       |na AS (SELECT source, CAST(sum(co) AS BIGINT) AS n_tok_old
+       |       FROM ta GROUP BY 1),
+       |nb AS (SELECT source, CAST(sum(cn) AS BIGINT) AS n_tok_new
+       |       FROM tb GROUP BY 1),
+       |j AS (SELECT coalesce(ta.source, tb.source) AS source,
+       |       coalesce(ta.tok, tb.tok) AS tok, co, cn
+       |      FROM ta FULL OUTER JOIN tb
+       |        ON ta.source = tb.source AND ta.tok = tb.tok),
+       |pq AS (SELECT j.source, tok, co, cn,
+       |   CAST(co AS DOUBLE) / n_tok_old AS p,
+       |   CAST(cn AS DOUBLE) / n_tok_new AS q
+       | FROM j JOIN na ON j.source = na.source JOIN nb ON j.source = nb.source),
+       |c AS (SELECT source, tok,
+       |   coalesce(co, 0) AS cnt_old, coalesce(cn, 0) AS cnt_new,
+       |   CAST(round((
+       |     CASE WHEN co IS NOT NULL THEN
+       |       0.5 * p * ln(p * 2.0 / (coalesce(p, 0.0) + coalesce(q, 0.0)))
+       |     ELSE 0.0 END +
+       |     CASE WHEN cn IS NOT NULL THEN
+       |       0.5 * q * ln(q * 2.0 / (coalesce(p, 0.0) + coalesce(q, 0.0)))
+       |     ELSE 0.0 END) * 1e12) AS BIGINT) AS pico
+       | FROM pq),
+       |r AS (SELECT source, tok, cnt_old, cnt_new, pico,
+       |   row_number() OVER (PARTITION BY source
+       |                      ORDER BY pico DESC, tok) AS rank
+       | FROM c)
+       |SELECT source, tok, cnt_old, cnt_new, pico, rank
+       |FROM r WHERE rank <= $MoversK
+       |ORDER BY source, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q149: q148's divergence served from Count–Min sketches
   // ([[TextStats.cmTokenJsShift]]) — the fixed-memory path for the
   // regime where even the (source, token) count frame is too large to
@@ -1331,6 +1398,7 @@ object QueriesCorpus {
     "q136_rag_chunks" -> (q136RagChunks _),
     "q148_token_js_shift" -> (q148TokenJsShift _),
     "q149_cm_js_shift" -> (q149CmJsShift _),
+    "q150_js_movers" -> (q150JsMovers _),
     "q56_repetition" -> (q56Repetition _),
     "q57_source_balance" -> (q57SourceBalance _),
     "q58_boilerplate" -> (q58Boilerplate _),
@@ -1358,6 +1426,7 @@ object QueriesCorpus {
     "q136_rag_chunks" -> q136Sql,
     "q148_token_js_shift" -> q148Sql,
     "q149_cm_js_shift" -> q149Sql,
+    "q150_js_movers" -> q150Sql,
     "q56_repetition" -> q56Sql,
     "q57_source_balance" -> q57Sql,
     "q58_boilerplate" -> q58Sql,

@@ -557,7 +557,41 @@ object TextStats {
     * the fixed-memory stand-in for these exact distributions.
     */
   def tokenJsShift(oldSnap: DataFrame, newSnap: DataFrame,
-                   groupCol: String, textCol: String): DataFrame = {
+                   groupCol: String, textCol: String): DataFrame =
+    jsContribFrame(oldSnap, newSnap, groupCol, textCol)
+      .groupBy(groupCol, "n_tok_old", "n_tok_new",
+        "n_vocab_old", "n_vocab_new")
+      .agg(sum("pico").as("js_pico"))
+      .withColumn("js_div", round(col("js_pico") / 1e12, 6))
+
+  /** The drift DRILL-DOWN next to [[tokenJsShift]]'s rollup: the top-k
+    * tokens driving each group's divergence (largest per-token JS
+    * contribution, token tie-break), with their old/new counts. The
+    * answer to the question a drift alert raises — WHAT changed, not
+    * just how much. Same contribution frame as the rollup, so a
+    * mover's `pico` sums back into the group's `js_pico` exactly; the
+    * per-group top-k is a rank window the optimizer group-limits (map
+    * tasks forward ≤ k rows per group).
+    */
+  def tokenJsMovers(oldSnap: DataFrame, newSnap: DataFrame,
+                    groupCol: String, textCol: String, k: Int): DataFrame = {
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("pico").desc, col("tok"))
+    jsContribFrame(oldSnap, newSnap, groupCol, textCol)
+      .select(col(groupCol), col("tok"),
+        coalesce(col("co"), lit(0L)).as("cnt_old"),
+        coalesce(col("cn"), lit(0L)).as("cnt_new"), col("pico"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+  }
+
+  /** Shared core of [[tokenJsShift]]/[[tokenJsMovers]]: one row per
+    * (group, token) of the joined vocab with per-token JS contribution
+    * in integer picos plus the per-group totals, computed exactly as
+    * documented on [[tokenJsShift]].
+    */
+  private def jsContribFrame(oldSnap: DataFrame, newSnap: DataFrame,
+                             groupCol: String, textCol: String): DataFrame = {
     def tokCounts(df: DataFrame): DataFrame = df
       .select(col(groupCol), explode(split(col(textCol), " ")).as("tok"))
       .where(col("tok") =!= "")
@@ -565,7 +599,7 @@ object TextStats {
     val a = tokCounts(oldSnap).withColumnRenamed("cnt", "co").localCheckpoint()
     val b = tokCounts(newSnap).withColumnRenamed("cnt", "cn").localCheckpoint()
     // per-group totals as windows over the joined vocab frame: the
-    // groupBy that follows re-uses the same partitioning, so totals
+    // rollup/rank that follows re-uses the same partitioning, so totals
     // cost no extra scan, join, or job
     val wSrc = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
     val p = col("co").cast("double") / col("n_tok_old")
@@ -577,18 +611,12 @@ object TextStats {
       lit(0.5) * q * log(q * lit(2.0) / (coalesce(p, lit(0.0)) +
         coalesce(q, lit(0.0))))).otherwise(lit(0.0))
     a.join(b, Seq(groupCol, "tok"), "full_outer")
-      .select(col(groupCol), col("co"), col("cn"),
+      .select(col(groupCol), col("tok"), col("co"), col("cn"),
         sum(coalesce(col("co"), lit(0L))).over(wSrc).as("n_tok_old"),
         sum(coalesce(col("cn"), lit(0L))).over(wSrc).as("n_tok_new"),
         count(col("co")).over(wSrc).as("n_vocab_old"),
         count(col("cn")).over(wSrc).as("n_vocab_new"))
-      .select(col(groupCol), col("n_tok_old"), col("n_tok_new"),
-        col("n_vocab_old"), col("n_vocab_new"),
-        round((termP + termQ) * 1e12).cast("long").as("pico"))
-      .groupBy(groupCol, "n_tok_old", "n_tok_new",
-        "n_vocab_old", "n_vocab_new")
-      .agg(sum("pico").as("js_pico"))
-      .withColumn("js_div", round(col("js_pico") / 1e12, 6))
+      .withColumn("pico", round((termP + termQ) * 1e12).cast("long"))
   }
 
   /** [[tokenJsShift]]'s fixed-memory deploy face: the same per-group

@@ -97,6 +97,29 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
       s"collision-free bound $bound must match exact $exact")
   }
 
+  test("tokenJsMovers: movers are the rollup's own largest rows") {
+    val a = Seq(("g", "a a a a b b c d")).toDF("grp", "text")
+    val b = Seq(("g", "a b b b b c d e")).toDF("grp", "text")
+    val movers = TextStats.tokenJsMovers(a, b, "grp", "text", 2)
+      .orderBy("rank")
+      .select("tok", "cnt_old", "cnt_new", "pico", "rank")
+      .as[(String, Long, Long, Long, Int)].collect()
+    assert(movers.length == 2)
+    // a: 4→1 (0.060) and the BRAND-NEW e (one-sided ½·q·ln 2 ≈ 0.043)
+    // outrank b's 2→4 (0.021): new vocabulary is a louder mover than a
+    // same-direction count shift of equal magnitude
+    assert(movers.map(_._1).toSeq == Seq("a", "e"))
+    assert(movers.forall(_._4 > 0))
+    // each mover's pico is a row of the rollup's sum: all contributions
+    // (movers at k = vocab) must sum to exactly js_pico
+    val total = TextStats.tokenJsShift(a, b, "grp", "text")
+      .select("js_pico").as[Long].head()
+    val allRows = TextStats.tokenJsMovers(a, b, "grp", "text", 100)
+      .select("pico").as[Long].collect()
+    assert(allRows.sum == total,
+      "movers must be the exact rows of the rollup's sum")
+  }
+
   test("one-sided groups surface at the ln 2 boundary in both JS paths") {
     // group "gone" exists only in the old snapshot, "new" only in the
     // new one — a dropped and an arrived source; neither may vanish
