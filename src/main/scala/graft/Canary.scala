@@ -21,7 +21,14 @@ import org.apache.spark.sql.functions._
   *    work, the profile of in-partition sorts;
   *  - `shuf`: a `spark.range` → hash-key groupBy-count through the noop
   *    sink — one real exchange over 2^22 synthetic rows, exercising the
-  *    task-scheduling + shuffle-write/read path with zero file IO.
+  *    task-scheduling + shuffle-write/read path with zero file IO;
+  *  - `mcpu` (r16): the `cpu` mix loop run CONCURRENTLY on every
+  *    available core, wall-timed. Single-stream probes cannot see
+  *    multi-core throttling — a measured r16 episode had cpu/sort/shuf
+  *    FASTER than the prior round while the 32-thread suite ran 1.74×
+  *    slower (hypervisor steal visible only under parallel load). On an
+  *    unthrottled host `mcpu ≈ cpu`; the `mcpu/cpu` ratio is the
+  *    parallel-capacity deflator for exactly that confound.
   *
   * Protocol: one untimed warm run (JIT + codegen land outside the
   * samples, same policy as the suite warm-up), then a timed sample
@@ -29,11 +36,12 @@ import org.apache.spark.sql.functions._
   * canaries bracket the same host window the per-query timings live in.
   * A round-over-round per-query ratio should be read DEFLATED by the
   * matching canary ratio (cpu for compute-bound queries, shuf for
-  * shuffle-bound ones); SURVEY §6 records the per-round values.
+  * shuffle-bound ones, mcpu for whole-suite parallel throughput);
+  * SURVEY §6 records the per-round values.
   */
 object Canary {
 
-  val names: Seq[String] = Seq("cpu", "sort", "shuf")
+  val names: Seq[String] = Seq("cpu", "sort", "shuf", "mcpu")
 
   // JIT blackhole: the probes' results fold in here so dead-code
   // elimination can't hollow out the measured loops
@@ -76,14 +84,31 @@ object Canary {
     0L
   }
 
+  /** The cpu mix loop on every available core at once — wall time of
+    * the slowest thread. Plain threads, not Spark tasks: the probe
+    * measures the HOST's parallel capacity, not the scheduler.
+    */
+  private def mcpuProbe(): Long = {
+    val n = Runtime.getRuntime.availableProcessors()
+    val results = new java.util.concurrent.atomic.AtomicLong(0L)
+    val threads = (0 until n).map { _ =>
+      new Thread(() => { results.getAndAdd(cpuProbe()) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    results.get()
+  }
+
   /** One untimed warm run of every probe. */
   def warm(spark: SparkSession): Unit = {
     sink ^= cpuProbe(); sink ^= sortProbe(); sink ^= shufProbe(spark)
+    sink ^= mcpuProbe()
   }
 
   /** One timed sample of every probe, in declaration order. */
   def sample(spark: SparkSession): Map[String, Double] = Map(
     "cpu" -> time(cpuProbe()),
     "sort" -> time(sortProbe()),
-    "shuf" -> time(shufProbe(spark)))
+    "shuf" -> time(shufProbe(spark)),
+    "mcpu" -> time(mcpuProbe()))
 }

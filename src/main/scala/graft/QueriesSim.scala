@@ -2468,7 +2468,63 @@ object QueriesSim {
        |FROM assignedb a LEFT JOIN best b ON b.vec_id = a.vec_id
        |ORDER BY a.vec_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q151: embedding-space drift between index generations — the
+  // EMBEDDING modality's face of the drift family (q111 numeric
+  // columns, q148 token distributions, q150 the drill-down): per
+  // label, the linear-kernel MMD (= L2 distance between the two
+  // snapshots' mean vectors — the standard two-sample statistic for
+  // representation shift) via [[Similarity.embeddingShift]]. The new
+  // snapshot is the q135/q148 deterministic derivation applied to the
+  // vector table (drops, duplicate-id additions — no float arithmetic
+  // in the derivation, so the perturbation is engine-exact by
+  // construction). Each snapshot reduces in one scan to a labels×64
+  // integer-micro summary; `mmd2_pico` is exact integer arithmetic end
+  // to end, hash-checkable like js_pico.
+  def q151EmbeddingShift(s: SparkSession, d: String): DataFrame = {
+    val vecs = embeddings(s, d).select("vec_id", "label", "embedding")
+    val newSnap = vecs
+      .select(col("label"), col("embedding"), explode(filter(array(
+          when(col("vec_id") % 29 =!= 0, col("vec_id")),
+          when(col("vec_id") % 11 === 0, col("vec_id") + 600000)),
+        x => x.isNotNull)).as("vec_id"))
+    Similarity.embeddingShift(vecs, newSnap, "label", "embedding")
+      .orderBy("label")
+  }
+
+  val q151Sql: String =
+    """WITH ns AS (
+      | SELECT vec_id, label, embedding FROM embeddings
+      | WHERE vec_id % 29 <> 0
+      | UNION ALL
+      | SELECT vec_id + 600000, label, embedding FROM embeddings
+      | WHERE vec_id % 11 = 0),
+      |so AS (SELECT label, r AS dim,
+      |   CAST(sum(CAST(round(CAST(embedding[r + 1] AS DOUBLE) * 1e6)
+      |     AS BIGINT)) AS BIGINT) AS so, count(*) AS no
+      | FROM embeddings CROSS JOIN range(64) AS t(r)
+      | GROUP BY 1, 2),
+      |sn AS (SELECT label, r AS dim,
+      |   CAST(sum(CAST(round(CAST(embedding[r + 1] AS DOUBLE) * 1e6)
+      |     AS BIGINT)) AS BIGINT) AS sn, count(*) AS nn
+      | FROM ns CROSS JOIN range(64) AS t(r)
+      | GROUP BY 1, 2),
+      |j AS (SELECT coalesce(so.label, sn.label) AS label,
+      |   CASE WHEN no IS NOT NULL AND nn IS NOT NULL THEN
+      |    CAST(round((((CAST(so AS DOUBLE) / no - CAST(sn AS DOUBLE) / nn)
+      |      / 1e6) * ((CAST(so AS DOUBLE) / no - CAST(sn AS DOUBLE) / nn)
+      |      / 1e6)) * 1e12) AS BIGINT)
+      |   END AS pico,
+      |   coalesce(no, 0) AS no, coalesce(nn, 0) AS nn
+      | FROM so FULL OUTER JOIN sn
+      |   ON so.label = sn.label AND so.dim = sn.dim)
+      |SELECT label, no AS n_old, nn AS n_new,
+      | CAST(sum(pico) AS BIGINT) AS mmd2_pico,
+      | round(sqrt(CAST(sum(pico) AS BIGINT) / 1e12), 6) AS l2_shift
+      |FROM j GROUP BY 1, 2, 3 ORDER BY label""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_embedding_shift" -> (q151EmbeddingShift _),
     "q117_rrf_hybrid" -> (q117RrfHybrid _),
     "q118_semdedup_refined" -> (q118SemDedupRefined _),
     "q119_incremental_semdedup" -> (q119IncrementalSemDedup _),
@@ -2503,6 +2559,7 @@ object QueriesSim {
   )
 
   val oracle: Map[String, String] = Map(
+    "q151_embedding_shift" -> q151Sql,
     "q117_rrf_hybrid" -> q117Sql,
     "q118_semdedup_refined" -> q118Sql,
     "q119_incremental_semdedup" -> q119Sql,

@@ -701,4 +701,52 @@ object Similarity {
       }
       .toDF(idCol, "cid", vecCol)
   }
+
+  /** Embedding-space drift between two snapshots — the EMBEDDING
+    * modality's face of the drift family (q111 numeric columns, q148
+    * token distributions): per group, the L2 distance between the two
+    * snapshots' MEAN vectors. With a linear kernel this IS the maximum
+    * mean discrepancy (MMD² = ‖μ_old − μ_new‖²: the standard two-sample
+    * statistic for representation shift), so the readout is principled,
+    * not ad hoc.
+    *
+    * Determinism discipline: each vector element is fixed-pointed to
+    * integer MICROS before any sum (float→double is exact; round is
+    * shared arithmetic), so the per-(group, dim) sums are exact integer
+    * aggregation — order-independent across partitions and engines.
+    * The per-dim mean deltas then square-and-sum through the pico
+    * rounding the JS family uses, making `mmd2_pico` itself
+    * hash-checkable. Scale shape: one scan per snapshot reduces to a
+    * groups×dim long summary (posexplode is map-side; the groupBy is
+    * bounded by groups×dim); everything after runs at summary size.
+    * One-sided groups (a class present in only one snapshot) surface
+    * with the missing side's count at 0 and a NULL shift — mean shift
+    * against a nonexistent distribution is undefined, and silence
+    * would hide exactly the event a monitor exists to catch.
+    */
+  def embeddingShift(oldSnap: DataFrame, newSnap: DataFrame,
+                     groupCol: String, vecCol: String): DataFrame = {
+    def dimSums(df: DataFrame, s: String, n: String): DataFrame = df
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(groupCol, "dim")
+      .agg(sum(round(col("v").cast("double") * 1e6).cast("long")).as(s),
+        count(lit(1)).as(n))
+    val a = dimSums(oldSnap, "so", "no")
+    val b = dimSums(newSnap, "sn", "nn")
+    // per-dim mean delta in original units; squared, pico-fixed, then
+    // integer-summed over dims (the q148 float discipline)
+    val d = (col("so").cast("double") / col("no") -
+      col("sn").cast("double") / col("nn")) / 1e6
+    val pico = when(col("no").isNotNull && col("nn").isNotNull,
+      round(d * d * lit(1e12)).cast("long"))
+    a.join(b, Seq(groupCol, "dim"), "full_outer")
+      .select(col(groupCol), pico.as("pico"),
+        coalesce(col("no"), lit(0L)).as("no"),
+        coalesce(col("nn"), lit(0L)).as("nn"))
+      .groupBy(groupCol, "no", "nn")
+      .agg(sum("pico").as("mmd2_pico"))
+      .select(col(groupCol), col("no").as("n_old"), col("nn").as("n_new"),
+        col("mmd2_pico"),
+        round(sqrt(col("mmd2_pico") / 1e12), 6).as("l2_shift"))
+  }
 }

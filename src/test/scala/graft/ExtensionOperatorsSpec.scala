@@ -12,6 +12,37 @@ class ExtensionOperatorsSpec extends AnyFunSuite with SharedSpark {
   import spark.implicits._
 
   // ---------------------------------------------------------- text stats
+  test("embeddingShift: identical snapshots shift by exactly zero") {
+    val snap = Seq((1, Array(0.5f, -0.25f)), (1, Array(1.0f, 0.75f)),
+      (2, Array(0.1f, 0.2f))).toDF("label", "embedding")
+    val out = Similarity.embeddingShift(snap, snap, "label", "embedding")
+      .orderBy("label")
+      .select("label", "mmd2_pico", "n_old", "n_new")
+      .as[(Int, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((1, 0L, 2L, 2L), (2, 0L, 1L, 1L)))
+  }
+
+  test("embeddingShift matches the closed-form mean distance") {
+    // old mean (0.5, 0.5), new mean (1, 0): shift^2 = 0.5, l2 ~ 0.707107
+    val a = Seq((1, Array(1f, 0f)), (1, Array(0f, 1f))).toDF("label", "embedding")
+    val b = Seq((1, Array(1f, 0f))).toDF("label", "embedding")
+    val (mmd2, l2) = Similarity.embeddingShift(a, b, "label", "embedding")
+      .select("mmd2_pico", "l2_shift").as[(Long, Double)].head()
+    assert(mmd2 == 500000000000L, s"exact pico arithmetic, got $mmd2")
+    assert(l2 == 0.707107)
+  }
+
+  test("embeddingShift: one-sided labels surface with a NULL shift") {
+    val a = Seq((1, Array(1f, 0f)), (9, Array(0f, 2f))).toDF("label", "embedding")
+    val b = Seq((1, Array(1f, 0f))).toDF("label", "embedding")
+    val rows = Similarity.embeddingShift(a, b, "label", "embedding")
+      .orderBy("label")
+      .select("label", "n_old", "n_new", "l2_shift")
+      .as[(Int, Long, Long, Option[Double])].collect()
+    assert(rows.toSeq == Seq((1, 1L, 1L, Some(0.0)), (9, 1L, 0L, None)),
+      "a vanished label must appear with n_new = 0 and an undefined shift")
+  }
+
   test("normalize collapses whitespace and lowercases") {
     val out = Seq("  Hello   WORLD\tfoo ").toDF("t")
       .select(TextStats.normalize($"t")).as[String].collect()
