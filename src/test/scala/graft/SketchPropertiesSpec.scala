@@ -102,4 +102,31 @@ object SketchProperties extends Properties("sketches") {
         val mustSurvive = freq.filter(_._2 > n / (k + 1)).keySet
         cands.size <= k && mustSurvive.subsetOf(cands)
     }
+
+  property("CM: never underestimates and conserves mass, any partitioning") =
+    forAll(itemStream, Gen.choose(2, 5), Gen.oneOf(31, 97, 1021),
+      Gen.choose(1, 7)) { (items, d, w, parts) =>
+      import graft.functions.CountMinSketchAgg.{bucket, hashPair}
+      // partition-local cells merged by vector add — the exact shuffle
+      // path the distributed aggregation exercises
+      val groups = items.zipWithIndex.groupBy(_._2 % parts).values.toList
+      val cells = new Array[Long](d * w)
+      groups.foreach { g =>
+        val local = new Array[Long](d * w)
+        g.foreach { case (it, _) =>
+          val (h1, h2) = hashPair(it.getBytes("UTF-8"))
+          (0 until d).foreach(r => local(r * w + bucket(h1, h2, r, w)) += 1)
+        }
+        (0 until cells.length).foreach(i => cells(i) += local(i))
+      }
+      val n = items.size.toLong
+      val freq = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val massOk = (0 until d).forall(r =>
+        cells.slice(r * w, (r + 1) * w).sum == n)
+      val oneSided = freq.forall { case (it, f) =>
+        val (h1, h2) = hashPair(it.getBytes("UTF-8"))
+        (0 until d).map(r => cells(r * w + bucket(h1, h2, r, w))).min >= f
+      }
+      massOk && oneSided
+    }
 }
