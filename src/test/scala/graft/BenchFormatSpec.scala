@@ -21,6 +21,10 @@ class BenchFormatSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.1"
   private val lines = BenchFormat.perQueryLines(fake)
   private val total = BenchFormat.totalLine(fake.map(_._2).sum, sf)
+  // the canary line lives in the same tail window — budget it with the
+  // rest (4 probes incl. r16's mcpu, worst-case 2-digit seconds)
+  private val canary = BenchFormat.canaryLine(
+    Canary.names.map(_ -> 99.999), sf)
 
   test("compact numeric keys are unique across the whole catalog") {
     val keys = names.map(BenchFormat.compactKey)
@@ -36,8 +40,8 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(total.length <= 150)
   }
 
-  test("all part lines + total line fit the 2000-char driver tail together") {
-    val footprint = (lines :+ total).map(_.length + 1).sum
+  test("all part lines + canary + total fit the 2000-char driver tail") {
+    val footprint = (lines :+ canary :+ total).map(_.length + 1).sum
     assert(footprint <= 1900,
       s"bench stdout footprint $footprint would overflow the driver tail — " +
         "shrink keys or drop precision before adding more queries")
@@ -46,8 +50,19 @@ class BenchFormatSpec extends AnyFunSuite {
   test("a 170-query catalog still fits the tail (headroom for future rounds)") {
     // conservative synthetic values: up to ~37 s per query (4-digit
     // centiseconds) — an order past the real suite's worst entry
-    val synth = (1 to 170).map(i =>
+    def synthAt(n: Int) = (1 to n).map(i =>
       f"q$i%02d_synthetic" -> ((i % 30) * 1.234 + 0.056))
+    // at 160 queries EVERYTHING — parts, canary, total — co-exists
+    val s160 = synthAt(160)
+    val f160 = (BenchFormat.perQueryLines(s160) :+ canary :+
+      BenchFormat.totalLine(s160.map(_._2).sum, sf)).map(_.length + 1).sum
+    assert(f160 <= 1900,
+      s"160 synthetic queries + canary overflow at $f160 — next lever needed")
+    // at 170 the HARD requirement (per-query parts + total) still fits;
+    // the canary is the designed first casualty of tail pressure — the
+    // bench prints it to stderr too, so the calibration record survives
+    // in the driver log even after the stdout copy scrolls out
+    val synth = synthAt(170)
     val sLines = BenchFormat.perQueryLines(synth)
     val sTotal = BenchFormat.totalLine(synth.map(_._2).sum, sf)
     val footprint = (sLines :+ sTotal).map(_.length + 1).sum
