@@ -110,8 +110,12 @@ object Bench {
     // stdout tail, the calibration record survives in the driver log
     System.err.println(
       s"""{"canary_pre":${timesJson(canaryPre)},"canary_post":${timesJson(canaryPost)}}""")
-    BenchFormat.perQueryLines(results).foreach(println)
+    // the driver keeps the LAST ~2 KB of stdout, so print in casualty
+    // order: the canary goes FIRST — under tail pressure it scrolls out
+    // before any per-query part line does (its stderr copy above is the
+    // fallback record), and the short total line stays last always
     println(BenchFormat.canaryLine(canary, sfDir))
+    BenchFormat.perQueryLines(results).foreach(println)
     println(BenchFormat.totalLine(total, sfDir))
     spark.stop()
   }
