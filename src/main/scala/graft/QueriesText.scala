@@ -470,9 +470,36 @@ object QueriesText {
        |FROM est ORDER BY cnt DESC, word""".stripMargin
   }
 
+  // q152: q147's xxhash64 deployment twin (the q52/q53 hash-mode
+  // split applied to the sketch): identical plan and output shape, the
+  // per-token md5 — the measured wall of the sketch pass at 100× —
+  // replaced by two seeded xxhash64 mixes. Deliberately absent from
+  // `oracle` (DuckDB cannot reproduce xxhash64 → driver records
+  // rows-only); EngineHashSpec pins the structural parity (mass
+  // conservation, est ≥ exact, probe set identical) and q147's oracle
+  // carries the algebra. The exact-count columns (word, cnt) are
+  // md5-free and IDENTICAL to q147's — only cm_est/over_frac move.
+  def q152CmFrequencyXx(s: SparkSession, d: String): DataFrame = {
+    val sketch = q110Words(s, d)
+      .agg(graft.functions.CountMinSketchAgg
+        .cm(col("word"), lit(1L), CmD, CmW, engineXx = true).as("cells"))
+    q110HeavyHitters(s, d)
+      .crossJoin(broadcast(sketch))
+      .select(col("word"), col("cnt"),
+        graft.functions.CountMinSketchAgg
+          .estimate(col("cells"), col("word"), CmD, CmW, engineXx = true)
+          .as("cm_est"))
+      .withColumn("over_frac",
+        round(col("cm_est").cast("double") / col("cnt") - 1.0, 6))
+      .orderBy(desc("cnt"), col("word"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q110_heavy_hitters" -> (q110HeavyHitters _),
     "q147_cm_frequency" -> (q147CmFrequency _),
+    // deployment-hash twin of q147 — deliberately absent from `oracle`
+    // (driver records rows-only): DuckDB cannot reproduce xxhash64
+    "q152_cm_frequency_xx" -> (q152CmFrequencyXx _),
     "q18_token_stats" -> (q18TokenStats _),
     "q19_quality_score" -> (q19QualityScore _),
     "q20_lang_id" -> (q20LangId _),

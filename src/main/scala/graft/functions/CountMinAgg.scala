@@ -54,6 +54,8 @@ case class CountMinSketchAgg(
     weight: Expression,
     dExpr: Expression,
     wExpr: Expression,
+    xxExpr: Expression = Literal(false,
+      org.apache.spark.sql.types.BooleanType),
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
@@ -62,6 +64,7 @@ case class CountMinSketchAgg(
 
   private lazy val d: Int = dExpr.eval().asInstanceOf[Number].intValue()
   private lazy val w: Int = wExpr.eval().asInstanceOf[Number].intValue()
+  private lazy val engineXx: Boolean = xxExpr.eval().asInstanceOf[Boolean]
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = child.dataType == StringType && weight.dataType == LongType &&
@@ -71,7 +74,7 @@ case class CountMinSketchAgg(
         "cm_sketch expects (string, bigint, int, int), got " +
           s"(${child.dataType.simpleString}, ${weight.dataType.simpleString}, " +
           s"${dExpr.dataType.simpleString}, ${wExpr.dataType.simpleString})")
-    else if (!dExpr.foldable || !wExpr.foldable)
+    else if (!dExpr.foldable || !wExpr.foldable || !xxExpr.foldable)
       TypeCheckResult.TypeCheckFailure("d and w must be constant literals")
     else if (d <= 0 || w <= 0)
       TypeCheckResult.TypeCheckFailure(s"d and w must be positive, got ($d, $w)")
@@ -82,7 +85,8 @@ case class CountMinSketchAgg(
     else TypeCheckResult.TypeCheckSuccess
   }
 
-  override def children: Seq[Expression] = Seq(child, weight, dExpr, wExpr)
+  override def children: Seq[Expression] =
+    Seq(child, weight, dExpr, wExpr, xxExpr)
 
   override def nullable: Boolean = false
 
@@ -96,7 +100,8 @@ case class CountMinSketchAgg(
     val v = child.eval(input)
     val wt = weight.eval(input)
     if (v != null && wt != null && wt.asInstanceOf[Long] > 0)
-      add(cells, v.asInstanceOf[UTF8String].getBytes, wt.asInstanceOf[Long], d, w)
+      add(cells, v.asInstanceOf[UTF8String].getBytes, wt.asInstanceOf[Long],
+        d, w, engineXx)
     cells
   }
 
@@ -135,7 +140,8 @@ case class CountMinSketchAgg(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): CountMinSketchAgg =
     copy(child = newChildren(0), weight = newChildren(1),
-      dExpr = newChildren(2), wExpr = newChildren(3))
+      dExpr = newChildren(2), wExpr = newChildren(3),
+      xxExpr = newChildren(4))
 }
 
 object CountMinSketchAgg {
@@ -170,9 +176,32 @@ object CountMinSketchAgg {
   def bucket(h1: Long, h2: Long, r: Int, w: Int): Int =
     ((h1 + r * (2 * (h2 % StepMod) + 1)) % w).toInt
 
+  /** The EngineXx seeds — the q52/q53 hash-mode split applied to the
+    * sketch: at deployment scale the per-token md5 is the measured wall
+    * (the 100× inset: q147/q149 are md5-BOUND), and two seeded xxhash64
+    * values are one 64-bit mix each. Same KM bucket arithmetic either
+    * way; only the (h1, h2) source changes, so the sketch ALGEBRA
+    * (mass conservation, mergeability, one-sided error) is mode-free.
+    */
+  val XxSeed1 = 42L
+  val XxSeed2 = 2039L
+
+  /** [[hashPair]]'s deployment-mode twin: two seeded xxhash64 mixes,
+    * top bits shifted to the same non-negative 60-bit range.
+    */
+  def hashPairXx(bytes: Array[Byte]): (Long, Long) = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    val h1 = XXH64.hashUnsafeBytes(
+      bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, XxSeed1) >>> 4
+    val h2 = XXH64.hashUnsafeBytes(
+      bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, XxSeed2) >>> 4
+    (h1, h2)
+  }
+
   private def add(cells: Array[Long], bytes: Array[Byte], wt: Long,
-                  d: Int, w: Int): Unit = {
-    val (h1, h2) = hashPair(bytes)
+                  d: Int, w: Int, engineXx: Boolean): Unit = {
+    val (h1, h2) = if (engineXx) hashPairXx(bytes) else hashPair(bytes)
     var r = 0
     while (r < d) {
       cells(r * w + bucket(h1, h2, r, w)) += wt
@@ -181,13 +210,16 @@ object CountMinSketchAgg {
   }
 
   /** Column API: `cm(item, weight, d, w)` → `array<bigint>` of d·w
-    * row-major cells.
+    * row-major cells; `engineXx = true` selects the deployment hash.
     */
-  def cm(item: Column, weight: Column, d: Int, w: Int): Column =
+  def cm(item: Column, weight: Column, d: Int, w: Int,
+         engineXx: Boolean = false): Column =
     GraftBridge.column(CountMinSketchAgg(
       GraftBridge.expression(item.cast("string")),
       GraftBridge.expression(weight.cast("long")),
-      Literal(d, IntegerType), Literal(w, IntegerType)).toAggregateExpression())
+      Literal(d, IntegerType), Literal(w, IntegerType),
+      Literal(engineXx, org.apache.spark.sql.types.BooleanType))
+      .toAggregateExpression())
 
   /** Point-frequency estimate read off a sketch column: min over rows of
     * the item's cell. Built from plain Column math (the probe side is a
@@ -196,11 +228,20 @@ object CountMinSketchAgg {
     * `conv(substring(md5(…)))` form makes the oracle twin a literal
     * transcription).
     */
-  def estimate(cells: Column, item: Column, d: Int, w: Int): Column = {
+  def estimate(cells: Column, item: Column, d: Int, w: Int,
+               engineXx: Boolean = false): Column = {
     import org.apache.spark.sql.functions._
-    val dig = md5(item.cast("binary"))
-    val h1 = conv(substring(dig, 1, 15), 16, 10).cast("long")
-    val h2 = conv(substring(dig, 16, 15), 16, 10).cast("long")
+    val (h1, h2) = if (engineXx) {
+      def seeded(seed: Long) = GraftBridge.column(
+        org.apache.spark.sql.catalyst.expressions.XxHash64(
+          Seq(GraftBridge.expression(item.cast("string"))), seed))
+      (shiftrightunsigned(seeded(XxSeed1), 4),
+        shiftrightunsigned(seeded(XxSeed2), 4))
+    } else {
+      val dig = md5(item.cast("binary"))
+      (conv(substring(dig, 1, 15), 16, 10).cast("long"),
+        conv(substring(dig, 16, 15), 16, 10).cast("long"))
+    }
     val step = h2 % StepMod * 2 + 1
     val perRow = (0 until d).map { r =>
       element_at(cells, ((h1 + lit(r.toLong) * step) % w).cast("int") +

@@ -83,6 +83,41 @@ class EngineHashSpec extends AnyFunSuite with SharedSpark {
       s"pair structure diverged: only-md5=${md5P -- xxP} only-xx=${xxP -- md5P}")
   }
 
+  test("CM sketch: algebra is hash-mode-free; only cell layout moves") {
+    // q147 (md5 oracle mode) vs q152 (xxhash64 deployment mode): the
+    // sketch GUARANTEES — per-row mass conservation, one-sided error
+    // against the exact counts, mergeability — must hold identically,
+    // while the cell arrays themselves differ (the hash really moved)
+    import graft.functions.CountMinSketchAgg
+    val (dd, w) = (3, 97)
+    val words = Tables.documents(spark, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+    val n = words.count()
+    val exact = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cellsByMode = Seq(false, true).map { xx =>
+      val cells = words
+        .agg(CountMinSketchAgg.cm(col("w"), lit(1L), dd, w, xx).as("c"))
+        .select(col("c")).as[Seq[Long]].head()
+      (0 until dd).foreach { r =>
+        assert(cells.slice(r * w, (r + 1) * w).sum == n,
+          s"xx=$xx row $r mass")
+      }
+      exact.foreach { case (word, cnt) =>
+        val (h1, h2) =
+          if (xx) CountMinSketchAgg.hashPairXx(word.getBytes("UTF-8"))
+          else CountMinSketchAgg.hashPair(word.getBytes("UTF-8"))
+        val est = (0 until dd)
+          .map(r => cells(r * w + CountMinSketchAgg.bucket(h1, h2, r, w))).min
+        assert(est >= cnt, s"xx=$xx: CM may never underestimate '$word'")
+      }
+      cells
+    }
+    assert(cellsByMode.head != cellsByMode.last,
+      "the two modes must actually hash differently")
+  }
+
   test("fingerprint: exact-duplicate texts collide in both modes, distinct don't") {
     for (mode <- Seq[HashMode](HashMode.OracleMd5, HashMode.EngineXx)) {
       val fp = TextStats.fingerprint("text", k = 8, mode = mode)
