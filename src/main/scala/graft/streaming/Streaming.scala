@@ -700,10 +700,10 @@ object Streaming {
     * arithmetic applies unchanged to the streamed cells).
     */
   def cmSketchStream(items: DataFrame, groupCol: String, itemCol: String,
-                     d: Int, w: Int): DataFrame =
+                     d: Int, w: Int, engineXx: Boolean = false): DataFrame =
     items.groupBy(col(groupCol))
       .agg(graft.functions.CountMinSketchAgg
-        .cm(col(itemCol), lit(1L), d, w).as("cells"))
+        .cm(col(itemCol), lit(1L), d, w, engineXx).as("cells"))
 
   /** Stream-STREAM interval join — the q43 attribution semantics
     * (each left event pairs with the right events of the same key
