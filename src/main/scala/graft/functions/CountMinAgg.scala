@@ -68,14 +68,17 @@ case class CountMinSketchAgg(
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = child.dataType == StringType && weight.dataType == LongType &&
-      dExpr.dataType == IntegerType && wExpr.dataType == IntegerType
+      dExpr.dataType == IntegerType && wExpr.dataType == IntegerType &&
+      xxExpr.dataType == org.apache.spark.sql.types.BooleanType
     if (!ok)
       TypeCheckResult.TypeCheckFailure(
-        "cm_sketch expects (string, bigint, int, int), got " +
+        "cm_sketch expects (string, bigint, int, int, boolean), got " +
           s"(${child.dataType.simpleString}, ${weight.dataType.simpleString}, " +
-          s"${dExpr.dataType.simpleString}, ${wExpr.dataType.simpleString})")
+          s"${dExpr.dataType.simpleString}, ${wExpr.dataType.simpleString}, " +
+          s"${xxExpr.dataType.simpleString})")
     else if (!dExpr.foldable || !wExpr.foldable || !xxExpr.foldable)
-      TypeCheckResult.TypeCheckFailure("d and w must be constant literals")
+      TypeCheckResult.TypeCheckFailure(
+        "d, w, and the hash mode must be constant literals")
     else if (d <= 0 || w <= 0)
       TypeCheckResult.TypeCheckFailure(s"d and w must be positive, got ($d, $w)")
     else if (d.toLong * w > (1L << 24))
