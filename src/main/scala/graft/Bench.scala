@@ -73,21 +73,65 @@ object Bench {
     // Raw samples are emitted alongside the min so cross-round
     // comparisons can see the estimator and the spread.
     val nPasses = 2
-    val samples = Array.fill(nPasses)(collection.mutable.LinkedHashMap.empty[String, Double])
     // Host-speed canaries (Canary.scala): warm once untimed, then one
     // timed sample immediately before pass 1 and one immediately after
     // pass 2 — the probes BRACKET the same host window the per-query
     // timings live in, so a cross-round uniform wall shift shows up in
     // the canary ratio and per-query comparisons can be deflated by it.
     Canary.warm(spark)
-    val canaryPre = Canary.sample(spark)
-    for (pass <- 0 until nPasses; (name, _) <- queries) {
-      val t0 = System.nanoTime()
-      run(name)
-      samples(pass)(name) = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
+    // Parallel-throttle gate (the r16 episode: a hypervisor-starved
+    // window inflated the whole 32-thread suite 1.9x while the scalar
+    // probes ran FASTER — mcpu/cpu is the signature, ~1.0-1.1 healthy).
+    // Protocol: (1) probe BEFORE committing to a timed run — if the
+    // host is visibly throttled, cool down first; (2) if the completed
+    // run's own bracket still shows throttle, re-run the timed suite
+    // ONCE after a cooldown and keep the better-bracketed run. Every
+    // decision is logged to stderr so the round's artifact explains
+    // itself.
+    val throttleGate = 1.3
+    val cooldownMs = 90000L
+    def ratioOf(c: Map[String, Double]): Double = c("mcpu") / c("cpu")
+    val preProbe = Canary.sample(spark)
+    if (ratioOf(preProbe) > throttleGate) {
+      System.err.println(f"""{"throttle_gate":"pre-run probe mcpu/cpu=${
+        ratioOf(preProbe)}%.2f > $throttleGate%.1f - cooling down ${
+        cooldownMs / 1000}s before the timed suite"}""")
+      Thread.sleep(cooldownMs)
     }
-    val canaryPost = Canary.sample(spark)
+    final case class SuiteRun(
+        samples: Array[collection.mutable.LinkedHashMap[String, Double]],
+        pre: Map[String, Double], post: Map[String, Double]) {
+      // the WORSE bracket judges the window: throttling at either end
+      // can inflate queries anywhere between them
+      def worstRatio: Double = math.max(ratioOf(pre), ratioOf(post))
+    }
+    def timedSuite(): SuiteRun = {
+      val samples = Array.fill(nPasses)(
+        collection.mutable.LinkedHashMap.empty[String, Double])
+      val pre = Canary.sample(spark)
+      for (pass <- 0 until nPasses; (name, _) <- queries) {
+        val t0 = System.nanoTime()
+        run(name)
+        samples(pass)(name) = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+      }
+      SuiteRun(samples, pre, Canary.sample(spark))
+    }
+    val run1 = timedSuite()
+    val chosen = if (run1.worstRatio > throttleGate) {
+      System.err.println(f"""{"throttle_gate":"bracket mcpu/cpu=${
+        run1.worstRatio}%.2f > $throttleGate%.1f - re-running the timed suite once after a ${
+        cooldownMs / 1000}s cooldown"}""")
+      Thread.sleep(cooldownMs)
+      val run2 = timedSuite()
+      val keep = if (run2.worstRatio < run1.worstRatio) run2 else run1
+      System.err.println(f"""{"throttle_gate":"kept the ${
+        if (keep eq run2) "second" else "first"} run (brackets ${
+        run1.worstRatio}%.2f vs ${run2.worstRatio}%.2f)"}""")
+      keep
+    } else run1
+    val samples = chosen.samples
+    val (canaryPre, canaryPost) = (chosen.pre, chosen.post)
     val canary = Canary.names.map(n =>
       n -> math.min(canaryPre(n), canaryPost(n)))
     val results = queries.map { case (name, _) =>
@@ -116,7 +160,8 @@ object Bench {
     // fallback record), and the short total line stays last always
     println(BenchFormat.canaryLine(canary, sfDir))
     BenchFormat.perQueryLines(results).foreach(println)
-    println(BenchFormat.totalLine(total, sfDir))
+    println(BenchFormat.totalLine(total, sfDir,
+      canary.toMap.apply("mcpu") / canary.toMap.apply("cpu")))
     spark.stop()
   }
 }

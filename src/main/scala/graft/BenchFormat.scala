@@ -93,12 +93,29 @@ object BenchFormat {
   def canaryLine(probes: Seq[(String, Double)], sf: String): String = {
     val entries = probes
       .map { case (k, v) => "\"" + k + "\":" + ms3(v) }.mkString(",")
-    s"""{"metric":"canary","sf":"${sfTag(sf)}","probes":{$entries}}"""
+    // "p" not "probes": the r17 tail lever (the deflated total joined
+    // the window; every repeated char in a fixed line is budget)
+    s"""{"metric":"canary","sf":"${sfTag(sf)}","p":{$entries}}"""
   }
 
   /** The final total-only line — SHORT by construction so the tail
     * always holds it in full; must stay the last stdout line.
+    *
+    * When the suite's canary bracket measured a parallel-capacity
+    * ratio (`mcpuCpu` = mcpu/cpu, ≈1.0–1.1 on an unthrottled host —
+    * Canary.scala), the line also carries `deflated` = the raw total
+    * divided by that ratio: the r16 episode's correction, published
+    * next to the raw number so a throttled driver window no longer
+    * leaves the round without a readable perf artifact. `deflated` ≥
+    * raw/ratio is clamped at ratio 1.0 — an unusually HEALTHY window
+    * never inflates the total. The ratio itself is NOT repeated here —
+    * the adjacent canary line carries all four probe walls (tail
+    * budget: at 152 queries every repeated character costs).
     */
-  def totalLine(total: Double, sf: String): String =
-    s"""{"metric":"total","value":${ms3(total)},"unit":"sec","sf":"$sf"}"""
+  def totalLine(total: Double, sf: String, mcpuCpu: Double = 0.0): String = {
+    val extra = if (mcpuCpu > 0)
+      s""","deflated":${ms3(total / math.max(1.0, mcpuCpu))}"""
+    else ""
+    s"""{"metric":"total","value":${ms3(total)},"unit":"sec","sf":"$sf"$extra}"""
+  }
 }

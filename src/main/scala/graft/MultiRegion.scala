@@ -114,6 +114,69 @@ object MultiRegion {
       f""""counties_solo":$soloWall%.1f,""" +
       f""""counties_parity":"${if (serialMd5 == soloMd5) "ok" else "LEAK"}",""" +
       f""""unit":"sec"}""")
+
+    // ---- incremental pyramid phase (r17) --------------------------------
+    // The NIGHTLY deployment shape: 0.1% deltas (every 1000th cell's
+    // population bumps — PipeScale's deterministic mutator) flow through
+    // incrementalRegion across the whole pyramid IN ONE SESSION, updating
+    // the serial trees in place. The leak gate extends to this path:
+    // counties' delta ALSO runs solo (prevDir = the solo full tree,
+    // outDir fresh), and the in-place serial counties tree must come out
+    // byte-identical — cross-region cache leaks under the incremental
+    // path were untested before this phase, and the two modes (in-place
+    // update vs full-copy) must agree byte-for-byte too.
+    for ((_, n) <- sizes)
+      PipeScale.genLongCsv(spark, n, s"$outBase/in/long_${n}_d.csv",
+        mutStep = 1000)
+
+    def featuresOf(n: Long) = Pipeline.geometryFeatures(
+      Sources.readGeoJsonLines(spark, s"$outBase/in/geo_$n.jsonl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // counties delta SOLO (full-copy mode) — the reference tree
+    val fSolo = featuresOf(nCounties)
+    val t0s = System.nanoTime()
+    val soloStats = Incremental.incrementalRegion(spark,
+      s"$outBase/in/long_$nCounties.csv", s"$outBase/in/long_${nCounties}_d.csv",
+      "raw", PipeScale.metricLongNames, "counties", fSolo,
+      prevDir = s"$outBase/solo", outDir = s"$outBase/isolo")
+    val incSoloWall = (System.nanoTime() - t0s) / 1e9
+    fSolo.unpersist()
+    require(!soloStats.fullRebuild,
+      s"0.1% delta must stay on the incremental path, got $soloStats")
+    val incSoloMd5 = md5Tree(s"$outBase/isolo/counties")
+
+    // the serial incremental session: every region's delta through the
+    // SAME session, updating the serial trees IN PLACE
+    val incWalls = sizes.map { case (region, n) =>
+      val f = featuresOf(n)
+      val t0 = System.nanoTime()
+      val st = Incremental.incrementalRegion(spark,
+        s"$outBase/in/long_$n.csv", s"$outBase/in/long_${n}_d.csv",
+        "raw", PipeScale.metricLongNames, region, f,
+        prevDir = s"$outBase/serial", outDir = s"$outBase/serial")
+      val wall = (System.nanoTime() - t0) / 1e9
+      f.unpersist()
+      require(!st.fullRebuild,
+        s"$region: 0.1% delta must stay incremental, got $st")
+      (region, wall, st)
+    }
+    val incSerialMd5 = md5Tree(s"$outBase/serial/counties")
+    require(incSerialMd5 == incSoloMd5,
+      s"CROSS-REGION LEAK (incremental path): counties tree differs " +
+        s"between solo ($incSoloMd5) and in-place serial ($incSerialMd5)")
+
+    val incWallsJson = incWalls
+      .map { case (r, w, _) => f""""$r":$w%.1f""" }.mkString(",")
+    val changedJson = incWalls
+      .map { case (r, _, st) => s""""$r":${st.changed + st.added}""" }
+      .mkString(",")
+    println(f"""{"metric":"multiregion_incremental","scale":$scale,""" +
+      f""""walls":{$incWallsJson},"total":${incWalls.map(_._2).sum}%.1f,""" +
+      f""""changed":{$changedJson},""" +
+      f""""counties_solo":$incSoloWall%.1f,""" +
+      f""""counties_parity":"${if (incSerialMd5 == incSoloMd5) "ok"
+        else "LEAK"}","unit":"sec"}""")
     spark.stop()
   }
 }

@@ -298,6 +298,82 @@ object QueriesCorpus {
   }
 
   // ---------------------------------------------------------------------
+  // The drift family's shared NEW-snapshot derivation — ONE definition
+  // for the engine faces and one for their SQL twins, so q148/q149/q150
+  // (and q151's vector-table variant in QueriesSim) are provably
+  // diffing the same synthetic generation: drop ids ≡ 0 (mod dropMod),
+  // re-add ids ≡ 0 (mod dupMod) shifted by idShift — all in ONE corpus
+  // scan (each row emits its surviving and/or duplicated id through one
+  // explode, vs the two-arm union's two scans).
+
+  /** Engine face: `df` minus dropped ids plus shifted duplicates; the
+    * id column comes out LAST (callers that also edit a payload column
+    * chain a `withColumn` keyed on the derived id).
+    */
+  private[graft] def derivedIds(df: DataFrame, idCol: String, dropMod: Int,
+                                dupMod: Int, idShift: Long): DataFrame = {
+    val others = df.columns.filterNot(_ == idCol).map(col).toSeq
+    df.select(others :+ explode(filter(array(
+        when(col(idCol) % dropMod =!= 0, col(idCol)),
+        when(col(idCol) % dupMod === 0, col(idCol) + idShift)),
+      x => x.isNotNull)).as(idCol): _*)
+  }
+
+  /** SQL twin of [[derivedIds]] (DuckDB spells the same derivation as
+    * the two-arm union — row identity, not plan shape, is the shared
+    * contract).
+    */
+  private[graft] def derivedIdsSql(table: String, idCol: String,
+                                   otherCols: Seq[String], dropMod: Int,
+                                   dupMod: Int, idShift: Long): String = {
+    val rest = otherCols.mkString(", ")
+    s"""SELECT $idCol, $rest FROM $table WHERE $idCol % $dropMod <> 0
+       |       UNION ALL
+       |       SELECT $idCol + $idShift, $rest FROM $table
+       |       WHERE $idCol % $dupMod = 0""".stripMargin
+  }
+
+  /** The documents-table instance (q148/q149/q150): moduli 31 (drop),
+    * 13 (duplicate, +600000), 17 (edit — append " v2" to the surviving
+    * doc's text).
+    */
+  private[graft] def derivedDocs(docs: DataFrame): DataFrame =
+    derivedIds(docs, "doc_id", 31, 13, 600000L)
+      .withColumn("text",
+        when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+
+  private[graft] val derivedDocsSql: String =
+    s"""SELECT doc_id, source,
+       |   CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text
+       | FROM (${derivedIdsSql("documents", "doc_id",
+            Seq("source", "text"), 31, 13, 600000L)})""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // One tokenize pass per snapshot for the WHOLE drift family: the
+  // (source, tok, cnt) unigram count frame is a deterministic,
+  // summary-sized (vocab×sources rows) function of (corpus dir,
+  // snapshot tag) — the ArtifactCache registry contract. q147's sketch,
+  // q148's rollup, q149's CM cells and q150's movers all serve from ONE
+  // materialized tokenization of each snapshot instead of five corpus
+  // re-scans; the r16 100× inset found the per-token tokenize/explode
+  // machinery (not the divergence math) owns the family's wall, and the
+  // count frame also collapses the sketch's md5 cost from one digest
+  // per TOKEN to one per distinct (source, tok) pair. Learn cost lands
+  // in the bench's warm-up learning line, the deployment analogue of a
+  // persisted ingest-time artifact next to each snapshot.
+  private[graft] def tokenCountArtifact(s: SparkSession, d: String,
+                                        snapshot: String): DataFrame =
+    graft.operators.ArtifactCache.getOrLearn(
+      s"drift-tokcounts:$d:$snapshot:${System.identityHashCode(s)}") {
+      val docs = documents(s, d).select("doc_id", "source", "text")
+      val snap = if (snapshot == "new") derivedDocs(docs)
+        else docs.select("source", "text")
+      TextStats.tokenCounts(snap, "source", "text")
+        .localCheckpoint(eager = true)
+    }
+
+  // ---------------------------------------------------------------------
   // q148: token-distribution shift between corpus snapshots — the
   // VOCABULARY face of drift monitoring next to q111's numeric-profile
   // face: per source, the Jensen–Shannon divergence between the old and
@@ -317,30 +393,20 @@ object QueriesCorpus {
   // (source, tok) full-outer join joins two already-aggregated frames
   // on their own grouping key; per-source totals broadcast; text never
   // shuffles.
-  def q148TokenJsShift(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d).select("doc_id", "source", "text")
-    // the q135 derivation in ONE scan: each doc emits its surviving old
-    // id and/or its shifted duplicate id through one explode (vs the
-    // two-arm union, which scans the corpus twice)
-    val newSnap = docs
-      .select(col("source"), col("text"), explode(filter(array(
-          when(col("doc_id") % 31 =!= 0, col("doc_id")),
-          when(col("doc_id") % 13 === 0, col("doc_id") + 600000)),
-        x => x.isNotNull)).as("doc_id"))
-      .withColumn("text",
-        when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2")))
-          .otherwise(col("text")))
-    TextStats.tokenJsShift(docs, newSnap, "source", "text")
+  def q148TokenJsShift(s: SparkSession, d: String): DataFrame =
+    TextStats.tokenJsShiftFromCounts(
+        tokenCountArtifact(s, d, "old"), tokenCountArtifact(s, d, "new"),
+        "source")
       .orderBy("source")
-  }
 
+  // One-sided-safe totals (the r16 ADVICE latent divergence): a source
+  // present in only ONE snapshot must survive the oracle exactly as the
+  // engine surfaces it at the ½·ln 2 boundary — the per-source totals
+  // ride a FULL OUTER join coalesced to 0, and every division hides
+  // behind a count-positive CASE (the q149 pattern; for two-sided
+  // sources the double-op sequence is unchanged, so hashes are stable).
   val q148Sql: String =
-    """WITH ns AS (SELECT doc_id, source,
-      |   CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text
-      | FROM (SELECT doc_id, source, text FROM documents WHERE doc_id % 31 <> 0
-      |       UNION ALL
-      |       SELECT doc_id + 600000, source, text FROM documents
-      |       WHERE doc_id % 13 = 0)),
+    s"""WITH ns AS ($derivedDocsSql),
       |ta AS (SELECT source, tok, count(*) AS co FROM (
       |   SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
       |  WHERE tok <> '' GROUP BY 1, 2),
@@ -351,26 +417,34 @@ object QueriesCorpus {
       |       count(*) AS n_vocab_old FROM ta GROUP BY 1),
       |nb AS (SELECT source, CAST(sum(cn) AS BIGINT) AS n_tok_new,
       |       count(*) AS n_vocab_new FROM tb GROUP BY 1),
+      |nt AS (SELECT coalesce(na.source, nb.source) AS source,
+      |       CAST(coalesce(n_tok_old, 0) AS BIGINT) AS n_tok_old,
+      |       CAST(coalesce(n_tok_new, 0) AS BIGINT) AS n_tok_new,
+      |       CAST(coalesce(n_vocab_old, 0) AS BIGINT) AS n_vocab_old,
+      |       CAST(coalesce(n_vocab_new, 0) AS BIGINT) AS n_vocab_new
+      |      FROM na FULL OUTER JOIN nb ON na.source = nb.source),
       |j AS (SELECT coalesce(ta.source, tb.source) AS source, co, cn
       |      FROM ta FULL OUTER JOIN tb
       |        ON ta.source = tb.source AND ta.tok = tb.tok),
       |pq AS (SELECT j.source, co, cn,
-      |   CAST(co AS DOUBLE) / n_tok_old AS p,
-      |   CAST(cn AS DOUBLE) / n_tok_new AS q
-      | FROM j JOIN na ON j.source = na.source JOIN nb ON j.source = nb.source),
+      |   (CASE WHEN co > 0 THEN CAST(co AS DOUBLE) / n_tok_old
+      |    ELSE 0.0 END) AS p,
+      |   (CASE WHEN cn > 0 THEN CAST(cn AS DOUBLE) / n_tok_new
+      |    ELSE 0.0 END) AS q
+      | FROM j JOIN nt ON j.source = nt.source),
       |c AS (SELECT source,
       |   CAST(round((
-      |     CASE WHEN co IS NOT NULL THEN
-      |       0.5 * p * ln(p * 2.0 / (coalesce(p, 0.0) + coalesce(q, 0.0)))
+      |     CASE WHEN co > 0 THEN
+      |       0.5 * p * ln(p * 2.0 / (p + q))
       |     ELSE 0.0 END +
-      |     CASE WHEN cn IS NOT NULL THEN
-      |       0.5 * q * ln(q * 2.0 / (coalesce(p, 0.0) + coalesce(q, 0.0)))
+      |     CASE WHEN cn > 0 THEN
+      |       0.5 * q * ln(q * 2.0 / (p + q))
       |     ELSE 0.0 END) * 1e12) AS BIGINT) AS pico
       | FROM pq)
       |SELECT c.source, n_tok_old, n_tok_new, n_vocab_old, n_vocab_new,
       | CAST(sum(pico) AS BIGINT) AS js_pico,
       | round(CAST(sum(pico) AS BIGINT) / 1e12, 6) AS js_div
-      |FROM c JOIN na ON c.source = na.source JOIN nb ON c.source = nb.source
+      |FROM c JOIN nt ON c.source = nt.source
       |GROUP BY 1, 2, 3, 4, 5
       |ORDER BY c.source""".stripMargin
 
@@ -384,27 +458,14 @@ object QueriesCorpus {
   // forward ≤ k rows per source).
   private val MoversK = 3
 
-  def q150JsMovers(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d).select("doc_id", "source", "text")
-    val newSnap = docs
-      .select(col("source"), col("text"), explode(filter(array(
-          when(col("doc_id") % 31 =!= 0, col("doc_id")),
-          when(col("doc_id") % 13 === 0, col("doc_id") + 600000)),
-        x => x.isNotNull)).as("doc_id"))
-      .withColumn("text",
-        when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2")))
-          .otherwise(col("text")))
-    TextStats.tokenJsMovers(docs, newSnap, "source", "text", MoversK)
+  def q150JsMovers(s: SparkSession, d: String): DataFrame =
+    TextStats.tokenJsMoversFromCounts(
+        tokenCountArtifact(s, d, "old"), tokenCountArtifact(s, d, "new"),
+        "source", MoversK)
       .orderBy("source", "rank")
-  }
 
   val q150Sql: String =
-    s"""WITH ns AS (SELECT doc_id, source,
-       |   CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text
-       | FROM (SELECT doc_id, source, text FROM documents WHERE doc_id % 31 <> 0
-       |       UNION ALL
-       |       SELECT doc_id + 600000, source, text FROM documents
-       |       WHERE doc_id % 13 = 0)),
+    s"""WITH ns AS ($derivedDocsSql),
        |ta AS (SELECT source, tok, count(*) AS co FROM (
        |   SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
        |  WHERE tok <> '' GROUP BY 1, 2),
@@ -415,22 +476,28 @@ object QueriesCorpus {
        |       FROM ta GROUP BY 1),
        |nb AS (SELECT source, CAST(sum(cn) AS BIGINT) AS n_tok_new
        |       FROM tb GROUP BY 1),
+       |nt AS (SELECT coalesce(na.source, nb.source) AS source,
+       |       CAST(coalesce(n_tok_old, 0) AS BIGINT) AS n_tok_old,
+       |       CAST(coalesce(n_tok_new, 0) AS BIGINT) AS n_tok_new
+       |      FROM na FULL OUTER JOIN nb ON na.source = nb.source),
        |j AS (SELECT coalesce(ta.source, tb.source) AS source,
        |       coalesce(ta.tok, tb.tok) AS tok, co, cn
        |      FROM ta FULL OUTER JOIN tb
        |        ON ta.source = tb.source AND ta.tok = tb.tok),
        |pq AS (SELECT j.source, tok, co, cn,
-       |   CAST(co AS DOUBLE) / n_tok_old AS p,
-       |   CAST(cn AS DOUBLE) / n_tok_new AS q
-       | FROM j JOIN na ON j.source = na.source JOIN nb ON j.source = nb.source),
+       |   (CASE WHEN co > 0 THEN CAST(co AS DOUBLE) / n_tok_old
+       |    ELSE 0.0 END) AS p,
+       |   (CASE WHEN cn > 0 THEN CAST(cn AS DOUBLE) / n_tok_new
+       |    ELSE 0.0 END) AS q
+       | FROM j JOIN nt ON j.source = nt.source),
        |c AS (SELECT source, tok,
        |   coalesce(co, 0) AS cnt_old, coalesce(cn, 0) AS cnt_new,
        |   CAST(round((
-       |     CASE WHEN co IS NOT NULL THEN
-       |       0.5 * p * ln(p * 2.0 / (coalesce(p, 0.0) + coalesce(q, 0.0)))
+       |     CASE WHEN co > 0 THEN
+       |       0.5 * p * ln(p * 2.0 / (p + q))
        |     ELSE 0.0 END +
-       |     CASE WHEN cn IS NOT NULL THEN
-       |       0.5 * q * ln(q * 2.0 / (coalesce(p, 0.0) + coalesce(q, 0.0)))
+       |     CASE WHEN cn > 0 THEN
+       |       0.5 * q * ln(q * 2.0 / (p + q))
        |     ELSE 0.0 END) * 1e12) AS BIGINT) AS pico
        | FROM pq),
        |r AS (SELECT source, tok, cnt_old, cnt_new, pico,
@@ -451,31 +518,25 @@ object QueriesCorpus {
   // over the d rows (tightest bound). Same pico fixed-point discipline,
   // so the oracle — which recomputes the cells relationally exactly as
   // q147's does — hash-matches the bound itself, not a tolerance of it.
-  private val CmJsD = 4
-  private val CmJsW = 1021
+  // Derived knobs (r17): the hard-coded d=4/w=1021 became
+  // cmKnobs-derived — d = ⌈ln(1/δ)⌉ = 4 at δ = 0.02, w = next prime
+  // past min(e/ε, 2·vocab) = 1091 at ε = 0.0025 under the fixture's 4k
+  // vocab estimate (a deployment passes its ingest HLL estimate). Both
+  // engines interpolate the SAME derived literals.
+  private val CmJs = graft.functions.CountMinSketchAgg.cmKnobs(
+    vocabEstimate = 4096, eps = 0.0025, delta = 0.02)
+  private val CmJsD = CmJs.d
+  private val CmJsW = CmJs.w
 
-  def q149CmJsShift(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d).select("doc_id", "source", "text")
-    val newSnap = docs
-      .select(col("source"), col("text"), explode(filter(array(
-          when(col("doc_id") % 31 =!= 0, col("doc_id")),
-          when(col("doc_id") % 13 === 0, col("doc_id") + 600000)),
-        x => x.isNotNull)).as("doc_id"))
-      .withColumn("text",
-        when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2")))
-          .otherwise(col("text")))
-    TextStats.cmTokenJsShift(docs, newSnap, "source", "text", CmJsD, CmJsW)
+  def q149CmJsShift(s: SparkSession, d: String): DataFrame =
+    TextStats.cmTokenJsShiftFromCounts(
+        tokenCountArtifact(s, d, "old"), tokenCountArtifact(s, d, "new"),
+        "source", CmJsD, CmJsW)
       .orderBy("source")
-  }
 
   val q149Sql: String = {
     val bo = graft.functions.CountMinSketchAgg.bucketSql("tok", "r", CmJsW)
-    s"""WITH ns AS (SELECT doc_id, source,
-       |   CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text
-       | FROM (SELECT doc_id, source, text FROM documents WHERE doc_id % 31 <> 0
-       |       UNION ALL
-       |       SELECT doc_id + 600000, source, text FROM documents
-       |       WHERE doc_id % 13 = 0)),
+    s"""WITH ns AS ($derivedDocsSql),
        |wo AS (SELECT source, tok FROM (
        |   SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
        |  WHERE tok <> ''),
@@ -484,6 +545,10 @@ object QueriesCorpus {
        |  WHERE tok <> ''),
        |no AS (SELECT source, count(*) AS n_tok_old FROM wo GROUP BY 1),
        |nn AS (SELECT source, count(*) AS n_tok_new FROM wn GROUP BY 1),
+       |nt AS (SELECT coalesce(no.source, nn.source) AS source,
+       |       CAST(coalesce(n_tok_old, 0) AS BIGINT) AS n_tok_old,
+       |       CAST(coalesce(n_tok_new, 0) AS BIGINT) AS n_tok_new
+       |      FROM no FULL OUTER JOIN nn ON no.source = nn.source),
        |co AS (SELECT source, r, $bo AS b, count(*) AS co
        |       FROM wo CROSS JOIN range($CmJsD) AS t(r) GROUP BY 1, 2, 3),
        |cn AS (SELECT source, r, $bo AS b, count(*) AS cn
@@ -507,13 +572,13 @@ object QueriesCorpus {
        |        / ((CASE WHEN co > 0 THEN CAST(co AS DOUBLE) / n_tok_old ELSE 0.0 END)
        |           + (CASE WHEN cn > 0 THEN CAST(cn AS DOUBLE) / n_tok_new ELSE 0.0 END)))
        |    ELSE 0.0 END) * 1e12) AS BIGINT) AS pico
-       | FROM j JOIN no ON j.source = no.source JOIN nn ON j.source = nn.source),
+       | FROM j JOIN nt ON j.source = nt.source),
        |rowjs AS (SELECT source, r, CAST(sum(pico) AS BIGINT) AS js_r
        |          FROM pq GROUP BY 1, 2),
        |m AS (SELECT source, max(js_r) AS js_cm_pico FROM rowjs GROUP BY 1)
        |SELECT m.source, n_tok_old, n_tok_new, js_cm_pico,
        | round(js_cm_pico / 1e12, 6) AS js_cm
-       |FROM m JOIN no ON m.source = no.source JOIN nn ON m.source = nn.source
+       |FROM m JOIN nt ON m.source = nt.source
        |ORDER BY m.source""".stripMargin
   }
 

@@ -2483,22 +2483,17 @@ object QueriesSim {
   // to end, hash-checkable like js_pico.
   def q151EmbeddingShift(s: SparkSession, d: String): DataFrame = {
     val vecs = embeddings(s, d).select("vec_id", "label", "embedding")
-    val newSnap = vecs
-      .select(col("label"), col("embedding"), explode(filter(array(
-          when(col("vec_id") % 29 =!= 0, col("vec_id")),
-          when(col("vec_id") % 11 === 0, col("vec_id") + 600000)),
-        x => x.isNotNull)).as("vec_id"))
+    // the drift family's shared derivation (QueriesCorpus.derivedIds)
+    // applied to the vector table: drop %29, duplicate %11 (+600000);
+    // no payload edit — the embedding perturbation is id-structural
+    val newSnap = QueriesCorpus.derivedIds(vecs, "vec_id", 29, 11, 600000L)
     Similarity.embeddingShift(vecs, newSnap, "label", "embedding")
       .orderBy("label")
   }
 
   val q151Sql: String =
-    """WITH ns AS (
-      | SELECT vec_id, label, embedding FROM embeddings
-      | WHERE vec_id % 29 <> 0
-      | UNION ALL
-      | SELECT vec_id + 600000, label, embedding FROM embeddings
-      | WHERE vec_id % 11 = 0),
+    s"""WITH ns AS (${QueriesCorpus.derivedIdsSql("embeddings", "vec_id",
+         Seq("label", "embedding"), 29, 11, 600000L)}),
       |so AS (SELECT label, r AS dim,
       |   CAST(sum(CAST(round(CAST(embedding[r + 1] AS DOUBLE) * 1e6)
       |     AS BIGINT)) AS BIGINT) AS so, count(*) AS no

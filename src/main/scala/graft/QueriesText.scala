@@ -431,13 +431,27 @@ object QueriesText {
   // rows). CM error is one-sided — est ≥ exact always, est ≤ exact +
   // (e/w)·N w.p. ≥ 1−e^−d — so `over_frac = est/exact − 1` is the
   // audit's readable error column.
-  private val CmD = 4
-  private val CmW = 1021 // prime: no pow-2 interaction with the odd KM step
+  // Derived knobs (r17, the lshKnobs discipline): d = ceil(ln(1/delta))
+  // = 4 at delta = 0.02; w = next prime past min(e/eps, 2*vocab) = 1091
+  // at eps = 0.0025 under the 4k vocab estimate (the documents
+  // fixture's generator vocabulary; a deployment passes its ingest-time
+  // HLL estimate). Both engines interpolate the SAME derived values, so
+  // the oracle twin stays literal.
+  private val CmCal = graft.functions.CountMinSketchAgg.cmKnobs(
+    vocabEstimate = 4096, eps = 0.0025, delta = 0.02)
+  private val CmD = CmCal.d
+  private val CmW = CmCal.w
 
   def q147CmFrequency(s: SparkSession, d: String): DataFrame = {
-    val sketch = q110Words(s, d)
+    // the sketch serves from the drift family's shared tokenized-count
+    // artifact (ONE tokenize pass per snapshot across q147-q150; same
+    // cells as per-token updates — the CM buffer is weight-additive,
+    // and md5 cost drops to one digest per distinct token): global
+    // counts = the per-source frame re-aggregated at summary size
+    val sketch = QueriesCorpus.tokenCountArtifact(s, d, "old")
+      .groupBy("tok").agg(sum("cnt").as("cnt"))
       .agg(graft.functions.CountMinSketchAgg
-        .cm(col("word"), lit(1L), CmD, CmW).as("cells"))
+        .cm(col("tok"), col("cnt"), CmD, CmW).as("cells"))
     // heavy hitters (word, cnt) is itself two bounded-shuffle passes;
     // the sketch is one row — broadcast by construction
     q110HeavyHitters(s, d)
@@ -480,9 +494,13 @@ object QueriesText {
   // carries the algebra. The exact-count columns (word, cnt) are
   // md5-free and IDENTICAL to q147's — only cm_est/over_frac move.
   def q152CmFrequencyXx(s: SparkSession, d: String): DataFrame = {
-    val sketch = q110Words(s, d)
+    // same shared-artifact serving as q147 (structural parity is the
+    // point): one digest per DISTINCT token either mode, so the
+    // hash-mode lever is measured on identical plans
+    val sketch = QueriesCorpus.tokenCountArtifact(s, d, "old")
+      .groupBy("tok").agg(sum("cnt").as("cnt"))
       .agg(graft.functions.CountMinSketchAgg
-        .cm(col("word"), lit(1L), CmD, CmW, engineXx = true).as("cells"))
+        .cm(col("tok"), col("cnt"), CmD, CmW, engineXx = true).as("cells"))
     q110HeavyHitters(s, d)
       .crossJoin(broadcast(sketch))
       .select(col("word"), col("cnt"),
@@ -494,12 +512,74 @@ object QueriesText {
       .orderBy(desc("cnt"), col("word"))
   }
 
+  // ---------------------------------------------------------------------
+  // q153: the Count-Min CALIBRATION face — the one the sketch family
+  // was missing (MinHash has q131, Bloom q134, HLL its spec): measured
+  // estimate-vs-exact error per frequency band over q110's exact
+  // heavy-hitter population, next to the theoretical bound the derived
+  // knobs promise. Bands are digit-count of the exact count (an
+  // integer, cross-engine stable; log-magnitude without log()
+  // float risk); per band: population, worst absolute overestimate,
+  // mass-weighted mean over-fraction (integer sums, ONE rounded
+  // division — the q147 float discipline), and the eps*N bound the
+  // knobs were derived FOR (est - exact <= eps*N w.p. >= 1-delta).
+  // Reading max_over against eps_n_bound is exactly the audit a
+  // deployment runs before trusting the sketch at a new scale.
+  def q153CmCalibration(s: SparkSession, d: String): DataFrame = {
+    val counts = QueriesCorpus.tokenCountArtifact(s, d, "old")
+      .groupBy("tok").agg(sum("cnt").as("cnt"))
+    val sketch = counts.agg(
+      graft.functions.CountMinSketchAgg
+        .cm(col("tok"), col("cnt"), CmD, CmW).as("cells"),
+      sum(col("cnt")).as("n_tok"))
+    q110HeavyHitters(s, d)
+      .crossJoin(broadcast(sketch))
+      .select(col("word"), col("cnt"), col("n_tok"),
+        graft.functions.CountMinSketchAgg
+          .estimate(col("cells"), col("word"), CmD, CmW).as("cm_est"))
+      .withColumn("band", length(col("cnt").cast("string")))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_words"),
+        max(col("cm_est") - col("cnt")).as("max_over"),
+        round(sum(col("cm_est") - col("cnt")).cast("double") /
+          sum(col("cnt")), 6).as("avg_over_frac"),
+        max(round(lit(math.E / CmW) * col("n_tok")).cast("long"))
+          .as("eps_n_bound"))
+      .orderBy("band")
+  }
+
+  val q153Sql: String = {
+    val b = graft.functions.CountMinSketchAgg.bucketSql("word", "r", CmW)
+    val bp = graft.functions.CountMinSketchAgg.bucketSql("h.word", "t3.r", CmW)
+    val epsLit = (math.E / CmW).toString
+    s"""WITH w AS (
+       | SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |ww AS (SELECT word FROM w WHERE word <> ''),
+       |t AS (SELECT count(*) AS n FROM ww),
+       |hh AS (SELECT word, count(*) AS cnt FROM ww, t GROUP BY word, n
+       |       HAVING count(*) * $HhTheta >= n),
+       |cells AS (SELECT r, $b AS b, count(*) AS c
+       |          FROM ww CROSS JOIN range($CmD) AS t2(r) GROUP BY 1, 2),
+       |est AS (SELECT h.word, h.cnt, min(c.c) AS cm_est
+       |        FROM hh h CROSS JOIN range($CmD) AS t3(r)
+       |        JOIN cells c ON c.r = t3.r AND c.b = $bp
+       |        GROUP BY 1, 2),
+       |bd AS (SELECT length(CAST(cnt AS VARCHAR)) AS band, cnt,
+       |        cm_est - cnt AS over_amt FROM est)
+       |SELECT band, count(*) AS n_words,
+       | max(over_amt) AS max_over,
+       | round(CAST(sum(over_amt) AS DOUBLE) / sum(cnt), 6) AS avg_over_frac,
+       | CAST(round($epsLit * (SELECT n FROM t)) AS BIGINT) AS eps_n_bound
+       |FROM bd GROUP BY band ORDER BY band""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q110_heavy_hitters" -> (q110HeavyHitters _),
     "q147_cm_frequency" -> (q147CmFrequency _),
     // deployment-hash twin of q147 — deliberately absent from `oracle`
     // (driver records rows-only): DuckDB cannot reproduce xxhash64
     "q152_cm_frequency_xx" -> (q152CmFrequencyXx _),
+    "q153_cm_calibration" -> (q153CmCalibration _),
     "q18_token_stats" -> (q18TokenStats _),
     "q19_quality_score" -> (q19QualityScore _),
     "q20_lang_id" -> (q20LangId _),
@@ -516,6 +596,7 @@ object QueriesText {
   val oracle: Map[String, String] = Map(
     "q110_heavy_hitters" -> q110Sql,
     "q147_cm_frequency" -> q147Sql,
+    "q153_cm_calibration" -> q153Sql,
     "q18_token_stats" -> q18Sql,
     "q19_quality_score" -> q19Sql,
     "q20_lang_id" -> q20Sql,

@@ -79,6 +79,14 @@ case class CountMinSketchAgg(
     else if (!dExpr.foldable || !wExpr.foldable || !xxExpr.foldable)
       TypeCheckResult.TypeCheckFailure(
         "d, w, and the hash mode must be constant literals")
+    // a foldable-but-null literal (Literal(null, IntegerType)) must fail
+    // analysis here, not NPE when the d/w positivity check below forces
+    // the lazy evals — the Column API never builds one, but the
+    // expression is registered infrastructure
+    else if (dExpr.eval() == null || wExpr.eval() == null ||
+        xxExpr.eval() == null)
+      TypeCheckResult.TypeCheckFailure(
+        "d, w, and the hash mode must be non-null literals")
     else if (d <= 0 || w <= 0)
       TypeCheckResult.TypeCheckFailure(s"d and w must be positive, got ($d, $w)")
     else if (d.toLong * w > (1L << 24))
@@ -148,6 +156,50 @@ case class CountMinSketchAgg(
 }
 
 object CountMinSketchAgg {
+
+  /** Derived Count–Min knobs — see [[cmKnobs]]. */
+  final case class CmKnobs(d: Int, w: Int) {
+    /** Fixed per-group state: the d·w cell count. */
+    def cells: Int = d * w
+  }
+
+  /** The scale rule for the sketch, as code instead of hard-coded d/w
+    * (the [[graft.operators.Similarity.lshKnobs]] discipline): from the
+    * published Cormode–Muthukrishnan guarantees, `est ≤ exact + ε·N`
+    * w.p. ≥ 1−δ needs `w = ⌈e/ε⌉` and `d = ⌈ln(1/δ)⌉`. Two refinements:
+    *
+    *  - the width is CAPPED at ~2× the caller's vocabulary estimate —
+    *    past that, expected bucket occupancy is already below one and
+    *    extra width buys no accuracy, only state (at deployment the
+    *    estimate comes from an ingest-time HLL/KMV distinct count; the
+    *    oracle fixtures pass a constant so the knobs stay
+    *    engine/oracle-shared literals);
+    *  - the width rounds UP to the next prime: the KM double-hash walks
+    *    rows by an odd step, and a width sharing factors with the step
+    *    pattern would make rows correlated (1021/1091-style primes keep
+    *    the d row hashes honestly independent).
+    *
+    * The d·w ≤ 2^24 analysis-time guard in the aggregate still applies;
+    * knobs that exceed it fail at `cm()` construction, not silently.
+    */
+  def cmKnobs(vocabEstimate: Long, eps: Double, delta: Double): CmKnobs = {
+    require(vocabEstimate > 0 && eps > 0 && eps < 1 && delta > 0 && delta < 1,
+      s"need vocabEstimate > 0, eps/delta in (0,1); got " +
+        s"($vocabEstimate, $eps, $delta)")
+    val d = math.max(1, math.ceil(math.log(1.0 / delta)).toInt)
+    val target = math.ceil(math.E / eps)
+    val capped = math.min(target,
+      math.max(2.0, 2.0 * vocabEstimate)).toInt
+    CmKnobs(d, nextPrime(capped))
+  }
+
+  private def nextPrime(n: Int): Int = {
+    def isPrime(k: Int): Boolean =
+      k >= 2 && (2 to math.sqrt(k.toDouble).toInt).forall(k % _ != 0)
+    var x = math.max(2, n)
+    while (!isPrime(x)) x += 1
+    x
+  }
 
   /** `step` reduction modulus: keeps `h1 + (d−1)·step` well under 2^63
     * (h1 < 2^60, step < 2^21) so the DuckDB oracle's BIGINT arithmetic

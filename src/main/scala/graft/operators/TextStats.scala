@@ -558,11 +558,33 @@ object TextStats {
     */
   def tokenJsShift(oldSnap: DataFrame, newSnap: DataFrame,
                    groupCol: String, textCol: String): DataFrame =
-    jsContribFrame(oldSnap, newSnap, groupCol, textCol)
+    tokenJsShiftFromCounts(
+      tokenCounts(oldSnap, groupCol, textCol).localCheckpoint(),
+      tokenCounts(newSnap, groupCol, textCol).localCheckpoint(), groupCol)
+
+  /** [[tokenJsShift]] served from PRE-TOKENIZED (group, tok, cnt)
+    * count frames — the drift family's shared-artifact face: a corpus
+    * snapshot tokenizes ONCE into this summary (vocab×groups rows) and
+    * every drift consumer (rollup, movers, CM cells) reads the frame,
+    * not the text. At 100 TB the count frame is the artifact a
+    * deployment persists next to each snapshot at ingest.
+    */
+  def tokenJsShiftFromCounts(oldCounts: DataFrame, newCounts: DataFrame,
+                             groupCol: String): DataFrame =
+    jsContribFromCounts(oldCounts, newCounts, groupCol)
       .groupBy(groupCol, "n_tok_old", "n_tok_new",
         "n_vocab_old", "n_vocab_new")
       .agg(sum("pico").as("js_pico"))
       .withColumn("js_div", round(col("js_pico") / 1e12, 6))
+
+  /** The canonical (group, tok, cnt) unigram count frame of a snapshot
+    * — whitespace split, empty tokens dropped; ONE definition so every
+    * face of the drift family provably tokenizes identically.
+    */
+  def tokenCounts(df: DataFrame, groupCol: String, textCol: String): DataFrame =
+    df.select(col(groupCol), explode(split(col(textCol), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy(groupCol, "tok").agg(count(lit(1)).as("cnt"))
 
   /** The drift DRILL-DOWN next to [[tokenJsShift]]'s rollup: the top-k
     * tokens driving each group's divergence (largest per-token JS
@@ -574,10 +596,19 @@ object TextStats {
     * tasks forward ≤ k rows per group).
     */
   def tokenJsMovers(oldSnap: DataFrame, newSnap: DataFrame,
-                    groupCol: String, textCol: String, k: Int): DataFrame = {
+                    groupCol: String, textCol: String, k: Int): DataFrame =
+    tokenJsMoversFromCounts(
+      tokenCounts(oldSnap, groupCol, textCol).localCheckpoint(),
+      tokenCounts(newSnap, groupCol, textCol).localCheckpoint(), groupCol, k)
+
+  /** [[tokenJsMovers]] from pre-tokenized count frames — see
+    * [[tokenJsShiftFromCounts]].
+    */
+  def tokenJsMoversFromCounts(oldCounts: DataFrame, newCounts: DataFrame,
+                              groupCol: String, k: Int): DataFrame = {
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(col("pico").desc, col("tok"))
-    jsContribFrame(oldSnap, newSnap, groupCol, textCol)
+    jsContribFromCounts(oldCounts, newCounts, groupCol)
       .select(col(groupCol), col("tok"),
         coalesce(col("co"), lit(0L)).as("cnt_old"),
         coalesce(col("cn"), lit(0L)).as("cnt_new"), col("pico"))
@@ -588,16 +619,14 @@ object TextStats {
   /** Shared core of [[tokenJsShift]]/[[tokenJsMovers]]: one row per
     * (group, token) of the joined vocab with per-token JS contribution
     * in integer picos plus the per-group totals, computed exactly as
-    * documented on [[tokenJsShift]].
+    * documented on [[tokenJsShift]]. Consumes (group, tok, cnt) count
+    * frames ([[tokenCounts]] shape) — the corpus-sized tokenize lives
+    * with the frames' producer, once per snapshot.
     */
-  private def jsContribFrame(oldSnap: DataFrame, newSnap: DataFrame,
-                             groupCol: String, textCol: String): DataFrame = {
-    def tokCounts(df: DataFrame): DataFrame = df
-      .select(col(groupCol), explode(split(col(textCol), " ")).as("tok"))
-      .where(col("tok") =!= "")
-      .groupBy(groupCol, "tok").agg(count(lit(1)).as("cnt"))
-    val a = tokCounts(oldSnap).withColumnRenamed("cnt", "co").localCheckpoint()
-    val b = tokCounts(newSnap).withColumnRenamed("cnt", "cn").localCheckpoint()
+  private def jsContribFromCounts(oldCounts: DataFrame, newCounts: DataFrame,
+                                  groupCol: String): DataFrame = {
+    val a = oldCounts.withColumnRenamed("cnt", "co")
+    val b = newCounts.withColumnRenamed("cnt", "cn")
     // per-group totals as windows over the joined vocab frame: the
     // rollup/rank that follows re-uses the same partitioning, so totals
     // cost no extra scan, join, or job
@@ -639,13 +668,50 @@ object TextStats {
     */
   def cmTokenJsShift(oldSnap: DataFrame, newSnap: DataFrame,
                      groupCol: String, textCol: String,
-                     d: Int = 4, w: Int = 1021): DataFrame = {
+                     d: Int = 4, w: Int = 1021): DataFrame =
+    cmTokenJsShiftFromCounts(
+      tokenCounts(oldSnap, groupCol, textCol),
+      tokenCounts(newSnap, groupCol, textCol), groupCol, d, w)
+
+  /** [[cmTokenJsShift]] from pre-tokenized (group, tok, cnt) count
+    * frames (see [[tokenJsShiftFromCounts]]) — the cells are IDENTICAL
+    * to per-token updates because the CM buffer is weight-additive
+    * (`cm(tok, cnt)` adds cnt to each of tok's d cells in one update),
+    * and the md5 cost drops from one digest per TOKEN to one per
+    * distinct (group, tok) pair — the r16 100× inset's measured wall.
+    */
+  def cmTokenJsShiftFromCounts(oldCounts: DataFrame, newCounts: DataFrame,
+                               groupCol: String,
+                               d: Int = 4, w: Int = 1021): DataFrame = {
     def cells(df: DataFrame, out: String): DataFrame = df
-      .select(col(groupCol), explode(split(col(textCol), " ")).as("tok"))
-      .where(col("tok") =!= "")
       .groupBy(groupCol)
       .agg(graft.functions.CountMinSketchAgg
-        .cm(col("tok"), lit(1L), d, w).as(out))
+        .cm(col("tok"), col("cnt"), d, w).as(out))
+    // FULL outer: a group present in only one snapshot (a dropped or
+    // newly-arrived source) must surface at the ln 2 boundary exactly
+    // as the exact path does, not silently vanish; its missing side is
+    // the all-zero sketch
+    cmJsFromCells(
+      cells(oldCounts, "cells_o").join(cells(newCounts, "cells_n"),
+          Seq(groupCol), "full_outer")
+        .withColumn("cells_o",
+          coalesce(col("cells_o"), expr(s"array_repeat(0L, ${d * w})")))
+        .withColumn("cells_n",
+          coalesce(col("cells_n"), expr(s"array_repeat(0L, ${d * w})"))),
+      groupCol, d, w)
+  }
+
+  /** The sketch-cell JS readout shared by the batch face
+    * ([[cmTokenJsShiftFromCounts]]) and the streaming monitor
+    * ([[graft.streaming.Streaming.cmJsShiftStream]]): given a frame
+    * with `cells_o`/`cells_n` d·w arrays per group row, emit per group
+    * the two token totals and the max-over-rows cell-level JS in exact
+    * integer picos (the data-processing-inequality lower bound and
+    * fixed-point discipline documented on [[cmTokenJsShift]]). A pure
+    * stateless projection — legal after a streaming aggregation.
+    */
+  private[graft] def cmJsFromCells(joined: DataFrame, groupCol: String,
+                                   d: Int, w: Int): DataFrame = {
     // contribution lambda shared textually with the DuckDB twin: p and
     // q spelled inline so every double op sequence matches the oracle's.
     // Each division hides behind its own count-positive CASE (a
@@ -670,16 +736,7 @@ object TextStats {
          |  slice(cells_o, ${r * w + 1}, $w), slice(cells_n, ${r * w + 1}, $w),
          |  (co, cn) -> ${picoContrib("co", "cn")}),
          | 0L, (acc, x) -> acc + x)""".stripMargin)
-    // FULL outer: a group present in only one snapshot (a dropped or
-    // newly-arrived source) must surface at the ln 2 boundary exactly
-    // as the exact path does, not silently vanish; its missing side is
-    // the all-zero sketch
-    cells(oldSnap, "cells_o").join(cells(newSnap, "cells_n"),
-        Seq(groupCol), "full_outer")
-      .withColumn("cells_o",
-        coalesce(col("cells_o"), expr(s"array_repeat(0L, ${d * w})")))
-      .withColumn("cells_n",
-        coalesce(col("cells_n"), expr(s"array_repeat(0L, ${d * w})")))
+    joined
       .withColumn("n_tok_old",
         expr(s"aggregate(slice(cells_o, 1, $w), 0L, (acc, x) -> acc + x)"))
       .withColumn("n_tok_new",

@@ -36,7 +36,9 @@ import Sqlite._
 object Mbtiles {
 
   def writeMbtiles(tiles: DataFrame, path: String,
-                   metadata: Map[String, String]): Unit = {
+                   metadata: Map[String, String],
+                   dedupLayout: Boolean = false): Unit = {
+    if (dedupLayout) { writeMbtilesDedup(tiles, path, metadata); return }
     val f = new File(path)
     if (f.exists) f.delete()
     Option(f.getParentFile).foreach(_.mkdirs())
@@ -94,6 +96,113 @@ object Mbtiles {
     } finally raf.close()
   }
 
+  /** The map/images DEDUPLICATED layout (newer tippecanoe's output;
+    * [[readMbtiles]] has read it since r16 — this writer closes the
+    * asymmetry behind an explicit flag): identical tile blobs are
+    * stored ONCE in `images(tile_data, tile_id)` and referenced from
+    * `map(zoom_level, tile_column, tile_row, tile_id)`; a `tiles` VIEW
+    * over their join keeps every MBTiles 1.3 consumer working
+    * unchanged. Pays real bytes whenever a tileset repeats blobs —
+    * ocean/empty fills, cloned coarse tiles — and costs one extra
+    * b-tree walk per lookup; the default export stays the direct
+    * layout because the drop-densest/coalesce stages already avoid
+    * producing repeated tiles in this engine's own pipelines
+    * (MbtilesSpec measures both claims).
+    *
+    * tile_id assignment is deterministic: dense numbering of the
+    * DISTINCT blob digests in digest order — the single-partition
+    * window ranks 16-byte digests only, never blobs, and re-evaluating
+    * the frame for the second streaming pass reproduces identical ids.
+    */
+  private def writeMbtilesDedup(tiles: DataFrame, path: String,
+                                metadata: Map[String, String]): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val f = new File(path)
+    if (f.exists) f.delete()
+    Option(f.getParentFile).foreach(_.mkdirs())
+    val dgd = tiles
+      .select(col("z").cast("long").as("z"), col("x").cast("long").as("x"),
+        col("y").cast("long").as("y"), col("tile_bytes"),
+        md5(col("tile_bytes")).as("dg"))
+    val ids = dgd.select("dg").distinct()
+      .withColumn("tile_id",
+        row_number().over(Window.orderBy("dg")).cast("long"))
+    val raf = new RandomAccessFile(f, "rw")
+    try {
+      val sink = new Sink(raf)
+      val metaB = new TableBuilder(sink)
+      metadata.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((k, v), i) =>
+        metaB.addRow(i + 1L, record(Seq(SqlText(k), SqlText(v))))
+      }
+      val metaRoot = metaB.finish()
+
+      // map: one row per tile, (z, x, tile_row)-ordered like the direct
+      // layout (same duplicate-key fail-fast), cells are 4 small ints
+      val mapB = new TableBuilder(sink)
+      val mapIdxB = new IndexBuilder(sink)
+      val mapIt = dgd.join(ids, "dg")
+        .select(col("z"), col("x"), col("y"), col("tile_id"))
+        .orderBy(col("z"), col("x"), col("y").desc)
+        .toLocalIterator()
+      var rowid = 0L
+      var prevKey: (Long, Long, Long) = null
+      while (mapIt.hasNext) {
+        val r = mapIt.next()
+        rowid += 1
+        val z = r.getLong(0); val x = r.getLong(1); val y = r.getLong(2)
+        val row = (1L << z) - 1L - y
+        val key = (z, x, row)
+        require(prevKey == null || key != prevKey,
+          s"duplicate tile key (z=$z, x=$x, y=$y) — tiles must be unique")
+        prevKey = key
+        val tid = r.getLong(3)
+        mapB.addRow(rowid,
+          record(Seq(SqlInt(z), SqlInt(x), SqlInt(row), SqlInt(tid))))
+        mapIdxB.addEntry(
+          record(Seq(SqlInt(z), SqlInt(x), SqlInt(row), SqlInt(rowid))))
+      }
+      val mapRoot = mapB.finish()
+      val mapIdxRoot = mapIdxB.finish()
+
+      // images: one row per DISTINCT blob, rowid = tile_id (dense from
+      // the digest rank, so iteration order is rowid order)
+      val imgB = new TableBuilder(sink)
+      val imgIdxB = new IndexBuilder(sink)
+      val imgIt = dgd.dropDuplicates("dg").join(ids, "dg")
+        .select(col("tile_id"), col("tile_bytes"))
+        .orderBy(col("tile_id"))
+        .toLocalIterator()
+      while (imgIt.hasNext) {
+        val r = imgIt.next()
+        val tid = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]]("tile_bytes")
+        imgB.addRow(tid, record(Seq(SqlBlob(bytes), SqlInt(tid))))
+        imgIdxB.addEntry(record(Seq(SqlInt(tid), SqlInt(tid))))
+      }
+      val imgRoot = imgB.finish()
+      val imgIdxRoot = imgIdxB.finish()
+
+      sink.patchPage1(buildPage1(sink.nPages, Seq(
+        ("table", "metadata", "metadata", metaRoot,
+          "CREATE TABLE metadata (name text, value text)"),
+        ("table", "map", "map", mapRoot,
+          "CREATE TABLE map (zoom_level integer, tile_column integer, " +
+            "tile_row integer, tile_id integer)"),
+        ("index", "map_index", "map", mapIdxRoot,
+          "CREATE UNIQUE INDEX map_index on map (zoom_level, " +
+            "tile_column, tile_row)"),
+        ("table", "images", "images", imgRoot,
+          "CREATE TABLE images (tile_data blob, tile_id integer)"),
+        ("index", "images_idx", "images", imgIdxRoot,
+          "CREATE UNIQUE INDEX images_idx on images (tile_id)"),
+        ("view", "tiles", "tiles", 0,
+          "CREATE VIEW tiles AS SELECT map.zoom_level AS zoom_level, " +
+            "map.tile_column AS tile_column, map.tile_row AS tile_row, " +
+            "images.tile_data AS tile_data FROM map JOIN images ON " +
+            "images.tile_id = map.tile_id"))))
+    } finally raf.close()
+  }
+
   /** `tile-join` over CONTAINERS (`build.sh:189,210,214`): read every
     * input tileset, align on (z,x,y), concatenate tile bytes in INPUT
     * ORDER (MVT layers concatenate at the protobuf level — the same J3
@@ -104,12 +213,13 @@ object Mbtiles {
     * Scale shape: ONE shuffle regardless of input count (a grouped
     * aggregate over the unioned frames, not a join chain), and the
     * per-input reads are [[readMbtiles]]'s distributed leaf scans.
-    * Output layout is the direct MBTiles 1.3 `tiles` table — the
-    * map/images dedup layout stays READ-only by decision: dedup pays
-    * only when many tiles share identical bytes (ocean fills), which
-    * this engine's drop-densest/coalesce stages already avoid
-    * producing, and the direct layout is what the reference's own
-    * tooling exchanges.
+    * Output layout is the direct MBTiles 1.3 `tiles` table BY DEFAULT
+    * (what the reference's own tooling exchanges; this engine's
+    * drop-densest/coalesce stages already avoid repeated blobs, so
+    * dedup usually buys nothing here); tilesets that DO repeat blobs
+    * opt into the map/images layout via
+    * `writeMbtiles(..., dedupLayout = true)` — r17 closed the
+    * writer/reader asymmetry.
     */
   def tileJoin(spark: SparkSession, inputs: Seq[String], out: String,
                metadata: Map[String, String] = Map.empty): Unit = {

@@ -705,6 +705,40 @@ object Streaming {
       .agg(graft.functions.CountMinSketchAgg
         .cm(col(itemCol), lit(1L), d, w, engineXx).as("cells"))
 
+  /** LIVE drift monitoring against a frozen snapshot — the deployment
+    * shape q149 is designed for, as a stream: per group, the
+    * Jensen–Shannon divergence between a FROZEN reference sketch
+    * (batch-built cells, e.g. last generation's corpus — passed in as
+    * a driver-side map, the broadcast-scale d·w-per-group artifact a
+    * registry serves) and the [[cmSketchStream]] state accumulated
+    * over everything delivered so far (complete/update mode). Each
+    * emission is q149's exact arithmetic ([[TextStats.cmJsFromCells]]
+    * — integer-pico JS lower bound, max over the d rows), so a
+    * delivered prefix's readout equals the batch face on the same
+    * rows: the stream ≡ batch contract every other streaming twin in
+    * this file carries, pinned by StreamingSpec.
+    *
+    * Groups are driven by the STREAM side: a frozen group with no
+    * arrivals yet has no row (a monitor liveness question, not a
+    * divergence one — it surfaces the moment its first item lands, at
+    * the ln 2 boundary if its vocabulary moved entirely); a streamed
+    * group absent from the frozen map diffs against the all-zero
+    * sketch, the same one-sided contract as the batch full-outer.
+    */
+  def cmJsShiftStream(items: DataFrame, groupCol: String, itemCol: String,
+                      frozen: Map[String, Seq[Long]], d: Int,
+                      w: Int): DataFrame = {
+    frozen.values.foreach(c => require(c.length == d * w,
+      s"frozen cells must be d*w = ${d * w} long, got ${c.length}"))
+    graft.operators.TextStats.cmJsFromCells(
+      cmSketchStream(items, groupCol, itemCol, d, w)
+        .withColumnRenamed("cells", "cells_n")
+        .withColumn("cells_o",
+          coalesce(element_at(typedLit(frozen), col(groupCol)),
+            expr(s"array_repeat(0L, ${d * w})"))),
+      groupCol, d, w)
+  }
+
   /** Stream-STREAM interval join — the q43 attribution semantics
     * (each left event pairs with the right events of the same key
     * whose timestamp lands in `[leftTs, leftTs + maxDelta]`) when

@@ -20,7 +20,9 @@ class BenchFormatSpec extends AnyFunSuite {
   }
   private val sf = "/root/testdata/sf0.1"
   private val lines = BenchFormat.perQueryLines(fake)
-  private val total = BenchFormat.totalLine(fake.map(_._2).sum, sf)
+  // the real bench emits the deflated-total fields — budget the tail
+  // with them present (worst-case 4-digit ratio)
+  private val total = BenchFormat.totalLine(fake.map(_._2).sum, sf, 1.234)
   // the canary line lives in the same tail window — budget it with the
   // rest (4 probes incl. r16's mcpu, worst-case 2-digit seconds)
   private val canary = BenchFormat.canaryLine(
@@ -55,7 +57,8 @@ class BenchFormatSpec extends AnyFunSuite {
     // at 160 queries EVERYTHING — parts, canary, total — co-exists
     val s160 = synthAt(160)
     val f160 = (BenchFormat.perQueryLines(s160) :+ canary :+
-      BenchFormat.totalLine(s160.map(_._2).sum, sf)).map(_.length + 1).sum
+      BenchFormat.totalLine(s160.map(_._2).sum, sf, 1.234))
+      .map(_.length + 1).sum
     assert(f160 <= 1900,
       s"160 synthetic queries + canary overflow at $f160 — next lever needed")
     // at 170 the HARD requirement (per-query parts + total) still fits;
@@ -64,7 +67,7 @@ class BenchFormatSpec extends AnyFunSuite {
     // in the driver log even after the stdout copy scrolls out
     val synth = synthAt(170)
     val sLines = BenchFormat.perQueryLines(synth)
-    val sTotal = BenchFormat.totalLine(synth.map(_._2).sum, sf)
+    val sTotal = BenchFormat.totalLine(synth.map(_._2).sum, sf, 1.234)
     val footprint = (sLines :+ sTotal).map(_.length + 1).sum
     assert(footprint <= 1900,
       s"170 synthetic queries overflow at $footprint — next lever needed")
@@ -86,6 +89,20 @@ class BenchFormatSpec extends AnyFunSuite {
 
   test("per-query lines declare the centisecond unit in the metric name") {
     for (l <- lines) assert(l.contains(""""metric":"per_query_cs""""), l)
+  }
+
+  test("deflated total = raw / mcpu-cpu ratio, clamped at 1.0") {
+    val t = BenchFormat.totalLine(200.0, sf, 1.6)
+    assert(t.contains(""""value":200.000"""), t)
+    assert(t.contains(""""deflated":125.000"""), t)
+    assert(!t.contains("mcpu_cpu"),
+      "ratio lives on the canary line only (tail budget)")
+    // an unusually HEALTHY window (ratio < 1) must never inflate
+    val h = BenchFormat.totalLine(200.0, sf, 0.9)
+    assert(h.contains(""""deflated":200.000"""), h)
+    // no ratio measured -> plain line, no deflated fields
+    val plain = BenchFormat.totalLine(200.0, sf)
+    assert(!plain.contains("deflated"), plain)
   }
 
   test("every line is valid standalone JSON with the per_query_cs marker") {

@@ -100,6 +100,73 @@ class CountMinSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("estimate reads the xx-mode buffer layout (deployment-hash twin)") {
+    // the xx twin of the md5 estimate-parity case above: q152 has no
+    // DuckDB oracle by design, so THIS pin is what catches a drift
+    // between estimate(engineXx = true) and the native update path's
+    // hashPairXx/bucket arithmetic
+    val sketch = zipf.toDF("w")
+      .agg(CountMinSketchAgg.cm(col("w"), lit(1L), D, W, engineXx = true)
+        .as("c"))
+    val cells = zipf.toDF("w")
+      .agg(CountMinSketchAgg.cm(col("w"), lit(1L), D, W, engineXx = true)
+        .as("c"))
+      .select(col("c")).as[Seq[Long]].head().toArray
+    val probes = Seq("item1", "item2", "item40").toDF("w")
+    val got = probes.crossJoin(broadcast(sketch))
+      .select(col("w"),
+        CountMinSketchAgg.estimate(col("c"), col("w"), D, W, engineXx = true)
+          .as("est"))
+      .as[(String, Long)].collect().toMap
+    Seq("item1", "item2", "item40").foreach { item =>
+      val (h1, h2) = CountMinSketchAgg.hashPairXx(item.getBytes("UTF-8"))
+      val want = (0 until D)
+        .map(r => cells(r * W + CountMinSketchAgg.bucket(h1, h2, r, W))).min
+      assert(got(item) == want,
+        s"xx-mode estimate() disagrees with the buffer layout for $item")
+      assert(got(item) >= exact(item))
+    }
+  }
+
+  test("null d/w/hash-mode literals fail analysis, not NPE") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{BooleanType, IntegerType}
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val item = Literal.create("x", org.apache.spark.sql.types.StringType)
+    val weight = Literal(1L, org.apache.spark.sql.types.LongType)
+    val nullD = CountMinSketchAgg(item, weight,
+      Literal(null, IntegerType), Literal(W, IntegerType))
+    val nullW = CountMinSketchAgg(item, weight,
+      Literal(D, IntegerType), Literal(null, IntegerType))
+    val nullXx = CountMinSketchAgg(item, weight,
+      Literal(D, IntegerType), Literal(W, IntegerType),
+      Literal(null, BooleanType))
+    Seq(nullD, nullW, nullXx).foreach { agg =>
+      agg.checkInputDataTypes() match {
+        case TypeCheckResult.TypeCheckFailure(msg) =>
+          assert(msg.contains("non-null"), s"wrong failure: $msg")
+        case other => fail(s"expected analysis failure, got $other")
+      }
+    }
+  }
+
+  test("cmKnobs derives d/w from the published guarantees") {
+    import CountMinSketchAgg.cmKnobs
+    val k = cmKnobs(vocabEstimate = 4096, eps = 0.0025, delta = 0.02)
+    assert(k.d == 4, "d = ceil(ln(1/0.02)) = 4")
+    assert(k.w == 1091, "w = next prime >= ceil(e/0.0025) = 1088")
+    assert(k.cells == 4 * 1091)
+    // the vocab cap: a tiny key space never allocates a huge width
+    val small = cmKnobs(vocabEstimate = 100, eps = 0.0001, delta = 0.02)
+    assert(small.w == 211, "capped at 2*vocab = 200, next prime 211")
+    def isPrime(n: Int) = (2 to math.sqrt(n.toDouble).toInt)
+      .forall(n % _ != 0)
+    assert(isPrime(k.w) && isPrime(small.w), "widths must be prime")
+    intercept[IllegalArgumentException](cmKnobs(0, 0.01, 0.01))
+    intercept[IllegalArgumentException](cmKnobs(10, 1.5, 0.01))
+    intercept[IllegalArgumentException](cmKnobs(10, 0.01, 0.0))
+  }
+
   test("null items and non-positive weights are skipped") {
     val cells = Seq((Some("x"), 5L), (None, 100L), (Some("y"), 0L), (Some("y"), -3L))
       .toDF("w", "n")

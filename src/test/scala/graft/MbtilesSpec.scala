@@ -104,6 +104,52 @@ class MbtilesSpec extends AnyFunSuite with SharedSpark {
     assert(back == in, "reader must invert the writer exactly")
   }
 
+  test("dedup layout: view-parity with the direct layout; repeated blobs pay bytes once") {
+    assume(python.isDefined, "python3 with sqlite3 not available")
+    // a tileset with HEAVY blob repetition: 600 tiles over 4 distinct
+    // blobs (one 8 KB "ocean" fill on 500 of them) — the case the
+    // map/images layout exists for
+    val ocean = Array.tabulate[Byte](8000)(j => (j % 251).toByte)
+    val others = (0 until 3).map(i =>
+      Array.fill[Byte](500 + i * 37)((i + 1).toByte))
+    val tiles = (0 until 600).map { i =>
+      val b = if (i < 500) ocean else others(i % 3)
+      (9, (i % 512).toLong, (i / 512).toLong, b)
+    }
+    val df = tiles.toDF("z", "x", "y", "tile_bytes").orderBy(rand(7))
+    val dir = Files.createTempDirectory("mbtdedup")
+    val direct = dir.resolve("direct.mbtiles").toString
+    val dedup = dir.resolve("dedup.mbtiles").toString
+    graft.sinks.Mbtiles.writeMbtiles(df, direct, Map("name" -> "fx"))
+    graft.sinks.Mbtiles.writeMbtiles(df, dedup, Map("name" -> "fx"),
+      dedupLayout = true)
+
+    // sqlite itself adjudicates: structure valid, and the tiles VIEW
+    // serves the exact same rows as the direct layout's table
+    val outDirect = pyDump(direct)
+    val outDedup = pyDump(dedup)
+    assert(outDedup.head == "ok", s"integrity_check: ${outDedup.head}")
+    assert(outDedup.filter(_.startsWith("T,")) ==
+      outDirect.filter(_.startsWith("T,")),
+      "the dedup view must serve byte-identical tiles in the same order")
+    // the indexed point-lookup path works THROUGH the view
+    assert(outDedup.exists(_.startsWith("L,")))
+
+    // our own reader inverts the dedup container too
+    val back = graft.sinks.Mbtiles.readMbtiles(spark, dedup).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)) ->
+        md5(r.getAs[Array[Byte]]("tile_bytes"))).toMap
+    assert(back == tiles.map { case (z, x, y, b) =>
+      (z, x, y) -> md5(b) }.toMap)
+
+    // and the layout's reason to exist: 500 repeated 8 KB blobs stored
+    // once — the container must shrink by roughly their mass
+    val (szDirect, szDedup) = (new java.io.File(direct).length,
+      new java.io.File(dedup).length)
+    assert(szDedup.toDouble < szDirect * 0.25,
+      s"dedup must collapse repeated blobs: $szDedup vs $szDirect bytes")
+  }
+
   test("a container whose FINAL index entry lands on a leaf boundary keeps every tile") {
     assume(python.isDefined, "python3 with sqlite3 not available")
     // the r15-review high finding: when the last addEntry triggered a

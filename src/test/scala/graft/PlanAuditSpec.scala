@@ -676,6 +676,38 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"only the two sketch-agg exchanges may shuffle, got $exchanges:\n$p")
   }
 
+  test("drift family: ONE tokenize pass per snapshot (shared artifact)") {
+    // the r17 token-stream fix: q147-q150 all serve from the two
+    // checkpointed (source, tok, cnt) artifacts — after the artifacts
+    // exist, building any face must (a) trigger NO new ArtifactCache
+    // learn and (b) plan with NO corpus tokenize of its own: no
+    // Generate/explode, no parquet scan of documents, in the exact
+    // faces' plans (q147 keeps its q110 exact-probe side, which
+    // tokenizes by design and has its own audit above)
+    QueriesCorpus.tokenCountArtifact(spark, d, "old")
+    QueriesCorpus.tokenCountArtifact(spark, d, "new")
+    val learnsBefore = graft.operators.ArtifactCache.learnCount
+    Seq("q148_token_js_shift", "q149_cm_js_shift", "q150_js_movers")
+      .foreach { qn =>
+        val p = plan(qn)
+        assert(!p.contains("Generate explode"),
+          s"$qn must not re-tokenize — the artifact already did:\n$p")
+        assert(!p.contains("FileScan parquet"),
+          s"$qn must serve from the checkpointed artifact:\n$p")
+      }
+    // q147's SKETCH side rides the artifact too: the only corpus scan
+    // left in its plan is q110's exact CONFIRM pass (the MG sketch pass
+    // hides behind its own localCheckpoint; the CM sketch reads the
+    // artifact) — exactly one parquet scan, where the pre-artifact plan
+    // had two
+    val p147 = plan("q147_cm_frequency")
+    val docScans = "FileScan parquet".r.findAllIn(p147).size
+    assert(docScans == 1,
+      s"q147 must add no sketch-side corpus scan (want q110's 1, got $docScans):\n$p147")
+    assert(graft.operators.ArtifactCache.learnCount == learnsBefore,
+      "no face may re-learn the token-count artifact")
+  }
+
   test("q108: tombstone anti-join broadcasts the delete set pre-distance") {
     val p = plan("q108_tombstoned_serve")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),

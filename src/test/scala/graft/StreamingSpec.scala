@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, explode, expr, lit, xxhash64}
+import org.apache.spark.sql.functions.{coalesce, col, element_at, explode, expr, lit, typedLit, xxhash64}
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -245,6 +245,66 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     // mass conservation per row over the streamed state
     assert((0 until d).forall(r =>
       got("a").slice(r * w, (r + 1) * w).sum == 100L))
+  }
+
+  test("cmJsShiftStream: live divergence vs a frozen sketch equals the batch face") {
+    implicit val sqlCtx = spark.sqlContext
+    val (d, w) = (3, 97)
+    // frozen reference: last generation's per-group sketches, batch-built
+    val oldRows = (1 to 60).map(i => ("a", s"tok${i % 15}")) ++
+      (1 to 25).map(i => ("b", s"tok${i % 7}")) ++
+      (1 to 10).map(i => ("gone", s"tok${i % 3}")) // frozen-only group
+    val frozen = oldRows.toDF("grp", "item")
+      .groupBy("grp")
+      .agg(graft.functions.CountMinSketchAgg
+        .cm(col("item"), lit(1L), d, w).as("cells"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val stream = MemoryStream[(String, String)]
+    val q = Streaming.cmJsShiftStream(
+        stream.toDF().toDF("grp", "item"), "grp", "item", frozen, d, w)
+      .writeStream.format("memory").queryName("cmjs_out")
+      .outputMode(OutputMode.Complete()).start()
+    val b1 = (1 to 40).map(i => ("a", s"tok${i % 25}")) ++
+      (1 to 25).map(i => ("b", s"tok${i % 7}"))
+    val b2 = (1 to 30).map(i => ("a", s"vnew${i % 9}")) ++
+      (1 to 12).map(i => ("c", s"tok${i % 5}")) // group NEW to the stream
+    try {
+      stream.addData(b1: _*)
+      q.processAllAvailable()
+      stream.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cmjs_out")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // batch twin on the SAME delivered rows: frozen cells vs the cm
+    // sketch of b1++b2, through the identical cell-JS arithmetic —
+    // stream-driven groups only (the documented contract: 'gone' has
+    // no arrivals, so no row yet)
+    val delivered = (b1 ++ b2).toDF("grp", "item")
+      .groupBy("grp")
+      .agg(graft.functions.CountMinSketchAgg
+        .cm(col("item"), lit(1L), d, w).as("cells_n"))
+      .withColumn("cells_o",
+        coalesce(element_at(typedLit(frozen), col("grp")),
+          expr(s"array_repeat(0L, ${d * w})")))
+    val batch = graft.operators.TextStats
+      .cmJsFromCells(delivered, "grp", d, w)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == batch,
+      s"stream readout must equal the batch face on delivered data: $got vs $batch")
+    assert(got.keySet == Set("a", "b", "c"), "stream-driven groups only")
+    // 'c' diffs against the all-zero sketch: the one-KL-term boundary,
+    // exactly 0.5*ln(2) in picos (every bucket one-sided)
+    assert(got("c")._1 == 0L && got("c")._2 == 12L)
+    // per-bucket pico rounding can drift the sum a few picos off the
+    // closed form (5 occupied buckets, each rounds within ±0.5 pico)
+    assert(math.abs(got("c")._3 - 0.5 * math.log(2.0) * 1e12) <= 5,
+      "a stream-only group must surface at the half-ln-2 boundary")
+    // 'b' streamed the same distribution as its frozen reference:
+    // identical cells, zero divergence
+    assert(got("b")._3 == 0L, "identical distributions must read 0")
   }
 
   test("sessionStep timeout branch flushes the open session and evicts state") {
