@@ -424,11 +424,13 @@ object QueriesText {
   // the truth it stands in for. The sketch is ONE global aggregation
   // whose buffer is a fixed d·w long array (map-side partial, only
   // d·w·8 bytes cross the shuffle however many distinct tokens stream
-  // through); the probe set is q110's exact θ-frequent words — the MG
-  // two-pass keeps that side's shuffles bounded too, and makes the set
-  // deterministic so the oracle can recompute the whole result
-  // relationally (cells = a (row, bucket) GROUP BY; estimate = min over
-  // rows). CM error is one-sided — est ≥ exact always, est ≤ exact +
+  // through); the probe set is q110's exact θ-frequent words, derived
+  // (r17) from the same count artifact the sketch reads — deterministic
+  // and recomputable, so the oracle checks the whole result relationally
+  // (cells = a (row, bucket) GROUP BY; estimate = min over rows).
+  // q110 itself keeps its MG two-pass plan: that is the face for the
+  // NO-artifact regime where the vocabulary is too large to count.
+  // CM error is one-sided — est ≥ exact always, est ≤ exact +
   // (e/w)·N w.p. ≥ 1−e^−d — so `over_frac = est/exact − 1` is the
   // audit's readable error column.
   // Derived knobs (r17, the lshKnobs discipline): d = ceil(ln(1/delta))
@@ -442,19 +444,38 @@ object QueriesText {
   private val CmD = CmCal.d
   private val CmW = CmCal.w
 
-  def q147CmFrequency(s: SparkSession, d: String): DataFrame = {
-    // the sketch serves from the drift family's shared tokenized-count
-    // artifact (ONE tokenize pass per snapshot across q147-q150; same
-    // cells as per-token updates — the CM buffer is weight-additive,
-    // and md5 cost drops to one digest per distinct token): global
-    // counts = the per-source frame re-aggregated at summary size
-    val sketch = QueriesCorpus.tokenCountArtifact(s, d, "old")
+  /** The corpus's global (tok, cnt) frame off the drift family's
+    * shared tokenized-count artifact — the per-source frame
+    * re-aggregated at summary size (ONE tokenize pass per snapshot
+    * serves q147–q153).
+    */
+  private def globalCounts(s: SparkSession, d: String): DataFrame =
+    QueriesCorpus.tokenCountArtifact(s, d, "old")
       .groupBy("tok").agg(sum("cnt").as("cnt"))
-      .agg(graft.functions.CountMinSketchAgg
-        .cm(col("tok"), col("cnt"), CmD, CmW).as("cells"))
-    // heavy hitters (word, cnt) is itself two bounded-shuffle passes;
-    // the sketch is one row — broadcast by construction
-    q110HeavyHitters(s, d)
+
+  /** q110's exact θ-frequent rows derived from the count artifact —
+    * IDENTICAL output (same tokenization, same θ, exact counts) with
+    * zero corpus passes. q110 itself keeps the MG two-pass plan: that
+    * is the NO-artifact regime's face, for vocabularies too large to
+    * count exactly; the sketch-audit queries live in the artifact
+    * regime by construction (their sketches come from the same frame).
+    */
+  private def hhFromCounts(counts: DataFrame): DataFrame = {
+    val total = counts.agg(sum("cnt").as("n_total"))
+    counts.crossJoin(broadcast(total))
+      .where(col("cnt") * HhTheta >= col("n_total"))
+      .select(col("tok").as("word"), col("cnt"))
+  }
+
+  def q147CmFrequency(s: SparkSession, d: String): DataFrame = {
+    // FULLY artifact-served (r17): sketch cells from the count frame
+    // (weight-additive — identical cells to per-token updates, one md5
+    // per distinct token) AND the exact probe set from the same frame —
+    // the query runs at summary size with zero corpus scans of its own
+    val counts = globalCounts(s, d)
+    val sketch = counts.agg(graft.functions.CountMinSketchAgg
+      .cm(col("tok"), col("cnt"), CmD, CmW).as("cells"))
+    hhFromCounts(counts)
       .crossJoin(broadcast(sketch))
       .select(col("word"), col("cnt"),
         graft.functions.CountMinSketchAgg
@@ -497,11 +518,10 @@ object QueriesText {
     // same shared-artifact serving as q147 (structural parity is the
     // point): one digest per DISTINCT token either mode, so the
     // hash-mode lever is measured on identical plans
-    val sketch = QueriesCorpus.tokenCountArtifact(s, d, "old")
-      .groupBy("tok").agg(sum("cnt").as("cnt"))
-      .agg(graft.functions.CountMinSketchAgg
-        .cm(col("tok"), col("cnt"), CmD, CmW, engineXx = true).as("cells"))
-    q110HeavyHitters(s, d)
+    val counts = globalCounts(s, d)
+    val sketch = counts.agg(graft.functions.CountMinSketchAgg
+      .cm(col("tok"), col("cnt"), CmD, CmW, engineXx = true).as("cells"))
+    hhFromCounts(counts)
       .crossJoin(broadcast(sketch))
       .select(col("word"), col("cnt"),
         graft.functions.CountMinSketchAgg
@@ -526,13 +546,12 @@ object QueriesText {
   // Reading max_over against eps_n_bound is exactly the audit a
   // deployment runs before trusting the sketch at a new scale.
   def q153CmCalibration(s: SparkSession, d: String): DataFrame = {
-    val counts = QueriesCorpus.tokenCountArtifact(s, d, "old")
-      .groupBy("tok").agg(sum("cnt").as("cnt"))
+    val counts = globalCounts(s, d)
     val sketch = counts.agg(
       graft.functions.CountMinSketchAgg
         .cm(col("tok"), col("cnt"), CmD, CmW).as("cells"),
       sum(col("cnt")).as("n_tok"))
-    q110HeavyHitters(s, d)
+    hhFromCounts(counts)
       .crossJoin(broadcast(sketch))
       .select(col("word"), col("cnt"), col("n_tok"),
         graft.functions.CountMinSketchAgg

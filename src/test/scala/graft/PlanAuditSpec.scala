@@ -695,15 +695,17 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
         assert(!p.contains("FileScan parquet"),
           s"$qn must serve from the checkpointed artifact:\n$p")
       }
-    // q147's SKETCH side rides the artifact too: the only corpus scan
-    // left in its plan is q110's exact CONFIRM pass (the MG sketch pass
-    // hides behind its own localCheckpoint; the CM sketch reads the
-    // artifact) — exactly one parquet scan, where the pre-artifact plan
-    // had two
-    val p147 = plan("q147_cm_frequency")
-    val docScans = "FileScan parquet".r.findAllIn(p147).size
-    assert(docScans == 1,
-      s"q147 must add no sketch-side corpus scan (want q110's 1, got $docScans):\n$p147")
+    // q147 is FULLY artifact-served (sketch cells AND the exact
+    // heavy-hitter probe set both derive from the count frame): zero
+    // corpus scans of its own — the pre-artifact plan had two, the
+    // half-artifact r17 interim had one (q110's confirm pass)
+    Seq("q147_cm_frequency", "q152_cm_frequency_xx", "q153_cm_calibration")
+      .foreach { qn =>
+        val p = plan(qn)
+        val docScans = "FileScan parquet".r.findAllIn(p).size
+        assert(docScans == 0,
+          s"$qn must run at summary size with no corpus scan (got $docScans):\n$p")
+      }
     assert(graft.operators.ArtifactCache.learnCount == learnsBefore,
       "no face may re-learn the token-count artifact")
   }
