@@ -506,9 +506,13 @@ object QueriesText {
   }
 
   // q152: q147's xxhash64 deployment twin (the q52/q53 hash-mode
-  // split applied to the sketch): identical plan and output shape, the
-  // per-token md5 — the measured wall of the sketch pass at 100× —
-  // replaced by two seeded xxhash64 mixes. Deliberately absent from
+  // split applied to the sketch): identical plan and output shape with
+  // the md5 digests — now one per DISTINCT token, riding the shared
+  // count artifact like q147 — replaced by two seeded xxhash64 mixes
+  // (r17 measurement: at per-distinct-token digest counts the hash
+  // mode no longer moves the wall; both faces serve at ~1 s at 100×,
+  // confirming the r16 inset's "the lever is the token-stream
+  // machinery" finding). Deliberately absent from
   // `oracle` (DuckDB cannot reproduce xxhash64 → driver records
   // rows-only); EngineHashSpec pins the structural parity (mass
   // conservation, est ≥ exact, probe set identical) and q147's oracle
