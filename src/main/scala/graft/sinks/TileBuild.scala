@@ -480,8 +480,18 @@ object TileBuild {
   }
 
   /** S7: explode tiles to a `z/x/y.pbf` directory tree + metadata.json
-    * (`build.sh:219-228`). Executor-side writes; `outDir` must be a
-    * shared filesystem on a real cluster.
+    * (`build.sh:219-228`). Executor-side writes THROUGH THE HADOOP
+    * FILESYSTEM API (r17): `outDir` takes any configured scheme — a
+    * local path, a shared mount, hdfs://, s3a:// — because this is the
+    * tree the reference deploys to an object store
+    * (`deploy-source.sh:38-45`, `build.sh:222-228` aws s3 sync). The
+    * session's Hadoop conf (scheme→impl mappings, credentials set via
+    * `spark.hadoop.*`) ships to executors as plain entries; checksum
+    * sidecars are disabled so the local layout stays byte-identical to
+    * the previous direct-IO writer (IncrementalSpec's tree parity
+    * rides on that). Scheme-pluggability is spec-proven offline
+    * through a foreign `mock://` filesystem (SchemeFsSpec) — s3a is
+    * the same seam with credentials, which the sandbox cannot reach.
     */
   /** @param writeMetadata false for IN-PLACE tree updates
     *                      ([[graft.Incremental]]): the live tree's
@@ -492,22 +502,49 @@ object TileBuild {
   def writePbfDirectory(tiles: DataFrame, outDir: String,
                         metadata: Map[String, String] = Map.empty,
                         writeMetadata: Boolean = true): Unit = {
+    // Configuration is not serializable: ship the entries, rebuild per
+    // partition (FileSystem.get caches per scheme+authority, so the
+    // per-partition cost is one lookup)
+    val confEntries: Seq[(String, String)] = {
+      val c = tiles.sparkSession.sessionState.newHadoopConf()
+      val it = c.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
+      buf.toSeq
+    }
+    def fsFor(dir: String): org.apache.hadoop.fs.FileSystem = {
+      val conf = new org.apache.hadoop.conf.Configuration(true)
+      confEntries.foreach { case (k, v) => conf.set(k, v) }
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+      // no .crc sidecars in the tree (LocalFileSystem is checksummed by
+      // default; object stores ignore this)
+      fs.setWriteChecksum(false)
+      fs
+    }
+    def writeFile(fs: org.apache.hadoop.fs.FileSystem,
+                  path: org.apache.hadoop.fs.Path,
+                  bytes: Array[Byte]): Unit = {
+      // create(overwrite = true) makes parents and truncate-overwrites —
+      // the idempotent re-run contract Incremental relies on
+      val out = fs.create(path, true)
+      try out.write(bytes) finally out.close()
+    }
     tiles.select("z", "x", "y", "tile_bytes").foreachPartition {
       (it: Iterator[Row]) =>
+        val fs = fsFor(outDir)
         it.foreach { r =>
-          val dir = Paths.get(outDir, r.getAs[Any]("z").toString,
-            r.getAs[Any]("x").toString)
-          Files.createDirectories(dir)
-          Files.write(dir.resolve(s"${r.getAs[Any]("y")}.pbf"),
-            r.getAs[Array[Byte]]("tile_bytes"),
-            StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+          writeFile(fs, new org.apache.hadoop.fs.Path(
+            s"$outDir/${r.getAs[Any]("z")}/${r.getAs[Any]("x")}/" +
+              s"${r.getAs[Any]("y")}.pbf"),
+            r.getAs[Array[Byte]]("tile_bytes"))
         }
     }
     if (writeMetadata) {
       val meta = (metadata + ("format" -> "pbf"))
         .map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
-      Files.createDirectories(Paths.get(outDir))
-      Files.write(Paths.get(outDir, "metadata.json"), meta.getBytes("UTF-8"))
+      writeFile(fsFor(outDir),
+        new org.apache.hadoop.fs.Path(s"$outDir/metadata.json"),
+        meta.getBytes("UTF-8"))
     }
   }
 }
