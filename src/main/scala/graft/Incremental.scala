@@ -64,17 +64,20 @@ object Incremental {
 
   /** Deepest z directory present in a previous tile tree (−1 when the
     * tree is absent) — a driver-side depth-2 listing
-    * (region/decade/z), cheap at any tileset size. The incremental
-    * path refuses trees deeper than the configured fan: they were
-    * written with an extend-zooms override it cannot reproduce.
+    * (region/decade/z), cheap at any tileset size and scheme-agnostic
+    * (Hadoop FS — r17: the whole nightly loop runs against whatever
+    * filesystem the tree lives on). The incremental path refuses trees
+    * deeper than the configured fan: they were written with an
+    * extend-zooms override it cannot reproduce.
     */
-  private[graft] def treeMaxZoom(regionDir: java.io.File): Int = {
-    val decades = Option(regionDir.listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory)
-    val zs = decades.flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
-      .filter(f => f.isDirectory && f.getName.nonEmpty &&
-        f.getName.forall(_.isDigit))
-      .map(_.getName.toInt)
+  private[graft] def treeMaxZoom(fs: org.apache.hadoop.fs.FileSystem,
+                                 regionDir: org.apache.hadoop.fs.Path): Int = {
+    if (!fs.exists(regionDir)) return -1
+    val decades = fs.listStatus(regionDir).filter(_.isDirectory)
+    val zs = decades.flatMap(d => fs.listStatus(d.getPath))
+      .filter(s => s.isDirectory && s.getPath.getName.nonEmpty &&
+        s.getPath.getName.forall(_.isDigit))
+      .map(_.getPath.getName.toInt)
     if (zs.isEmpty) -1 else zs.max
   }
 
@@ -184,9 +187,16 @@ object Incremental {
     // diff against the PREVIOUS run's stored fingerprint artifact when
     // it exists — the old corpus never re-scans (at 100 TB that scan
     // is most of the diff's cost); cold path hashes the old CSV once
+    // one driver-side FileSystem per tree end (scheme-agnostic — the
+    // bookkeeping below lists/deletes/copies through the Hadoop FS API)
+    val hconf = spark.sessionState.newHadoopConf()
+    val prevFs = new org.apache.hadoop.fs.Path(prevDir).getFileSystem(hconf)
+    val outFs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(hconf)
+    // no .crc sidecars in the live tree (same contract as the sink)
+    outFs.setWriteChecksum(false)
     val fpPath = new org.apache.hadoop.fs.Path(
       s"$prevDir/$region/fingerprints.parquet")
-    val fs = fpPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = prevFs
     val oldFps = if (fs.exists(fpPath)) spark.read.parquet(fpPath.toString)
       else fingerprints(oldLong)
     val newFps = fingerprints(newLong)
@@ -212,7 +222,8 @@ object Incremental {
       else bz
     }
     val treeDeeperThanFan =
-      treeMaxZoom(new java.io.File(s"$prevDir/$region")) > fanMaxZ
+      treeMaxZoom(prevFs, new org.apache.hadoop.fs.Path(
+        s"$prevDir/$region")) > fanMaxZ
     // the NEW fingerprints persist for the next delta at the END of
     // each path (after the fallback's tree wipe, after the in-place
     // updates) — newFps derives from the new CSV, so writing it late
@@ -226,13 +237,8 @@ object Incremental {
       // the region subtree first (the reference's own `rm -rf _proc`
       // semantics) — an overwrite-only rebuild would leave STALE tile
       // files for (z,x,y)s the new data no longer produces
-      val regionDir = java.nio.file.Paths.get(outDir, region)
-      if (java.nio.file.Files.exists(regionDir)) {
-        val it = java.nio.file.Files.walk(regionDir)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .iterator()
-        while (it.hasNext) java.nio.file.Files.delete(it.next())
-      }
+      val regionDir = new org.apache.hadoop.fs.Path(s"$outDir/$region")
+      if (outFs.exists(regionDir)) outFs.delete(regionDir, true)
       Pipeline.runRegion(spark, newCsvPath, inputType, metricLongNames,
         region, features = Some(features), outDir = Some(outDir))
       persistFingerprints()
@@ -265,8 +271,9 @@ object Incremental {
     // copying ~every unchanged tile into a second tree — the live
     // deployment mode (writePbfDirectory truncate-overwrites per file,
     // so a crash mid-update re-runs idempotently)
-    val inPlace = new java.io.File(outDir).getCanonicalPath ==
-      new java.io.File(prevDir).getCanonicalPath
+    val inPlace =
+      outFs.makeQualified(new org.apache.hadoop.fs.Path(outDir)) ==
+        prevFs.makeQualified(new org.apache.hadoop.fs.Path(prevDir))
     val affectedRows: Array[org.apache.spark.sql.Row] =
       if (inPlace) affectedTiles.collect() else Array.empty
 
@@ -309,9 +316,9 @@ object Incremental {
         // GEOID's deep tile), then write the rebuilt set. The delete
         // list is the small affected frame, not the tree.
         for (r <- affectedRows)
-          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
-            outDir, region, decade, r.getAs[Int]("z").toString,
-            r.getAs[Long]("x").toString, s"${r.getAs[Long]("y")}.pbf"))
+          outFs.delete(new org.apache.hadoop.fs.Path(
+            s"$outDir/$region/$decade/${r.getAs[Int]("z")}/" +
+              s"${r.getAs[Long]("x")}/${r.getAs[Long]("y")}.pbf"), false)
         TileBuild.writePbfDirectory(rebuilt, s"$outDir/$region/$decade",
           writeMetadata = false) // the live metadata.json stays as-is
       } else {
@@ -320,11 +327,19 @@ object Incremental {
         TileBuild.writePbfDirectory(rebuilt.unionByName(carried),
           s"$outDir/$region/$decade")
         // metadata is decade-level and attribute-independent: carry it over
-        val src = java.nio.file.Paths.get(prevDir, region, decade, "metadata.json")
-        if (java.nio.file.Files.exists(src))
-          java.nio.file.Files.copy(src,
-            java.nio.file.Paths.get(outDir, region, decade, "metadata.json"),
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val src = new org.apache.hadoop.fs.Path(
+          s"$prevDir/$region/$decade/metadata.json")
+        if (prevFs.exists(src)) {
+          val in = prevFs.open(src)
+          val bytes = try {
+            val b = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, b, 65536, false)
+            b.toByteArray
+          } finally in.close()
+          val dst = outFs.create(new org.apache.hadoop.fs.Path(
+            s"$outDir/$region/$decade/metadata.json"), true)
+          try dst.write(bytes) finally dst.close()
+        }
       }
     }
     persistFingerprints()

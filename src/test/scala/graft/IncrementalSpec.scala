@@ -215,7 +215,9 @@ class IncrementalSpec extends AnyFunSuite with SharedSpark {
     Files.createDirectories(deep)
     Files.write(deep.resolve("2048.pbf"), Array[Byte](1, 2, 3))
     assert(Incremental.treeMaxZoom(
-      new java.io.File(s"$dirOld/block-groups")) == 13)
+      new org.apache.hadoop.fs.Path(s"$dirOld/block-groups")
+        .getFileSystem(spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(s"$dirOld/block-groups")) == 13)
 
     // copy mode: the fallback must fire despite the 1/40 delta
     val stats = Incremental.incrementalRegion(spark, oldCsv, newCsv, "raw",

@@ -67,6 +67,90 @@ class SchemeFsSpec extends AnyFunSuite with SharedSpark {
     assert(back == in, "scheme round-trip must be byte-exact")
   }
 
+  test("the NIGHTLY LOOP runs end-to-end on the foreign scheme: full build, in-place delta, byte parity") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mock.impl", classOf[MockSchemeFs].getName)
+    // a 5x4 shared-border grid (block-groups knobs), one changed cell
+    val (cols, rows) = (5, 4)
+    val nCells = cols * rows
+    val years = (2000 to 2018).map(_.toString)
+    val metrics = Seq("population", "judgement_rate", "filing_rate")
+    def geoid(c: Int) = f"$c%012d"
+    def value(c: Int, y: Int, m: Int, bump: Int): String =
+      (((c * 31 + y * 7 + m * 13 + bump) % 97) + 1).toString
+    def writeLong(bumped: Set[Int]): String = {
+      val dir = Files.createTempDirectory("sch-long").toString
+      val sb = new StringBuilder("id,year,name,parent_location," +
+        metrics.mkString(",") + "\n")
+      for (c <- 0 until nCells; y <- years) {
+        sb.append(geoid(c)).append(',').append(y).append(",Cell ").append(c)
+          .append(",Gridland")
+        for (m <- metrics.indices)
+          sb.append(',').append(value(c, y.toInt, m, if (bumped(c)) 1 else 0))
+        sb.append('\n')
+      }
+      val p = Paths.get(dir, "data.csv")
+      Files.write(p, sb.toString.getBytes("UTF-8"))
+      p.toString
+    }
+    val feats = {
+      val dir = Files.createTempDirectory("sch-geo").toString
+      val sb = new StringBuilder
+      for (c <- 0 until nCells) {
+        val (gx, gy) = (c % cols, c / cols)
+        val (x0, y0) = (-100.0 + gx * 0.1, 30.0 + gy * 0.1)
+        val (x1, y1) = (x0 + 0.1, y0 + 0.1)
+        sb.append(s"""{"type":"Feature","properties":{"GEOID":"${geoid(c)}"},""" +
+          s""""geometry":{"type":"Polygon","coordinates":[[[$x0,$y0],[$x1,$y0],""" +
+          s"""[$x1,$y1],[$x0,$y1],[$x0,$y0]]]}}""").append('\n')
+      }
+      val p = Paths.get(dir, "features.jsonl")
+      Files.write(p, sb.toString.getBytes("UTF-8"))
+      val f = Pipeline.geometryFeatures(
+        graft.sources.Sources.readGeoJsonLines(spark, p.toString)).persist()
+      f.count(); f
+    }
+    def md5tree(dir: String): Map[String, String] = {
+      val base = Paths.get(dir)
+      if (!Files.exists(base)) return Map.empty
+      val out = scala.collection.mutable.Map.empty[String, String]
+      Files.walk(base).filter(_.toString.endsWith(".pbf")).forEach { p =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(Files.readAllBytes(p))
+        out(base.relativize(p).toString) = d.map("%02x".format(_)).mkString
+      }
+      out.toMap
+    }
+    val oldCsv = writeLong(Set.empty)
+    val newCsv = writeLong(Set(7))
+
+    // full build of the OLD snapshot: once local, once through mock://
+    val localOld = Files.createTempDirectory("sch-local").toString
+    val mockBase = Files.createTempDirectory("sch-mock").toString
+    Pipeline.runRegion(spark, oldCsv, "raw", metrics, "block-groups",
+      features = Some(feats), outDir = Some(localOld))
+    Pipeline.runRegion(spark, oldCsv, "raw", metrics, "block-groups",
+      features = Some(feats), outDir = Some(s"mock://$mockBase"))
+    assert(md5tree(s"$localOld/block-groups") ==
+      md5tree(s"$mockBase/block-groups"),
+      "full build through the foreign scheme must be byte-identical")
+
+    // the nightly delta IN PLACE on the mock tree
+    val stats = Incremental.incrementalRegion(spark, oldCsv, newCsv, "raw",
+      metrics, "block-groups", feats,
+      prevDir = s"mock://$mockBase", outDir = s"mock://$mockBase")
+    assert(!stats.fullRebuild && stats.changed == 1, stats.toString)
+
+    // parity oracle: a full rebuild of the NEW snapshot, locally
+    val localNew = Files.createTempDirectory("sch-new").toString
+    Pipeline.runRegion(spark, newCsv, "raw", metrics, "block-groups",
+      features = Some(feats), outDir = Some(localNew))
+    assert(md5tree(s"$mockBase/block-groups") ==
+      md5tree(s"$localNew/block-groups"),
+      "in-place delta through the foreign scheme must equal the full rebuild")
+    feats.unpersist()
+  }
+
   test("local writes are byte-identical to the pre-FS-API layout") {
     val tiles = Seq((3, 1L, 2L, Array[Byte](9, 8, 7)))
       .toDF("z", "x", "y", "tile_bytes")
