@@ -188,16 +188,33 @@ object CountMinSketchAgg {
         s"($vocabEstimate, $eps, $delta)")
     val d = math.max(1, math.ceil(math.log(1.0 / delta)).toInt)
     val target = math.ceil(math.E / eps)
-    val capped = math.min(target,
+    // the aggregate's own analysis guard is d*w <= 2^24 cells; clamp
+    // the width there so an extreme eps/vocab pair derives the largest
+    // LEGAL sketch instead of overflowing Int on the way to a rejection
+    val stateCap = ((1L << 24) / d).toDouble
+    val capped = math.min(math.min(target, stateCap),
       math.max(2.0, 2.0 * vocabEstimate)).toInt
-    CmKnobs(d, nextPrime(capped))
+    // prime-snapping direction respects the cap: upward normally, but
+    // when the next prime would cross the aggregate's d*w <= 2^24
+    // analysis guard, snap DOWN — the derived knobs must always
+    // construct
+    val up = nextPrime(capped)
+    val w = if (d.toLong * up <= (1L << 24)) up else prevPrime(capped)
+    CmKnobs(d, w)
   }
 
+  private def isPrime(k: Int): Boolean =
+    k >= 2 && (2 to math.sqrt(k.toDouble).toInt).forall(k % _ != 0)
+
   private def nextPrime(n: Int): Int = {
-    def isPrime(k: Int): Boolean =
-      k >= 2 && (2 to math.sqrt(k.toDouble).toInt).forall(k % _ != 0)
     var x = math.max(2, n)
     while (!isPrime(x)) x += 1
+    x
+  }
+
+  private def prevPrime(n: Int): Int = {
+    var x = math.max(2, n)
+    while (x > 2 && !isPrime(x)) x -= 1
     x
   }
 

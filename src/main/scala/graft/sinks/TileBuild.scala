@@ -502,10 +502,11 @@ object TileBuild {
   def writePbfDirectory(tiles: DataFrame, outDir: String,
                         metadata: Map[String, String] = Map.empty,
                         writeMetadata: Boolean = true): Unit = {
-    // Configuration is not serializable: ship the entries, rebuild per
-    // partition (FileSystem.get caches per scheme+authority, so the
-    // per-partition cost is one lookup)
-    val confEntries: Seq[(String, String)] = {
+    // Configuration is not serializable: ship the entries BROADCAST
+    // (once per executor, not per task — ~100 KB of strings), rebuild
+    // per partition (FileSystem.get caches per scheme+authority, so
+    // the per-partition cost is one lookup)
+    val confEntries = tiles.sparkSession.sparkContext.broadcast {
       val c = tiles.sparkSession.sessionState.newHadoopConf()
       val it = c.iterator()
       val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
@@ -514,7 +515,7 @@ object TileBuild {
     }
     def fsFor(dir: String): org.apache.hadoop.fs.FileSystem = {
       val conf = new org.apache.hadoop.conf.Configuration(true)
-      confEntries.foreach { case (k, v) => conf.set(k, v) }
+      confEntries.value.foreach { case (k, v) => conf.set(k, v) }
       val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
       // no .crc sidecars in the tree (LocalFileSystem is checksummed by
       // default; object stores ignore this)

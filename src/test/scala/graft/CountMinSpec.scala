@@ -162,6 +162,14 @@ class CountMinSpec extends AnyFunSuite with SharedSpark {
     def isPrime(n: Int) = (2 to math.sqrt(n.toDouble).toInt)
       .forall(n % _ != 0)
     assert(isPrime(k.w) && isPrime(small.w), "widths must be prime")
+    // extreme eps/vocab derives the largest legal sketch, never an
+    // Int overflow or an analysis-time rejection downstream
+    val extreme = cmKnobs(vocabEstimate = 2_000_000_000L,
+      eps = 1e-9, delta = 0.02)
+    assert(extreme.d.toLong * extreme.w <= (1L << 24),
+      s"derived knobs must always pass the aggregate's cell-cap guard: $extreme")
+    assert(extreme.w > (1 << 21), "the clamp must still be a LARGE sketch")
+    assert(isPrime(extreme.w), "the clamped width must stay prime")
     intercept[IllegalArgumentException](cmKnobs(0, 0.01, 0.01))
     intercept[IllegalArgumentException](cmKnobs(10, 1.5, 0.01))
     intercept[IllegalArgumentException](cmKnobs(10, 0.01, 0.0))
