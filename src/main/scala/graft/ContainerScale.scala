@@ -81,6 +81,31 @@ object ContainerScale {
       f""""read_wall":$readWall%.1f,""" +
       f""""read_mbps":${bytes / 1e6 / readWall}%.0f,""" +
       f""""read_partitions":$parts,"unit":"sec"}""")
+
+    // the DEDUP-layout arm (r17, optional 4th arg "dedup"): national
+    // tiles are ~all distinct, so this measures the layout's OVERHEAD
+    // case — the id-indirection (map rows + images index + view) priced
+    // on a tileset where it saves nothing. The number this produces is
+    // the evidence FOR direct-by-default; MbtilesSpec's repeated-blob
+    // fixture measures the payoff case the flag exists for.
+    if (args.lift(3).contains("dedup")) {
+      val db2 = s"$outBase/scale_dedup.mbtiles"
+      val t2 = System.nanoTime()
+      graft.sinks.Mbtiles.writeMbtiles(tiles, db2,
+        Map("name" -> "containerscale", "format" -> "pbf"),
+        dedupLayout = true)
+      val dedupWall = (System.nanoTime() - t2) / 1e9
+      val dedupBytes = new java.io.File(db2).length()
+      val r2 = graft.sinks.Mbtiles.readMbtiles(spark, db2)
+        .selectExpr("count(*) AS n").head
+      require(r2.getLong(0) == nTiles,
+        s"dedup read-back count ${r2.getLong(0)} != $nTiles")
+      println(f"""{"metric":"containerscale_dedup","tiles":$nTiles,""" +
+        f""""container_gb":${dedupBytes / 1e9}%.2f,""" +
+        f""""overhead_frac":${dedupBytes.toDouble / bytes - 1.0}%.4f,""" +
+        f""""write_wall":$dedupWall%.1f,""" +
+        f""""write_mbps":${dedupBytes / 1e6 / dedupWall}%.0f,"unit":"sec"}""")
+    }
     spark.stop()
   }
 }
