@@ -705,6 +705,22 @@ object Streaming {
       .agg(graft.functions.CountMinSketchAgg
         .cm(col(itemCol), lit(1L), d, w, engineXx).as("cells"))
 
+  /** Streaming maintenance of the drift family's TOKEN-COUNT artifact
+    * ([[graft.operators.TextStats.tokenCounts]] under `readStream`):
+    * arriving documents tokenize map-side and fold into the
+    * (group, tok, cnt) state — the exact summary every drift face
+    * serves from, kept live instead of re-learned per generation.
+    * State is vocab×groups rows (the bounded summary, NOT the corpus);
+    * at the regime where even that is too large, [[cmSketchStream]] is
+    * the fixed-memory stand-in — the same exact/sketch division as the
+    * batch family. Complete/update mode; stream-final counts equal the
+    * batch tokenCounts of everything delivered (StreamingSpec), so a
+    * snapshot of this state IS the artifact the batch faces consume.
+    */
+  def tokenCountStream(docs: DataFrame, groupCol: String,
+                       textCol: String): DataFrame =
+    graft.operators.TextStats.tokenCounts(docs, groupCol, textCol)
+
   /** LIVE drift monitoring against a frozen snapshot — the deployment
     * shape q149 is designed for, as a stream: per group, the
     * Jensen–Shannon divergence between a FROZEN reference sketch

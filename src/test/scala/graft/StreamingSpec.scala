@@ -247,6 +247,33 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       got("a").slice(r * w, (r + 1) * w).sum == 100L))
   }
 
+  test("tokenCountStream: stream-final counts ARE the batch artifact") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, String)]
+    val q = Streaming.tokenCountStream(
+        stream.toDF().toDF("source", "text"), "source", "text")
+      .writeStream.format("memory").queryName("tokcnt_out")
+      .outputMode(OutputMode.Complete()).start()
+    val b1 = Seq(("a", "x y  x"), ("b", "z"), ("a", "y v2"))
+    val b2 = Seq(("a", "x"), ("c", "w w w"))
+    try {
+      stream.addData(b1: _*)
+      q.processAllAvailable()
+      stream.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("tokcnt_out").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = graft.operators.TextStats
+      .tokenCounts((b1 ++ b2).toDF("source", "text"), "source", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == batch,
+      "a snapshot of the streamed state must equal the batch artifact")
+    // double-space tokenization edge rode through (empty tokens dropped)
+    assert(got(("a", "x")) == 3L && !got.keySet.exists(_._2 == ""))
+  }
+
   test("cmJsShiftStream: live divergence vs a frozen sketch equals the batch face") {
     implicit val sqlCtx = spark.sqlContext
     val (d, w) = (3, 97)
