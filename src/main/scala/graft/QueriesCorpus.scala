@@ -363,15 +363,27 @@ object QueriesCorpus {
   // in the bench's warm-up learning line, the deployment analogue of a
   // persisted ingest-time artifact next to each snapshot.
   private[graft] def tokenCountArtifact(s: SparkSession, d: String,
-                                        snapshot: String): DataFrame =
-    graft.operators.ArtifactCache.getOrLearn(
-      s"drift-tokcounts:$d:$snapshot:${System.identityHashCode(s)}") {
+                                        snapshot: String): DataFrame = {
+    def learn(): DataFrame = {
       val docs = documents(s, d).select("doc_id", "source", "text")
       val snap = if (snapshot == "new") derivedDocs(docs)
         else docs.select("source", "text")
       TextStats.tokenCounts(snap, "source", "text")
         .localCheckpoint(eager = true)
     }
+    val key = s"drift-tokcounts:$d:$snapshot"
+    val cached = graft.operators.ArtifactCache.getOrLearn(key)(learn())
+    // a checkpointed frame is bound to the session that built it: if a
+    // NEW session asks under the same key (possible across session
+    // restarts in one JVM — identityHashCode keys can even recur after
+    // GC), re-learn rather than serve a frame whose RDD blocks died
+    // with the old session
+    if (cached.sparkSession eq s) cached
+    else {
+      graft.operators.ArtifactCache.invalidate(key)
+      graft.operators.ArtifactCache.getOrLearn(key)(learn())
+    }
+  }
 
   // ---------------------------------------------------------------------
   // q148: token-distribution shift between corpus snapshots — the
