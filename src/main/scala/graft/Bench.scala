@@ -1,9 +1,43 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark harness. Protocol decisions (throttle gate, budget
+  * arithmetic, deflation) are pure functions in [[BenchProtocol]] —
+  * this file only observes, runs, and prints.
+  *
+  * r18 rework — a killed run must still leave a parseable artifact
+  * (BENCH_r17 rc=124 left ZERO perf data because nothing printed until
+  * the very end):
+  *  - each timed pass streams its per-query lines and a provisional
+  *    total to stdout THE MOMENT the pass completes;
+  *  - the whole protocol is wall-budget-aware
+  *    (`SPARK_GRAFT_BENCH_BUDGET_S`, default 1500): passes, cooldowns
+  *    and the throttle re-run are skipped — with a logged reason —
+  *    when the remaining budget cannot fit them;
+  *  - every query runs under a watchdog
+  *    (`SPARK_GRAFT_BENCH_QUERY_TIMEOUT_S`, default 120):
+  *    `cancelJobGroup` after the deadline, a FAILED line, and the
+  *    suite continues — one hung plan can no longer stall the run
+  *    until the driver's kill;
+  *  - one short timestamped stderr line per query, so a killed run's
+  *    tail shows exactly where it died.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val t0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - t0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Wall budget for the WHOLE protocol. The default is sized under
+    // the driver's observed kill threshold (r16's completed run was
+    // 1946 s; r17's longer protocol was killed): leaving headroom is
+    // the point — a self-truncated run with data beats a killed run
+    // without.
+    val budgetS = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S")
+      .map(_.toDouble).getOrElse(1500.0)
+    val queryTimeoutS = sys.env.get("SPARK_GRAFT_BENCH_QUERY_TIMEOUT_S")
+      .map(_.toDouble).getOrElse(120.0)
+    val knobs = BenchProtocol.Knobs()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.optimizer.windowGroupLimitThreshold", 100000)
@@ -12,15 +46,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The r17 driver tail was consumed by `WindowExec: No Partition
+    // Defined` spam (the deliberately-tiny histogram windows in
+    // Analytics.keySkewProfile, since given partitionBy(lit(1)) at the
+    // source). Belt-and-braces: silence the window logger here too, so
+    // a future single-partition window can never flood the artifact.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // Warm-up: JIT + codegen + parquet footer reads land outside the
-    // per-query timings (otherwise the first query absorbs ~5 s of
-    // session startup). Each table warms under its OWN catch: a loader
+    // per-query timings. Each table warms under its OWN catch: a loader
     // that breaks on drifted testdata must cost only its dependent
-    // queries (which fail visibly in run()), never the whole bench JVM
-    // — in r7 an uncaught events-loader failure here zeroed the round.
-    // Manually verified (r8): with events.parquet removed from the SF
-    // dir, the run prints one warm-up FAILED line, 42 per-query FAILED
-    // lines, and still emits the final total JSON line with rc=0.
+    // queries (which fail visibly in run()), never the whole bench JVM.
     Tables.names.foreach { n =>
       try {
         if (n == "events") Tables.events(spark, sfDir).count()
@@ -32,31 +69,34 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     val byName = queries.toMap
     // noop sink = full evaluation of EVERY output column. A count()
-    // consumer lets Catalyst prune the very projections being measured
-    // (pure-projection queries would time a bare scan).
-    def run(name: String): Unit =
-      try byName(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        // keep the harness alive for the remaining queries, but NEVER
-        // silently: a failed query would otherwise bench as ~0 s
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      }
-    // Untimed warm-up pass over the whole suite: janino compilation of
-    // the generated code is a one-time per-plan cost (~5 s for the
-    // widest projections) that any long-lived deployment amortizes to
-    // zero — steady-state timing, same policy as the table pre-warm.
-    // Queries that cache intermediates (q23/q25/q61) must not leak
-    // storage into later timings — clear between runs, OUTSIDE the
-    // timed window (clearing inside it would charge harness overhead
-    // to the query and shift the estimator across rounds).
+    // consumer lets Catalyst prune the very projections being measured.
+    // Watchdog ([[Watchdog]], spec-pinned): a hung plan gets its job
+    // group cancelled after the deadline and benches as FAILED — the
+    // r17 artifact could not even say whether the timeout was protocol
+    // length or a single hang. A failed query is NEVER silent: it
+    // would otherwise bench as ~0 s.
+    def run(name: String, timeoutS: Double = queryTimeoutS): Unit =
+      Watchdog.runWatched(spark, s"bench-$name", timeoutS) {
+        byName(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }.foreach(why => System.err.println(s"[bench] $name FAILED: $why"))
+    // Untimed warm-up pass over the whole suite: janino compilation is
+    // a one-time per-plan cost any long-lived deployment amortizes to
+    // zero. Its wall doubles as the first (conservative: includes
+    // compilation) pass-time estimate for the budget arithmetic.
+    // Queries that cache intermediates must not leak storage into
+    // later timings — clear between runs, OUTSIDE the timed window.
+    val warmT0 = System.nanoTime()
     queries.foreach { case (name, _) =>
-      run(name); spark.catalog.clearCache()
+      // 3× deadline during warm-up: one-time artifact learns (BPE, PQ
+      // codebooks, token-count artifacts) land here by design, and a
+      // cold registry on a throttled host must not trip the watchdog
+      // into poisoning the learn (the retry would then bill a timed pass)
+      run(name, queryTimeoutS * 3); spark.catalog.clearCache()
     }
-    // Learning-path record: the warm-up pass is where ArtifactCache
-    // learns (or registry-loads) the BPE/PQ artifacts, so their wall
-    // cost lands here, outside the per-query serving timings. One
-    // stderr line per round keeps learning regressions trackable.
+    var estPassS = (System.nanoTime() - warmT0) / 1e9
+    System.err.println(f"[bench] warm-up pass ${estPassS}%.1f s, " +
+      f"elapsed ${elapsedS}%.1f / budget ${budgetS}%.0f s")
     def timesJson(m: Map[String, Double]): String =
       m.toSeq.sortBy(_._1)
         .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
@@ -64,104 +104,141 @@ object Bench {
     System.err.println(
       s"""{"learning":${timesJson(graft.operators.ArtifactCache.learnTimes)},""" +
       s""""registry_loads":${timesJson(graft.operators.ArtifactCache.loadTimes)}}""")
-    // Two timed passes over the WHOLE suite, min per query ACROSS
-    // passes. Back-to-back samples of one query share any transient
-    // machine-contention window (observed: 10 untouched queries
-    // inflated >2x in one driver run despite min-of-two); separating
-    // the two samples of a query by a full suite pass (~minutes) makes
-    // a contention spike that covers both samples far less likely.
-    // Raw samples are emitted alongside the min so cross-round
-    // comparisons can see the estimator and the spread.
+    // Up to two timed passes, min per query ACROSS passes (suite-
+    // separated samples: back-to-back samples of one query share any
+    // transient contention window). Host-speed canaries bracket each
+    // suite; mcpu/cpu > gate = throttled window (Canary.scala).
     val nPasses = 2
-    // Host-speed canaries (Canary.scala): warm once untimed, then one
-    // timed sample immediately before pass 1 and one immediately after
-    // pass 2 — the probes BRACKET the same host window the per-query
-    // timings live in, so a cross-round uniform wall shift shows up in
-    // the canary ratio and per-query comparisons can be deflated by it.
     Canary.warm(spark)
-    // Parallel-throttle gate (the r16 episode: a hypervisor-starved
-    // window inflated the whole 32-thread suite 1.9x while the scalar
-    // probes ran FASTER — mcpu/cpu is the signature, ~1.0-1.1 healthy).
-    // Protocol: (1) probe BEFORE committing to a timed run — if the
-    // host is visibly throttled, cool down first; (2) if the completed
-    // run's own bracket still shows throttle, re-run the timed suite
-    // ONCE after a cooldown and keep the better-bracketed run. Every
-    // decision is logged to stderr so the round's artifact explains
-    // itself.
-    val throttleGate = 1.3
-    val cooldownMs = 90000L
-    def ratioOf(c: Map[String, Double]): Double = c("mcpu") / c("cpu")
     val preProbe = Canary.sample(spark)
-    if (ratioOf(preProbe) > throttleGate) {
-      System.err.println(f"""{"throttle_gate":"pre-run probe mcpu/cpu=${
-        ratioOf(preProbe)}%.2f > $throttleGate%.1f - cooling down ${
-        cooldownMs / 1000}s before the timed suite"}""")
-      Thread.sleep(cooldownMs)
+    def ratioOf(c: Map[String, Double]): Double = c("mcpu") / c("cpu")
+    if (ratioOf(preProbe) > knobs.gate) {
+      if (BenchProtocol.preCooldown(ratioOf(preProbe), elapsedS, budgetS,
+          estPassS, knobs)) {
+        System.err.println(f"""{"throttle_gate":"pre-run probe mcpu/cpu=${
+          ratioOf(preProbe)}%.2f > ${knobs.gate}%.1f - cooling down ${
+          knobs.cooldownS.toInt}s before the timed suite"}""")
+        Thread.sleep((knobs.cooldownS * 1000).toLong)
+      } else System.err.println(f"""{"throttle_gate":"pre-run probe mcpu/cpu=${
+        ratioOf(preProbe)}%.2f throttled but budget cannot fit a cooldown + pass - proceeding"}""")
     }
     final case class SuiteRun(
-        samples: Array[collection.mutable.LinkedHashMap[String, Double]],
-        pre: Map[String, Double], post: Map[String, Double]) {
+        samples: Seq[collection.Map[String, Double]],
+        pre: Map[String, Double], post: Map[String, Double],
+        wallS: Double) {
       // the WORSE bracket judges the window: throttling at either end
       // can inflate queries anywhere between them
       def worstRatio: Double = math.max(ratioOf(pre), ratioOf(post))
-    }
-    def timedSuite(): SuiteRun = {
-      val samples = Array.fill(nPasses)(
-        collection.mutable.LinkedHashMap.empty[String, Double])
-      val pre = Canary.sample(spark)
-      for (pass <- 0 until nPasses; (name, _) <- queries) {
-        val t0 = System.nanoTime()
-        run(name)
-        samples(pass)(name) = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
+      def mins: Seq[(String, Double)] = queries.map { case (name, _) =>
+        name -> samples.map(_(name)).min
       }
-      SuiteRun(samples, pre, Canary.sample(spark))
     }
-    val run1 = timedSuite()
-    val chosen = if (run1.worstRatio > throttleGate) {
-      System.err.println(f"""{"throttle_gate":"bracket mcpu/cpu=${
-        run1.worstRatio}%.2f > $throttleGate%.1f - re-running the timed suite once after a ${
-        cooldownMs / 1000}s cooldown"}""")
-      Thread.sleep(cooldownMs)
-      val run2 = timedSuite()
-      val keep = if (run2.worstRatio < run1.worstRatio) run2 else run1
-      System.err.println(f"""{"throttle_gate":"kept the ${
-        if (keep eq run2) "second" else "first"} run (brackets ${
-        run1.worstRatio}%.2f vs ${run2.worstRatio}%.2f)"}""")
-      keep
+    // Streamed provisional block: printed the moment a pass (and then
+    // a suite) completes, so a kill at ANY later point still leaves a
+    // parseable per-query map + total in the tail. Same line format as
+    // the final block — a killed run's newest provisional block IS the
+    // artifact; the spacer before the final block keeps a completed
+    // run's tail pure.
+    def printProvisional(mins: Seq[(String, Double)],
+                         worstRatio: Double): Unit = {
+      BenchFormat.perQueryLines(mins).foreach(println)
+      // mid-pass blocks have no completed canary bracket yet
+      // (worstRatio 0) — publish the raw total only, no deflated field
+      val defl =
+        if (worstRatio > 0) BenchProtocol.deflator(worstRatio) else 0.0
+      println(BenchFormat.totalLine(mins.map(_._2).sum, sfDir, defl))
+      System.out.flush()
+    }
+    def timedSuite(tag: String): SuiteRun = {
+      val suiteT0 = System.nanoTime()
+      val pre = Canary.sample(spark)
+      val samples =
+        collection.mutable.ArrayBuffer.empty[collection.Map[String, Double]]
+      var pass = 0
+      var go = true
+      while (go) {
+        val m = collection.mutable.LinkedHashMap.empty[String, Double]
+        val passT0 = System.nanoTime()
+        queries.zipWithIndex.foreach { case ((name, _), i) =>
+          val qt0 = System.nanoTime()
+          run(name)
+          val dt = (System.nanoTime() - qt0) / 1e9
+          m(name) = dt
+          // short per-query progress line: a killed run's tail shows
+          // exactly where it died (keep it terse — under a kill these
+          // lines share the ~2 KB tail with the provisional block)
+          System.err.println(
+            f"#$tag p${pass + 1} ${i + 1}%03d/${queries.size} ${
+              BenchFormat.compactKey(name)} ${dt}%.2fs t=${elapsedS}%.0f")
+          spark.catalog.clearCache()
+        }
+        samples += m
+        estPassS = (System.nanoTime() - passT0) / 1e9
+        // provisional block after EVERY pass — min over passes so far
+        val minsSoFar = queries.map { case (name, _) =>
+          name -> samples.map(_(name)).min
+        }
+        printProvisional(minsSoFar, 0.0)
+        pass += 1
+        go = pass < nPasses &&
+          BenchProtocol.nextPassFits(elapsedS, budgetS, estPassS, knobs)
+        if (!go && pass < nPasses)
+          System.err.println(f"""{"budget_gate":"skipping pass ${
+            pass + 1} of $tag - elapsed ${elapsedS}%.0f + est ${
+            estPassS}%.0f*${knobs.margin}%.1f > budget ${budgetS}%.0f"}""")
+      }
+      SuiteRun(samples.toSeq, pre, Canary.sample(spark),
+        (System.nanoTime() - suiteT0) / 1e9)
+    }
+    val run1 = timedSuite("r1")
+    printProvisional(run1.mins, run1.worstRatio)
+    val chosen = if (run1.worstRatio > knobs.gate) {
+      if (BenchProtocol.rerun(run1.worstRatio, elapsedS, budgetS,
+          run1.wallS, knobs)) {
+        System.err.println(f"""{"throttle_gate":"bracket mcpu/cpu=${
+          run1.worstRatio}%.2f > ${knobs.gate}%.1f - re-running the timed suite once after a ${
+          knobs.cooldownS.toInt}s cooldown"}""")
+        Thread.sleep((knobs.cooldownS * 1000).toLong)
+        val run2 = timedSuite("r2")
+        printProvisional(run2.mins, run2.worstRatio)
+        val keep = if (run2.worstRatio < run1.worstRatio) run2 else run1
+        System.err.println(f"""{"throttle_gate":"kept the ${
+          if (keep eq run2) "second" else "first"} run (brackets ${
+          run1.worstRatio}%.2f vs ${run2.worstRatio}%.2f)"}""")
+        keep
+      } else {
+        System.err.println(f"""{"throttle_gate":"bracket mcpu/cpu=${
+          run1.worstRatio}%.2f > ${knobs.gate}%.1f but budget cannot fit a cooldown + re-run - keeping run 1 (deflated total corrects for the throttle)"}""")
+        run1
+      }
     } else run1
     val samples = chosen.samples
     val (canaryPre, canaryPost) = (chosen.pre, chosen.post)
     val canary = Canary.names.map(n =>
       n -> math.min(canaryPre(n), canaryPost(n)))
-    val results = queries.map { case (name, _) =>
-      name -> (0 until nPasses).map(p => samples(p)(name)).min
-    }
+    val results = chosen.mins
     val raw = queries.map { case (name, _) =>
       s"\"" + name + "\":" +
-        (0 until nPasses).map(p => samples(p)(name)).mkString("[", ",", "]")
+        samples.map(_(name)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // Raw per-pass samples go to STDERR: embedding them in the stdout
-    // line pushed it past the driver's tail capture (BENCH_r04/r05
-    // "parsed": null). The per-query map goes out via BenchFormat —
-    // compact qNN keys, chunked into sub-900-char part lines — so ALL
-    // per-query timings and the final short total line co-exist inside
-    // the driver's ~2 KB stdout tail (in r06–r08 the single map line
-    // overflowed it and only ~72/91 timings were driver-visible).
-    System.err.println(s"""{"samples":$raw,"estimator":"min over $nPasses suite-separated passes (untimed warm-up pass first)"}""")
-    // canary goes to stderr too: if a future suite growth overflows the
-    // stdout tail, the calibration record survives in the driver log
+    // Raw per-pass samples + canary calibration go to STDERR (tail
+    // budget); the driver-facing artifact is the final stdout block.
+    System.err.println(s"""{"samples":$raw,"estimator":"min over ${
+      samples.size} suite-separated passes (untimed warm-up pass first)"}""")
     System.err.println(
       s"""{"canary_pre":${timesJson(canaryPre)},"canary_post":${timesJson(canaryPost)}}""")
-    // the driver keeps the LAST ~2 KB of stdout, so print in casualty
-    // order: the canary goes FIRST — under tail pressure it scrolls out
-    // before any per-query part line does (its stderr copy above is the
-    // fallback record), and the short total line stays last always
+    // Final kept block, in casualty order (the driver keeps the LAST
+    // ~2 KB): spacer first — it flushes any surviving provisional
+    // lines out of the tail so the position-independent entry recovery
+    // sees only kept-run values — then canary, per-query parts, and
+    // the short total line last, always. Deflation: the kept run's own
+    // worstRatio (the gate's signal), not min-of-bracket pairs.
+    println(BenchProtocol.spacerLine())
     println(BenchFormat.canaryLine(canary, sfDir))
     BenchFormat.perQueryLines(results).foreach(println)
     println(BenchFormat.totalLine(total, sfDir,
-      canary.toMap.apply("mcpu") / canary.toMap.apply("cpu")))
+      BenchProtocol.deflator(chosen.worstRatio)))
     spark.stop()
   }
 }

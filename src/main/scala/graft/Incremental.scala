@@ -191,7 +191,12 @@ object Incremental {
     // bookkeeping below lists/deletes/copies through the Hadoop FS API)
     val hconf = spark.sessionState.newHadoopConf()
     val prevFs = new org.apache.hadoop.fs.Path(prevDir).getFileSystem(hconf)
-    val outFs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(hconf)
+    // the OUT end mutates the checksum flag below, so it gets a PRIVATE
+    // instance (closed before every return) — flipping the flag on the
+    // JVM-cached FileSystem would silently disable .crc sidecars for
+    // every other writer of the scheme in the process (r17 ADVICE)
+    val outFs = org.apache.hadoop.fs.FileSystem.newInstance(
+      new org.apache.hadoop.fs.Path(outDir).toUri, hconf)
     // no .crc sidecars in the live tree (same contract as the sink)
     outFs.setWriteChecksum(false)
     val fpPath = new org.apache.hadoop.fs.Path(
@@ -242,6 +247,7 @@ object Incremental {
       Pipeline.runRegion(spark, newCsvPath, inputType, metricLongNames,
         region, features = Some(features), outDir = Some(outDir))
       persistFingerprints()
+      outFs.close()
       return Stats(nChanged, nAdded, nRemoved, -1L, -1L, fullRebuild = true)
     }
 
@@ -271,9 +277,17 @@ object Incremental {
     // copying ~every unchanged tile into a second tree — the live
     // deployment mode (writePbfDirectory truncate-overwrites per file,
     // so a crash mid-update re-runs idempotently)
-    val inPlace =
-      outFs.makeQualified(new org.apache.hadoop.fs.Path(outDir)) ==
-        prevFs.makeQualified(new org.apache.hadoop.fs.Path(prevDir))
+    val outQ = outFs.makeQualified(new org.apache.hadoop.fs.Path(outDir))
+    val prevQ = prevFs.makeQualified(new org.apache.hadoop.fs.Path(prevDir))
+    // qualified-URI equality first (scheme-agnostic), then — for local
+    // paths only — java.io canonical-path equality, so a symlink- or
+    // `..`-aliased prevDir/outDir pair is still recognized as the SAME
+    // tree (r17 ADVICE: the copy-mode path would lazily read carried
+    // tiles from the very files it truncate-overwrites)
+    val inPlace = outQ == prevQ || (
+      outQ.toUri.getScheme == "file" && prevQ.toUri.getScheme == "file" &&
+        new java.io.File(outQ.toUri.getPath).getCanonicalPath ==
+          new java.io.File(prevQ.toUri.getPath).getCanonicalPath)
     val affectedRows: Array[org.apache.spark.sql.Row] =
       if (inPlace) affectedTiles.collect() else Array.empty
 
@@ -343,6 +357,7 @@ object Incremental {
       }
     }
     persistFingerprints()
+    outFs.close()
     polyFeats.foreach(_.unpersist())
     wideC.unpersist(); contributors.unpersist(); affectedTiles.unpersist()
     fan.unpersist(); diff.unpersist()

@@ -83,9 +83,13 @@ object Analytics {
     val hist = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
       .groupBy("cnt").agg(count(lit(1)).as("f"))
       .localCheckpoint(eager = true)
-    val prevAsc = Window.orderBy("cnt")
+    // partitionBy(lit(1)) ≡ the unpartitioned window (histogram-sized,
+    // bounded by distinct count VALUES) but skips WindowExec's "No
+    // Partition Defined" warning — under a multi-pass bench those
+    // warnings flooded the driver's 2 KB artifact tail (r17)
+    val prevAsc = Window.partitionBy(lit(1)).orderBy("cnt")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val prevDesc = Window.orderBy(col("cnt").desc)
+    val prevDesc = Window.partitionBy(lit(1)).orderBy(col("cnt").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy(lit(1))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

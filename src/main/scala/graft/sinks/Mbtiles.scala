@@ -120,13 +120,26 @@ object Mbtiles {
     val f = new File(path)
     if (f.exists) f.delete()
     Option(f.getParentFile).foreach(_.mkdirs())
+    // persist BOTH frames across the map and images passes: without
+    // it the input lineage (including md5 of every blob) re-evaluates
+    // per pass — triple digest cost, and a non-deterministic upstream
+    // frame could yield map rows referencing tile_ids absent from
+    // images, a silently broken container (r17 ADVICE)
     val dgd = tiles
       .select(col("z").cast("long").as("z"), col("x").cast("long").as("x"),
         col("y").cast("long").as("y"), col("tile_bytes"),
         md5(col("tile_bytes")).as("dg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // rank window bound: rows = DISTINCT blob digests (16 bytes each,
+    // never blobs) — single-partition by the same single-writer logic
+    // as the sqlite container itself; partitionBy(lit(1)) is the
+    // warning-free spelling of that deliberate choice
     val ids = dgd.select("dg").distinct()
       .withColumn("tile_id",
-        row_number().over(Window.orderBy("dg")).cast("long"))
+        row_number().over(Window.partitionBy(lit(1)).orderBy("dg"))
+          .cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ids.count() // materialize: id assignment is frozen before either pass
     val raf = new RandomAccessFile(f, "rw")
     try {
       val sink = new Sink(raf)
@@ -200,7 +213,11 @@ object Mbtiles {
             "map.tile_column AS tile_column, map.tile_row AS tile_row, " +
             "images.tile_data AS tile_data FROM map JOIN images ON " +
             "images.tile_id = map.tile_id"))))
-    } finally raf.close()
+    } finally {
+      raf.close()
+      ids.unpersist()
+      dgd.unpersist()
+    }
   }
 
   /** `tile-join` over CONTAINERS (`build.sh:189,210,214`): read every

@@ -516,7 +516,12 @@ object TileBuild {
     def fsFor(dir: String): org.apache.hadoop.fs.FileSystem = {
       val conf = new org.apache.hadoop.conf.Configuration(true)
       confEntries.value.foreach { case (k, v) => conf.set(k, v) }
-      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+      // newInstance, NOT the process-wide cached FileSystem: the
+      // checksum flag below would otherwise silently disable .crc
+      // sidecars for every other writer of this scheme in the JVM
+      // (r17 ADVICE) — the private instance is closed by the caller
+      val fs = org.apache.hadoop.fs.FileSystem.newInstance(
+        new org.apache.hadoop.fs.Path(dir).toUri, conf)
       // no .crc sidecars in the tree (LocalFileSystem is checksummed by
       // default; object stores ignore this)
       fs.setWriteChecksum(false)
@@ -533,19 +538,30 @@ object TileBuild {
     tiles.select("z", "x", "y", "tile_bytes").foreachPartition {
       (it: Iterator[Row]) =>
         val fs = fsFor(outDir)
-        it.foreach { r =>
+        try it.foreach { r =>
           writeFile(fs, new org.apache.hadoop.fs.Path(
             s"$outDir/${r.getAs[Any]("z")}/${r.getAs[Any]("x")}/" +
               s"${r.getAs[Any]("y")}.pbf"),
             r.getAs[Array[Byte]]("tile_bytes"))
-        }
+        } finally fs.close()
     }
+    // the ~100 KB conf broadcast is per-CALL state: destroy it once the
+    // action completes, or the nightly loop (one call per decade per
+    // region) accumulates broadcasts in a long-lived session (r17
+    // ADVICE)
+    confEntries.destroy()
     if (writeMetadata) {
       val meta = (metadata + ("format" -> "pbf"))
         .map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
-      writeFile(fsFor(outDir),
-        new org.apache.hadoop.fs.Path(s"$outDir/metadata.json"),
-        meta.getBytes("UTF-8"))
+      val conf = tiles.sparkSession.sessionState.newHadoopConf()
+      val fs = org.apache.hadoop.fs.FileSystem.newInstance(
+        new org.apache.hadoop.fs.Path(outDir).toUri, conf)
+      try {
+        fs.setWriteChecksum(false)
+        writeFile(fs,
+          new org.apache.hadoop.fs.Path(s"$outDir/metadata.json"),
+          meta.getBytes("UTF-8"))
+      } finally fs.close()
     }
   }
 }
