@@ -35,8 +35,13 @@ object Bench {
     // without.
     val budgetS = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S")
       .map(_.toDouble).getOrElse(1500.0)
+    // 300 s: the watchdog exists for HANGS, not slow windows — the r18
+    // shakedown saw a 5.25× throttled window push two legitimate
+    // multi-job queries (q50 connected components, q146 entity diff)
+    // past a 120 s deadline into false FAILEDs; at 300 s a real hang
+    // still costs only a fifth of the default budget once per pass
     val queryTimeoutS = sys.env.get("SPARK_GRAFT_BENCH_QUERY_TIMEOUT_S")
-      .map(_.toDouble).getOrElse(120.0)
+      .map(_.toDouble).getOrElse(300.0)
     val knobs = BenchProtocol.Knobs()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -87,12 +92,18 @@ object Bench {
     // Queries that cache intermediates must not leak storage into
     // later timings — clear between runs, OUTSIDE the timed window.
     val warmT0 = System.nanoTime()
-    queries.foreach { case (name, _) =>
+    val warmTimes = queries.map { case (name, _) =>
       // 3× deadline during warm-up: one-time artifact learns (BPE, PQ
       // codebooks, token-count artifacts) land here by design, and a
       // cold registry on a throttled host must not trip the watchdog
       // into poisoning the learn (the retry would then bill a timed pass)
-      run(name, queryTimeoutS * 3); spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      run(name, queryTimeoutS * 3)
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"#w ${BenchFormat.compactKey(name)} $dt%.2fs " +
+        f"t=${elapsedS}%.0f")
+      spark.catalog.clearCache()
+      name -> dt
     }
     var estPassS = (System.nanoTime() - warmT0) / 1e9
     System.err.println(f"[bench] warm-up pass ${estPassS}%.1f s, " +
@@ -109,6 +120,39 @@ object Bench {
     // transient contention window). Host-speed canaries bracket each
     // suite; mcpu/cpu > gate = throttled window (Canary.scala).
     val nPasses = 2
+    // Streamed provisional block: printed the moment a pass (and then
+    // a suite) completes, so a kill at ANY later point still leaves a
+    // parseable per-query map + total in the tail. Same line format as
+    // the final block — a killed run's newest provisional block IS the
+    // artifact; the spacer before the final block keeps a completed
+    // run's tail pure.
+    // The newest provisional total is also re-emitted as a HEARTBEAT
+    // every ~20 queries during passes: the first kill-test run proved
+    // that per-query progress lines alone push the provisional block
+    // out of the driver's 2 KB tail within ~60 queries — the heartbeat
+    // keeps a parseable total within the last ~700 chars at any kill
+    // point (BenchProtocolSpec pins the arithmetic).
+    var lastTotalLine: Option[String] = None
+    def printProvisional(mins: Seq[(String, Double)],
+                         worstRatio: Double): Unit = {
+      BenchFormat.perQueryLines(mins).foreach(println)
+      // mid-pass blocks have no completed canary bracket yet
+      // (worstRatio 0) — publish the raw total only, no deflated field
+      val defl =
+        if (worstRatio > 0) BenchProtocol.deflator(worstRatio) else 0.0
+      val total = BenchFormat.totalLine(mins.map(_._2).sum, sfDir, defl)
+      println(total)
+      lastTotalLine = Some(total)
+      System.out.flush()
+    }
+    // Last-ditch artifact floor: a provisional block from the WARM-UP
+    // timings, printed before the first timed pass even starts. These
+    // values include one-time compile/learn cost — inflated as a perf
+    // number, but if the driver's kill lands mid-pass-1 they are the
+    // only per-query data the round gets, and a worse number beats no
+    // number. Pass 1's own provisional block supersedes them in the
+    // tail the moment it completes.
+    printProvisional(warmTimes, 0.0)
     Canary.warm(spark)
     val preProbe = Canary.sample(spark)
     def ratioOf(c: Map[String, Double]): Double = c("mcpu") / c("cpu")
@@ -133,22 +177,6 @@ object Bench {
         name -> samples.map(_(name)).min
       }
     }
-    // Streamed provisional block: printed the moment a pass (and then
-    // a suite) completes, so a kill at ANY later point still leaves a
-    // parseable per-query map + total in the tail. Same line format as
-    // the final block — a killed run's newest provisional block IS the
-    // artifact; the spacer before the final block keeps a completed
-    // run's tail pure.
-    def printProvisional(mins: Seq[(String, Double)],
-                         worstRatio: Double): Unit = {
-      BenchFormat.perQueryLines(mins).foreach(println)
-      // mid-pass blocks have no completed canary bracket yet
-      // (worstRatio 0) — publish the raw total only, no deflated field
-      val defl =
-        if (worstRatio > 0) BenchProtocol.deflator(worstRatio) else 0.0
-      println(BenchFormat.totalLine(mins.map(_._2).sum, sfDir, defl))
-      System.out.flush()
-    }
     def timedSuite(tag: String): SuiteRun = {
       val suiteT0 = System.nanoTime()
       val pre = Canary.sample(spark)
@@ -170,6 +198,12 @@ object Bench {
           System.err.println(
             f"#$tag p${pass + 1} ${i + 1}%03d/${queries.size} ${
               BenchFormat.compactKey(name)} ${dt}%.2fs t=${elapsedS}%.0f")
+          // heartbeat: keep the newest provisional total inside the
+          // tail window even under a flood of progress lines
+          if (i % 20 == 19) {
+            lastTotalLine.foreach(println)
+            System.out.flush()
+          }
           spark.catalog.clearCache()
         }
         samples += m

@@ -105,22 +105,33 @@ class BenchProtocolSpec extends AnyFunSuite {
   // totalLine. This test replays that print order into a buffer and
   // asserts that truncating to the driver's 2 KB tail AT ANY KILL POINT
   // after the first pass still yields a parseable total line.
-  test("a kill after pass 1 leaves a parseable total in the 2KB tail") {
+  test("a kill at ANY point in pass 2 leaves a parseable total in the 2KB tail") {
+    // replays the harness's print discipline: pass-1 provisional block,
+    // then pass-2 progress lines with the total-line heartbeat every 20
+    // queries. The first REAL kill test (r18, SIGKILL at p2 q131) proved
+    // progress lines alone evict the block from the tail within ~60
+    // queries — this test kills at EVERY query index and requires a
+    // parseable total each time.
     val results = (1 to 152).map(i => (f"q$i%03d_name", 0.42))
+    val expect = "\"value\":" + BenchFormat.ms3(results.map(_._2).sum)
     val out = new StringBuilder
     def emit(l: String): Unit = { out.append(l).append('\n') }
-    // pass 1 completes → provisional block
     BenchFormat.perQueryLines(results).foreach(emit)
-    emit(BenchFormat.totalLine(results.map(_._2).sum, "/root/testdata/sf0.1"))
-    // simulated kill here: watchdog progress lines from pass 2 follow
-    (1 to 20).foreach(i => emit(f"#r1 p2 $i%03d/152 $i%d 0.42s t=900"))
-    val tail = out.toString.takeRight(2048)
-    val totalLines = tail.linesIterator.filter(
-      _.startsWith("""{"metric":"total"""")).toSeq
-    assert(totalLines.nonEmpty,
-      s"no total line survived in the tail:\n$tail")
-    assert(totalLines.last.contains("\"value\":" +
-      BenchFormat.ms3(results.map(_._2).sum)))
+    val totalLine =
+      BenchFormat.totalLine(results.map(_._2).sum, "/root/testdata/sf0.1")
+    emit(totalLine)
+    for (i <- 0 until 152) {
+      emit(f"#r1 p2 ${i + 1}%03d/152 ${i + 1}%d 0.42s t=900")
+      if (i % 20 == 19) emit(totalLine) // the heartbeat
+      // a stray engine WARN line of realistic length must not break it
+      if (i == 50) emit("26/08/16 14:48:22 WARN BlockManager: Block " +
+        "rdd_14657_0 already exists on this machine; not re-adding it")
+      val tail = out.toString.takeRight(2048)
+      val totals = tail.linesIterator
+        .filter(_.startsWith("""{"metric":"total"""")).toSeq
+      assert(totals.nonEmpty && totals.last.contains(expect),
+        s"kill after p2 q${i + 1}: no parseable total in the tail")
+    }
   }
 
   // A COMPLETED run's tail must contain only final-block values: the
