@@ -111,4 +111,25 @@ object Canary {
     "sort" -> time(sortProbe()),
     "shuf" -> time(shufProbe(spark)),
     "mcpu" -> time(mcpuProbe()))
+
+  /** Run `body` inside a canary bracket and print it as one stderr
+    * JSON line. The r17/r18 lesson, made structural: every
+    * measurement TOOL (OneQ, MultiRegion, PipeScale — not just the
+    * bench) should carry its own window tag, so an absolute number
+    * can never again be published without the throttle context that
+    * decides whether it is an anchor or an upper bound.
+    */
+  def bracketed[T](spark: SparkSession, label: String)(body: => T): T = {
+    warm(spark)
+    val pre = sample(spark)
+    try body finally {
+      val post = sample(spark)
+      def j(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
+        .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      val worst = math.max(pre("mcpu") / pre("cpu"),
+        post("mcpu") / post("cpu"))
+      System.err.println(f"""{"bracket":"$label","worst_mcpu_cpu":$worst%.2f,"pre":${
+        j(pre)},"post":${j(post)}}""")
+    }
+  }
 }

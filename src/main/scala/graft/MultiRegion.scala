@@ -93,15 +93,22 @@ object MultiRegion {
     // warm-up at tiny n (codegen/janino outside every timed window)
     runRegionOnce("counties", sizes.head._2, s"$outBase/warm")
 
-    // counties SOLO — the leak-check reference tree
+    // counties SOLO — the leak-check reference tree. The whole full
+    // phase runs inside a canary bracket (stderr line) so its absolute
+    // walls always carry their host-window tag — the r18 lesson: the
+    // full and incremental phases of ONE session can land in very
+    // different throttle stretches.
     val nCounties = sizes.find(_._1 == "counties").get._2
-    val soloWall = runRegionOnce("counties", nCounties, s"$outBase/solo")
-    val soloMd5 = md5Tree(s"$outBase/solo/counties")
-
-    // the serial session: every region through the SAME session state
-    val walls = sizes.map { case (region, n) =>
-      region -> runRegionOnce(region, n, s"$outBase/serial")
-    }
+    val (soloWall, soloMd5, walls) =
+      Canary.bracketed(spark, "multiregion_full") {
+        val sw = runRegionOnce("counties", nCounties, s"$outBase/solo")
+        val sm = md5Tree(s"$outBase/solo/counties")
+        // the serial session: every region through the SAME session state
+        val ws = sizes.map { case (region, n) =>
+          region -> runRegionOnce(region, n, s"$outBase/serial")
+        }
+        (sw, sm, ws)
+      }
     val serialMd5 = md5Tree(s"$outBase/serial/counties")
     require(serialMd5 == soloMd5,
       s"CROSS-REGION LEAK: counties tree differs between solo ($soloMd5) " +
@@ -133,34 +140,41 @@ object MultiRegion {
       Sources.readGeoJsonLines(spark, s"$outBase/in/geo_$n.jsonl"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // counties delta SOLO (full-copy mode) — the reference tree
-    val fSolo = featuresOf(nCounties)
-    val t0s = System.nanoTime()
-    val soloStats = Incremental.incrementalRegion(spark,
-      s"$outBase/in/long_$nCounties.csv", s"$outBase/in/long_${nCounties}_d.csv",
-      "raw", PipeScale.metricLongNames, "counties", fSolo,
-      prevDir = s"$outBase/solo", outDir = s"$outBase/isolo")
-    val incSoloWall = (System.nanoTime() - t0s) / 1e9
-    fSolo.unpersist()
-    require(!soloStats.fullRebuild,
-      s"0.1% delta must stay on the incremental path, got $soloStats")
-    val incSoloMd5 = md5Tree(s"$outBase/isolo/counties")
+    // counties delta SOLO (full-copy mode) — the reference tree; the
+    // incremental phase gets its OWN canary bracket (see the full
+    // phase's comment)
+    val (incSoloWall, soloStats, incSoloMd5, incWalls) =
+      Canary.bracketed(spark, "multiregion_incremental") {
+        val fSolo = featuresOf(nCounties)
+        val t0s = System.nanoTime()
+        val sst = Incremental.incrementalRegion(spark,
+          s"$outBase/in/long_$nCounties.csv",
+          s"$outBase/in/long_${nCounties}_d.csv",
+          "raw", PipeScale.metricLongNames, "counties", fSolo,
+          prevDir = s"$outBase/solo", outDir = s"$outBase/isolo")
+        val isw = (System.nanoTime() - t0s) / 1e9
+        fSolo.unpersist()
+        require(!sst.fullRebuild,
+          s"0.1% delta must stay on the incremental path, got $sst")
+        val ism = md5Tree(s"$outBase/isolo/counties")
 
-    // the serial incremental session: every region's delta through the
-    // SAME session, updating the serial trees IN PLACE
-    val incWalls = sizes.map { case (region, n) =>
-      val f = featuresOf(n)
-      val t0 = System.nanoTime()
-      val st = Incremental.incrementalRegion(spark,
-        s"$outBase/in/long_$n.csv", s"$outBase/in/long_${n}_d.csv",
-        "raw", PipeScale.metricLongNames, region, f,
-        prevDir = s"$outBase/serial", outDir = s"$outBase/serial")
-      val wall = (System.nanoTime() - t0) / 1e9
-      f.unpersist()
-      require(!st.fullRebuild,
-        s"$region: 0.1% delta must stay incremental, got $st")
-      (region, wall, st)
-    }
+        // the serial incremental session: every region's delta through
+        // the SAME session, updating the serial trees IN PLACE
+        val iws = sizes.map { case (region, n) =>
+          val f = featuresOf(n)
+          val t0 = System.nanoTime()
+          val st = Incremental.incrementalRegion(spark,
+            s"$outBase/in/long_$n.csv", s"$outBase/in/long_${n}_d.csv",
+            "raw", PipeScale.metricLongNames, region, f,
+            prevDir = s"$outBase/serial", outDir = s"$outBase/serial")
+          val wall = (System.nanoTime() - t0) / 1e9
+          f.unpersist()
+          require(!st.fullRebuild,
+            s"$region: 0.1% delta must stay incremental, got $st")
+          (region, wall, st)
+        }
+        (isw, sst, ism, iws)
+      }
     val incSerialMd5 = md5Tree(s"$outBase/serial/counties")
     require(incSerialMd5 == incSoloMd5,
       s"CROSS-REGION LEAK (incremental path): counties tree differs " +

@@ -9,14 +9,18 @@ object OneQ {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    for (q <- args) {
-      val t0 = System.nanoTime()
-      // same full-evaluation consumer as Bench (count() lets Catalyst
-      // prune the very projections being timed)
-      SparkEntry.queries(q)(spark, d).write.format("noop")
-        .mode("overwrite").save()
-      println(f"[oneq] $q t=${(System.nanoTime()-t0)/1e9}%.2f s")
-      spark.catalog.clearCache()
+    // the whole run self-reports its host window (stderr bracket line)
+    // so a OneQ absolute is never published without throttle context
+    Canary.bracketed(spark, "oneq") {
+      for (q <- args) {
+        val t0 = System.nanoTime()
+        // same full-evaluation consumer as Bench (count() lets Catalyst
+        // prune the very projections being timed)
+        SparkEntry.queries(q)(spark, d).write.format("noop")
+          .mode("overwrite").save()
+        println(f"[oneq] $q t=${(System.nanoTime()-t0)/1e9}%.2f s")
+        spark.catalog.clearCache()
+      }
     }
     spark.stop()
   }
