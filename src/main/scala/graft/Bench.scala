@@ -52,10 +52,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // The r17 driver tail was consumed by `WindowExec: No Partition
-    // Defined` spam (the deliberately-tiny histogram windows in
-    // Analytics.keySkewProfile, since given partitionBy(lit(1)) at the
-    // source). Belt-and-braces: silence the window logger here too, so
-    // a future single-partition window can never flood the artifact.
+    // Defined` spam from the engine's deliberate bounded-frame
+    // single-partition windows (keySkewProfile's histogram,
+    // packingOffsets' bucket sums — all documented at their sites).
+    // This logger config IS the fix: the partitionBy(lit(1)) spelling
+    // does not survive Catalyst's constant folding (measured, r18), so
+    // the warning cannot be suppressed at the source without changing
+    // plans. Verified: zero such lines across full bench runs.
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)

@@ -83,10 +83,15 @@ object Analytics {
     val hist = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
       .groupBy("cnt").agg(count(lit(1)).as("f"))
       .localCheckpoint(eager = true)
-    // partitionBy(lit(1)) ≡ the unpartitioned window (histogram-sized,
-    // bounded by distinct count VALUES) but skips WindowExec's "No
-    // Partition Defined" warning — under a multi-pass bench those
-    // warnings flooded the driver's 2 KB artifact tail (r17)
+    // Single-partition BY DESIGN: these windows run over the
+    // count-of-counts histogram (rows = distinct count VALUES, not
+    // keys — bounded at any corpus size). The partitionBy(lit(1))
+    // spelling documents that intent but does NOT silence WindowExec's
+    // "No Partition Defined" warning — Catalyst constant-folds the
+    // literal out of the partition spec (measured, r18) — so the
+    // warning flood that ate the r17 bench tail is fixed where it
+    // matters: Bench, the one tail-constrained consumer, sets the
+    // WindowExec logger to ERROR (verified zero lines across full runs).
     val prevAsc = Window.partitionBy(lit(1)).orderBy("cnt")
       .rowsBetween(Window.unboundedPreceding, -1)
     val prevDesc = Window.partitionBy(lit(1)).orderBy(col("cnt").desc)

@@ -160,7 +160,14 @@ object Curation {
       .cache()
     val bktSums = withCum.groupBy("__bkt")
       .agg(max("__cum_in_bkt").as("__bkt_sum"))
+    // the documented ONE acceptable single-partition window — rows =
+    // bucket sums, corpus_size/bucketWidth of them. partitionBy(lit(1))
+    // documents the intent; it does NOT suppress WindowExec's "No
+    // Partition Defined" warning (Catalyst folds the literal out of
+    // the spec — measured, r18), so the tail-constrained consumer
+    // (Bench) silences that logger instead.
     val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
       .orderBy("__bkt").rowsBetween(Long.MinValue, -1)
     val offsets = bktSums.select(col("__bkt"),
       coalesce(sum("__bkt_sum").over(wOff), lit(0L)).as("__off"))

@@ -132,8 +132,9 @@ object Mbtiles {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // rank window bound: rows = DISTINCT blob digests (16 bytes each,
     // never blobs) — single-partition by the same single-writer logic
-    // as the sqlite container itself; partitionBy(lit(1)) is the
-    // warning-free spelling of that deliberate choice
+    // as the sqlite container itself; partitionBy(lit(1)) documents
+    // the intent (the literal folds out of the spec, so WindowExec's
+    // no-partition warning still logs — silenced where tails matter)
     val ids = dgd.select("dg").distinct()
       .withColumn("tile_id",
         row_number().over(Window.partitionBy(lit(1)).orderBy("dg"))
