@@ -15,7 +15,8 @@ import org.apache.spark.sql.SparkSession
   *    and the throttle re-run are skipped — with a logged reason —
   *    when the remaining budget cannot fit them;
   *  - every query runs under a watchdog
-  *    (`SPARK_GRAFT_BENCH_QUERY_TIMEOUT_S`, default 120):
+  *    (`SPARK_GRAFT_BENCH_QUERY_TIMEOUT_S`, default 300 — raised from
+  *    120 after the r18 shakedown; rationale at the val site):
   *    `cancelJobGroup` after the deadline, a FAILED line, and the
   *    suite continues — one hung plan can no longer stall the run
   *    until the driver's kill;
@@ -28,11 +29,15 @@ object Bench {
     def elapsedS: Double = (System.nanoTime() - t0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // Wall budget for the WHOLE protocol. The default is sized under
-    // the driver's observed kill threshold (r16's completed run was
-    // 1946 s; r17's longer protocol was killed): leaving headroom is
-    // the point — a self-truncated run with data beats a killed run
-    // without.
+    // Wall budget for the WHOLE protocol, calibrated to the driver's
+    // OBSERVED kill horizon rather than a guess. Every measured point
+    // so far: r16 completed at 1946 s sbt wall (horizon > 1946 s);
+    // r17's longer protocol was killed rc=124 at some T beyond that;
+    // r18 completed at 872 s sbt wall under this default. So the
+    // horizon is bracketed at (1946, r17_wall] and 1500 in-JVM +
+    // ~60 s sbt overhead sits under the proven-safe 1946 floor with
+    // ~25% margin. Leaving headroom is the point — a self-truncated
+    // run with data beats a killed run without.
     val budgetS = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S")
       .map(_.toDouble).getOrElse(1500.0)
     // 300 s: the watchdog exists for HANGS, not slow windows — the r18

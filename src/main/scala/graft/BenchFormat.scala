@@ -108,9 +108,14 @@ object BenchFormat {
     * next to the raw number so a throttled driver window no longer
     * leaves the round without a readable perf artifact. `deflated` ≥
     * raw/ratio is clamped at ratio 1.0 — an unusually HEALTHY window
-    * never inflates the total. The ratio itself is NOT repeated here —
-    * the adjacent canary line carries all four probe walls (tail
-    * budget: at 152 queries every repeated character costs).
+    * never inflates the total. The ratio itself is NOT repeated here
+    * (tail budget: at 152 queries every repeated character costs).
+    * NOTE for consumers recovering the deflator: Bench passes the kept
+    * run's WORST-BRACKET ratio (max of pre/post mcpu/cpu, the gate's
+    * own signal — stderr `canary_pre`/`canary_post` carry both
+    * brackets), while the adjacent stdout canary line publishes
+    * min(pre, post) per probe; recomputing mcpu/cpu from the canary
+    * line therefore yields a SMALLER ratio than `value / deflated`.
     */
   def totalLine(total: Double, sf: String, mcpuCpu: Double = 0.0): String = {
     val extra = if (mcpuCpu > 0)

@@ -192,175 +192,184 @@ object Incremental {
     val hconf = spark.sessionState.newHadoopConf()
     val prevFs = new org.apache.hadoop.fs.Path(prevDir).getFileSystem(hconf)
     // the OUT end mutates the checksum flag below, so it gets a PRIVATE
-    // instance (closed before every return) — flipping the flag on the
+    // instance (closed in the finally below) — flipping the flag on the
     // JVM-cached FileSystem would silently disable .crc sidecars for
     // every other writer of the scheme in the process (r17 ADVICE)
     val outFs = org.apache.hadoop.fs.FileSystem.newInstance(
       new org.apache.hadoop.fs.Path(outDir).toUri, hconf)
     // no .crc sidecars in the live tree (same contract as the sink)
     outFs.setWriteChecksum(false)
-    val fpPath = new org.apache.hadoop.fs.Path(
-      s"$prevDir/$region/fingerprints.parquet")
-    val fs = prevFs
-    val oldFps = if (fs.exists(fpPath)) spark.read.parquet(fpPath.toString)
-      else fingerprints(oldLong)
-    val newFps = fingerprints(newLong)
-    // localCheckpoint, not persist: the new fingerprints OVERWRITE the
-    // stored artifact below (in-place mode shares the dir), and a
-    // cache-evicted lineage replay would re-read the overwritten file
-    val diff = diffFingerprints(oldFps, newFps).localCheckpoint(eager = true)
-    val byStatus = diff.groupBy("status").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val (nChanged, nAdded, nRemoved) = (byStatus.getOrElse("changed", 0L),
-      byStatus.getOrElse("added", 0L), byStatus.getOrElse("removed", 0L))
-    val nTotal = newLong.select("id").distinct().count()
-    // a previous run that EXTENDED past the configured fan maxZoom
-    // (`--extend-zooms-if-still-dropping` on dense point regions)
-    // wrote deeper tiles than [[featureTileFan]] covers: affected deep
-    // tiles would be neither rebuilt nor deleted — a silently
-    // corrupted tree. Detect the condition from the tree's own
-    // deepest z directory and route to the full rebuild instead.
-    val fanMaxZ = {
-      val bz = EtlConfig.bubbleZoom(region).maxZoom
-      if (features.columns.contains("polys"))
-        math.max(bz, EtlConfig.choroplethZoom(region).maxZoom)
-      else bz
-    }
-    val treeDeeperThanFan =
-      treeMaxZoom(prevFs, new org.apache.hadoop.fs.Path(
-        s"$prevDir/$region")) > fanMaxZ
-    // the NEW fingerprints persist for the next delta at the END of
-    // each path (after the fallback's tree wipe, after the in-place
-    // updates) — newFps derives from the new CSV, so writing it late
-    // is always safe, and diff is already checkpoint-materialized
-    def persistFingerprints(): Unit = newFps.write.mode("overwrite")
-      .parquet(s"$outDir/$region/fingerprints.parquet")
-    if (nTotal == 0 || treeDeeperThanFan ||
-        (nChanged + nAdded + nRemoved).toDouble / nTotal > maxChangedFraction) {
-      diff.unpersist()
-      // full rebuild into a dir that may hold the previous tree: clear
-      // the region subtree first (the reference's own `rm -rf _proc`
-      // semantics) — an overwrite-only rebuild would leave STALE tile
-      // files for (z,x,y)s the new data no longer produces
-      val regionDir = new org.apache.hadoop.fs.Path(s"$outDir/$region")
-      if (outFs.exists(regionDir)) outFs.delete(regionDir, true)
-      Pipeline.runRegion(spark, newCsvPath, inputType, metricLongNames,
-        region, features = Some(features), outDir = Some(outDir))
-      persistFingerprints()
-      outFs.close()
-      return Stats(nChanged, nAdded, nRemoved, -1L, -1L, fullRebuild = true)
-    }
-
-    val fan = featureTileFan(features, region)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val touched = diff.select(col("GEOID"))
-    val affectedTiles = fan.join(touched, Seq("GEOID"), "left_semi")
-      .select("z", "x", "y").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // renderers of affected tiles + their exact edge-neighbours
-    // (shared-border junction stability — see object scaladoc)
-    val renderers = fan.join(affectedTiles, Seq("z", "x", "y"), "left_semi")
-      .select("GEOID").distinct()
-    val contributors = (if (features.columns.contains("polys")) {
-      val segs = features.select(col("GEOID"),
-        explode(Geometry.ringSegments(col("polys"))).as("seg"))
-      val rendererSegs = segs.join(renderers, Seq("GEOID"), "left_semi")
-        .select("seg").distinct()
-      val nbrs = segs.join(rendererSegs, Seq("seg"), "left_semi")
-        .select("GEOID")
-      renderers.unionByName(nbrs).distinct()
-    } else renderers)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nAffected = affectedTiles.count()
-    val nContrib = contributors.count()
-    // in-place = outDir IS the previous tree: update it instead of
-    // copying ~every unchanged tile into a second tree — the live
-    // deployment mode (writePbfDirectory truncate-overwrites per file,
-    // so a crash mid-update re-runs idempotently)
-    val outQ = outFs.makeQualified(new org.apache.hadoop.fs.Path(outDir))
-    val prevQ = prevFs.makeQualified(new org.apache.hadoop.fs.Path(prevDir))
-    // qualified-URI equality first (scheme-agnostic), then — for local
-    // paths only — java.io canonical-path equality, so a symlink- or
-    // `..`-aliased prevDir/outDir pair is still recognized as the SAME
-    // tree (r17 ADVICE: the copy-mode path would lazily read carried
-    // tiles from the very files it truncate-overwrites)
-    val inPlace = outQ == prevQ || (
-      outQ.toUri.getScheme == "file" && prevQ.toUri.getScheme == "file" &&
-        new java.io.File(outQ.toUri.getPath).getCanonicalPath ==
-          new java.io.File(prevQ.toUri.getPath).getCanonicalPath)
-    val affectedRows: Array[org.apache.spark.sql.Row] =
-      if (inPlace) affectedTiles.collect() else Array.empty
-
-    val featC = features.join(contributors, Seq("GEOID"), "left_semi")
-    val longC = newLong.join(contributors.withColumnRenamed("GEOID", "id"),
-      Seq("id"), "left_semi")
-    val wideC = Pipeline.shape(longC, inputType)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // IDENTICAL code path to runRegion's choropleth stage (shared
-    // helpers — see Pipeline.choroTileFeatures): in particular the
-    // geometry stage runs over featC BEFORE any attribute join, so a
-    // data-less neighbour (e.g. a removed GEOID) still contributes its
-    // shared edges and border simplification reproduces byte-for-byte
-    val choroMaxZ = EtlConfig.choroplethZoom(region).maxZoom
-    val polyFeats = if (featC.columns.contains("polys"))
-      Some(Pipeline.choroTileFeatures(featC, region, choroMaxZ)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    else None
-    for (decade <- EtlConfig.decades.keys.toSeq.sorted) {
-      val bubble = Pipeline.decadeTiles(wideC, featC, inputType, decade,
-        "bubble", region)
-      val choro = polyFeats match {
-        case Some(tf) =>
-          Pipeline.choroDecadeEncode(wideC, tf, inputType, decade, region)
-        case None => bubble.limit(0)
+    // close outFs on EVERY exit path — an exception anywhere below
+    // (runRegion, writePbfDirectory, the FS bookkeeping itself) must
+    // not leak the private instance in a long-lived session (r18 ADVICE)
+    try {
+      val fpPath = new org.apache.hadoop.fs.Path(
+        s"$prevDir/$region/fingerprints.parquet")
+      val fs = prevFs
+      val oldFps = if (fs.exists(fpPath)) spark.read.parquet(fpPath.toString)
+        else fingerprints(oldLong)
+      val newFps = fingerprints(newLong)
+      // localCheckpoint, not persist: the new fingerprints OVERWRITE the
+      // stored artifact below (in-place mode shares the dir), and a
+      // cache-evicted lineage replay would re-read the overwritten file
+      val diff = diffFingerprints(oldFps, newFps).localCheckpoint(eager = true)
+      val byStatus = diff.groupBy("status").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val (nChanged, nAdded, nRemoved) = (byStatus.getOrElse("changed", 0L),
+        byStatus.getOrElse("added", 0L), byStatus.getOrElse("removed", 0L))
+      val nTotal = newLong.select("id").distinct().count()
+      // a previous run that EXTENDED past the configured fan maxZoom
+      // (`--extend-zooms-if-still-dropping` on dense point regions)
+      // wrote deeper tiles than [[featureTileFan]] covers: affected deep
+      // tiles would be neither rebuilt nor deleted — a silently
+      // corrupted tree. Detect the condition from the tree's own
+      // deepest z directory and route to the full rebuild instead.
+      val fanMaxZ = {
+        val bz = EtlConfig.bubbleZoom(region).maxZoom
+        if (features.columns.contains("polys"))
+          math.max(bz, EtlConfig.choroplethZoom(region).maxZoom)
+        else bz
       }
-      // same layer union-merge as runRegion (J3, tile-join `build.sh:214`)
-      val merged = bubble.select(col("z"), col("x"), col("y"),
-          col("tile_bytes").as("bubble_bytes"))
-        .join(choro.select(col("z"), col("x"), col("y"),
-          col("tile_bytes").as("choro_bytes")), Seq("z", "x", "y"), "full_outer")
-        .select(col("z"), col("x"), col("y"),
-          concat(coalesce(col("bubble_bytes"), lit(Array.empty[Byte])),
-            coalesce(col("choro_bytes"), lit(Array.empty[Byte]))).as("tile_bytes"))
-      val rebuilt = merged.join(affectedTiles, Seq("z", "x", "y"), "left_semi")
-      if (inPlace) {
-        // live-tree update: unchanged tiles already sit in outDir, so
-        // only the affected files are touched — delete them first (a
-        // rebuilt tile that came out empty must VANISH, e.g. a removed
-        // GEOID's deep tile), then write the rebuilt set. The delete
-        // list is the small affected frame, not the tree.
-        for (r <- affectedRows)
-          outFs.delete(new org.apache.hadoop.fs.Path(
-            s"$outDir/$region/$decade/${r.getAs[Int]("z")}/" +
-              s"${r.getAs[Long]("x")}/${r.getAs[Long]("y")}.pbf"), false)
-        TileBuild.writePbfDirectory(rebuilt, s"$outDir/$region/$decade",
-          writeMetadata = false) // the live metadata.json stays as-is
-      } else {
-        val carried = readPbfTree(spark, s"$prevDir/$region/$decade")
-          .join(affectedTiles, Seq("z", "x", "y"), "left_anti")
-        TileBuild.writePbfDirectory(rebuilt.unionByName(carried),
-          s"$outDir/$region/$decade")
-        // metadata is decade-level and attribute-independent: carry it over
-        val src = new org.apache.hadoop.fs.Path(
-          s"$prevDir/$region/$decade/metadata.json")
-        if (prevFs.exists(src)) {
-          val in = prevFs.open(src)
-          val bytes = try {
-            val b = new java.io.ByteArrayOutputStream()
-            org.apache.hadoop.io.IOUtils.copyBytes(in, b, 65536, false)
-            b.toByteArray
-          } finally in.close()
-          val dst = outFs.create(new org.apache.hadoop.fs.Path(
-            s"$outDir/$region/$decade/metadata.json"), true)
-          try dst.write(bytes) finally dst.close()
+      val treeDeeperThanFan =
+        treeMaxZoom(prevFs, new org.apache.hadoop.fs.Path(
+          s"$prevDir/$region")) > fanMaxZ
+      // the NEW fingerprints persist for the next delta at the END of
+      // each path (after the fallback's tree wipe, after the in-place
+      // updates) — newFps derives from the new CSV, so writing it late
+      // is always safe, and diff is already checkpoint-materialized
+      def persistFingerprints(): Unit = newFps.write.mode("overwrite")
+        .parquet(s"$outDir/$region/fingerprints.parquet")
+      if (nTotal == 0 || treeDeeperThanFan ||
+          (nChanged + nAdded + nRemoved).toDouble / nTotal > maxChangedFraction) {
+        diff.unpersist()
+        // full rebuild into a dir that may hold the previous tree: clear
+        // the region subtree first (the reference's own `rm -rf _proc`
+        // semantics) — an overwrite-only rebuild would leave STALE tile
+        // files for (z,x,y)s the new data no longer produces
+        val regionDir = new org.apache.hadoop.fs.Path(s"$outDir/$region")
+        if (outFs.exists(regionDir)) outFs.delete(regionDir, true)
+        Pipeline.runRegion(spark, newCsvPath, inputType, metricLongNames,
+          region, features = Some(features), outDir = Some(outDir))
+        persistFingerprints()
+        return Stats(nChanged, nAdded, nRemoved, -1L, -1L, fullRebuild = true)
+      }
+
+      val fan = featureTileFan(features, region)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val touched = diff.select(col("GEOID"))
+      val affectedTiles = fan.join(touched, Seq("GEOID"), "left_semi")
+        .select("z", "x", "y").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // renderers of affected tiles + their exact edge-neighbours
+      // (shared-border junction stability — see object scaladoc)
+      val renderers = fan.join(affectedTiles, Seq("z", "x", "y"), "left_semi")
+        .select("GEOID").distinct()
+      val contributors = (if (features.columns.contains("polys")) {
+        val segs = features.select(col("GEOID"),
+          explode(Geometry.ringSegments(col("polys"))).as("seg"))
+        val rendererSegs = segs.join(renderers, Seq("GEOID"), "left_semi")
+          .select("seg").distinct()
+        val nbrs = segs.join(rendererSegs, Seq("seg"), "left_semi")
+          .select("GEOID")
+        renderers.unionByName(nbrs).distinct()
+      } else renderers)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nAffected = affectedTiles.count()
+      val nContrib = contributors.count()
+      // in-place = outDir IS the previous tree: update it instead of
+      // copying ~every unchanged tile into a second tree — the live
+      // deployment mode (writePbfDirectory truncate-overwrites per file,
+      // so a crash mid-update re-runs idempotently)
+      val outQ = outFs.makeQualified(new org.apache.hadoop.fs.Path(outDir))
+      val prevQ = prevFs.makeQualified(new org.apache.hadoop.fs.Path(prevDir))
+      // qualified-URI equality first (scheme-agnostic), then — for local
+      // paths only — java.io canonical-path equality, so a symlink- or
+      // `..`-aliased prevDir/outDir pair is still recognized as the SAME
+      // tree (r17 ADVICE: the copy-mode path would lazily read carried
+      // tiles from the very files it truncate-overwrites)
+      val inPlace = outQ == prevQ || (
+        outQ.toUri.getScheme == "file" && prevQ.toUri.getScheme == "file" &&
+          new java.io.File(outQ.toUri.getPath).getCanonicalPath ==
+            new java.io.File(prevQ.toUri.getPath).getCanonicalPath)
+      // driver-side collect is SIZED BY CONTRACT, not by the tileset:
+      // |affectedRows| = delta GEOIDs × per-feature tile fan-out, and
+      // the delta path only runs when the changed fraction is under
+      // maxChangedFraction — a full-churn "delta" routed to the full
+      // rebuild above before reaching here. ~24 B/row at nightly delta
+      // sizes (thousands of GEOIDs × tens of tiles) is driver-trivial.
+      val affectedRows: Array[org.apache.spark.sql.Row] =
+        if (inPlace) affectedTiles.collect() else Array.empty
+
+      val featC = features.join(contributors, Seq("GEOID"), "left_semi")
+      val longC = newLong.join(contributors.withColumnRenamed("GEOID", "id"),
+        Seq("id"), "left_semi")
+      val wideC = Pipeline.shape(longC, inputType)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // IDENTICAL code path to runRegion's choropleth stage (shared
+      // helpers — see Pipeline.choroTileFeatures): in particular the
+      // geometry stage runs over featC BEFORE any attribute join, so a
+      // data-less neighbour (e.g. a removed GEOID) still contributes its
+      // shared edges and border simplification reproduces byte-for-byte
+      val choroMaxZ = EtlConfig.choroplethZoom(region).maxZoom
+      val polyFeats = if (featC.columns.contains("polys"))
+        Some(Pipeline.choroTileFeatures(featC, region, choroMaxZ)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else None
+      for (decade <- EtlConfig.decades.keys.toSeq.sorted) {
+        val bubble = Pipeline.decadeTiles(wideC, featC, inputType, decade,
+          "bubble", region)
+        val choro = polyFeats match {
+          case Some(tf) =>
+            Pipeline.choroDecadeEncode(wideC, tf, inputType, decade, region)
+          case None => bubble.limit(0)
+        }
+        // same layer union-merge as runRegion (J3, tile-join `build.sh:214`)
+        val merged = bubble.select(col("z"), col("x"), col("y"),
+            col("tile_bytes").as("bubble_bytes"))
+          .join(choro.select(col("z"), col("x"), col("y"),
+            col("tile_bytes").as("choro_bytes")), Seq("z", "x", "y"), "full_outer")
+          .select(col("z"), col("x"), col("y"),
+            concat(coalesce(col("bubble_bytes"), lit(Array.empty[Byte])),
+              coalesce(col("choro_bytes"), lit(Array.empty[Byte]))).as("tile_bytes"))
+        val rebuilt = merged.join(affectedTiles, Seq("z", "x", "y"), "left_semi")
+        if (inPlace) {
+          // live-tree update: unchanged tiles already sit in outDir, so
+          // only the affected files are touched — delete them first (a
+          // rebuilt tile that came out empty must VANISH, e.g. a removed
+          // GEOID's deep tile), then write the rebuilt set. The delete
+          // list is the small affected frame, not the tree.
+          for (r <- affectedRows)
+            outFs.delete(new org.apache.hadoop.fs.Path(
+              s"$outDir/$region/$decade/${r.getAs[Int]("z")}/" +
+                s"${r.getAs[Long]("x")}/${r.getAs[Long]("y")}.pbf"), false)
+          TileBuild.writePbfDirectory(rebuilt, s"$outDir/$region/$decade",
+            writeMetadata = false) // the live metadata.json stays as-is
+        } else {
+          val carried = readPbfTree(spark, s"$prevDir/$region/$decade")
+            .join(affectedTiles, Seq("z", "x", "y"), "left_anti")
+          TileBuild.writePbfDirectory(rebuilt.unionByName(carried),
+            s"$outDir/$region/$decade")
+          // metadata is decade-level and attribute-independent: carry it over
+          val src = new org.apache.hadoop.fs.Path(
+            s"$prevDir/$region/$decade/metadata.json")
+          if (prevFs.exists(src)) {
+            val in = prevFs.open(src)
+            val bytes = try {
+              val b = new java.io.ByteArrayOutputStream()
+              org.apache.hadoop.io.IOUtils.copyBytes(in, b, 65536, false)
+              b.toByteArray
+            } finally in.close()
+            val dst = outFs.create(new org.apache.hadoop.fs.Path(
+              s"$outDir/$region/$decade/metadata.json"), true)
+            try dst.write(bytes) finally dst.close()
+          }
         }
       }
-    }
-    persistFingerprints()
-    outFs.close()
-    polyFeats.foreach(_.unpersist())
-    wideC.unpersist(); contributors.unpersist(); affectedTiles.unpersist()
-    fan.unpersist(); diff.unpersist()
-    Stats(nChanged, nAdded, nRemoved, nAffected, nContrib, fullRebuild = false)
+      persistFingerprints()
+      polyFeats.foreach(_.unpersist())
+      wideC.unpersist(); contributors.unpersist(); affectedTiles.unpersist()
+      fan.unpersist(); diff.unpersist()
+      Stats(nChanged, nAdded, nRemoved, nAffected, nContrib, fullRebuild = false)
+    } finally outFs.close()
   }
 }

@@ -503,29 +503,15 @@ object TileBuild {
                         metadata: Map[String, String] = Map.empty,
                         writeMetadata: Boolean = true): Unit = {
     // Configuration is not serializable: ship the entries BROADCAST
-    // (once per executor, not per task — ~100 KB of strings), rebuild
-    // per partition (FileSystem.get caches per scheme+authority, so
-    // the per-partition cost is one lookup)
+    // (once per executor, not per task — ~100 KB of strings); the
+    // per-partition cost is one fsCache lookup after the first
+    // partition of a given (scheme, authority, conf) builds the client
     val confEntries = tiles.sparkSession.sparkContext.broadcast {
       val c = tiles.sparkSession.sessionState.newHadoopConf()
       val it = c.iterator()
       val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
       buf.toSeq
-    }
-    def fsFor(dir: String): org.apache.hadoop.fs.FileSystem = {
-      val conf = new org.apache.hadoop.conf.Configuration(true)
-      confEntries.value.foreach { case (k, v) => conf.set(k, v) }
-      // newInstance, NOT the process-wide cached FileSystem: the
-      // checksum flag below would otherwise silently disable .crc
-      // sidecars for every other writer of this scheme in the JVM
-      // (r17 ADVICE) — the private instance is closed by the caller
-      val fs = org.apache.hadoop.fs.FileSystem.newInstance(
-        new org.apache.hadoop.fs.Path(dir).toUri, conf)
-      // no .crc sidecars in the tree (LocalFileSystem is checksummed by
-      // default; object stores ignore this)
-      fs.setWriteChecksum(false)
-      fs
     }
     def writeFile(fs: org.apache.hadoop.fs.FileSystem,
                   path: org.apache.hadoop.fs.Path,
@@ -535,21 +521,23 @@ object TileBuild {
       val out = fs.create(path, true)
       try out.write(bytes) finally out.close()
     }
-    tiles.select("z", "x", "y", "tile_bytes").foreachPartition {
-      (it: Iterator[Row]) =>
-        val fs = fsFor(outDir)
-        try it.foreach { r =>
-          writeFile(fs, new org.apache.hadoop.fs.Path(
-            s"$outDir/${r.getAs[Any]("z")}/${r.getAs[Any]("x")}/" +
-              s"${r.getAs[Any]("y")}.pbf"),
-            r.getAs[Array[Byte]]("tile_bytes"))
-        } finally fs.close()
-    }
     // the ~100 KB conf broadcast is per-CALL state: destroy it once the
-    // action completes, or the nightly loop (one call per decade per
-    // region) accumulates broadcasts in a long-lived session (r17
-    // ADVICE)
-    confEntries.destroy()
+    // action finishes — SUCCESS OR FAILURE (r18 ADVICE: a destroy after
+    // the action leaked the broadcast on every failed call, the exact
+    // accumulation it exists to prevent in the nightly loop)
+    try {
+      tiles.select("z", "x", "y", "tile_bytes").foreachPartition {
+        (it: Iterator[Row]) =>
+          // cached per executor JVM — do NOT close; see [[ExecutorFs]]
+          val fs = ExecutorFs.forPath(confEntries.value, outDir)
+          it.foreach { r =>
+            writeFile(fs, new org.apache.hadoop.fs.Path(
+              s"$outDir/${r.getAs[Any]("z")}/${r.getAs[Any]("x")}/" +
+                s"${r.getAs[Any]("y")}.pbf"),
+              r.getAs[Array[Byte]]("tile_bytes"))
+          }
+      }
+    } finally confEntries.destroy()
     if (writeMetadata) {
       val meta = (metadata + ("format" -> "pbf"))
         .map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
@@ -563,5 +551,45 @@ object TileBuild {
           meta.getBytes("UTF-8"))
       } finally fs.close()
     }
+  }
+}
+
+/** Executor-JVM-wide cache of PRIVATE checksum-disabled FileSystem
+  * instances, keyed by (scheme, authority, conf fingerprint). This
+  * restores the amortization the shared Hadoop FileSystem CACHE used to
+  * give — one client per scheme per JVM; an object-store client build
+  * (connection pools, signer setup) costs tens of ms, and per-PARTITION
+  * construction multiplies that by the tile partition count — without
+  * the r17 hazard of mutating the SHARED cached instance's checksum
+  * flag. Instances live for the executor's life, one per distinct key
+  * (the same lifecycle Hadoop's own cache gives); a conf change mints a
+  * new key, so a stale instance can never serve fresh credentials — the
+  * superseded one idles, bounded by the number of distinct confs the
+  * JVM ever sees. A standalone top-level object so closures calling
+  * [[forPath]] reference `ExecutorFs$.MODULE$` statically instead of
+  * capturing the (non-serializable) enclosing sink object.
+  */
+private[sinks] object ExecutorFs {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Int), org.apache.hadoop.fs.FileSystem]()
+
+  def forPath(entries: Seq[(String, String)],
+              dir: String): org.apache.hadoop.fs.FileSystem = {
+    val uri = new org.apache.hadoop.fs.Path(dir).toUri
+    val key = (String.valueOf(uri.getScheme),
+      String.valueOf(uri.getAuthority), entries.hashCode)
+    cache.computeIfAbsent(key, _ => {
+      val conf = new org.apache.hadoop.conf.Configuration(true)
+      entries.foreach { case (k, v) => conf.set(k, v) }
+      // newInstance, NOT the process-wide cached FileSystem: the
+      // checksum flag below would otherwise silently disable .crc
+      // sidecars for every other writer of this scheme in the JVM
+      // (r17 ADVICE) — the private instance lives in this cache
+      val fs = org.apache.hadoop.fs.FileSystem.newInstance(uri, conf)
+      // no .crc sidecars in the tree (LocalFileSystem is checksummed
+      // by default; object stores ignore this)
+      fs.setWriteChecksum(false)
+      fs
+    })
   }
 }
