@@ -35,6 +35,37 @@ import Sqlite._
   */
 object Mbtiles {
 
+  /** Layout AUTO-SELECTION: measure the tileset's duplicate ratio with
+    * one cheap pre-pass and pick the layout per write, instead of
+    * asking the caller to know their blob-repetition profile up front —
+    * the same measured-decision pattern the engine uses for broadcast
+    * limits and salt factors. The trade-off being arbitrated is
+    * spec-measured (MbtilesSpec / ContainerScale): the map/images
+    * layout costs ~3.1× write wall and +0.03% bytes on all-distinct
+    * tilesets, but collapses a 500×-repeated-blob fixture to <25% of
+    * the direct container. Decision rule: dedup iff
+    * `approx_count_distinct(md5(blob)) / count ≤ maxDistinctRatio` —
+    * at the 0.5 default, repeats must at least halve the blob count
+    * (≈ halve the payload bytes for uniform blob sizes) before the
+    * write-wall premium is paid. The pre-pass is one digest scan
+    * folded into a partial aggregate: blobs are read once, only
+    * HLL sketch bytes cross the shuffle, nothing materializes.
+    * HLL's few-% error is immaterial against a 2× decision margin.
+    *
+    * @return true iff the dedup (map/images) layout was chosen
+    */
+  def writeMbtilesAuto(tiles: DataFrame, path: String,
+                       metadata: Map[String, String] = Map.empty,
+                       maxDistinctRatio: Double = 0.5): Boolean = {
+    val r = tiles.agg(
+      count(lit(1)).as("n"),
+      approx_count_distinct(md5(col("tile_bytes"))).as("nd")).head()
+    val (n, nd) = (r.getLong(0), r.getLong(1))
+    val dedup = n > 0 && nd.toDouble / n <= maxDistinctRatio
+    writeMbtiles(tiles, path, metadata, dedupLayout = dedup)
+    dedup
+  }
+
   def writeMbtiles(tiles: DataFrame, path: String,
                    metadata: Map[String, String],
                    dedupLayout: Boolean = false): Unit = {

@@ -150,6 +150,55 @@ class MbtilesSpec extends AnyFunSuite with SharedSpark {
       s"dedup must collapse repeated blobs: $szDedup vs $szDirect bytes")
   }
 
+  test("writeMbtilesAuto picks the layout by measured duplicate ratio on both fixtures") {
+    val dir = Files.createTempDirectory("mbtauto")
+
+    // fixture 1: heavy repetition (600 tiles over 4 distinct blobs —
+    // the dedup layout's reason to exist) → auto must choose dedup
+    val ocean = Array.tabulate[Byte](8000)(j => (j % 251).toByte)
+    val others = (0 until 3).map(i =>
+      Array.fill[Byte](500 + i * 37)((i + 1).toByte))
+    val repTiles = (0 until 600).map { i =>
+      val b = if (i < 500) ocean else others(i % 3)
+      (9, (i % 512).toLong, (i / 512).toLong, b)
+    }
+    val repDf = repTiles.toDF("z", "x", "y", "tile_bytes").orderBy(rand(7))
+    val repAuto = dir.resolve("rep_auto.mbtiles").toString
+    val repDirect = dir.resolve("rep_direct.mbtiles").toString
+    assert(graft.sinks.Mbtiles.writeMbtilesAuto(repDf, repAuto,
+      Map("name" -> "fx")), "4/600 distinct must select the dedup layout")
+    graft.sinks.Mbtiles.writeMbtiles(repDf, repDirect, Map("name" -> "fx"))
+    assert(new java.io.File(repAuto).length.toDouble <
+      new java.io.File(repDirect).length * 0.25,
+      "the auto-chosen layout must actually collapse the repeats")
+
+    // fixture 2: all-distinct blobs (this engine's own pipelines after
+    // drop-densest/coalesce) → auto must keep the direct layout
+    val distinctTiles = (0 until 400).map { i =>
+      (9, (i % 512).toLong, (i / 512).toLong,
+        Array.tabulate[Byte](60 + i % 40)(j => ((i * 31 + j) % 251).toByte))
+    }
+    val dDf = distinctTiles.toDF("z", "x", "y", "tile_bytes").orderBy(rand(9))
+    val dAuto = dir.resolve("d_auto.mbtiles").toString
+    val dDirect = dir.resolve("d_direct.mbtiles").toString
+    assert(!graft.sinks.Mbtiles.writeMbtilesAuto(dDf, dAuto,
+      Map("name" -> "fx")), "all-distinct must keep the direct layout")
+    graft.sinks.Mbtiles.writeMbtiles(dDf, dDirect, Map("name" -> "fx"))
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(Paths.get(dAuto)),
+      Files.readAllBytes(Paths.get(dDirect))),
+      "auto(direct) must be byte-identical to an explicit direct write")
+
+    // either way the container serves the exact tile set back
+    for ((db, tiles) <- Seq(repAuto -> repTiles, dAuto -> distinctTiles)) {
+      val back = graft.sinks.Mbtiles.readMbtiles(spark, db).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)) ->
+          md5(r.getAs[Array[Byte]]("tile_bytes"))).toMap
+      assert(back == tiles.map { case (z, x, y, b) =>
+        (z, x, y) -> md5(b) }.toMap, s"round-trip mismatch for $db")
+    }
+  }
+
   test("a container whose FINAL index entry lands on a leaf boundary keeps every tile") {
     assume(python.isDefined, "python3 with sqlite3 not available")
     // the r15-review high finding: when the last addEntry triggered a
