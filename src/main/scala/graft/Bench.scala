@@ -142,12 +142,12 @@ object Bench {
     // point (BenchProtocolSpec pins the arithmetic).
     var lastTotalLine: Option[String] = None
     def printProvisional(mins: Seq[(String, Double)],
-                         worstRatio: Double): Unit = {
+                         defl: Double): Unit = {
       BenchFormat.perQueryLines(mins).foreach(println)
-      // mid-pass blocks have no completed canary bracket yet
-      // (worstRatio 0) — publish the raw total only, no deflated field
-      val defl =
-        if (worstRatio > 0) BenchProtocol.deflator(worstRatio) else 0.0
+      // defl = the caller's already-gated deflator: 0 for mid-pass
+      // blocks (no completed bracket yet) AND for non-stationary
+      // windows (SuiteRun.deflatorOrZero) — either way the block
+      // publishes the raw total only, no deflated field
       val total = BenchFormat.totalLine(mins.map(_._2).sum, sfDir, defl)
       println(total)
       lastTotalLine = Some(total)
@@ -181,6 +181,13 @@ object Bench {
       // the WORSE bracket judges the window: throttling at either end
       // can inflate queries anywhere between them
       def worstRatio: Double = math.max(ratioOf(pre), ratioOf(post))
+      // deflation publishes only when the window HELD between the
+      // brackets (pre ≈ post); a spiked bracket deflates to nonsense
+      // (BenchProtocol.stationary's scaladoc has the live r19 case)
+      def deflatorOrZero: Double =
+        if (BenchProtocol.stationary(ratioOf(pre), ratioOf(post)))
+          BenchProtocol.deflator(worstRatio)
+        else 0.0
       def mins: Seq[(String, Double)] = queries.map { case (name, _) =>
         name -> samples.map(_(name)).min
       }
@@ -233,7 +240,7 @@ object Bench {
         (System.nanoTime() - suiteT0) / 1e9)
     }
     val run1 = timedSuite("r1")
-    printProvisional(run1.mins, run1.worstRatio)
+    printProvisional(run1.mins, run1.deflatorOrZero)
     val chosen = if (run1.worstRatio > knobs.gate) {
       if (BenchProtocol.rerun(run1.worstRatio, elapsedS, budgetS,
           run1.wallS, knobs)) {
@@ -242,7 +249,7 @@ object Bench {
           knobs.cooldownS.toInt}s cooldown"}""")
         Thread.sleep((knobs.cooldownS * 1000).toLong)
         val run2 = timedSuite("r2")
-        printProvisional(run2.mins, run2.worstRatio)
+        printProvisional(run2.mins, run2.deflatorOrZero)
         val keep = if (run2.worstRatio < run1.worstRatio) run2 else run1
         System.err.println(f"""{"throttle_gate":"kept the ${
           if (keep eq run2) "second" else "first"} run (brackets ${
@@ -275,12 +282,17 @@ object Bench {
     // lines out of the tail so the position-independent entry recovery
     // sees only kept-run values — then canary, per-query parts, and
     // the short total line last, always. Deflation: the kept run's own
-    // worstRatio (the gate's signal), not min-of-bracket pairs.
+    // worstRatio (the gate's signal), not min-of-bracket pairs — and
+    // only when the window held between the brackets; a moving window
+    // logs a deflation_gate line and ships raw + brackets only.
+    if (chosen.deflatorOrZero == 0.0 && chosen.worstRatio > 0)
+      System.err.println(f"""{"deflation_gate":"brackets ${
+        ratioOf(chosen.pre)}%.2f vs ${ratioOf(chosen.post)
+        }%.2f disagree > 2x - window non-stationary, publishing raw total only"}""")
     println(BenchProtocol.spacerLine())
     println(BenchFormat.canaryLine(canary, sfDir))
     BenchFormat.perQueryLines(results).foreach(println)
-    println(BenchFormat.totalLine(total, sfDir,
-      BenchProtocol.deflator(chosen.worstRatio)))
+    println(BenchFormat.totalLine(total, sfDir, chosen.deflatorOrZero))
     spark.stop()
   }
 }

@@ -116,6 +116,10 @@ object BenchFormat {
     * brackets), while the adjacent stdout canary line publishes
     * min(pre, post) per probe; recomputing mcpu/cpu from the canary
     * line therefore yields a SMALLER ratio than `value / deflated`.
+    * The field is also OMITTED entirely when the kept run's brackets
+    * disagree by more than 2× ([[BenchProtocol.stationary]]) — a
+    * moving window has no meaningful scalar correction, and a stderr
+    * `deflation_gate` line records why.
     */
   def totalLine(total: Double, sf: String, mcpuCpu: Double = 0.0): String = {
     val extra = if (mcpuCpu > 0)

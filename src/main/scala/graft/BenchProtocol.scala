@@ -77,6 +77,28 @@ object BenchProtocol {
     */
   def deflator(worstRatio: Double): Double = math.max(1.0, worstRatio)
 
+  /** Deflation is only MEANINGFUL when the window was STATIONARY —
+    * pre and post brackets within `bound` (default 2×) of each other.
+    * The scalar model (`deflated = raw / worstRatio`) is validated at
+    * 2.5% suite-level error on a window whose bracket (2.21) matched
+    * the suite's true average inflation (2.16, SURVEY §6 r19 note) —
+    * i.e. when the bracket REPRESENTS the window the suite ran in. A
+    * 10.73-vs-1.38 bracket pair (r19, live run) proves the opposite
+    * regime: the pre probe caught a transient spike most of the suite
+    * never experienced, and deflating 250 s by 10.73 published a
+    * nonsense 23 s. Non-stationary windows publish the raw total and
+    * both brackets only; consumers get the honest "window was moving"
+    * signal instead of a false precision. Ratios below 1 clamp to 1
+    * (a healthy bracket is ~1.0–1.1; the comparison is about
+    * disagreement, not health).
+    */
+  def stationary(preRatio: Double, postRatio: Double,
+                 bound: Double = 2.0): Boolean = {
+    val lo = math.max(1.0, math.min(preRatio, postRatio))
+    val hi = math.max(1.0, math.max(preRatio, postRatio))
+    hi <= bound * lo
+  }
+
   /** The tail-safety spacer printed immediately before the final kept
     * block: the driver keeps only the last ~2 KB of output, and the
     * provisional blocks streamed after each pass use the same line

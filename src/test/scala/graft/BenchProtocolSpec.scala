@@ -88,6 +88,22 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(BenchProtocol.deflator(worst) == 1.7)
   }
 
+  test("stationarity gate: deflation publishes only when the brackets agree") {
+    // agreeing brackets — the validated regime (2.21 bracket vs 2.16
+    // true suite inflation, 2.5% error): deflate
+    assert(BenchProtocol.stationary(2.21, 1.86))
+    assert(BenchProtocol.stationary(1.62, 1.62))
+    // the r19 live case: pre caught a transient 10.73 spike, post read
+    // 1.38 — deflating 250 s by 10.73 published a nonsense 23 s
+    assert(!BenchProtocol.stationary(10.73, 1.38))
+    assert(!BenchProtocol.stationary(1.38, 10.73)) // symmetric
+    // sub-1.0 ratios clamp to 1: two healthy brackets always agree
+    assert(BenchProtocol.stationary(0.9, 1.05))
+    // exactly at the 2x bound: still publishable
+    assert(BenchProtocol.stationary(1.0, 2.0))
+    assert(!BenchProtocol.stationary(1.0, 2.01))
+  }
+
   // ---- tail-safety spacer ----------------------------------------------
 
   test("spacer is one ~2KB JSON line that flushes provisional data out of the tail") {
