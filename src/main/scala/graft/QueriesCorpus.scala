@@ -114,38 +114,61 @@ object QueriesCorpus {
     val docTrue = tr.select(col("doc_id"), explode(col("shs")).as("h"))
       .join(broadcast(evalSh), "h").select("doc_id").distinct()
       .withColumn("c", lit(1L))
-    val evCount = evalSh.agg(count(lit(1)).as("n_eval_sh"))
-
-    def arm(label: String, mOver: Option[Int]): DataFrame = {
-      val (bits, mBits) = Dedup.bloomBits(evalSh, "h", probes, mOver)
-      val sh = trSh
-        .join(broadcast(evalSh.withColumn("t", lit(1L))), Seq("h"), "left")
-        .select(
-          bloomAny(array(col("h")), bits, mBits, probes)
-            .cast("long").as("p"),
-          coalesce(col("t"), lit(0L)).as("tt"))
-        .agg(count(lit(1)).as("n_train_sh"), sum("p").as("n_sh_pos"),
-          sum("tt").as("n_sh_true"))
-      val doc = tr.join(broadcast(docTrue), Seq("doc_id"), "left")
-        .select(
-          bloomAny(col("shs"), bits, mBits, probes)
-            .cast("long").as("sus"),
-          coalesce(col("c"), lit(0L)).as("conf"))
-        .agg(count(lit(1)).as("n_docs"), sum("sus").as("n_suspect"),
-          sum("conf").as("n_confirmed"))
-      sh.crossJoin(doc).crossJoin(evCount)
-        .select(lit(label).as("sizing"), lit(mBits.toLong).as("m_bits"),
-          col("n_eval_sh"), col("n_train_sh"), col("n_sh_pos"),
-          col("n_sh_true"),
-          round((col("n_sh_pos") - col("n_sh_true")) /
-            (col("n_train_sh") - col("n_sh_true")), 6).as("sh_fp_rate"),
-          col("n_docs"), col("n_suspect"), col("n_confirmed"),
-          round((col("n_suspect") - col("n_confirmed")) /
-            (col("n_docs") - col("n_confirmed")), 6).as("doc_fp_rate"))
-    }
-
-    val out = arm("production", None)
-      .unionByName(arm("undersized", Some(1 << 11)))
+    // r19 arm fusion: the two arms differ ONLY in filter size, so both
+    // filters build in one pass over the eval shingles
+    // (Dedup.bloomBitsMulti), both probe columns ride ONE pass over the
+    // train shingles and ONE pass over the train docs, and the sizing
+    // count doubles as n_eval_sh (it is the same count(distinct h) the
+    // old evCount aggregate re-ran). Before: every one of those passes
+    // ran twice — measured 36 scheduler jobs for this query at sf0.1,
+    // the suite's worst. Output rows are identical.
+    val nEval = evalSh.count()
+    val mProd = Dedup.bloomSizedBits(nEval)
+    val mUnder = 1 << 11
+    val Seq(bitsProd, bitsUnder) =
+      Dedup.bloomBitsMulti(evalSh, "h", probes, Seq(mProd, mUnder))
+    val sh = trSh
+      .join(broadcast(evalSh.withColumn("t", lit(1L))), Seq("h"), "left")
+      .select(
+        bloomAny(array(col("h")), bitsProd, mProd, probes)
+          .cast("long").as("pp"),
+        bloomAny(array(col("h")), bitsUnder, mUnder, probes)
+          .cast("long").as("pu"),
+        coalesce(col("t"), lit(0L)).as("tt"))
+      .agg(count(lit(1)).as("n_train_sh"),
+        sum("pp").as("n_sh_pos_p"), sum("pu").as("n_sh_pos_u"),
+        sum("tt").as("n_sh_true"))
+    val doc = tr.join(broadcast(docTrue), Seq("doc_id"), "left")
+      .select(
+        bloomAny(col("shs"), bitsProd, mProd, probes)
+          .cast("long").as("sp"),
+        bloomAny(col("shs"), bitsUnder, mUnder, probes)
+          .cast("long").as("su"),
+        coalesce(col("c"), lit(0L)).as("conf"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("sp").as("n_suspect_p"), sum("su").as("n_suspect_u"),
+        sum("conf").as("n_confirmed"))
+    // the 1-row fused stats explode into the two labelled arm rows —
+    // one evaluation, no per-arm re-aggregation
+    def armRow(label: String, mBits: Int, pos: String, sus: String) =
+      struct(lit(label).as("sizing"), lit(mBits.toLong).as("m_bits"),
+        col(pos).as("n_sh_pos"), col(sus).as("n_suspect"))
+    val out = sh.crossJoin(doc)
+      .select(col("n_train_sh"), col("n_sh_true"), col("n_docs"),
+        col("n_confirmed"),
+        explode(array(
+          armRow("production", mProd, "n_sh_pos_p", "n_suspect_p"),
+          armRow("undersized", mUnder, "n_sh_pos_u", "n_suspect_u")))
+          .as("r"))
+      .select(col("r.sizing").as("sizing"), col("r.m_bits").as("m_bits"),
+        lit(nEval).as("n_eval_sh"), col("n_train_sh"),
+        col("r.n_sh_pos").as("n_sh_pos"), col("n_sh_true"),
+        round((col("r.n_sh_pos") - col("n_sh_true")) /
+          (col("n_train_sh") - col("n_sh_true")), 6).as("sh_fp_rate"),
+        col("n_docs"), col("r.n_suspect").as("n_suspect"),
+        col("n_confirmed"),
+        round((col("r.n_suspect") - col("n_confirmed")) /
+          (col("n_docs") - col("n_confirmed")), 6).as("doc_fp_rate"))
       .orderBy("sizing")
     graft.operators.CacheRelease.afterUse(Seq(evalSh, tr, trSh), out)
   }

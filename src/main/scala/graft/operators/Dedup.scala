@@ -414,37 +414,56 @@ object Dedup {
     */
   def bloomBits(hashes: DataFrame, hashCol: String, numProbes: Int,
                 mBitsOverride: Option[Int] = None): (Array[Long], Int) = {
-    val nKeys = hashes.count()
-    val mBits = mBitsOverride.getOrElse {
-      val want = 16L * math.max(nKeys, 1L)
-      val pow2 = java.lang.Long.highestOneBit(math.max(want - 1, 1L)) << 1
-      math.min(math.max(pow2, 1L << 14), 1L << 27).toInt
-    }
-    val maskL = (mBits - 1).toLong
-    val logM = java.lang.Integer.numberOfTrailingZeros(mBits)
-    val posCols: Seq[Column] = {
-      val h = col(hashCol)
+    val mBits = mBitsOverride.getOrElse(bloomSizedBits(hashes.count()))
+    (bloomBitsMulti(hashes, hashCol, numProbes, Seq(mBits)).head, mBits)
+  }
+
+  /** The production sizing rule shared by [[bloomBits]] and the q134
+    * audit: min power of two ≥ 16 bits/key, clamped to [2^14, 2^27].
+    */
+  def bloomSizedBits(nKeys: Long): Int = {
+    val want = 16L * math.max(nKeys, 1L)
+    val pow2 = java.lang.Long.highestOneBit(math.max(want - 1, 1L)) << 1
+    math.min(math.max(pow2, 1L << 14), 1L << 27).toInt
+  }
+
+  /** Build SEVERAL differently-sized filters over the same key set in
+    * ONE pass (r19): each key explodes to (filter-index, bit-position)
+    * pairs for every requested size, one grouped bit_or builds them
+    * all. The q134 calibration audit needs a production-sized and a
+    * deliberately-undersized filter over the identical eval shingles —
+    * building them separately paid the explode + shuffle + collect
+    * twice.
+    */
+  def bloomBitsMulti(hashes: DataFrame, hashCol: String, numProbes: Int,
+                     ms: Seq[Int]): Seq[Array[Long]] = {
+    val h = col(hashCol)
+    val entries: Seq[Column] = ms.zipWithIndex.flatMap { case (mBits, ai) =>
+      val maskL = (mBits - 1).toLong
+      val logM = java.lang.Integer.numberOfTrailingZeros(mBits)
       val h1 = h.bitwiseAND(lit(maskL))
       val h2 = shiftrightunsigned(h, logM).bitwiseAND(lit(maskL))
         .bitwiseOR(lit(1L))
       (0 until numProbes).map(i =>
-        (h1 + lit(i.toLong) * h2).bitwiseAND(lit(maskL)))
+        struct(lit(ai).as("a"),
+          ((h1 + lit(i.toLong) * h2).bitwiseAND(lit(maskL))).as("p")))
     }
-    val bits = new Array[Long](mBits / 64)
-    // typed collect: Tuple2 is @specialized on (Int, Long), so the
-    // driver materializes ≤ mBits/64 unboxed pairs (~32 MB at the 2^27
+    val out = ms.map(m => new Array[Long](m / 64))
+    // typed collect: Tuple3 keeps the driver rows unboxed-ish and the
+    // total stays ≤ Σ mBits/64 words (~32 MB per filter at the 2^27
     // cap) instead of generic Rows with boxed values (~100s of MB)
     import hashes.sparkSession.implicits._
-    hashes.select(explode(array(posCols: _*)).as("__pos"))
-      .select(shiftrightunsigned(col("__pos"), 6).cast("int").as("__w"),
+    hashes.select(explode(array(entries: _*)).as("__e"))
+      .select(col("__e.a").as("__a"),
+        shiftrightunsigned(col("__e.p"), 6).cast("int").as("__w"),
         call_function("shiftleft", lit(1L),
-          col("__pos").bitwiseAND(lit(63L)).cast("int")).as("__m"))
-      .groupBy("__w")
+          col("__e.p").bitwiseAND(lit(63L)).cast("int")).as("__m"))
+      .groupBy("__a", "__w")
       .agg(call_function("bit_or", col("__m")).as("__bits"))
-      .as[(Int, Long)]
+      .as[(Int, Int, Long)]
       .collect()
-      .foreach { case (w, m) => bits(w) = m }
-    (bits, mBits)
+      .foreach { case (a, w, m) => out(a)(w) = m }
+    out
   }
 
   def contaminatedIdsBloom(train: DataFrame, evalDocs: DataFrame,

@@ -163,7 +163,8 @@ object Extents {
           element_at(col("qq"), 1).as("q1"),
           element_at(col("qq"), 2).as("q99")): _*)
     } else {
-      val (hist, bucketed, offs) = cumulativeHistogram(long, groupCols, fewGroups)
+      val (hist, bucketed, offs, bounds) =
+        cumulativeHistogram(long, groupCols, fewGroups)
       // RANK-TARGETED window (round 10): the two quantiles need the
       // exact rank of only 4 target positions per group, and the
       // offset table already brackets each bucket's rank span — so
@@ -199,24 +200,34 @@ object Extents {
         val frac = h - floor(h)
         col(s"${name}_lo") + frac * (col(s"${name}_hi") - col(s"${name}_lo"))
       }
-      val ranges = hist.groupBy(gcols: _*)
-        .agg(min("value").as("vmin"), max("value").as("vmax"))
+      // vmin/vmax ride the boundary-sketch aggregation (r19): the old
+      // separate `ranges = hist.groupBy(g).agg(min, max)` re-scanned
+      // the whole persisted histogram and paid its own exchange plus a
+      // sort-merge join with pickAgg — the same per-group pass the
+      // bounds agg already makes. One hist pass fewer at any scale;
+      // the final attach is a broadcast join of ≤|groups| rows.
       val pickAgg = cum.groupBy(gcols: _*)
         .agg(first("n").as("n"),
           picks(lo, "a") ++ picks(hi, "b"): _*)
-      val out = ranges.join(pickAgg, groupCols)
+      val minmax = bounds.select(gcols ++
+        Seq(col("__vmin").as("vmin"), col("__vmax").as("vmax")): _*)
+      val out = pickAgg
+        .join(if (fewGroups) broadcast(minmax) else minmax, groupCols)
         .select(gcols ++ Seq(col("vmin"), col("vmax"),
           interp(lo, "a").as("q1"), interp(hi, "b").as("q99")): _*)
-      unpersistAfterUse(hist, out)
+      unpersistAfterUse(Seq(hist, bounds), out)
     }
   }
 
   /** The shared exact-rank kernel: distinct-value histogram +
     * RANGE-BUCKETED cumulative ranks per group. Returns the PERSISTED
-    * histogram (route the final frame through [[unpersistAfterUse]])
-    * and the cum frame — (groupCols..., bkt, value, cnt, cum,
+    * histogram (route the final frame through [[unpersistAfterUse]]),
+    * the bucketed/offset frames — (groupCols..., bkt, value, cnt, cum,
     * cum_before, n) — where `cum` is the exact 1-based cumulative row
-    * count through each distinct value and `n` the group total. No
+    * count through each distinct value and `n` the group total, and
+    * the per-group boundary frame (groupCols..., __bnds, __vmin,
+    * __vmax): exact min/max ride the boundary aggregation so
+    * [[computeExtents]] never re-scans hist for them (r19). No
     * operator ever sorts a whole group's distinct values on one task:
     * the in-bucket window partitions by (group, bkt) and the
     * per-bucket offset comes from a second window over the TINY
@@ -226,7 +237,7 @@ object Extents {
     */
   private def cumulativeHistogram(long: DataFrame, groupCols: Seq[String],
                                   fewGroups: Boolean)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val gcols = groupCols.map(col)
     // cache barrier: the histogram (already the SMALL distinct-value
     // table) feeds both the boundary sketch and the bucketed cumsum —
@@ -242,8 +253,17 @@ object Extents {
     // a tiny broadcast array)
     val qs = array((1 until RangeBuckets)
       .map(i => lit(i.toDouble / RangeBuckets)): _*)
+    // exact min/max share the boundary pass (r19): same groupBy, two
+    // extra tiny agg buffers — computeExtents attaches them at the end
+    // instead of re-scanning hist for a separate ranges aggregation.
+    // Persisted (≤ one row per group) because it feeds BOTH the bucket
+    // assignment and the final min/max attach: without the barrier
+    // Catalyst re-runs the whole sketch aggregation for each reference.
+    // Released alongside hist by [[unpersistAfterUse]].
     val bounds = hist.groupBy(gcols: _*)
-      .agg(percentile_approx(col("value"), qs, lit(1000)).as("__bnds"))
+      .agg(percentile_approx(col("value"), qs, lit(1000)).as("__bnds"),
+        min("value").as("__vmin"), max("value").as("__vmax"))
+      .persist()
     // bounds/offs are ≤ RangeBuckets rows PER GROUP, so the broadcast
     // hint is only safe while groupCol cardinality is bounded
     // (`fewGroups`, the reference shape: a handful of metrics ×
@@ -252,7 +272,8 @@ object Extents {
     // never builds an unbounded broadcast table.
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (fewGroups) broadcast(df) else df
-    val bucketed = hist.join(maybeBroadcast(bounds), groupCols)
+    val bucketed = hist.join(
+        maybeBroadcast(bounds.drop("__vmin", "__vmax")), groupCols)
       .withColumn("bkt", size(filter(col("__bnds"), b => b < col("value"))))
       .drop("__bnds")
     val bktCols = groupCols :+ "bkt"
@@ -266,7 +287,7 @@ object Extents {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("n", sum("bsum").over(Window.partitionBy(gcols: _*)))
       .select(bktCols.map(col) ++ Seq(col("bsum"), col("__off"), col("n")): _*)
-    (hist, bucketed, offs)
+    (hist, bucketed, offs, bounds)
   }
 
   /** In-bucket cumulative ranks over (a possibly bucket-FILTERED view
@@ -309,7 +330,8 @@ object Extents {
       .select(col("id"), numericOrNull(col("value")).as("value"))
       .filter(col("value").isNotNull)
     val names = array(metricCols.map(lit): _*)
-    val (hist, bucketed, offs) = cumulativeHistogram(long, Seq("id"), fewGroups)
+    val (hist, bucketed, offs, bounds) =
+      cumulativeHistogram(long, Seq("id"), fewGroups)
     val out = cumFrom(bucketed, offs, Seq("id"), fewGroups)
       .withColumn("bin",
         expr(s"least($k - 1, CAST((cum_before * $k) div n AS INT))"))
@@ -319,7 +341,7 @@ object Extents {
       .withColumn("metric", element_at(names, col("id") + 1))
       .select("metric", "bin", "n_rows", "lo", "hi")
       .orderBy("metric", "bin")
-    unpersistAfterUse(hist, out)
+    unpersistAfterUse(Seq(hist, bounds), out)
   }
 
   /** APPROXIMATE equal-frequency binning — [[quantileBins]]'s scale
@@ -387,7 +409,7 @@ object Extents {
       .withColumn("metric", element_at(names, col("id") + 1))
       .select("metric", "bin", "n_rows", "lo", "hi")
       .orderBy("metric", "bin")
-    unpersistAfterUse(hist, out)
+    unpersistAfterUse(Seq(hist), out)
   }
 
   /** QUANTILE NORMALIZATION — the rank→CDF feature transform
@@ -413,13 +435,14 @@ object Extents {
       .select(col("id"), numericOrNull(col("value")).as("value"))
       .filter(col("value").isNotNull)
     val names = array(metricCols.map(lit): _*)
-    val (hist, bucketed, offs) = cumulativeHistogram(long, Seq("id"), fewGroups)
+    val (hist, bucketed, offs, bounds) =
+      cumulativeHistogram(long, Seq("id"), fewGroups)
     val out = cumFrom(bucketed, offs, Seq("id"), fewGroups)
       .select(element_at(names, col("id") + 1).as("metric"),
         col("value"), col("cnt").as("n_rows"),
         round((col("cum_before") + col("cnt") * 0.5) / col("n"), 6).as("cdf"))
       .orderBy("metric", "value")
-    unpersistAfterUse(hist, out)
+    unpersistAfterUse(Seq(hist, bounds), out)
   }
 
   /** LEARN half of the registry-split approximate binning: the k−1
@@ -527,8 +550,8 @@ object Extents {
     * pipeline's shingle barriers) for the full release/self-expiry
     * contract.
     */
-  private def unpersistAfterUse(cached: DataFrame, out: DataFrame): DataFrame =
-    CacheRelease.afterUse(Seq(cached), out)
+  private def unpersistAfterUse(cached: Seq[DataFrame], out: DataFrame): DataFrame =
+    CacheRelease.afterUse(cached, out)
 
   /** A2: wide→long unpivot via `stack` (one pass, no per-column scans).
     * Emits the metric as its int INDEX in `metricCols` — callers map it

@@ -14,10 +14,11 @@ object Graph {
 
   /** Node-count ceiling under which the per-round |N|-row vector
     * (ranks / labels / inflow) is BROADCAST into its joins instead of
-    * shuffled: the transition matrix is already partitioned and
-    * checkpointed, so broadcasting the small side makes each round's
-    * vector join exchange-free — one shuffle per round (the inflow /
-    * vote groupBy) instead of two-to-three. 500k nodes ≈ tens of MB
+    * shuffled: the transition matrix is partitioned on DST and
+    * checkpointed in this regime (r19), so the broadcast vector join
+    * AND the following inflow / vote groupBy(dst) are both
+    * exchange-free — ZERO shuffles per round instead of one-to-three.
+    * 500k nodes ≈ tens of MB
     * serialized (string id + double), inside the executor broadcast
     * comfort zone; a web-scale host graph above it falls back to the
     * plain equi-join plan automatically.
@@ -44,13 +45,17 @@ object Graph {
     * collect()ed rows):
     *  - the transition matrix (edge → probability `w/W(src)`) is built
     *    once — one groupBy(src) + one equi-join — then repartitioned on
-    *    `src` and localCheckpointed: every iteration's rank join
-    *    re-uses that partitioning, so only the |N|-row rank vector
-    *    moves per round, never the |E|-row edge list;
+    *    the REGIME'S key and localCheckpointed (r19): `dst` below
+    *    [[BroadcastNodeLimit]] so each round's inflow groupBy(dst)
+    *    rides the preserved partitioning, `src` above it so the
+    *    per-round rank equi-join is co-partitioned. Either way only
+    *    the |N|-row rank vector moves per round, never the |E|-row
+    *    edge list;
     *  - below [[BroadcastNodeLimit]] nodes, the per-round rank vector
-    *    and inflow table BROADCAST into their joins — ONE equi-keyed
-    *    shuffle per iteration (the inflow groupBy on dst); above it,
-    *    each iteration is exactly two equi-keyed shuffles;
+    *    and inflow table BROADCAST into their joins — ZERO per-round
+    *    exchanges (the dst-partitioned matrix feeds the inflow groupBy
+    *    directly); above it, each iteration is exactly two equi-keyed
+    *    shuffles;
     *  - each round localCheckpoints the new rank vector, so lineage —
     *    and the executed plan — stays LINEAR in rounds (the q50
     *    connected-components discipline; an unpersisted loop doubles
@@ -75,12 +80,14 @@ object Graph {
     * nodes never update.
     *
     * Scale shape is [[pageRank]]'s: the edge list is repartitioned on
-    * src and checkpointed ONCE; each round moves only the |N|-row
+    * the regime's key (dst below [[BroadcastNodeLimit]], src above —
+    * r19) and checkpointed ONCE; each round moves only the |N|-row
     * label vector (join on src, vote groupBy on (dst, label), one
-    * rank-limited window on dst), then localCheckpoints — lineage
-    * linear in rounds. The window's per-node row set is the node's
-    * distinct incoming LABEL count (≤ degree), and the rank-1 filter
-    * group-limits map-side.
+    * rank-limited window on dst — in the broadcast regime all three
+    * ride the dst-partitioning, zero per-round exchanges), then
+    * localCheckpoints — lineage linear in rounds. The window's
+    * per-node row set is the node's distinct incoming LABEL count
+    * (≤ degree), and the rank-1 filter group-limits map-side.
     *
     * The coverage contract is VALIDATED by default (the [[pageRank]]
     * discipline): on an asymmetric graph the node set would silently
@@ -104,12 +111,35 @@ object Graph {
       s"maxChanged must be -1 (fixed rounds) or 0 (stop when " +
         s"converged); a positive threshold loses the " +
         s"identical-output guarantee, got $maxChanged")
+    // r19: the node vector is derived BEFORE the transition matrix so
+    // the regime decides trans's partitioning key. Broadcast regime:
+    // trans partitions on DST — the per-round vote groupBy(dst, label)
+    // and its rank window then ride the checkpoint's preserved
+    // partitioning with ZERO per-round exchange (the broadcast join
+    // never needed src-partitioning in the first place). Shuffle
+    // regime: src as before (the per-round equi-join reuses it; the
+    // vote groupBy pays its one exchange). Cost of the reorder: edges
+    // is evaluated twice (nodes, trans) — the [[pageRank]] contract
+    // this operator now shares; callers with expensive upstreams
+    // checkpoint their edge frame first (q125's tradeEdges does).
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint(eager = true)
+    // forceBroadcast overrides the size heuristic — the GraphScale
+    // measurement seam that prices the broadcast↔shuffle regimes on
+    // the SAME graph (output is identical either way; only the
+    // exchange count changes)
+    val small = forceBroadcast.getOrElse(nodes.count() <= BroadcastNodeLimit)
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    // persist, NOT localCheckpoint: an AQE-executed checkpoint records
+    // UnknownPartitioning on its ExistingRDD scan (measured r19 — the
+    // repartition key was invisible downstream and every round paid the
+    // vote exchange anyway), while a cached plan keeps its partitioning
+    // (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning stays
+    // at its false default). Released after the last round below.
     val trans = edges
       .select(col("src"), col("dst"), col("weight").cast("double").as("w"))
-      .repartition(col("src"))
-      .localCheckpoint(eager = true)
-    val nodes = trans.select(col("src").as("node")).distinct()
-      .localCheckpoint(eager = true)
+      .repartition(if (small) col("dst") else col("src"))
+      .persist()
     if (validateCoverage) {
       require(trans.join(nodes, col("dst") === col("node"), "left_anti").isEmpty,
         "labelPropagation requires every dst to also appear as a src " +
@@ -120,12 +150,6 @@ object Graph {
         "labelPropagation requires every src to also appear as a dst " +
           "(a node that never receives votes vanishes after round 1)")
     }
-    // forceBroadcast overrides the size heuristic — the GraphScale
-    // measurement seam that prices the broadcast↔shuffle regimes on
-    // the SAME graph (output is identical either way; only the
-    // exchange count changes)
-    val small = forceBroadcast.getOrElse(nodes.count() <= BroadcastNodeLimit)
-    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
 
     val byVote = org.apache.spark.sql.expressions.Window
       .partitionBy("dst").orderBy(col("wv").desc, col("label"))
@@ -157,6 +181,10 @@ object Graph {
       i += 1
     }
     lastLpaIters.set(i)
+    // the final round is a resident checkpoint, so the cached matrix is
+    // no longer reachable from the returned plan — release it here
+    // rather than leaking one |E|-row cache entry per invocation
+    trans.unpersist()
     labels
   }
 
@@ -167,14 +195,30 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
 
+    // r19: the out-weight aggregate IS the distinct-src table, so it
+    // doubles as the node vector — the separate distinct + checkpoint
+    // the old code paid is one whole exchange saved. It is checkpointed
+    // (|N| rows) because every round's rank update re-reads it.
     val outW = edges.groupBy("src").agg(sum("weight").as("wsum"))
-    val trans = edges.join(outW, "src")
+      .localCheckpoint(eager = true)
+    val nodes = outW.select(col("src").as("node"))
+    val n = outW.count()
+    // forceBroadcast: see labelPropagation — same-size regime A/B seam
+    val small = forceBroadcast.getOrElse(n <= BroadcastNodeLimit)
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    // Broadcast regime: trans partitions on DST, so each round's inflow
+    // groupBy(dst) rides the checkpoint's preserved partitioning with
+    // ZERO per-round exchange (the rank join is a broadcast — it never
+    // consumed the old src-partitioning). Shuffle regime: src, so the
+    // per-round equi-join on src stays co-partitioned and only the
+    // inflow groupBy pays its exchange.
+    // persist, NOT localCheckpoint — see labelPropagation: only a
+    // cached plan carries the repartition key through AQE, and the
+    // per-round zero-exchange inflow groupBy depends on seeing it
+    val trans = edges.join(bc(outW), "src")
       .select(col("src"), col("dst"), (col("weight") / col("wsum")).as("p"))
-      .repartition(col("src"))
-      .localCheckpoint(eager = true)
-
-    val nodes = trans.select(col("src").as("node")).distinct()
-      .localCheckpoint(eager = true)
+      .repartition(if (small) col("dst") else col("src"))
+      .persist()
     // no-dangling contract: a dst that never appears as src would leak
     // rank mass out of the system. The check is one anti-join over the
     // checkpointed edges — callers whose edges are symmetric BY
@@ -183,10 +227,6 @@ object Graph {
       require(trans.join(nodes, col("dst") === col("node"), "left_anti").isEmpty,
         "pageRank requires every dst to also appear as a src " +
           "(add reverse edges or self-loops for dangling nodes)")
-    val n = nodes.count()
-    // forceBroadcast: see labelPropagation — same-size regime A/B seam
-    val small = forceBroadcast.getOrElse(n <= BroadcastNodeLimit)
-    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
 
     var ranks = nodes.withColumn("r", lit(1.0 / n))
     // convergence-aware early exit (tol > 0): after each iteration,
@@ -216,6 +256,10 @@ object Graph {
       i += 1
     }
     lastPageRankIters.set(i)
+    // final ranks are a resident checkpoint — the cached matrix is
+    // unreachable from the returned plan; release it (labelPropagation
+    // discipline)
+    trans.unpersist()
     ranks
   }
 }
