@@ -334,17 +334,23 @@ object Queries {
     val sliced = lineitem(s, d).withColumn("slice",
       when(col("l_shipdate") < lit(DriftCut).cast("date"), "base")
         .otherwise("cur"))
-    // the per-slice profile is a |cols|·|slices|-row table feeding both
-    // join branches — materialize it (maxAnchorCosine's localCheckpoint
-    // pattern) so the drift join reads the tiny table twice instead of
-    // scanning the fact table once per branch
+    // r19: the base/cur attach is ONE conditional aggregation over the
+    // per-slice profile instead of a localCheckpoint + self-join — the
+    // two-branch formulation materialized the tiny table and paid a
+    // join's worth of stages to line up rows the groupBy lines up for
+    // free. The isNotNull guard reproduces the old inner join exactly:
+    // a column missing from either slice dropped out of the join, and
+    // drops out here (on this fact table every column has rows on both
+    // sides of the cut, so the guard never fires — it pins semantics).
     val p = Extents.profileColumnsBy(sliced, profileCols, "slice")
-      .localCheckpoint()
-    def side(tag: String): DataFrame =
-      p.where(col("slice") === tag).select(col("col_name"),
-        col("n").as(s"n_$tag"), col("n_distinct").as(s"distinct_$tag"),
-        col("mean_micro").as(s"mean_$tag"))
-    side("base").join(side("cur"), "col_name")
+    def side(tag: String, c: String) = max(when(col("slice") === tag, col(c)))
+    p.groupBy("col_name")
+      .agg(side("base", "n").as("n_base"), side("cur", "n").as("n_cur"),
+        side("base", "n_distinct").as("distinct_base"),
+        side("cur", "n_distinct").as("distinct_cur"),
+        side("base", "mean_micro").as("mean_base"),
+        side("cur", "mean_micro").as("mean_cur"))
+      .where(col("n_base").isNotNull && col("n_cur").isNotNull)
       .select(col("col_name"),
         col("n_base"), col("n_cur"),
         (col("n_cur") - col("n_base")).as("n_delta"),

@@ -454,8 +454,9 @@ object QueriesRel {
   // directions so the bipartite walk has no dangling sinks). The
   // domain-authority scoring pattern of corpus curation, expressed as
   // 5 power iterations of graft.operators.Graph.pageRank — per-round
-  // localCheckpoint lineage, 2 equi-shuffles per round (see the
-  // operator's Scaladoc for the 100 TB shape). The oracle unrolls the
+  // localCheckpoint lineage, zero per-round exchanges in the broadcast
+  // regime (r19; see the operator's Scaladoc for both regimes' 100 TB
+  // shape). The oracle unrolls the
   // same 5 iterations as chained CTEs; every float literal is forced
   // to DOUBLE (e0 suffixes) so both engines run identical IEEE
   // arithmetic, and ranks round to 9 decimals.
@@ -496,7 +497,10 @@ object QueriesRel {
 
   def q121PageRank(s: SparkSession, d: String): DataFrame =
     graft.operators.Graph.pageRank(tradeEdges(s, d), iters = 5,
-        damping = 0.85, validateNoDangling = false)
+        damping = 0.85, validateNoDangling = false,
+        // tradeEdges doubles every edge, so the dst set IS the node
+        // set: the per-round coverage join is provably redundant (r19)
+        symmetricEdges = true)
       .select(col("node"), round(col("r"), 9).as("rank"))
       .orderBy("node")
 

@@ -628,8 +628,15 @@ object Dedup {
     // (LSH candidate generation) re-executes ~2×rounds times. The edge
     // list itself is tiny (two longs per pair). Same documented pattern
     // as the q23 shingle cache; callers clear cache between queries.
+    // dst-partitioned (r19, the Graph.scala discipline): every round
+    // joins und on dst, so one up-front repartition lets all `rounds`
+    // joins ride the cached partitioning — the edge list never moves
+    // again (before: an SMJ re-shuffled the |E|-row cache every round
+    // whenever the label side outgrew AQE's broadcast rewrite). The
+    // seed distinct pays its src exchange once, exactly as before.
     val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .repartition(col("dst"))
       .cache()
     // Every round references the previous labels TWICE (the keep-own-label
     // side of the union and the neighbor join), so an unpersisted chain

@@ -82,12 +82,12 @@ object Graph {
     * Scale shape is [[pageRank]]'s: the edge list is repartitioned on
     * the regime's key (dst below [[BroadcastNodeLimit]], src above —
     * r19) and checkpointed ONCE; each round moves only the |N|-row
-    * label vector (join on src, vote groupBy on (dst, label), one
-    * rank-limited window on dst — in the broadcast regime all three
-    * ride the dst-partitioning, zero per-round exchanges), then
-    * localCheckpoints — lineage linear in rounds. The window's
-    * per-node row set is the node's distinct incoming LABEL count
-    * (≤ degree), and the rank-1 filter group-limits map-side.
+    * label vector (join on src, vote groupBy on (dst, label), then a
+    * min_by pick groupBy on dst — in the broadcast regime all three
+    * ride the dst-partitioning, zero per-round exchanges, and the
+    * pick is an aggregation rather than a window so no per-round sort
+    * exists at any scale), then localCheckpoints — lineage linear in
+    * rounds.
     *
     * The coverage contract is VALIDATED by default (the [[pageRank]]
     * discipline): on an asymmetric graph the node set would silently
@@ -151,8 +151,6 @@ object Graph {
           "(a node that never receives votes vanishes after round 1)")
     }
 
-    val byVote = org.apache.spark.sql.expressions.Window
-      .partitionBy("dst").orderBy(col("wv").desc, col("label"))
     var labels = nodes.withColumn("label", col("node").cast("string"))
     // convergence-aware early exit (maxChanged == 0, the only value
     // the require above admits besides -1): after each SYNC round,
@@ -165,11 +163,17 @@ object Graph {
     var changed = Long.MaxValue
     var i = 0
     while (i < iters && (maxChanged < 0 || changed > maxChanged)) {
+      // the winning label via a second aggregation instead of a
+      // row_number window (r19): min_by over the lexicographic
+      // (−wv, label) struct IS "largest inflow, ties to smallest
+      // label" (label is unique within a dst group, so the pick is
+      // total) — same partitioning, no per-round sort at any scale
       val next = trans.join(bc(labels), col("src") === col("node"))
         .groupBy(col("dst"), col("label"))
         .agg(sum(col("w")).as("wv"))
-        .withColumn("rn", row_number().over(byVote))
-        .filter(col("rn") === 1)
+        .groupBy(col("dst"))
+        .agg(min_by(col("label"),
+          struct((-col("wv")).as("nw"), col("label"))).as("label"))
         .select(col("dst").as("node"), col("label"))
         .localCheckpoint(eager = true)
       if (maxChanged >= 0)
@@ -188,10 +192,20 @@ object Graph {
     labels
   }
 
+  /** `symmetricEdges = true` asserts the caller built the edge list
+    * symmetric (every edge doubled / self-loops added — q121's shape),
+    * so the dst set EQUALS the node set and each round's inflow table
+    * already covers every node: the per-round `nodes` left join — and
+    * the broadcast that fed it — is skipped outright (r19). The
+    * coalesce-to-zero branch it replaced can never fire on such a
+    * graph, so the output is identical; asymmetric callers keep the
+    * default and pay the coverage join.
+    */
   def pageRank(edges: DataFrame, iters: Int, damping: Double,
       validateNoDangling: Boolean = true,
       tol: Double = 0.0,
-      forceBroadcast: Option[Boolean] = None): DataFrame = {
+      forceBroadcast: Option[Boolean] = None,
+      symmetricEdges: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
 
@@ -241,11 +255,17 @@ object Graph {
       val inflow = trans.join(bc(ranks), col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(sum(col("p") * col("r")).as("inflow"))
-      val next = nodes
-        .join(bc(inflow), nodes("node") === inflow("dst"), "left")
-        .select(col("node"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("r"))
+      // symmetric graphs: inflow covers every node, so the rank update
+      // is a pure projection of it — no nodes join, no inflow broadcast
+      val next = (if (symmetricEdges)
+          inflow.select(col("dst").as("node"),
+            (lit((1.0 - damping) / n) +
+              lit(damping) * col("inflow")).as("r"))
+        else nodes
+          .join(bc(inflow), nodes("node") === inflow("dst"), "left")
+          .select(col("node"),
+            (lit((1.0 - damping) / n) +
+              lit(damping) * coalesce(col("inflow"), lit(0.0))).as("r")))
         .localCheckpoint(eager = true)
       if (tol > 0)
         delta = next.join(

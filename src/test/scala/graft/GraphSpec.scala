@@ -57,6 +57,24 @@ class GraphSpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(total - 1.0) < 1e-9, s"mass leaked: $total")
   }
 
+  test("symmetricEdges fast path matches the coverage-join path exactly") {
+    // doubled random graph — q121's shape: dst set == src set, so the
+    // r19 projection-only rank update must be bit-identical to the
+    // default nodes-left-join formulation, round for round
+    val rnd = new scala.util.Random(13)
+    val e0 = Seq.fill(120)((s"n${rnd.nextInt(25)}", s"n${rnd.nextInt(25)}",
+      (rnd.nextInt(5) + 1).toDouble))
+    val edges = (e0 ++ e0.map { case (a, b, w) => (b, a, w) })
+      .toDF("src", "dst", "weight")
+    for (iters <- Seq(1, 3)) {
+      val want = Graph.pageRank(edges, iters, 0.85)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val got = Graph.pageRank(edges, iters, 0.85, symmetricEdges = true)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got == want) // exact double equality — same arithmetic
+    }
+  }
+
   test("dangling sink is rejected by the contract check") {
     val bad = Seq(("a", "b", 1.0)) // b never appears as src
     val ex = intercept[IllegalArgumentException] {
