@@ -25,6 +25,22 @@ object Graph {
     */
   val BroadcastNodeLimit = 500000L
 
+  /** Rounds between lineage cuts in a FIXED-round loop (r19). With the
+    * broadcast-regime rounds exchange-free and each round's vector
+    * referenced exactly once, the per-round localCheckpoint was pure
+    * scheduling overhead: one job + one block-manager write per round
+    * whose only job was cutting a lineage that is already linear. A
+    * fixed-round loop now checkpoints every 8th round only; the rounds
+    * in between ride the plan as nested broadcast builds. 8 bounds the
+    * broadcasts resident inside one execution to
+    * 8 × [[BroadcastNodeLimit]] rows ≈ 200 MB worst-case — and bounds
+    * plan depth for long convergence budgets. Convergence-checked
+    * loops (tol > 0 / maxChanged ≥ 0) still cut every round: their
+    * per-round count/delta ACTION would otherwise re-execute the whole
+    * chain each round (O(R²) work).
+    */
+  private val CheckpointEvery = 8
+
   /** Rounds actually executed by the LAST pageRank / labelPropagation
     * call in this JVM — the early-exit observable for specs and dev
     * tools (the operators return only the final vector).
@@ -56,10 +72,12 @@ object Graph {
     *    exchanges (the dst-partitioned matrix feeds the inflow groupBy
     *    directly); above it, each iteration is exactly two equi-keyed
     *    shuffles;
-    *  - each round localCheckpoints the new rank vector, so lineage —
-    *    and the executed plan — stays LINEAR in rounds (the q50
-    *    connected-components discipline; an unpersisted loop doubles
-    *    the plan tree per round and re-executes 2^R scans).
+    *  - each round's vector is referenced exactly once, so lineage is
+    *    LINEAR in rounds by construction; fixed-round loops cut it
+    *    only every [[CheckpointEvery]] rounds (r19 — the per-round
+    *    checkpoint job was pure scheduling overhead), while
+    *    convergence-checked loops (whose per-round action re-executes
+    *    the chain) still cut every round.
     *
     * Total mass is conserved (no dangling nodes), so ranks sum to 1 —
     * spec-pinned in GraphSpec along with closed-form fixtures.
@@ -86,8 +104,9 @@ object Graph {
     * min_by pick groupBy on dst — in the broadcast regime all three
     * ride the dst-partitioning, zero per-round exchanges, and the
     * pick is an aggregation rather than a window so no per-round sort
-    * exists at any scale), then localCheckpoints — lineage linear in
-    * rounds.
+    * exists at any scale), with lineage cut every [[CheckpointEvery]]
+    * rounds (fixed-round loops; convergence-checked loops cut every
+    * round) — linear in rounds by construction.
     *
     * The coverage contract is VALIDATED by default (the [[pageRank]]
     * discipline): on an asymmetric graph the node set would silently
@@ -162,20 +181,23 @@ object Graph {
     // callers (q125's DuckDB twin unrolls exactly 4 rounds).
     var changed = Long.MaxValue
     var i = 0
+    var resident = true // labels is a checkpoint/seed, not a live chain
     while (i < iters && (maxChanged < 0 || changed > maxChanged)) {
       // the winning label via a second aggregation instead of a
       // row_number window (r19): min_by over the lexicographic
       // (−wv, label) struct IS "largest inflow, ties to smallest
       // label" (label is unique within a dst group, so the pick is
       // total) — same partitioning, no per-round sort at any scale
-      val next = trans.join(bc(labels), col("src") === col("node"))
+      val voted = trans.join(bc(labels), col("src") === col("node"))
         .groupBy(col("dst"), col("label"))
         .agg(sum(col("w")).as("wv"))
         .groupBy(col("dst"))
         .agg(min_by(col("label"),
           struct((-col("wv")).as("nw"), col("label"))).as("label"))
         .select(col("dst").as("node"), col("label"))
-        .localCheckpoint(eager = true)
+      // lineage cut cadence: see [[CheckpointEvery]]
+      resident = maxChanged >= 0 || (i + 1) % CheckpointEvery == 0
+      val next = if (resident) voted.localCheckpoint(eager = true) else voted
       if (maxChanged >= 0)
         changed = next.join(
             labels.select(col("node").as("n0"), col("label").as("l0")),
@@ -185,11 +207,11 @@ object Graph {
       i += 1
     }
     lastLpaIters.set(i)
-    // the final round is a resident checkpoint, so the cached matrix is
-    // no longer reachable from the returned plan — release it here
-    // rather than leaking one |E|-row cache entry per invocation
-    trans.unpersist()
-    labels
+    // release the cached matrix: immediately when the final round is a
+    // resident checkpoint (the returned plan no longer reaches it),
+    // otherwise after the caller's first action over the live chain
+    if (resident) { trans.unpersist(); labels }
+    else CacheRelease.afterUse(Seq(trans), labels)
   }
 
   /** `symmetricEdges = true` asserts the caller built the edge list
@@ -251,13 +273,14 @@ object Graph {
     // callers (q121's DuckDB twin unrolls exactly 5 iterations).
     var delta = Double.MaxValue
     var i = 0
+    var resident = true // ranks is a checkpoint-derived seed so far
     while (i < iters && (tol <= 0 || delta >= tol)) {
       val inflow = trans.join(bc(ranks), col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(sum(col("p") * col("r")).as("inflow"))
       // symmetric graphs: inflow covers every node, so the rank update
       // is a pure projection of it — no nodes join, no inflow broadcast
-      val next = (if (symmetricEdges)
+      val updated = if (symmetricEdges)
           inflow.select(col("dst").as("node"),
             (lit((1.0 - damping) / n) +
               lit(damping) * col("inflow")).as("r"))
@@ -265,8 +288,11 @@ object Graph {
           .join(bc(inflow), nodes("node") === inflow("dst"), "left")
           .select(col("node"),
             (lit((1.0 - damping) / n) +
-              lit(damping) * coalesce(col("inflow"), lit(0.0))).as("r")))
-        .localCheckpoint(eager = true)
+              lit(damping) * coalesce(col("inflow"), lit(0.0))).as("r"))
+      // lineage cut cadence: see [[CheckpointEvery]]
+      resident = tol > 0 || (i + 1) % CheckpointEvery == 0
+      val next = if (resident) updated.localCheckpoint(eager = true)
+        else updated
       if (tol > 0)
         delta = next.join(
             ranks.select(col("node").as("n0"), col("r").as("r0")),
@@ -276,10 +302,10 @@ object Graph {
       i += 1
     }
     lastPageRankIters.set(i)
-    // final ranks are a resident checkpoint — the cached matrix is
-    // unreachable from the returned plan; release it (labelPropagation
-    // discipline)
-    trans.unpersist()
-    ranks
+    // release the cached matrix: immediately when the final ranks are a
+    // resident checkpoint, otherwise after the caller's first action
+    // over the live chain (labelPropagation discipline)
+    if (resident) { trans.unpersist(); ranks }
+    else CacheRelease.afterUse(Seq(trans), ranks)
   }
 }

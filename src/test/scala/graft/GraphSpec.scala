@@ -83,6 +83,47 @@ class GraphSpec extends AnyFunSuite with SharedSpark {
     assert(ex.getMessage.contains("dangling"))
   }
 
+  /** Total shuffle-write records across every task of `body` — the
+    * direct observable for the r19 zero-per-round-exchange claim.
+    */
+  private def shuffleRecords(body: => Unit): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          acc.addAndGet(e.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try { body; Thread.sleep(500) } // listener bus drains async
+    finally spark.sparkContext.removeSparkListener(l)
+    acc.get
+  }
+
+  test("broadcast-regime rounds shuffle ZERO records (r19 dst-partitioned matrix)") {
+    val rnd = new scala.util.Random(17)
+    val e0 = Seq.fill(150)((s"n${rnd.nextInt(30)}", s"n${rnd.nextInt(30)}",
+      (rnd.nextInt(4) + 1).toDouble))
+    val edges = (e0 ++ e0.map { case (a, b, w) => (b, a, w) })
+      .toDF("src", "dst", "weight").localCheckpoint(eager = true)
+    // setup (out-weight agg, dst repartition, seed) shuffles the same
+    // rows whatever the round count — extra rounds must add NOTHING
+    val pr1 = shuffleRecords(
+      Graph.pageRank(edges, 1, 0.85, symmetricEdges = true).collect())
+    val pr5 = shuffleRecords(
+      Graph.pageRank(edges, 5, 0.85, symmetricEdges = true).collect())
+    assert(pr5 == pr1,
+      s"pageRank rounds must be exchange-free in the broadcast regime: " +
+        s"1 iter wrote $pr1 shuffle records, 5 iters wrote $pr5")
+    val lp1 = shuffleRecords(
+      Graph.labelPropagation(edges, 1, validateCoverage = false).collect())
+    val lp4 = shuffleRecords(
+      Graph.labelPropagation(edges, 4, validateCoverage = false).collect())
+    assert(lp4 == lp1,
+      s"LPA rounds must be exchange-free in the broadcast regime: " +
+        s"1 round wrote $lp1 shuffle records, 4 rounds wrote $lp4")
+  }
+
   test("lineage is linear in rounds (constant exchanges per extra round)") {
     val edges = Seq(("a", "b", 1.0), ("b", "a", 1.0), ("b", "c", 2.0),
       ("c", "b", 2.0)).toDF("src", "dst", "weight")
