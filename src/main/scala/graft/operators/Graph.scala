@@ -159,6 +159,14 @@ object Graph {
       .select(col("src"), col("dst"), col("weight").cast("double").as("w"))
       .repartition(if (small) col("dst") else col("src"))
       .persist()
+    // materialize the cache NOW: a round planned against an
+    // un-materialized cache sees AdaptiveSparkPlan/UnknownPartitioning
+    // and EnsureRequirements re-inserts the per-round exchange the
+    // partitioning exists to remove (measured r19 — the plan-evidence
+    // capture caught it after the checkpoint-cadence change made every
+    // round lazy). The coverage anti-joins materialize it as a side
+    // effect; validation-skipping callers pay one count() job instead.
+    if (!validateCoverage) trans.count()
     if (validateCoverage) {
       require(trans.join(nodes, col("dst") === col("node"), "left_anti").isEmpty,
         "labelPropagation requires every dst to also appear as a src " +
@@ -255,6 +263,10 @@ object Graph {
       .select(col("src"), col("dst"), (col("weight") / col("wsum")).as("p"))
       .repartition(if (small) col("dst") else col("src"))
       .persist()
+    // materialize the cache NOW — see labelPropagation: plans built
+    // against an un-materialized cache lose its partitioning and pay
+    // the per-round exchange again
+    if (!validateNoDangling) trans.count()
     // no-dangling contract: a dst that never appears as src would leak
     // rank mass out of the system. The check is one anti-join over the
     // checkpointed edges — callers whose edges are symmetric BY

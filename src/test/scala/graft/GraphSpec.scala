@@ -108,10 +108,16 @@ class GraphSpec extends AnyFunSuite with SharedSpark {
       .toDF("src", "dst", "weight").localCheckpoint(eager = true)
     // setup (out-weight agg, dst repartition, seed) shuffles the same
     // rows whatever the round count — extra rounds must add NOTHING
+    // q121's exact flags: validation SKIPPED (a validation pass would
+    // materialize the cached matrix and mask the lazy-planning bug this
+    // test exists to catch — an un-materialized cache plans as
+    // UnknownPartitioning and the per-round exchange returns)
     val pr1 = shuffleRecords(
-      Graph.pageRank(edges, 1, 0.85, symmetricEdges = true).collect())
+      Graph.pageRank(edges, 1, 0.85, validateNoDangling = false,
+        symmetricEdges = true).collect())
     val pr5 = shuffleRecords(
-      Graph.pageRank(edges, 5, 0.85, symmetricEdges = true).collect())
+      Graph.pageRank(edges, 5, 0.85, validateNoDangling = false,
+        symmetricEdges = true).collect())
     assert(pr5 == pr1,
       s"pageRank rounds must be exchange-free in the broadcast regime: " +
         s"1 iter wrote $pr1 shuffle records, 5 iters wrote $pr5")
